@@ -1,0 +1,106 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The cantera-table data model (SURVEY §1.4) re-expressed as canonical
+  * DataFrames, derived deterministically from the driver's TPC-H-ish parquet
+  * testdata (FIXTURES.md §B).
+  *
+  * Reference model (/root/reference/src/ca-table.h:89-106, README.md:24-56):
+  *   - `index`:     key (keyword) → postings (offset:uint64, score:float)
+  *   - `summaries`: offset → (document key, JSON payload)
+  *
+  * Here `offset` (column name `off` — OFFSET is an ANSI/DuckDB reserved word)
+  * is the document id; scores are kept as Double end-to-end so the DuckDB
+  * oracle computes bit-identical values.
+  *
+  * Scale note: every derivation below is a narrow projection + unionByName —
+  * no shuffle, no collect. On a real cluster the index would be written once
+  * as parquet partitioned by key-prefix and bucketed by `off`; the per-query
+  * derivation here stands in for that scan.
+  */
+object Catalog {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The posting index: one row per (keyword, document, score).
+    * Keyword classes mirror FIXTURES.md A.3:
+    *  - boolean presence keywords (score 0): status:*, priority:*
+    *  - continuous metrics: price, lineprice
+    *  - timestamped keyword (epoch-days score): orderdate
+    *  - duplicate offsets within one key (event-series shape): qty
+    */
+  def index(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val l = table(spark, dir, "lineitem")
+    val status = o.select(
+      concat(lit("status:"), col("o_orderstatus")).as("key"),
+      col("o_orderkey").as("off"), lit(0.0).as("score"))
+    val prio = o.select(
+      concat(lit("priority:"), col("o_orderpriority")).as("key"),
+      col("o_orderkey").as("off"), lit(0.0).as("score"))
+    val price = o.select(
+      lit("price").as("key"),
+      col("o_orderkey").as("off"), col("o_totalprice").as("score"))
+    val odate = o.select(
+      lit("orderdate").as("key"),
+      col("o_orderkey").as("off"),
+      datediff(col("o_orderdate"), lit("1970-01-01")).cast("double").as("score"))
+    val qty = l.select(
+      lit("qty").as("key"),
+      col("l_orderkey").as("off"), col("l_quantity").as("score"))
+    val lineprice = l.select(
+      lit("lineprice").as("key"),
+      col("l_orderkey").as("off"), col("l_extendedprice").as("score"))
+    status.unionByName(prio).unionByName(price).unionByName(odate)
+      .unionByName(qty).unionByName(lineprice)
+  }
+
+  /** Identical derivation as a DuckDB CTE, prefixed onto every oracle query so
+    * the oracle sees the exact same logical `idx` table. */
+  val indexSql: String =
+    """WITH idx AS (
+      |  SELECT 'status:' || o_orderstatus AS key, o_orderkey AS off, 0.0 AS score FROM orders
+      |  UNION ALL SELECT 'priority:' || o_orderpriority, o_orderkey, 0.0 FROM orders
+      |  UNION ALL SELECT 'price', o_orderkey, o_totalprice FROM orders
+      |  UNION ALL SELECT 'orderdate', o_orderkey, CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS DOUBLE) FROM orders
+      |  UNION ALL SELECT 'qty', l_orderkey, l_quantity FROM lineitem
+      |  UNION ALL SELECT 'lineprice', l_orderkey, l_extendedprice FROM lineitem
+      |)""".stripMargin.replace("\n", " ")
+
+  /** Summary table: offset → (document key, JSON body)
+    * (/root/reference/README.md:24-27; fetch path src/query.cc:843-875). */
+  def summaries(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    o.select(
+      col("o_orderkey").as("off"),
+      concat(lit("order:"), col("o_orderkey")).as("key"),
+      to_json(struct(col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"),
+        col("o_orderpriority").as("priority"))).as("json"))
+  }
+
+  val summariesSql: String =
+    """WITH summ AS (
+      |  SELECT o_orderkey AS off, 'order:' || o_orderkey AS key,
+      |         to_json(struct_pack(status := o_orderstatus, price := o_totalprice, priority := o_orderpriority)) AS json
+      |  FROM orders
+      |)""".stripMargin.replace("\n", " ")
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+
+  /** `events` stores TIMESTAMP(NANOS) which Spark's parquet reader rejects;
+    * read nanos as Long and convert (integer DIV — a double round-trip would
+    * lose precision above 2^53 ns). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+}
