@@ -52,7 +52,8 @@ for name in sorted(oracle):
         g, w = got[c].values, want[c].values
         if g.dtype == np.float64:
             both_nan = pd.isna(g) & pd.isna(w)
-            eq = np.isclose(g, w, rtol=0, atol=0, equal_nan=True) | both_nan
+            # tiny rtol: Spark/DuckDB partial-agg order can differ by an ulp
+            eq = np.isclose(g, w, rtol=1e-12, atol=0, equal_nan=True) | both_nan
         else:
             eq = (g == w) | (pd.isna(g) & pd.isna(w))
         if not eq.all():

@@ -6,11 +6,7 @@ import org.apache.spark.sql.SparkSession
   * return rows > 0 on sf0.001. */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local("8")
     val df = SparkEntry.entry(spark)
     val n = df.count()
     df.show(5, truncate = false)

@@ -52,7 +52,7 @@ object SparkEntry {
     "f2_gt" -> ((s, dir) => scoreCmp(idxKey(s, dir, "price"), ">", 150000.0)),
     "f3_le" -> ((s, dir) => scoreCmp(idxKey(s, dir, "price"), "<=", 50000.0)),
     "f4_range" -> ((s, dir) =>
-      scoreRange(idxKey(s, dir, "orderdate"), 19800.0, 19850.0)),
+      scoreRange(idxKey(s, dir, "orderdate"), 9600.0, 9500.0)),
 
     // ---- J: posting-set joins (SURVEY §2.3); final dedup = J6 ----
     "j1_or" -> ((s, dir) =>
@@ -175,7 +175,9 @@ object SparkEntry {
     "f1_eq" -> s"$IDX SELECT off, score FROM idx WHERE key = 'qty' AND score = 25.0",
     "f2_gt" -> s"$IDX SELECT off, score FROM idx WHERE key = 'price' AND score > 150000.0",
     "f3_le" -> s"$IDX SELECT off, score FROM idx WHERE key = 'price' AND score <= 50000.0",
-    "f4_range" -> s"$IDX SELECT off, score FROM idx WHERE key = 'orderdate' AND score BETWEEN 19800.0 AND 19850.0",
+    // bounds deliberately reversed on the Spark side (scoreRange auto-swaps,
+    // query.cc:508-510); oracle uses the normalized order.
+    "f4_range" -> s"$IDX SELECT off, score FROM idx WHERE key = 'orderdate' AND score BETWEEN 9500.0 AND 9600.0",
     "j1_or" -> (s"$IDX SELECT off, max(score) AS score FROM idx " +
       "WHERE key IN ('status:F', 'status:O') GROUP BY off"),
     "j2_and" -> (s"$IDX SELECT off, max(score) AS score FROM idx " +

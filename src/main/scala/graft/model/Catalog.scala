@@ -97,10 +97,21 @@ object Catalog {
 
   /** `events` stores TIMESTAMP(NANOS) which Spark's parquet reader rejects;
     * read nanos as Long and convert (integer DIV — a double round-trip would
-    * lose precision above 2^53 ns). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * lose precision above 2^53 ns). Requires
+    * spark.sql.legacy.parquet.nanosAsLong=true, set once at session build
+    * (GraftSession.builder) — NOT mutated here, so reads stay order-independent. */
+  def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
+
+  /** Raw events with nanosecond `ts` kept as Long (for streaming file source
+    * which needs an explicit schema). */
+  def eventsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
 }

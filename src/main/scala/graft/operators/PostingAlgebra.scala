@@ -24,21 +24,26 @@ object PostingAlgebra {
   private def p(df: DataFrame): DataFrame =
     df.select(postingCols.map(col): _*)
 
-  /** J1 `a OR b` — merge-union (src/query.cc:68-94,418-427). The reference
-    * keeps the rhs element at offset ties; post-dedup (J6) a plain union is
-    * equivalent, and avoids a join. */
+  /** J1 `a OR b` — merge-union (src/query.cc:68-94,418-427). DELIBERATE
+    * DEVIATION: the reference drops the lhs element at offset ties and keeps
+    * the rhs one, so after RemoveDuplicates(use_max) it can yield the rhs
+    * score where this yields max(lhs, rhs). We define OR as plain bag-union
+    * (set semantics post-dedup), which is shuffle-free and well-defined on
+    * unordered data; the oracle and the property tests pin this contract. */
   def or(a: DataFrame, b: DataFrame): DataFrame =
     p(a).unionByName(p(b))
 
   /** J2 `a AND b` — intersect keeping ALL lhs duplicates, scores from lhs
-    * (src/query.cc:96-125,429-438). left_semi is exactly that. */
+    * (src/query.cc:96-125,429-438). left_semi is exactly that; semi-join
+    * ignores rhs duplicates natively, no rhs dedup needed. */
   def and(a: DataFrame, b: DataFrame): DataFrame =
-    p(a).join(p(b).select("off").distinct(), Seq("off"), "left_semi")
+    p(a).join(p(b).select("off"), Seq("off"), "left_semi")
 
   /** J3 `a - b` / `a AND NOT b` — remove every lhs element whose offset occurs
-    * in rhs (src/query.cc:358-392,440-449). */
+    * in rhs (src/query.cc:358-392,440-449). anti-join ignores rhs duplicates
+    * natively. */
   def subtract(a: DataFrame, b: DataFrame): DataFrame =
-    p(a).join(p(b).select("off").distinct(), Seq("off"), "left_anti")
+    p(a).join(p(b).select("off"), Seq("off"), "left_anti")
 
   /** J4 `a > b` / `a < b` with a query rhs — theta-semi-join on offset keeping
     * lhs rows whose score compares true against the rhs score at the same
