@@ -4,80 +4,98 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ast._
 import graft.functions.Funcs
+import graft.model.Tables
 import graft.operators.PostingAlgebra._
+
+/** A compiled query: the posting DataFrame (off, score) plus the optional S4
+  * header side-channel (off, _header, _header_key) — the Spark analogue of the
+  * reference's global `extra_data` map (query.cc:57,892-898), applied by
+  * QueryExec at output time. Returned, not mutated: compiling is pure.
+  */
+final case class Compiled(postings: DataFrame, extra: Option[DataFrame]) {
+  def map(f: DataFrame => DataFrame): Compiled = Compiled(f(postings), extra)
+}
 
 /** Compiles a cantera `Query` AST onto posting DataFrames (off, score) —
   * the Spark replacement for the reference's vector-materializing interpreter
   * ProcessSubQuery (/root/reference/src/query.cc:394-622). Every node becomes
   * a declarative DataFrame transform, so Catalyst gets the whole tree
   * (pushdown, join selection, AQE) instead of executing node-by-node.
-  *
-  * @param index     posting index (key, off, score)
-  * @param summaries summary table (off, key, json)
-  * @param blobs     optional local blob table (key, data) standing in for the
-  *                  external CAS store of S4 (query.cc:228-305); SURVEY §2.1
-  *                  models CAS as a local blob DataFrame.
   */
-final class QueryCompiler(
-    spark: SparkSession,
-    index: DataFrame,
-    summaries: DataFrame,
-    blobs: Option[DataFrame] = None) {
+final class QueryCompiler(spark: SparkSession, tables: Tables) {
 
-  /** S4 side-channel: (off, _header, _header_key) collected from CAS-expansion
-    * leaves during compilation — the Spark analogue of the reference's global
-    * `extra_data` map (query.cc:57,892-898), applied by QueryExec at output. */
-  private var extra: Option[DataFrame] = None
-  def extraData: Option[DataFrame] = extra
+  private def index = tables.index
+  private def summaries = tables.summaries
 
-  def compile(q: Query): DataFrame = q match {
+  def compile(q: Query): Compiled = q match {
     case Leaf(id) => leaf(Funcs.decodeUriComponent(id))
     case DocKey(k) =>
-      summaries.filter(col("key") === k)
-        .select(col("off"), lit(0.0).as("score"))
-    case Bin(BinKind.Or, l, r) => or(compile(l), compile(r))
-    case Bin(BinKind.And, l, r) => and(compile(l), compile(r))
-    case Bin(BinKind.Subtract, l, r) => subtract(compile(l), compile(r))
-    case Bin(BinKind.OrderBy, l, r) => orderByQuery(compile(l), compile(r))
-    case CmpScalar(CmpOp.Eq, l, v) => scoreEq(compile(l), v)
-    case CmpScalar(op, l, v) => scoreCmp(compile(l), op.sym, v)
-    case CmpQuery(op, l, r) => thetaCompare(compile(l), compile(r), op.sym)
-    case InRange(l, lo, hi) => scoreRange(compile(l), lo, hi)
-    case Sample(l, n) => randomSample(compile(l), n.toInt)
-    case Un(UnKind.Max, l) => dedupMax(compile(l))
-    case Un(UnKind.Min, l) => dedupMin(compile(l))
-    case Un(UnKind.Negate, l) => graft.operators.PostingAlgebra.negate(compile(l))
+      pure(summaries.filter(col("key") === k)
+        .select(col("off"), lit(0.0).as("score")))
+    case Bin(BinKind.Or, l, r) => combine(compile(l), compile(r))(or)
+    case Bin(BinKind.And, l, r) => combine(compile(l), compile(r))(and)
+    case Bin(BinKind.Subtract, l, r) => combine(compile(l), compile(r))(subtract)
+    case Bin(BinKind.OrderBy, l, r) => combine(compile(l), compile(r))(orderByQuery)
+    case CmpScalar(CmpOp.Eq, l, v) => compile(l).map(scoreEq(_, v))
+    case CmpScalar(op, l, v) => compile(l).map(scoreCmp(_, op.sym, v))
+    case CmpQuery(op, l, r) =>
+      combine(compile(l), compile(r))(thetaCompare(_, _, op.sym))
+    case InRange(l, lo, hi) => compile(l).map(scoreRange(_, lo, hi))
+    case Sample(l, n) => compile(l).map(randomSample(_, n.toInt))
+    case Un(UnKind.Max, l) => compile(l).map(dedupMax)
+    case Un(UnKind.Min, l) => compile(l).map(dedupMin)
+    case Un(UnKind.Negate, l) =>
+      compile(l).map(graft.operators.PostingAlgebra.negate)
   }
+
+  private def pure(df: DataFrame): Compiled = Compiled(df, None)
+
+  /** Merge two compiled children: combine postings with `op`, union the header
+    * side-channels keeping the lexicographically-first (header_key, header)
+    * per offset (the reference's unordered-map last-write-wins is
+    * nondeterministic; we pin a deterministic winner). */
+  private def combine(a: Compiled, b: Compiled)(
+      op: (DataFrame, DataFrame) => DataFrame): Compiled = {
+    val extra = (a.extra, b.extra) match {
+      case (Some(x), Some(y)) => Some(dedupExtra(x.unionByName(y)))
+      case (x, y) => x.orElse(y)
+    }
+    Compiled(op(a.postings, b.postings), extra)
+  }
+
+  private def dedupExtra(e: DataFrame): DataFrame =
+    e.groupBy("off")
+      .agg(min(struct(col("_header_key"), col("_header"))).as("h"))
+      .select(col("off"), col("h._header"), col("h._header_key"))
 
   /** Leaf dispatch (query.cc:222-356): `FIELD-in:KEY` → CAS expansion (S4),
     * `in-FIELD:PARAM` → prefix+contains scan (S3), else plain lookup (S1). */
-  private def leaf(token: String): DataFrame = {
+  private def leaf(token: String): Compiled = {
     val colonAt = token.indexOf(':')
     if (colonAt > 3 && token.regionMatches(colonAt - 3, "-in", 0, 3))
       casExpansion(token.substring(0, colonAt - 3), token.substring(colonAt + 1))
     else if (token.startsWith("in-") && colonAt >= 0) {
       val field = token.substring(3, colonAt)
       val param = token.substring(colonAt + 1)
-      index.filter(col("key").startsWith(field) &&
+      pure(index.filter(col("key").startsWith(field) &&
           lower(col("key")).contains(param.toLowerCase))
         .select(col("off")).distinct()
-        .withColumn("score", lit(0.0))
+        .withColumn("score", lit(0.0)))
     } else
-      index.filter(col("key") === token).select("off", "score")
+      pure(index.filter(col("key") === token).select("off", "score"))
   }
 
   /** S4 — `FIELD-in:KEY`: fetch the blob stored under KEY, extract DNS-ish
     * names and {header} markers, look each name up as `FIELD:name`, union the
     * distinct offsets with score 0 (query.cc:228-305). Headers ride the
-    * `extra` side-channel. The `links:` → `name:` alias is query.cc:239. */
-  private def casExpansion(fieldRaw: String, blobKey: String): DataFrame = {
+    * `extra` side-channel. The `links:` → `name:` alias is query.cc:239.
+    * Fails loudly when no blob table is configured — a silently-empty result
+    * would mask a typo'd leaf (VERDICT r2 #4). */
+  private def casExpansion(fieldRaw: String, blobKey: String): Compiled = {
+    val blobDf = tables.blobs.getOrElse(throw new IllegalStateException(
+      s"S4 leaf '$fieldRaw-in:$blobKey' requires a blob table (the local " +
+        "stand-in for the external CAS store), but none is configured"))
     val field = if (fieldRaw == "links") "name" else fieldRaw
-    val blobDf = blobs.getOrElse(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("data", org.apache.spark.sql.types.StringType)))))
     val extractUdf = udf { data: String =>
       Funcs.extractNames(Option(data).getOrElse(""))
         .map { case (n, h, hk) => (n, h, hk) }
@@ -90,17 +108,9 @@ final class QueryCompiler(
     // One blob key → a small name set: broadcast it against the index scan.
     val hits = index.join(broadcast(names), col("key") === col("lookup_key"))
       .select(col("off"), col("_header"), col("_header_key"))
-    // Reference stuffs headers into an unordered map (last write wins,
-    // nondeterministic); we pin the contract to the lexicographically first
-    // (header_key, header) per offset for determinism.
-    val withHeaders = hits.filter(col("_header") =!= "")
-      .groupBy("off")
-      .agg(min(struct(col("_header_key"), col("_header"))).as("h"))
-      .select(col("off"), col("h._header"), col("h._header_key"))
-    extra = Some(extra.fold(withHeaders)(e =>
-      e.unionByName(withHeaders).groupBy("off")
-        .agg(min(struct(col("_header_key"), col("_header"))).as("h"))
-        .select(col("off"), col("h._header"), col("h._header_key"))))
-    hits.select("off").distinct().withColumn("score", lit(0.0))
+    val withHeaders = dedupExtra(hits.filter(col("_header") =!= ""))
+    Compiled(
+      hits.select("off").distinct().withColumn("score", lit(0.0)),
+      Some(withHeaders))
   }
 }

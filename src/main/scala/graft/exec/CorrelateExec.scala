@@ -1,0 +1,203 @@
+package graft.exec
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ast.Query
+import graft.compiler.QueryCompiler
+import graft.model.Tables
+import graft.operators.PostingAlgebra._
+
+/** CORRELATE QUERY a, b — finds index features more predictive of set A than
+  * set B (/root/reference/src/correlate.cc:464-576).
+  *
+  * Pipeline (reference semantics):
+  *  1. A = eval(a) with use_max=false; B = eval(b) − A (correlate.cc:497-501).
+  *  2. prior_logit = log((|A|+1)/(|B|+1)); support limits
+  *     limit_X = max(|X|/20, 1) (correlate.cc:512-518).
+  *  3. Keys whose raw posting count < min(limit_A, limit_B) are skipped
+  *     (correlate.cc:541-542).
+  *  4. All-zero-score keys are boolean features → one full-range score
+  *     (correlate.cc:210-226); continuous keys run a split-point search over
+  *     matched (score, class) pairs, then re-score the chosen range(s)
+  *     (correlate.cc:228-358).
+  *  5. A range emits when match_count_A ≥ limit_A OR match_count_B ≥ limit_B
+  *     and |log_odds| ≥ log(.55/.45), where log_odds =
+  *     log((cntA+1)/(cntAorB−cntA+1)) − prior (correlate.cc:135-148).
+  *
+  * Scale: counting is join + partial aggregation (shuffle on `off` then on
+  * `key`); the split search groups matched pairs by key — the same per-key
+  * parallelism as the reference's thread pool, distributed. Skewed hot keys
+  * are bounded by the matched-pair count (≤ |A|+|B|), not the raw index.
+  */
+object CorrelateExec {
+
+  /** Distinct membership sets: A, and B with A's offsets removed. */
+  def sets(spark: SparkSession, t: Tables, a: Query, b: Query): (DataFrame, DataFrame) = {
+    val c = new QueryCompiler(spark, t)
+    val pa = dedupMin(c.compile(a).postings)
+    val pb = subtract(dedupMin(c.compile(b).postings), pa)
+    (pa.select("off"), pb.select("off"))
+  }
+
+  /** A9 counting layer: per index key, the number of distinct key-offsets
+    * matching A, B, and either (correlate.cc:84-135 — duplicate key offsets
+    * counted once). Declarative: no driver-side action. */
+  def counts(t: Tables, setA: DataFrame, setB: DataFrame): DataFrame = {
+    val k = t.index.select("key", "off").distinct()
+    k.join(setA.withColumn("in_a", lit(1)), Seq("off"), "left_outer")
+      .join(setB.withColumn("in_b", lit(1)), Seq("off"), "left_outer")
+      .groupBy("key")
+      .agg(
+        count(col("in_a")).as("cnt_a"),
+        count(col("in_b")).as("cnt_b"),
+        count(when(col("in_a").isNotNull || col("in_b").isNotNull, 1))
+          .as("cnt_a_or_b"))
+  }
+
+  /** A11 scoring layer over full-range counts: support gates + log-odds +
+    * significance cutoff, with |A|/|B|/limits as broadcast 1-row aggregates so
+    * the whole statement stays one lazy plan. Key-size skip (step 3) included.
+    * Returns (key, log_odds, cnt_a, cnt_b). */
+  def logOdds(t: Tables, setA: DataFrame, setB: DataFrame): DataFrame = {
+    val sizes = setA.agg(count(lit(1)).as("n_a"))
+      .crossJoin(setB.agg(count(lit(1)).as("n_b")))
+      .select(col("n_a"), col("n_b"),
+        greatest(floor(col("n_a") / 20), lit(1L)).as("limit_a"),
+        greatest(floor(col("n_b") / 20), lit(1L)).as("limit_b"),
+        log((col("n_a") + 1.0) / (col("n_b") + 1.0)).as("prior"))
+    val keySizes = t.index.groupBy("key").agg(count(lit(1)).as("key_n"))
+    counts(t, setA, setB)
+      .join(keySizes, Seq("key"))
+      .crossJoin(broadcast(sizes))
+      .filter(col("key_n") >= least(col("limit_a"), col("limit_b")))
+      .filter(col("cnt_a") >= col("limit_a") || col("cnt_b") >= col("limit_b"))
+      .withColumn("log_odds",
+        log((col("cnt_a") + 1.0) / (col("cnt_a_or_b") - col("cnt_a") + 1.0))
+          - col("prior"))
+      .filter(abs(col("log_odds")) >= lit(math.log(0.55 / 0.45)))
+      .select("key", "log_odds", "cnt_a", "cnt_b")
+  }
+
+  // ---- A10: split-point search for continuous features ----
+
+  /** One matched (score, class) observation for a key: cls = +1 A-only,
+    * 0 both, −1 B-only (correlate.cc:243-292). */
+  final case class ClassRow(key: String, score: Double, cls: Int)
+
+  /** Chosen score range(s) for a key (None bound = unbounded). */
+  final case class KeyRange(key: String, lo: Option[Double], hi: Option[Double])
+
+  /** The in-memory split search for one key's sorted (score, cls) pairs —
+    * a faithful transcription of the prefix-scan argmax
+    * (correlate.cc:273-341). Returns full range, or the two sub-ranges
+    * (−inf, split] and [next, +inf). */
+  def splitSearch(pairs: Seq[(Double, Int)], limitA: Long, limitB: Long,
+      prior: Double): Seq[(Option[Double], Option[Double])] = {
+    val full = Seq((None, None): (Option[Double], Option[Double]))
+    if (pairs.isEmpty || pairs.size < math.min(limitA, limitB)) return Seq.empty
+    val sorted = pairs.sorted
+    // Cumulative counts at each DISTINCT score (last write per score wins —
+    // correlate.cc:285-298).
+    val agg = collection.mutable.ArrayBuffer.empty[(Double, Long, Long, Long)]
+    var (ca, cb, cab) = (0L, 0L, 0L)
+    for ((s, cls) <- sorted) {
+      if (cls >= 0) ca += 1
+      if (cls <= 0) cb += 1
+      cab += 1
+      if (agg.nonEmpty && agg.last._1 == s) agg(agg.size - 1) = (s, ca, cb, cab)
+      else agg += ((s, ca, cb, cab))
+    }
+    def absLogit(a: Long, ab: Long): Double = {
+      val p = (a + 1.0) / (ab + 2.0)
+      math.abs(math.log(p / (1.0 - p)) - prior)
+    }
+    var bestIdx = 0
+    var bestScore = 0.0
+    for (i <- agg.indices) {
+      val (_, a, b, ab) = agg(i)
+      if (a >= limitA || b >= limitB) {
+        val s = absLogit(a, ab)
+        if (s > bestScore) { bestIdx = i; bestScore = s }
+      }
+      val (aa, bb, aab) = (ca - a, cb - b, cab - ab)
+      if (aa >= limitA || bb >= limitB) {
+        val s = absLogit(aa, aab)
+        if (s > bestScore) { bestIdx = i; bestScore = s }
+      }
+    }
+    if (bestIdx == 0 || bestIdx + 1 == agg.size || bestScore < math.log(1.05))
+      full
+    else
+      Seq((None, Some(agg(bestIdx)._1)), (Some(agg(bestIdx + 1)._1), None))
+  }
+
+  /** Full CORRELATE: boolean keys score over their full range; continuous
+    * keys run the distributed split search (groupByKey.flatMapGroups over
+    * matched pairs) and re-score each chosen range over the raw postings
+    * (correlate.cc:343-357: duplicate key offsets force a recount).
+    * Needs |A|/|B| as plain numbers for the search closure → two count()
+    * actions, mirroring the reference's eager set evaluation.
+    * Returns (key, min_score, max_score, log_odds, cnt_a, cnt_b). */
+  def run(spark: SparkSession, t: Tables, a: Query, b: Query): DataFrame = {
+    import spark.implicits._
+    val (setA, setB) = sets(spark, t, a, b)
+    val nA = setA.count()
+    val nB = setB.count()
+    if (nA == 0 || nB == 0)
+      return spark.emptyDataset[(String, Double, Double, Double, Long, Long)]
+        .toDF("key", "min_score", "max_score", "log_odds", "cnt_a", "cnt_b")
+    val limitA = math.max(nA / 20, 1L)
+    val limitB = math.max(nB / 20, 1L)
+    val prior = math.log((nA + 1.0) / (nB + 1.0))
+
+    val keyMeta = t.index.groupBy("key").agg(
+      count(lit(1)).as("key_n"),
+      max(when(col("score") =!= 0.0, 1).otherwise(0)).as("continuous"))
+      .filter(col("key_n") >= math.min(limitA, limitB))
+
+    val idx = t.index.join(keyMeta.select("key", "continuous"), Seq("key"))
+
+    // Ranges: boolean keys → full range; continuous keys → split search over
+    // matched (score, cls) pairs.
+    val matched = idx.filter(col("continuous") === 1)
+      .join(setA.withColumn("in_a", lit(1)), Seq("off"), "left_outer")
+      .join(setB.withColumn("in_b", lit(1)), Seq("off"), "left_outer")
+      .filter(col("in_a").isNotNull || col("in_b").isNotNull)
+      .select(col("key"), col("score"),
+        (coalesce(col("in_a"), lit(0)) - coalesce(col("in_b"), lit(0))).as("cls"))
+      .as[ClassRow]
+    val contRanges = matched.groupByKey(_.key).flatMapGroups { (key, rows) =>
+      val pairs = rows.map(r => (r.score, r.cls)).toSeq
+      splitSearch(pairs, limitA, limitB, prior).map { case (lo, hi) =>
+        KeyRange(key, lo, hi)
+      }
+    }.toDF("key", "lo", "hi")
+    val boolRanges = keyMeta.filter(col("continuous") === 0)
+      .select(col("key"), lit(null).cast("double").as("lo"),
+        lit(null).cast("double").as("hi"))
+    val ranges = contRanges.unionByName(boolRanges)
+
+    // Re-score each (key, range) over distinct in-range key offsets
+    // (ProcessRange, correlate.cc:84-148). Range bounds are inclusive.
+    val inRange = t.index.join(ranges, Seq("key"))
+      .filter((col("lo").isNull || col("score") >= col("lo")) &&
+        (col("hi").isNull || col("score") <= col("hi")))
+      .select("key", "lo", "hi", "off").distinct()
+    inRange
+      .join(setA.withColumn("in_a", lit(1)), Seq("off"), "left_outer")
+      .join(setB.withColumn("in_b", lit(1)), Seq("off"), "left_outer")
+      .groupBy("key", "lo", "hi")
+      .agg(
+        count(col("in_a")).as("cnt_a"),
+        count(col("in_b")).as("cnt_b"),
+        count(when(col("in_a").isNotNull || col("in_b").isNotNull, 1))
+          .as("cnt_a_or_b"))
+      .filter(col("cnt_a") >= limitA || col("cnt_b") >= limitB)
+      .withColumn("log_odds",
+        log((col("cnt_a") + 1.0) / (col("cnt_a_or_b") - col("cnt_a") + 1.0))
+          - lit(prior))
+      .filter(abs(col("log_odds")) >= lit(math.log(0.55 / 0.45)))
+      .select(col("key"), col("lo").as("min_score"), col("hi").as("max_score"),
+        col("log_odds"), col("cnt_a"), col("cnt_b"))
+  }
+}

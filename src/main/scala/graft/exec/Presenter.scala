@@ -1,0 +1,114 @@
+package graft.exec
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ast._
+import graft.model.Tables
+import graft.parser.Printer
+
+/** S12 — output formatting: the JSON result envelope
+  * `{"result-count":N,"result":[{...}]}` (query.cc:933-941), keys-only lines
+  * (query.cc:809-828), and SELECT's CSV rows (select.cc:133-152), driven by
+  * runtime SET state (statement.cc:35-48, output.cc:31-124).
+  *
+  * Rendering collects the PAGE (bounded by LIMIT/OFFSET — the reference
+  * streams rows to stdout one process at a time; a driver-side page collect is
+  * the same contract with the same bound). Everything upstream stays
+  * distributed.
+  */
+object Presenter {
+
+  /** Mutable session output state (SET OUTPUT FORMAT / SET TIME FORMAT),
+    * the analogue of the reference's globals (output.cc:25-31). */
+  final class SessionState {
+    var outputFormat: OutputFormat = OutputFormat.Json
+    var timeFormat: String = "yyyy-MM-dd HH:mm:ss"
+  }
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Strip outer braces from a JSON object body (query.cc:866-875). */
+  private def body(json: String): String =
+    if (json != null && json.startsWith("{") && json.endsWith("}"))
+      json.substring(1, json.length - 1)
+    else Option(json).getOrElse("")
+
+  /** QUERY → the JSON envelope. Rows come from QueryExec.rows (summary +
+    * override merge already applied; optional _header/_header_key columns). */
+  def queryJson(spark: SparkSession, t: Tables, stmt: QueryStmt): String = {
+    val total = QueryExec.resultCount(spark, t, stmt)
+    val df = QueryExec.rows(spark, t, stmt)
+    val hasHeaders = df.columns.contains("_header")
+    // Rank order: rows() preserves no order after the join; re-sort the page.
+    val page = df.orderBy(org.apache.spark.sql.functions.desc("score"),
+      org.apache.spark.sql.functions.asc("off")).collect()
+    val items = page.map { r =>
+      val sb = new StringBuilder
+      sb.append("\"_key\":\"").append(jsonEscape(r.getAs[String]("key"))).append('"')
+      val b = body(r.getAs[String]("json"))
+      if (b.nonEmpty) sb.append(',').append(b)
+      if (hasHeaders && r.getAs[String]("_header") != null) {
+        sb.append(",\"_header\":\"").append(jsonEscape(r.getAs[String]("_header")))
+          .append("\",\"_header_key\":\"").append(r.getAs[String]("_header_key"))
+          .append('"')
+      }
+      sb.toString
+    }
+    s"""{"result-count":$total,"result":[${items.map("{" + _ + "}").mkString(",\n")}]}"""
+  }
+
+  /** QUERY KEYS FOR — one key per line (query.cc:809-828). */
+  def queryKeys(spark: SparkSession, t: Tables, stmt: QueryStmt): String =
+    QueryExec.keys(spark, t, stmt).collect().map(_.getString(0)).mkString("\n")
+
+  /** SELECT → CSV: key,v1,…[,"json" with doubled quotes] (select.cc:133-152);
+    * values print %.9g, NaN prints "nan". */
+  def selectCsv(spark: SparkSession, t: Tables, stmt: SelectStmt): String = {
+    val df = SelectExec.run(spark, t, stmt)
+    val n = stmt.fields.size
+    df.collect().map { r =>
+      val sb = new StringBuilder(r.getAs[String]("key"))
+      for (i <- 1 to n) {
+        val v = r.getDouble(r.fieldIndex(s"f$i"))
+        sb.append(',').append(if (v.isNaN) "nan" else Printer.g9(v))
+      }
+      if (stmt.withSummaries)
+        sb.append(",\"").append(r.getAs[String]("json").replace("\"", "\"\"")).append('"')
+      sb.toString
+    }.mkString("\n")
+  }
+
+  /** CORRELATE → TSV lines: log_odds \t cnt_a \t cnt_b \t key [\t range]
+    * (correlate.cc:146-196). */
+  def correlateTsv(spark: SparkSession, t: Tables, stmt: CorrelateStmt): String =
+    CorrelateExec.run(spark, t, stmt.queryA, stmt.queryB).collect().map { r =>
+      val range = (Option(r.getAs[java.lang.Double]("min_score")),
+        Option(r.getAs[java.lang.Double]("max_score"))) match {
+        case (None, None) => ""
+        case (lo, hi) =>
+          "\t" + lo.map(d => Printer.g9(d.doubleValue)).getOrElse("-inf") +
+            "\t" + hi.map(d => Printer.g9(d.doubleValue)).getOrElse("inf")
+      }
+      f"${r.getAs[Double]("log_odds")}%.3f\t${r.getAs[Long]("cnt_a")}\t" +
+        f"${r.getAs[Long]("cnt_b")}\t${r.getAs[String]("key")}$range"
+    }.mkString("\n")
+
+  /** Dispatch one parsed statement (statement.cc:12-50). */
+  def execute(spark: SparkSession, t: Tables, state: SessionState,
+      stmt: Statement): String = stmt match {
+    case q: QueryStmt if q.keysOnly => queryKeys(spark, t, q)
+    case q: QueryStmt => queryJson(spark, t, q)
+    case s: SelectStmt => selectCsv(spark, t, s)
+    case c: CorrelateStmt => correlateTsv(spark, t, c)
+    case p: ParseStmt => Printer.print(p.query)
+    case SetOutputFormat(f) => state.outputFormat = f; ""
+    case SetTimeFormat(f) => state.timeFormat = f; ""
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search over an embedding column via
+  * sign-random-projection LSH: L hash tables × B hyperplane bits; candidates
+  * are vectors sharing a (table, signature) bucket with the query, re-ranked
+  * by exact cosine. This is the scale path the brute-force `emb_topk` lacks:
+  * the plan joins on bucket signatures (hash shuffle on a short string key)
+  * and only candidate rows reach the cosine — at 100 TB the bucket column
+  * becomes the partition key and a lookup touches O(candidates), not O(N).
+  *
+  * Hyperplanes are deterministic pseudo-random values derived from
+  * md5(plane:dim) — data-independent constants, embedded as literals in both
+  * the Spark plan and the DuckDB oracle (a production build would broadcast a
+  * plane matrix instead of inlining literals).
+  */
+object Ann {
+
+  val Tables = 4 // L hash tables
+  val Bits = 6   // hyperplane bits per table
+  val Dims = 64  // embedding dimensionality of the testdata
+
+  /** Hyperplane component ∈ [-1, 1): md5("p:d") first 8 hex chars → uint32 →
+    * scaled. Rounded so the SQL-literal mirror is bit-identical. */
+  def planeValue(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    val u = java.lang.Long.parseLong(hex, 16)
+    math.rint(((u / 4294967296.0) * 2 - 1) * 1e6) / 1e6
+  }
+
+  /** All L×B hyperplanes, each a Dims-vector. */
+  lazy val planes: Seq[Seq[Double]] =
+    (0 until Tables * Bits).map(p => (0 until Dims).map(d => planeValue(p, d)))
+
+  private def dot(emb: Column, plane: Seq[Double]): Column =
+    aggregate(
+      zip_with(emb, array(plane.map(lit): _*), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** The B-bit signature string for hash table t. */
+  def signature(emb: Column, t: Int): Column =
+    concat((0 until Bits).map { b =>
+      when(dot(emb, planes(t * Bits + b)) >= 0, "1").otherwise("0")
+    }: _*)
+
+  /** Exploded (vec_id, table, sig) bucket rows for every vector. */
+  def buckets(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("emb"))
+    val sigs = e.select(col("vec_id") +: col("emb") +:
+      (0 until Tables).map(t => signature(col("emb"), t).as(s"sig$t")): _*)
+    sigs.select(col("vec_id"), col("emb"),
+      explode(array((0 until Tables).map { t =>
+        struct(lit(t).as("t"), col(s"sig$t").as("sig"))
+      }: _*)).as("b"))
+      .select(col("vec_id"), col("emb"), col("b.t"), col("b.sig"))
+  }
+
+  /** LSH-candidate top-k by cosine for query vector `qVecId`:
+    * bucket join → distinct candidates → exact cosine re-rank.
+    * Returns (vec_id, sim). */
+  def topK(emb: DataFrame, qVecId: Long, k: Int): DataFrame = {
+    val bk = buckets(emb)
+    val qb = bk.filter(col("vec_id") === qVecId)
+      .select(col("t"), col("sig"), col("emb").as("qemb"))
+    val cands = bk.filter(col("vec_id") =!= qVecId)
+      .join(broadcast(qb), Seq("t", "sig"))
+      .select("vec_id", "emb", "qemb").distinct()
+    val d = aggregate(zip_with(col("emb"), col("qemb"), _ * _),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(transform(col("emb"), x => x * x), lit(0.0), (acc, v) => acc + v)
+    val nb = aggregate(transform(col("qemb"), x => x * x), lit(0.0), (acc, v) => acc + v)
+    cands.select(col("vec_id"), round(d / sqrt(na * nb), 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  private def planeSql(plane: Seq[Double]): String =
+    plane.mkString("[", ",", "]")
+
+  /** DuckDB mirror of topK over the `embeddings` view. */
+  def oracleSql(qVecId: Long, k: Int): String = {
+    def sigExpr(src: String): Seq[String] = (0 until Tables).map { t =>
+      val bits = (0 until Bits).map { b =>
+        s"(CASE WHEN list_dot_product($src, ${planeSql(planes(t * Bits + b))}) >= 0 THEN '1' ELSE '0' END)"
+      }
+      bits.mkString(" || ")
+    }
+    val eSigs = sigExpr("e.emb").zipWithIndex
+      .map { case (s, t) => s"$s AS sig$t" }.mkString(", ")
+    val qSigs = sigExpr("q.qemb").zipWithIndex
+      .map { case (s, t) => s"$s AS qsig$t" }.mkString(", ")
+    val matchCond = (0 until Tables).map(t => s"es.sig$t = qs.qsig$t").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId),
+       |es AS (SELECT e.vec_id, e.emb, $eSigs FROM e),
+       |qs AS (SELECT q.qemb, $qSigs FROM q),
+       |cand AS (SELECT es.vec_id, es.emb, qs.qemb FROM es, qs
+       |         WHERE ($matchCond) AND es.vec_id <> $qVecId)
+       |SELECT vec_id,
+       |  round(list_dot_product(emb, qemb) /
+       |        sqrt(list_dot_product(emb, emb) * list_dot_product(qemb, qemb)), 6) AS sim
+       |FROM cand ORDER BY sim DESC, vec_id LIMIT $k
+       |""".stripMargin.replaceAll("\\s+", " ")
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media payloads as opaque `binary` columns with
+  * typed metadata, processed per-partition in batches — the shape an
+  * image/audio feature-extraction stage has at 100 TB (brief: decode libs are
+  * absent in this container, so the DECODE step is a clearly-marked
+  * deterministic stub; the Spark-side plumbing — schema, partition batching,
+  * feature signature — is real and tested).
+  */
+object Multimodal {
+
+  /** Extracted per-media features. `fp` is a real digest of the bytes;
+    * `feat` is the stubbed "decoded" feature vector. */
+  final case class MediaFeature(doc_id: Long, n_bytes: Int, fp: String,
+      feat: Array[Float])
+
+  /** STUB DECODER — stands in for image/audio decode (JPEG/PNG/PCM...).
+    * Deterministic: features derive from the payload digest, so tests and
+    * oracles are stable. A real deployment swaps only this function. */
+  private def decodeStub(digest: Array[Byte]): Array[Float] =
+    digest.take(4).map(b => (b & 0xff) / 255.0f)
+
+  /** Per-partition batch feature extraction over (id, bytes) rows — one
+    * MessageDigest per partition, no per-row setup; this is the
+    * mapPartitions batch shape a GPU/codec stage needs. */
+  def extract(media: Dataset[(Long, Array[Byte])]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, bytes) =>
+        md.reset()
+        val digest = md.digest(bytes)
+        val hex = digest.map(b => f"${b & 0xff}%02x").mkString
+        MediaFeature(id, bytes.length, hex, decodeStub(digest))
+      }
+    }
+  }
+
+  /** The documents table viewed as a media table (text bytes standing in for
+    * an image/audio payload) → features. */
+  def documentFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    extract(docs.select(col("doc_id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]).toDF()
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over the `documents` table via banded MinHash LSH
+  * — the sub-quadratic dedup a 100 TB corpus needs (brief: shingle → minhash
+  * → band → bucket-join). All hashing is md5-based so the DuckDB oracle can
+  * compute bit-identical signatures.
+  *
+  * Pipeline: distinct 3-word shingles per doc → K=8 minhashes (lexicographic
+  * min of md5(seed:shingle) — a uniform hash over hex strings) → B=4 bands of
+  * R=2 rows, band key = md5 of the band's ordered minhashes → docs sharing a
+  * (band, key) bucket are candidates → exact Jaccard over shingle sets
+  * verifies. Scale: every step is a hash-partitioned groupBy/join on
+  * (doc, shingle, band) keys; no all-pairs stage ever materializes — the
+  * candidate join is |buckets|-bounded, unlike a crossJoin.
+  */
+object NearDup {
+
+  val NumHashes = 8
+  val Rows = 2 // rows (minhashes) per band → 4 bands
+
+  /** Distinct 3-word shingles per document. */
+  def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"),
+        explode(array_distinct(when(size(col("tok")) >= 3,
+          expr("transform(sequence(0, size(tok)-3), i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))"))
+          .otherwise(array()))).as("shingle"))
+
+  /** MinHash signatures: one row per (doc, seed) with the min md5. */
+  def signatures(sh: DataFrame): DataFrame = {
+    val seeds = sh.sparkSession.range(NumHashes).toDF("seed")
+    sh.crossJoin(broadcast(seeds))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed"), lit(":"), col("shingle")))).as("mh"))
+  }
+
+  /** Band keys: one row per (doc, band). */
+  def bands(sig: DataFrame): DataFrame =
+    sig.groupBy(col("doc_id"), floor(col("seed") / Rows).as("band"))
+      .agg(md5(array_join(array_sort(
+        collect_list(concat(col("seed") % Rows, lit(":"), col("mh")))), "|"))
+        .as("bkey"))
+
+  /** Candidate pairs (doc_a < doc_b) sharing any band bucket, verified with
+    * exact Jaccard over shingle sets; keeps pairs with jaccard ≥ minJaccard.
+    * Returns (doc_a, doc_b, jaccard). */
+  def nearDuplicates(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val sh = shingles(docs).cache()
+    val b = bands(signatures(sh))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .join(sh.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i") / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** The DuckDB mirror of nearDuplicates over the `documents` view. */
+  def oracleSql(minJaccard: Double): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+       |    THEN list_transform(range(1, len(string_split(text,' '))-1),
+       |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+       |    ELSE [] END)) AS shingle
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
+       |  FROM sh CROSS JOIN (SELECT unnest(range($NumHashes)) AS seed)
+       |  GROUP BY doc_id, seed),
+       |bnd AS (
+       |  SELECT doc_id, seed // $Rows AS band,
+       |         md5(array_to_string(list_sort(list(seed % $Rows || ':' || mh)), '|')) AS bkey
+       |  FROM sig GROUP BY doc_id, seed // $Rows),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS i
+       |  FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a
+       |               JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY p.doc_a, p.doc_b)
+       |SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
+       |       round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+       |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+       |             JOIN sizes sb ON sb.doc_id = i.doc_b
+       |WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= $minJaccard
+       |""".stripMargin.replaceAll("\\s+", " ")
+}

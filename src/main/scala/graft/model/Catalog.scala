@@ -3,6 +3,17 @@ package graft.model
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** The table bundle every executor operates on — the Spark equivalent of the
+  * reference's loaded Schema (/root/reference/src/schema.h:19-53): the posting
+  * index, the summary table, summary overrides, and the optional blob table
+  * standing in for the external CAS store (S4).
+  */
+final case class Tables(
+    index: DataFrame,
+    summaries: DataFrame,
+    overrides: DataFrame,
+    blobs: Option[DataFrame] = None)
+
 /** The cantera-table data model (SURVEY §1.4) re-expressed as canonical
   * DataFrames, derived deterministically from the driver's TPC-H-ish parquet
   * testdata (FIXTURES.md §B).
@@ -10,22 +21,42 @@ import org.apache.spark.sql.functions._
   * Reference model (/root/reference/src/ca-table.h:89-106, README.md:24-56):
   *   - `index`:     key (keyword) → postings (offset:uint64, score:float)
   *   - `summaries`: offset → (document key, JSON payload)
+  *   - `summary_overrides`: document key → JSON overlay (README.md:38-49)
   *
   * Here `offset` (column name `off` — OFFSET is an ANSI/DuckDB reserved word)
   * is the document id; scores are kept as Double end-to-end so the DuckDB
   * oracle computes bit-identical values.
   *
-  * Scale note: every derivation below is a narrow projection + unionByName —
-  * no shuffle, no collect. On a real cluster the index would be written once
-  * as parquet partitioned by key-prefix and bucketed by `off`; the per-query
-  * derivation here stands in for that scan.
+  * Scale: the index is MATERIALIZED once per sf-dir as parquet partitioned by
+  * `key` and sorted by `off` within each partition (the T4 sorted-table
+  * invariant, /root/reference/src/table-backend-writeonce.cc:661-663). A leaf
+  * lookup `filter(key === k)` is then a partition-pruned read of one sorted
+  * file — the Spark analogue of the reference's SeekToKey block index
+  * (table-backend-writeonce.cc:594-636) — instead of a full scan of the fact
+  * tables. On a 1000-executor cluster the same layout holds with key-prefix
+  * partitions and bucketing by `off`.
   */
 object Catalog {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The posting index: one row per (keyword, document, score).
+  /** Materialization cache. Versioned so a derivation change invalidates old
+    * caches; lives inside the repo (the only writable area) and is gitignored. */
+  private val cacheVersion = "v3"
+  private def cacheRoot: String =
+    sys.env.getOrElse("GRAFT_CACHE", "/root/repo/.graft-cache")
+  private def cacheDir(dir: String, name: String): String =
+    s"$cacheRoot/$cacheVersion/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+
+  private def materialize(path: String)(build: => DataFrame): Unit =
+    synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        build.write.mode("overwrite").parquet(path)
+    }
+
+  /** The posting index: one row per (keyword, document, score), read from the
+    * materialized partitioned-by-key parquet (written on first use).
     * Keyword classes mirror FIXTURES.md A.3:
     *  - boolean presence keywords (score 0): status:*, priority:*
     *  - continuous metrics: price, lineprice
@@ -33,6 +64,23 @@ object Catalog {
     *  - duplicate offsets within one key (event-series shape): qty
     */
   def index(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "index")
+    materialize(path) {
+      // One shuffle at build time: co-locate each key, sort by off (T4), so
+      // every per-key file is a sorted posting list. 12 keys → 12 partitions.
+      deriveIndex(spark, dir)
+        .repartition(col("key"))
+        .sortWithinPartitions("key", "off")
+    }
+    // The write above is .partitionBy-free: `key` stays a data column so its
+    // parquet dictionary + min/max stats serve pushdown, and the 1-file-per-
+    // key layout from repartition(key) gives pruning the same effect.
+    spark.read.parquet(path).select("key", "off", "score")
+  }
+
+  /** The raw 6-way union derivation (used to build the materialized index and
+    * mirrored verbatim by the DuckDB `idx` CTE). */
+  def deriveIndex(spark: SparkSession, dir: String): DataFrame = {
     val o = table(spark, dir, "orders")
     val l = table(spark, dir, "lineitem")
     val status = o.select(
@@ -70,9 +118,17 @@ object Catalog {
       |  UNION ALL SELECT 'lineprice', l_orderkey, l_extendedprice FROM lineitem
       |)""".stripMargin.replace("\n", " ")
 
-  /** Summary table: offset → (document key, JSON body)
-    * (/root/reference/README.md:24-27; fetch path src/query.cc:843-875). */
+  /** Summary table: offset → (document key, JSON body), materialized sorted by
+    * `off` (/root/reference/README.md:24-27; fetch path src/query.cc:843-875). */
   def summaries(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "summaries")
+    materialize(path) {
+      deriveSummaries(spark, dir).repartition(1).sortWithinPartitions("off")
+    }
+    spark.read.parquet(path).select("off", "key", "json")
+  }
+
+  def deriveSummaries(spark: SparkSession, dir: String): DataFrame = {
     val o = table(spark, dir, "orders")
     o.select(
       col("o_orderkey").as("off"),
@@ -88,6 +144,30 @@ object Catalog {
       |         to_json(struct_pack(status := o_orderstatus, price := o_totalprice, priority := o_orderpriority)) AS json
       |  FROM orders
       |)""".stripMargin.replace("\n", " ")
+
+  /** Summary-override table: document key → JSON overlay, consulted per result
+    * to overlay updated fields without rebuilding indexes
+    * (/root/reference/README.md:38-49, src/query.cc:877-890). Derived: every
+    * 7th order is "archived" with its customer id attached. */
+  def overrides(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    o.filter(col("o_orderkey") % 7 === 0)
+      .select(
+        concat(lit("order:"), col("o_orderkey")).as("key"),
+        to_json(struct(lit(true).as("archived"),
+          col("o_custkey").as("cust"))).as("json"))
+  }
+
+  val overridesSql: String =
+    """ovr AS (
+      |  SELECT 'order:' || o_orderkey AS key,
+      |         to_json(struct_pack(archived := true, cust := o_custkey)) AS json
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |)""".stripMargin.replace("\n", " ")
+
+  /** The full table bundle for statement executors. */
+  def tables(spark: SparkSession, dir: String): Tables =
+    Tables(index(spark, dir), summaries(spark, dir), overrides(spark, dir))
 
   def documents(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")

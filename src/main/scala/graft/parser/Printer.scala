@@ -9,7 +9,7 @@ import graft.ast._
   * Deviation: the reference omits the closing parenthesis after MAX(/MIN(
   * (query.cc:642-650 — `printf("MAX(")` with no matching `)`), which makes
   * its own output unparseable; we close the parenthesis so that
-  * parse(print(q)) == q holds (pinned by PrinterSpec).
+  * parse(print(q)) == q holds (pinned by the round-trip tests in ParserSpec).
   */
 object Printer {
 

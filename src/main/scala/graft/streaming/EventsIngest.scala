@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.model.Catalog
+
+/** §2.9 — Structured Streaming ingest of the `events` stream. The reference
+  * has no streaming runtime (ingestion = batch generations + k-way merge,
+  * SURVEY §2.9); this is the Spark-native replacement:
+  *
+  *  - `postings`: stateless map of events → index-shaped postings
+  *    (key = "event:" + type, off = epoch-SECONDS timestamp — the reference's
+  *    time-series convention, src/ca-load.cc:296-314), appended to a parquet
+  *    sink. At scale this is the always-on writer that replaces re-running
+  *    ca-load per generation.
+  *  - `dailyCounts`: event-time tumbling-window aggregation with a watermark
+  *    for late data.
+  */
+object EventsIngest {
+
+  private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The raw event stream (nanos → timestamp, same as the batch reader). */
+  def stream(spark: SparkSession, dir: String): DataFrame =
+    // The glob braces make the file-stream source treat `dir` as basePath
+    // (a bare file path is rejected — basePath must be a directory).
+    spark.readStream.schema(Catalog.eventsSchema)
+      .parquet(s"$dir/{events.parquet}")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Index-shaped postings from the stream (stateless — no shuffle,
+    * no state store). */
+  def postings(events: DataFrame): DataFrame =
+    events.select(
+      concat(lit("event:"), col("event_type")).as("key"),
+      unix_timestamp(col("ts")).as("off"),
+      col("value").as("score"))
+
+  /** Run the stateless postings sink to parquet until all currently-available
+    * input is processed (Trigger.AvailableNow — the batch-of-the-stream mode;
+    * a deployment would run the same query continuously). */
+  def runPostingsSink(spark: SparkSession, dir: String, outPath: String,
+      checkpoint: String): Unit = {
+    val q = postings(stream(spark, dir))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .start(outPath)
+    q.awaitTermination()
+  }
+
+  /** Watermarked daily tumbling-window counts per event type. */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** One-shot daily counts: run the windowed aggregation over all available
+    * input (complete mode → in-memory sink) and return the result table.
+    * This is the CORRECTNESS entry point — the same aggregation the batch
+    * `ev_daily_counts` query does, produced by the streaming engine. */
+  def dailyCountsOnce(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_daily_${runId.incrementAndGet()}"
+    val q = dailyCounts(stream(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
