@@ -49,14 +49,16 @@ object TsvLoader {
   private def rawColumns(spark: SparkSession, path: String): DataFrame = {
     val lines = spark.read.text(path)
     val parts = split(col("value"), "\t")
+    // `get` (not getItem) — the percentile columns are optional and ANSI mode
+    // rejects out-of-bounds getItem.
     lines.select(
-      unescapeUdf(parts.getItem(0)).as("key"),
-      unescapeUdf(parts.getItem(1)).as("mid"),
-      parts.getItem(2).cast("double").as("score"),
-      parts.getItem(3).cast("double").as("pct5"),
-      parts.getItem(4).cast("double").as("pct25"),
-      parts.getItem(5).cast("double").as("pct75"),
-      parts.getItem(6).cast("double").as("pct95"))
+      unescapeUdf(get(parts, lit(0))).as("key"),
+      unescapeUdf(get(parts, lit(1))).as("mid"),
+      get(parts, lit(2)).cast("double").as("score"),
+      get(parts, lit(3)).cast("double").as("pct5"),
+      get(parts, lit(4)).cast("double").as("pct25"),
+      get(parts, lit(5)).cast("double").as("pct75"),
+      get(parts, lit(6)).cast("double").as("pct95"))
   }
 
   /** Index mode: resolve document keys against the summary table

@@ -48,8 +48,12 @@ object PostingAlgebra {
   /** J4 `a > b` / `a < b` with a query rhs — theta-semi-join on offset keeping
     * lhs rows whose score compares true against the rhs score at the same
     * offset (src/query.cc:171-196,459-505). The reference advances both sides
-    * 1:1 through duplicate runs; we pin rhs to one score per offset (max, =
-    * the post-dedup view of rhs) so the operator is well-defined on sets. */
+    * 1:1 through duplicate runs — consuming the rhs element on the first lhs
+    * duplicate, so later elements of an lhs run are silently dropped; we pin
+    * rhs to one score per offset (max, = the post-dedup view) and compare
+    * EVERY lhs row, so the operator is well-defined on sets. Parity with the
+    * reference holds for unique-offset inputs (AlgebraProps); the dup-run
+    * deviations are witnessed in AlgebraDeviationSpec. */
   def thetaCompare(a: DataFrame, b: DataFrame, op: String): DataFrame = {
     val rhs = dedupMax(b).withColumnRenamed("score", "rscore")
     val joined = p(a).join(rhs, Seq("off"), "inner")

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ast.Leaf
+import graft.exec.CorrelateExec
+import graft.model.Tables
+
+/** CORRELATE tests: the split-point search against hand-computed expectations
+  * (correlate.cc:197-358) and the full distributed pipeline on a fixture
+  * where the predictive structure is known by construction.
+  */
+class CorrelateSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("splitSearch finds the separating boundary") {
+    // A = low scores (1..10, cls +1), B = high scores (11..20, cls −1);
+    // the best cut is at score 10: (−inf,10] is pure A, [11,∞) pure B.
+    val pairs = (1 to 10).map(i => (i.toDouble, 1)) ++
+      (11 to 20).map(i => (i.toDouble, -1))
+    val ranges = CorrelateExec.splitSearch(pairs, 1, 1, prior = 0.0)
+    assert(ranges == Seq((None, Some(10.0)), (Some(11.0), None)))
+  }
+
+  test("splitSearch returns full range when no cut beats everything") {
+    // Interleaved classes: no sub-range is more predictive.
+    val pairs = (1 to 20).map(i => (i.toDouble, if (i % 2 == 0) 1 else -1))
+    assert(CorrelateExec.splitSearch(pairs, 1, 1, 0.0) == Seq((None, None)))
+  }
+
+  test("splitSearch: below-support input yields nothing") {
+    assert(CorrelateExec.splitSearch(Seq((1.0, 1)), 5, 5, 0.0).isEmpty)
+  }
+
+  test("full pipeline: continuous key splits, boolean key scores full range") {
+    // 40 documents: A = 1..20, B = 21..40.
+    // 'metric' scores: offset (so ≤20 predicts A); 'flag' present on 1..18
+    // and 39,40 (mostly A); 'noise' on everything (no signal → cut off).
+    val index = (
+      (1 to 40).map(i => ("metric", i.toLong, i.toDouble)) ++
+        ((1 to 18) ++ Seq(39, 40)).map(i => ("flag", i.toLong, 0.0)) ++
+        (1 to 40).map(i => ("noise", i.toLong, 0.0))
+    ).toDF("key", "off", "score")
+    val summaries = (1 to 40).map(i => (i.toLong, s"d$i", "{}"))
+      .toDF("off", "key", "json")
+    val aq = (1 to 20).map(i => ("a", i.toLong, 0.0))
+    val bq = (1 to 40).map(i => ("b", i.toLong, 0.0)) // b − a = 21..40
+    val t = Tables(index.union(aq.toDF("key", "off", "score"))
+      .union(bq.toDF("key", "off", "score")), summaries,
+      Seq.empty[(String, String)].toDF("key", "json"))
+
+    val out = CorrelateExec.run(spark, t, Leaf("a"), Leaf("b"))
+      .collect().map(r => (r.getString(0),
+        Option(r.getAs[java.lang.Double]("min_score")).map(_.doubleValue),
+        Option(r.getAs[java.lang.Double]("max_score")).map(_.doubleValue),
+        r.getAs[Long]("cnt_a"), r.getAs[Long]("cnt_b")))
+    val byKey = out.groupBy(_._1)
+
+    // metric: split at 20 → two ranges, each pure-ish
+    val metric = byKey("metric").sortBy(_._2.getOrElse(Double.NegativeInfinity))
+    assert(metric.map(x => (x._2, x._3)).toSeq ==
+      Seq((None, Some(20.0)), (Some(21.0), None)))
+    assert(metric.head._4 == 20 && metric.head._5 == 0) // (−inf,20] all A
+    assert(metric.last._4 == 0 && metric.last._5 == 20) // [21,∞) all B
+
+    // flag: boolean → full range, counts 18 vs 2, log-odds strongly positive
+    val flag = byKey("flag")
+    assert(flag.length == 1 && flag.head._2.isEmpty && flag.head._3.isEmpty)
+    assert(flag.head._4 == 18 && flag.head._5 == 2)
+
+    // noise and the query keys a/b: 'noise' matches everything equally →
+    // log-odds ≈ prior-corrected 0 → filtered by the significance cutoff;
+    // 'a' itself is pure signal and must survive.
+    assert(!byKey.contains("noise"))
+    assert(byKey("a").head._4 == 20)
+  }
+}
