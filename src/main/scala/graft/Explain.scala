@@ -1,0 +1,20 @@
+package graft
+
+/** Plan audit: prints the formatted physical plan of selected SparkEntry
+  * queries so scan pruning / pushdown / join strategies can be inspected
+  * (usage: Explain [sfDir] [name...]; default audits the scale-critical set).
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("s1_keyword_leaf", "s3_prefix_scan", "ql_and_order_topk",
+        "t1_topk", "emb_topk_lsh", "dedup_minhash", "q3_top_orders")
+    val spark = GraftSession.local()
+    for (n <- names) {
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -150,6 +150,15 @@ object SparkEntry {
       Merge.pickOne(Seq(g1, g2))
     }),
 
+    // ---- Dump sinks (ca-dump.cc:74-216,332-400) ----
+    "dump_index_regex" -> ((s, dir) =>
+      graft.sources.Dump.indexRaw(Catalog.index(s, dir), "^priority:[12].*")),
+    "dump_timeseries" -> ((s, dir) =>
+      graft.sources.Dump.timeSeries(Catalog.events(s, dir).select(
+        concat(lit("event:"), col("event_type")).as("key"),
+        unix_timestamp(col("ts")).as("off"),
+        col("value").as("score")))),
+
     // ---- TPC-H-style headliners (bench + general relational capability) ----
     "q1_pricing" -> ((s, dir) =>
       Catalog.table(s, dir, "lineitem")
@@ -411,6 +420,11 @@ object SparkEntry {
       "CASE WHEN off % 3 = 0 THEN score * 2 ELSE score END AS score, " +
       "off % 3 <> 0 AS has_pct FROM idx WHERE key = 'price'"),
 
+    "dump_index_regex" -> (s"$IDX SELECT key, off, score FROM idx " +
+      "WHERE regexp_matches(key, '^priority:[12].*')"),
+    "dump_timeseries" -> ("""SELECT 'event:' || event_type AS key,
+      strftime(ts, '%Y-%m-%d %H:%M:%S') AS t, value AS score
+      FROM events""".replaceAll("\\s+", " ")),
     "q1_pricing" -> ("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
       count(*) AS count_order

@@ -45,6 +45,21 @@ object TsvLoader {
 
   private val unescapeUdf = udf(unescape _)
 
+  /** C2 — the inverse escape for TSV output (format.cc:247-268: tab, newline,
+    * CR and backslash become backslash sequences). */
+  def escape(s: String): String = {
+    if (s == null) return null
+    val sb = new StringBuilder(s.length)
+    for (c <- s) c match {
+      case '\t' => sb.append("\\t")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\\' => sb.append("\\\\")
+      case o => sb.append(o)
+    }
+    sb.toString
+  }
+
   /** Raw 3+-column split of a TSV file: (key, mid, value, pct5..pct95). */
   private def rawColumns(spark: SparkSession, path: String): DataFrame = {
     val lines = spark.read.text(path)

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** S10 — dump sinks (/root/reference/src/ca-dump.cc:74-216,332-400):
+  * index-raw, summaries, keys-only, per-key counts, and time-series rendering,
+  * with the regex key filter's prefix short-circuit.
+  *
+  * The reference derives a seek range from the regex via
+  * RE2::PossibleMatchRange (ca-dump.cc:334-338); Catalyst cannot derive a
+  * range from `rlike`, so we extract the literal prefix of an anchored regex
+  * ourselves and add a `startsWith` conjunct — that predicate reaches the
+  * parquet scan (min/max + dictionary pruning on the sorted key files), and
+  * the rlike only runs on the pruned remainder. Same trick, Spark-shaped.
+  */
+object Dump {
+
+  /** Literal prefix of an anchored regex ("^priority:[12].*" → "priority:").
+    * None when the regex is unanchored or starts with a metachar. */
+  def literalPrefix(re: String): Option[String] = {
+    if (!re.startsWith("^")) return None
+    val meta = ".[]{}()*+?|\\$"
+    val lit = re.drop(1).takeWhile(c => !meta.contains(c))
+    if (lit.isEmpty) None else Some(lit)
+  }
+
+  /** index-raw dump rows matching a key regex (ca-dump.cc:140-216). */
+  def indexRaw(index: DataFrame, keyRegex: String): DataFrame = {
+    val filtered = literalPrefix(keyRegex) match {
+      case Some(p) => index.filter(col("key").startsWith(p) && col("key").rlike(keyRegex))
+      case None => index.filter(col("key").rlike(keyRegex))
+    }
+    filtered.select("key", "off", "score")
+  }
+
+  /** summaries dump (ca-dump.cc:74-110). */
+  def summaries(summ: DataFrame): DataFrame = summ.select("key", "json")
+
+  /** keys-only dump (ca-dump --keys-only). */
+  def keys(summ: DataFrame): DataFrame = summ.select("key")
+
+  /** per-key posting counts (A8, ca-dump.cc:163-165,340-367). */
+  def counts(index: DataFrame): DataFrame =
+    index.groupBy("key").agg(count(lit(1)).as("cnt"))
+
+  /** time-series dump: offsets are epoch seconds, rendered with the
+    * configured time format (ca-dump.cc:148-216, default
+    * "%Y-%m-%d %H:%M:%S"). */
+  def timeSeries(postings: DataFrame,
+      fmt: String = "yyyy-MM-dd HH:mm:ss"): DataFrame =
+    postings.select(col("key"),
+      date_format(timestamp_seconds(col("off")), fmt).as("t"),
+      col("score"))
+}
