@@ -131,6 +131,21 @@ object SparkEntry {
       CorrelateExec.logOdds(t(s, dir), setA, setB)
     }),
 
+    // Leakage filter (correlate.cc:401-462): events = order date + 60 days;
+    // only shipments strictly before the event survive, rescaled to
+    // days-before-event.
+    "correlate_leakage" -> ((s, dir) => {
+      val idx = Catalog.index(s, dir)
+      val keys = idx.filter(col("key") === "shipdate").select("key", "off", "score")
+      val aPost = idx.filter(col("key") === "orderdate" &&
+          col("score").between(9500, 9600))
+        .select(col("off"), (col("score") + 60).as("score"))
+      val bPost = idx.filter(col("key") === "orderdate" &&
+          col("score").between(9700, 9800))
+        .select(col("off"), (col("score") + 60).as("score"))
+      CorrelateExec.leakageFilter(keys, aPost, bPost)
+    }),
+
     // ---- Merge modes (ca-load.cc:477-494) ----
     "merge_union" -> ((s, dir) => {
       val gen = Catalog.index(s, dir).filter(col("key") === "price")
@@ -412,6 +427,16 @@ object SparkEntry {
       WHERE ks.key_n >= least(lim_a, lim_b)
         AND (cnt_a >= lim_a OR cnt_b >= lim_b)
         AND abs(ln((cnt_a + 1.0) / (cnt_a_or_b - cnt_a + 1.0)) - prior) >= ln(0.55 / 0.45)""".replaceAll("\\s+", " ")),
+
+    "correlate_leakage" -> (s"""$IDX,
+      k AS (SELECT key, off, score FROM idx WHERE key = 'shipdate'),
+      a AS (SELECT off, min(score + 60) AS amin FROM idx
+            WHERE key = 'orderdate' AND score BETWEEN 9500 AND 9600 GROUP BY off),
+      b AS (SELECT off, min(score + 60) AS bmin FROM idx
+            WHERE key = 'orderdate' AND score BETWEEN 9700 AND 9800 GROUP BY off)
+      SELECT k.key AS key, k.off AS off, COALESCE(amin, bmin) - k.score AS score
+      FROM k LEFT JOIN a ON a.off = k.off LEFT JOIN b ON b.off = k.off
+      WHERE COALESCE(amin, bmin) IS NOT NULL AND k.score < COALESCE(amin, bmin)""".replaceAll("\\s+", " ")),
 
     // A6/A7 merge modes (ca-load.cc:477-489).
     "merge_union" -> (s"$IDX SELECT key, off, min(score) AS score FROM idx " +

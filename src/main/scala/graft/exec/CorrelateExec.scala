@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ast.Query
 import graft.compiler.QueryCompiler
+import graft.functions.Keywords
 import graft.model.Tables
 import graft.operators.PostingAlgebra._
 
@@ -78,6 +79,48 @@ object CorrelateExec {
       .select("key", "log_odds", "cnt_a", "cnt_b")
   }
 
+  /** The primary keyword of a query — its leftmost leaf identifier
+    * (correlate.cc:464-476); drives the time-leakage filter below. */
+  def primaryKeyword(q: Query): Option[String] = q match {
+    case graft.ast.Leaf(id) => Some(id)
+    case graft.ast.DocKey(_) => None
+    case graft.ast.Bin(_, l, r) => primaryKeyword(l).orElse(primaryKeyword(r))
+    case graft.ast.CmpScalar(_, l, _) => primaryKeyword(l)
+    case graft.ast.CmpQuery(_, l, r) => primaryKeyword(l).orElse(primaryKeyword(r))
+    case graft.ast.InRange(l, _, _) => primaryKeyword(l)
+    case graft.ast.Sample(l, _) => primaryKeyword(l)
+    case graft.ast.Un(_, l) => primaryKeyword(l)
+  }
+
+  /** Time-leakage filter, two-set variant (correlate.cc:401-462): keep a key
+    * posting only when its date-score is strictly BEFORE the offset's
+    * earliest event date (A's date when the offset is in A, else B's), and
+    * rescale the score to days-before-event; postings at offsets in neither
+    * set are dropped. This discards information that was unavailable at
+    * event time (SURVEY §2.9). */
+  def leakageFilter(keys: DataFrame, aPost: DataFrame, bPost: DataFrame): DataFrame = {
+    val aMin = aPost.groupBy("off").agg(min("score").as("amin"))
+    val bMin = bPost.groupBy("off").agg(min("score").as("bmin"))
+    keys.join(aMin, Seq("off"), "left_outer")
+      .join(bMin, Seq("off"), "left_outer")
+      .withColumn("evt", coalesce(col("amin"), col("bmin")))
+      .filter(col("evt").isNotNull && col("score") < col("evt"))
+      .select(col("key"), col("off"), (col("evt") - col("score")).as("score"))
+  }
+
+  /** One-set variant (correlate.cc:360-399): offsets outside the event set
+    * are KEPT, rescaled against `now` (the reference's time(nullptr)/86400 —
+    * a parameter here so the engine stays deterministic). */
+  def leakageFilter(keys: DataFrame, aPost: DataFrame, now: Double): DataFrame = {
+    val aMin = aPost.groupBy("off").agg(min("score").as("amin"))
+    keys.join(aMin, Seq("off"), "left_outer")
+      .withColumn("nscore",
+        when(col("amin").isNotNull, col("amin") - col("score"))
+          .otherwise(lit(now) - col("score")))
+      .filter(col("amin").isNull || col("score") < col("amin"))
+      .select(col("key"), col("off"), col("nscore").as("score"))
+  }
+
   // ---- A10: split-point search for continuous features ----
 
   /** One matched (score, class) observation for a key: cls = +1 A-only,
@@ -138,9 +181,14 @@ object CorrelateExec {
     * Needs |A|/|B| as plain numbers for the search closure → two count()
     * actions, mirroring the reference's eager set evaluation.
     * Returns (key, min_score, max_score, log_odds, cnt_a, cnt_b). */
-  def run(spark: SparkSession, t: Tables, a: Query, b: Query): DataFrame = {
+  def run(spark: SparkSession, t: Tables, a: Query, b: Query,
+      now: Double = 0.0): DataFrame = {
     import spark.implicits._
-    val (setA, setB) = sets(spark, t, a, b)
+    val c = new QueryCompiler(spark, t)
+    val pa = dedupMin(c.compile(a).postings)
+    val pb = subtract(dedupMin(c.compile(b).postings), pa)
+    val setA = pa.select("off")
+    val setB = pb.select("off")
     val nA = setA.count()
     val nB = setB.count()
     if (nA == 0 || nB == 0)
@@ -150,12 +198,38 @@ object CorrelateExec {
     val limitB = math.max(nB / 20, 1L)
     val prior = math.log((nA + 1.0) / (nB + 1.0))
 
+    // Time-leakage handling (correlate.cc:524-563): when A's primary keyword
+    // is timestamped, ephemeral keys are skipped entirely and timestamped
+    // keys are leakage-filtered (against B's dates, or `now` when B is not
+    // timestamped). The key vocabulary is metadata-sized — classifying it on
+    // the driver mirrors the reference's per-key dispatch loop.
+    val aTs = primaryKeyword(a).exists(Keywords.isTimestamped)
+    val bTs = primaryKeyword(b).exists(Keywords.isTimestamped)
+    val vocab =
+      if (aTs) t.index.select("key").distinct().collect().map(_.getString(0)).toSeq
+      else Seq.empty
+    val dropKeys = vocab.filter(Keywords.isEphemeral)
+    val tsKeys = vocab.filter(Keywords.isTimestamped)
+    val baseIdx =
+      if (dropKeys.isEmpty) t.index
+      else t.index.filter(!col("key").isin(dropKeys: _*))
+    val adjIdx =
+      if (!aTs || tsKeys.isEmpty) baseIdx
+      else {
+        val ts = baseIdx.filter(col("key").isin(tsKeys: _*))
+        val filtered = if (bTs) leakageFilter(ts, pa, pb)
+          else leakageFilter(ts, pa, now)
+        baseIdx.filter(!col("key").isin(tsKeys: _*)).unionByName(filtered)
+      }
+
+    // Support gate on RAW posting counts (checked before the filter,
+    // correlate.cc:541-542); continuity likewise from the raw scores.
     val keyMeta = t.index.groupBy("key").agg(
       count(lit(1)).as("key_n"),
       max(when(col("score") =!= 0.0, 1).otherwise(0)).as("continuous"))
       .filter(col("key_n") >= math.min(limitA, limitB))
 
-    val idx = t.index.join(keyMeta.select("key", "continuous"), Seq("key"))
+    val idx = adjIdx.join(keyMeta.select("key", "continuous"), Seq("key"))
 
     // Ranges: boolean keys → full range; continuous keys → split search over
     // matched (score, cls) pairs.
@@ -179,7 +253,7 @@ object CorrelateExec {
 
     // Re-score each (key, range) over distinct in-range key offsets
     // (ProcessRange, correlate.cc:84-148). Range bounds are inclusive.
-    val inRange = t.index.join(ranges, Seq("key"))
+    val inRange = adjIdx.join(ranges, Seq("key"))
       .filter((col("lo").isNull || col("score") >= col("lo")) &&
         (col("hi").isNull || col("score") <= col("hi")))
       .select("key", "lo", "hi", "off").distinct()

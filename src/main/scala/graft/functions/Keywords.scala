@@ -13,7 +13,7 @@ package graft.functions
   */
 object Keywords {
 
-  private val timestampedPrefixes = Seq("orderdate", "event:")
+  private val timestampedPrefixes = Seq("orderdate", "shipdate", "event:")
   private val ephemeralPrefixes = Seq("event:")
 
   def isTimestamped(key: String): Boolean =

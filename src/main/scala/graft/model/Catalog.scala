@@ -43,7 +43,7 @@ object Catalog {
 
   /** Materialization cache. Versioned so a derivation change invalidates old
     * caches; lives inside the repo (the only writable area) and is gitignored. */
-  private val cacheVersion = "v3"
+  private val cacheVersion = "v4"
   private def cacheRoot: String =
     sys.env.getOrElse("GRAFT_CACHE", "/root/repo/.graft-cache")
   private def cacheDir(dir: String, name: String): String =
@@ -102,8 +102,15 @@ object Catalog {
     val lineprice = l.select(
       lit("lineprice").as("key"),
       col("l_orderkey").as("off"), col("l_extendedprice").as("score"))
+    // timestamped event-series key: one shipment date per lineitem, so an
+    // order (offset) repeats — the duplicate-offset shape of the reference's
+    // event lists (correlate.cc:340-343)
+    val sdate = l.select(
+      lit("shipdate").as("key"),
+      col("l_orderkey").as("off"),
+      datediff(col("l_shipdate"), lit("1970-01-01")).cast("double").as("score"))
     status.unionByName(prio).unionByName(price).unionByName(odate)
-      .unionByName(qty).unionByName(lineprice)
+      .unionByName(qty).unionByName(lineprice).unionByName(sdate)
   }
 
   /** Identical derivation as a DuckDB CTE, prefixed onto every oracle query so
@@ -116,6 +123,7 @@ object Catalog {
       |  UNION ALL SELECT 'orderdate', o_orderkey, CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS DOUBLE) FROM orders
       |  UNION ALL SELECT 'qty', l_orderkey, l_quantity FROM lineitem
       |  UNION ALL SELECT 'lineprice', l_orderkey, l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'shipdate', l_orderkey, CAST(date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) AS DOUBLE) FROM lineitem
       |)""".stripMargin.replace("\n", " ")
 
   /** Summary table: offset → (document key, JSON body), materialized sorted by

@@ -32,6 +32,26 @@ class CorrelateSpec extends AnyFunSuite {
     assert(CorrelateExec.splitSearch(Seq((1.0, 1)), 5, 5, 0.0).isEmpty)
   }
 
+  test("leakage filter (two-set): keeps only pre-event facts, rescaled") {
+    val keys = Seq(("k", 1L, 10.0), ("k", 1L, 25.0), ("k", 2L, 5.0), ("k", 3L, 7.0))
+      .toDF("key", "off", "score")
+    val a = Seq((1L, 20.0), (1L, 30.0)).toDF("off", "score") // min event = 20
+    val b = Seq((2L, 8.0)).toDF("off", "score")
+    val out = CorrelateExec.leakageFilter(keys, a, b).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).sorted
+    // off 1: fact@10 < 20 kept (score 10); fact@25 dropped (not < 20)
+    // off 2: fact@5 < 8 kept (score 3); off 3: in neither set → dropped
+    assert(out.toSeq == Seq((1L, 10.0), (2L, 3.0)))
+  }
+
+  test("leakage filter (one-set): non-event offsets kept against now") {
+    val keys = Seq(("k", 1L, 10.0), ("k", 3L, 7.0)).toDF("key", "off", "score")
+    val a = Seq((1L, 20.0)).toDF("off", "score")
+    val out = CorrelateExec.leakageFilter(keys, a, now = 100.0).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).sorted
+    assert(out.toSeq == Seq((1L, 10.0), (3L, 93.0))) // 100 − 7
+  }
+
   test("full pipeline: continuous key splits, boolean key scores full range") {
     // 40 documents: A = 1..20, B = 21..40.
     // 'metric' scores: offset (so ≤20 predicts A); 'flag' present on 1..18
