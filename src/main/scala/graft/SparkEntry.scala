@@ -239,13 +239,14 @@ object SparkEntry {
       Multimodal.documentFeatures(s, Catalog.documents(s, dir))
         .select("doc_id", "n_bytes", "fp")),
     "emb_topk" -> ((s, dir) => {
+      // exact brute-force baseline; graft_dot is the codegen'd native
+      // Expression (expressions.DotProduct) — float arrays in, double out
       val e = Catalog.embeddings(s, dir)
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+        .select(col("vec_id"), col("embedding").as("emb"))
       val q = e.filter(col("vec_id") === 0).select(col("emb").as("qemb"))
-      val dot = aggregate(zip_with(col("emb"), col("qemb"), _ * _),
-        lit(0.0), (acc, v) => acc + v)
-      val na = aggregate(transform(col("emb"), x => x * x), lit(0.0), (acc, v) => acc + v)
-      val nb = aggregate(transform(col("qemb"), x => x * x), lit(0.0), (acc, v) => acc + v)
+      val dot = call_function("graft_dot", col("emb"), col("qemb"))
+      val na = call_function("graft_dot", col("emb"), col("emb"))
+      val nb = call_function("graft_dot", col("qemb"), col("qemb"))
       e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
         .select(col("vec_id"), round(dot / sqrt(na * nb), 6).as("sim"))
         .orderBy(desc("sim"), asc("vec_id"))

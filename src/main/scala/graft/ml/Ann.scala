@@ -36,10 +36,14 @@ object Ann {
   lazy val planes: Seq[Seq[Double]] =
     (0 until Tables * Bits).map(p => (0 until Dims).map(d => planeValue(p, d)))
 
+  /** graft_dot — the codegen'd native Expression (expressions.DotProduct),
+    * replacing the interpreted aggregate(zip_with(...)) chain in the hot
+    * loop. */
+  private def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
   private def dot(emb: Column, plane: Seq[Double]): Column =
-    aggregate(
-      zip_with(emb, array(plane.map(lit): _*), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    dot(emb, array(plane.map(lit): _*))
 
   /** The B-bit signature string for hash table t. */
   def signature(emb: Column, t: Int): Column =
@@ -49,8 +53,9 @@ object Ann {
 
   /** Exploded (vec_id, table, sig) bucket rows for every vector. */
   def buckets(emb: DataFrame): DataFrame = {
-    val e = emb.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("emb"))
+    // float32 arrays go straight into graft_dot (it converts per element);
+    // accumulation is double either way, matching the oracle's CAST.
+    val e = emb.select(col("vec_id"), col("embedding").as("emb"))
     val sigs = e.select(col("vec_id") +: col("emb") +:
       (0 until Tables).map(t => signature(col("emb"), t).as(s"sig$t")): _*)
     sigs.select(col("vec_id"), col("emb"),
@@ -70,10 +75,9 @@ object Ann {
     val cands = bk.filter(col("vec_id") =!= qVecId)
       .join(broadcast(qb), Seq("t", "sig"))
       .select("vec_id", "emb", "qemb").distinct()
-    val d = aggregate(zip_with(col("emb"), col("qemb"), _ * _),
-      lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(transform(col("emb"), x => x * x), lit(0.0), (acc, v) => acc + v)
-    val nb = aggregate(transform(col("qemb"), x => x * x), lit(0.0), (acc, v) => acc + v)
+    val d = dot(col("emb"), col("qemb"))
+    val na = dot(col("emb"), col("emb"))
+    val nb = dot(col("qemb"), col("qemb"))
     cands.select(col("vec_id"), round(d / sqrt(na * nb), 6).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
