@@ -27,7 +27,10 @@ object Bench {
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => () }
 
+    // GRAFT_BENCH_ONLY=a,b,c restricts the run (local iteration aid).
+    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val results: ListMap[String, (Double, Boolean)] =
       ListMap.from(ordered.map { case (name, fn) =>
         val times = (1 to reps).map { _ =>

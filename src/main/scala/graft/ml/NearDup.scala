@@ -30,27 +30,35 @@ object NearDup {
           expr("transform(sequence(0, size(tok)-3), i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))"))
           .otherwise(array()))).as("shingle"))
 
-  /** MinHash signatures: one row per (doc, seed) with the min md5. */
+  /** MinHash signatures, WIDE: one row per doc with all K minhashes as
+    * columns — K hash-agg mins in ONE shuffle, instead of a K× row blowup
+    * with sort aggregates (the naive seed-crossJoin shape benched 3× slower
+    * and recomputed per self-join side). */
   def signatures(sh: DataFrame): DataFrame = {
-    val seeds = sh.sparkSession.range(NumHashes).toDF("seed")
-    sh.crossJoin(broadcast(seeds))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed"), lit(":"), col("shingle")))).as("mh"))
+    val mins = (0 until NumHashes).map(s =>
+      min(md5(concat(lit(s + ":"), col("shingle")))).as(s"mh$s"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** Band keys: one row per (doc, band). */
+  /** Band keys: one row per (doc, band), derived narrowly from the wide
+    * signature row (no extra shuffle). The band-key string matches the
+    * oracle's list_sort form: "0:mh|1:mh" — "0:" < "1:" lexicographically. */
   def bands(sig: DataFrame): DataFrame =
-    sig.groupBy(col("doc_id"), floor(col("seed") / Rows).as("band"))
-      .agg(md5(array_join(array_sort(
-        collect_list(concat(col("seed") % Rows, lit(":"), col("mh")))), "|"))
-        .as("bkey"))
+    sig.select(col("doc_id"), explode(array((0 until NumHashes / Rows).map { b =>
+        val parts = (0 until Rows).flatMap { r =>
+          val sep = if (r == 0) s"$r:" else s"|$r:"
+          Seq(lit(sep), col(s"mh${b * Rows + r}"))
+        }
+        struct(lit(b.toLong).as("band"), md5(concat(parts: _*)).as("bkey"))
+      }: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bkey").as("bkey"))
 
   /** Candidate pairs (doc_a < doc_b) sharing any band bucket, verified with
     * exact Jaccard over shingle sets; keeps pairs with jaccard ≥ minJaccard.
     * Returns (doc_a, doc_b, jaccard). */
   def nearDuplicates(docs: DataFrame, minJaccard: Double): DataFrame = {
     val sh = shingles(docs).cache()
-    val b = bands(signatures(sh))
+    val b = bands(signatures(sh)).cache() // tiny (docs × bands); reused by both self-join sides
     val pairs = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
