@@ -52,7 +52,7 @@ object SparkEntry {
         .select("off").distinct()
         .withColumn("score", lit(0.0))),
     "s5_summary_fetch" -> ((s, dir) =>
-      topK(dedupMax(idxKey(s, dir, "price")), 25)
+      broadcast(topK(dedupMax(idxKey(s, dir, "price")), 25))
         .join(Catalog.summaries(s, dir), Seq("off"), "inner")
         .select("off", "key", "json")),
 

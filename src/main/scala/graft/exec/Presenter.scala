@@ -64,9 +64,12 @@ object Presenter {
     s"""{"result-count":$total,"result":[${items.map("{" + _ + "}").mkString(",\n")}]}"""
   }
 
-  /** QUERY KEYS FOR — one key per line (query.cc:809-828). */
+  /** QUERY KEYS FOR — one key per line in rank order (query.cc:809-828). */
   def queryKeys(spark: SparkSession, t: Tables, stmt: QueryStmt): String =
-    QueryExec.keys(spark, t, stmt).collect().map(_.getString(0)).mkString("\n")
+    QueryExec.keysRanked(spark, t, stmt)
+      .orderBy(org.apache.spark.sql.functions.desc("score"),
+        org.apache.spark.sql.functions.asc("off"))
+      .collect().map(_.getAs[String]("key")).mkString("\n")
 
   /** SELECT → CSV: key,v1,…[,"json" with doubled quotes] (select.cc:133-152);
     * values print %.9g, NaN prints "nan". */

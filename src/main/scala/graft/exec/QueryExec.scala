@@ -112,9 +112,15 @@ object QueryExec {
   /** Full result rows: page + `_key` + summary JSON with the override overlay
     * (S6, query.cc:877-890) and S4 extra headers (query.cc:892-898) applied.
     * Columns: off, score, key, json [, _header, _header_key]. */
+  /** The page is LIMIT-bounded — broadcast it into the summary join so a
+    * small page never shuffles the (much larger) summary table. */
+  private def pageHint(pg: DataFrame, stmt: QueryStmt): DataFrame =
+    if (stmt.limit >= 0 && stmt.limit + stmt.offset <= 100000) broadcast(pg)
+    else pg
+
   def rows(spark: SparkSession, t: Tables, stmt: QueryStmt): DataFrame = {
     val (res, compiled) = results(spark, t, stmt)
-    val pg = topK(res, stmt.limit, stmt.offset)
+    val pg = pageHint(topK(res, stmt.limit, stmt.offset), stmt)
     val withSumm = pg.join(t.summaries, Seq("off"), "inner")
     val ovr = t.overrides.withColumnRenamed("json", "ovr_json")
     var out = withSumm.join(ovr, Seq("key"), "left_outer")
@@ -141,11 +147,16 @@ object QueryExec {
   }
 
   /** KEYS FOR — the page's document keys in rank order (query.cc:809-828). */
-  def keys(spark: SparkSession, t: Tables, stmt: QueryStmt): DataFrame = {
+  def keys(spark: SparkSession, t: Tables, stmt: QueryStmt): DataFrame =
+    keysRanked(spark, t, stmt).select("key")
+
+  /** Keys with their rank columns (the join does not preserve order; the
+    * presenter re-sorts by them — query.cc:809-828 prints in rank order). */
+  def keysRanked(spark: SparkSession, t: Tables, stmt: QueryStmt): DataFrame = {
     val (res, _) = results(spark, t, stmt)
-    topK(res, stmt.limit, stmt.offset)
+    pageHint(topK(res, stmt.limit, stmt.offset), stmt)
       .join(t.summaries, Seq("off"), "inner")
-      .select("key")
+      .select("off", "score", "key")
   }
 
   /** Total match count before paging — the envelope's "result-count"
