@@ -108,6 +108,10 @@ object SparkEntry {
       "QUERY 'in-priority:urgent' LIMIT -1;")),
     "ql_dockey_or" -> ((s, dir) => QueryExec.runPage(s, t(s, dir),
       "QUERY KEY='order:42' + MIN('qty') [10, 20] LIMIT -1;")),
+    "ql_cas_expand" -> ((s, dir) => QueryExec.runPage(s, t(s, dir),
+      "QUERY 'name-in:b1' LIMIT -1;")),
+    "ql_theta_query" -> ((s, dir) => QueryExec.runPage(s, t(s, dir),
+      "QUERY MAX('lineprice') > MAX('price') LIMIT -1;")),
     "ql_summaries" -> ((s, dir) => QueryExec.runRows(s, t(s, dir),
       "QUERY 'status:F' ORDER BY 'price' LIMIT 50;")),
     "s6_override" -> ((s, dir) => QueryExec.runRows(s, t(s, dir),
@@ -356,6 +360,18 @@ object SparkEntry {
             UNION ALL SELECT off, s FROM mn WHERE s BETWEEN 10 AND 20),
       d AS (SELECT off, max(score) AS score FROM u GROUP BY off)
       SELECT off, score FROM d ORDER BY score DESC, off""".replaceAll("\\s+", " ")),
+    // S4 blob: names extracted from Catalog.blobs' fixed payload are
+    // constants — "see"/"and" are valid-but-unmatched names, www. strips,
+    // "x" is too short (query.cc:128-134,246-278).
+    "ql_cas_expand" -> (s"""$IDX,
+      d AS (SELECT DISTINCT off, 0.0 AS score FROM idx WHERE key IN
+        ('name:see', 'name:and', 'name:order7.com', 'name:order32.com',
+         'name:order33.com', 'name:order129.com', 'name:order9999999.com'))
+      SELECT off, score FROM d""".replaceAll("\\s+", " ")),
+    "ql_theta_query" -> (s"""$IDX,
+      l AS (SELECT off, max(score) AS s FROM idx WHERE key = 'lineprice' GROUP BY off),
+      r AS (SELECT off, max(score) AS s FROM idx WHERE key = 'price' GROUP BY off)
+      SELECT l.off AS off, l.s AS score FROM l JOIN r ON l.off = r.off WHERE l.s > r.s""".replaceAll("\\s+", " ")),
     "ql_summaries" -> (s"""$IDX, $SUMMC, $OVR,
       lhs AS (SELECT DISTINCT off FROM idx WHERE key = 'status:F'),
       rhs AS (SELECT off, max(score) AS s FROM idx WHERE key = 'price' GROUP BY off),

@@ -43,7 +43,7 @@ object Catalog {
 
   /** Materialization cache. Versioned so a derivation change invalidates old
     * caches; lives inside the repo (the only writable area) and is gitignored. */
-  private val cacheVersion = "v4"
+  private val cacheVersion = "v5"
   private def cacheRoot: String =
     sys.env.getOrElse("GRAFT_CACHE", "/root/repo/.graft-cache")
   private def cacheDir(dir: String, name: String): String =
@@ -109,8 +109,14 @@ object Catalog {
       lit("shipdate").as("key"),
       col("l_orderkey").as("off"),
       datediff(col("l_shipdate"), lit("1970-01-01")).cast("double").as("score"))
+    // domain-shaped keys for the S4 CAS-expansion path (query.cc:228-305):
+    // blob-extracted names look up as `name:<domain>`
+    val dom = o.select(
+      concat(lit("name:order"), col("o_orderkey"), lit(".com")).as("key"),
+      col("o_orderkey").as("off"), lit(0.0).as("score"))
     status.unionByName(prio).unionByName(price).unionByName(odate)
       .unionByName(qty).unionByName(lineprice).unionByName(sdate)
+      .unionByName(dom)
   }
 
   /** Identical derivation as a DuckDB CTE, prefixed onto every oracle query so
@@ -124,6 +130,7 @@ object Catalog {
       |  UNION ALL SELECT 'qty', l_orderkey, l_quantity FROM lineitem
       |  UNION ALL SELECT 'lineprice', l_orderkey, l_extendedprice FROM lineitem
       |  UNION ALL SELECT 'shipdate', l_orderkey, CAST(date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) AS DOUBLE) FROM lineitem
+      |  UNION ALL SELECT 'name:order' || o_orderkey || '.com', o_orderkey, 0.0 FROM orders
       |)""".stripMargin.replace("\n", " ")
 
   /** Summary table: offset → (document key, JSON body), materialized sorted by
@@ -173,9 +180,24 @@ object Catalog {
       |  FROM orders WHERE o_orderkey % 7 = 0
       |)""".stripMargin.replace("\n", " ")
 
+  /** The local blob table standing in for the external CAS store (S4,
+    * query.cc:228-305; SURVEY §2.1 models CAS as a DataFrame). The payload is
+    * a fixed document mentioning domain-shaped names that resolve through the
+    * `name:` index family; the `{...}` runs are section headers. */
+  def blobs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    spark.createDataFrame(
+      java.util.List.of(
+        Row("b1", "See order7.com, www.order32.com and x " +
+          "{Archived Orders} order33.com order129.com order9999999.com")),
+      StructType(Seq(StructField("key", StringType), StructField("data", StringType))))
+  }
+
   /** The full table bundle for statement executors. */
   def tables(spark: SparkSession, dir: String): Tables =
-    Tables(index(spark, dir), summaries(spark, dir), overrides(spark, dir))
+    Tables(index(spark, dir), summaries(spark, dir), overrides(spark, dir),
+      Some(blobs(spark, dir)))
 
   def documents(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
