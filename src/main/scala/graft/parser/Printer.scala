@@ -53,7 +53,7 @@ object Printer {
   }
 
   def printStatement(s: Statement): String = s match {
-    case ParseStmt(q) => print(q)
+    case ParseStmt(q) => s"PARSE ${print(q)}"
     case QueryStmt(keysOnly, q, th, lim, off) =>
       val sb = new StringBuilder("QUERY ")
       if (keysOnly) sb.append("KEYS FOR ")
