@@ -110,6 +110,8 @@ object SparkEntry {
       "QUERY KEY='order:42' + MIN('qty') [10, 20] LIMIT -1;")),
     "ql_cas_expand" -> ((s, dir) => QueryExec.runPage(s, t(s, dir),
       "QUERY 'name-in:b1' LIMIT -1;")),
+    "ql_sample_negate" -> ((s, dir) => QueryExec.runPage(s, t(s, dir),
+      "QUERY RANDOM_SAMPLE(~'price' [-200000, -50000], 50) LIMIT -1;")),
     "ql_theta_query" -> ((s, dir) => QueryExec.runPage(s, t(s, dir),
       "QUERY MAX('lineprice') > MAX('price') LIMIT -1;")),
     "ql_summaries" -> ((s, dir) => QueryExec.runRows(s, t(s, dir),
@@ -368,6 +370,14 @@ object SparkEntry {
         ('name:see', 'name:and', 'name:order7.com', 'name:order32.com',
          'name:order33.com', 'name:order129.com', 'name:order9999999.com'))
       SELECT off, score FROM d""".replaceAll("\\s+", " ")),
+    // negate → inclusive range → md5-order deterministic sample (the T3
+    // contract), then the statement's final dedup-max + full-page sort.
+    "ql_sample_negate" -> (s"""$IDX,
+      p AS (SELECT off, -score AS score FROM idx WHERE key = 'price'),
+      r AS (SELECT off, score FROM p WHERE score BETWEEN -200000 AND -50000),
+      smp AS (SELECT off, score FROM r
+              ORDER BY md5(CAST(off AS VARCHAR) || ':1234'), off, score LIMIT 50)
+      SELECT off, score FROM smp""".replaceAll("\\s+", " ")),
     "ql_theta_query" -> (s"""$IDX,
       l AS (SELECT off, max(score) AS s FROM idx WHERE key = 'lineprice' GROUP BY off),
       r AS (SELECT off, max(score) AS s FROM idx WHERE key = 'price' GROUP BY off)
