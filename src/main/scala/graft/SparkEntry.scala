@@ -229,6 +229,16 @@ object SparkEntry {
         .select("doc_id", "n_copies")),
     "dedup_minhash" -> ((s, dir) =>
       NearDup.nearDuplicates(Catalog.documents(s, dir), 0.6)),
+    "dedup_simhash" -> ((s, dir) =>
+      NearDup.simHashPairs(Catalog.documents(s, dir))),
+    "dedup_embcos" -> ((s, dir) =>
+      Ann.nearDupCos(Catalog.embeddings(s, dir), 0.9)),
+    "text_quality" -> ((s, dir) =>
+      graft.ml.TextAnalysis.quality(Catalog.documents(s, dir))),
+    "text_langid" -> ((s, dir) =>
+      graft.ml.TextAnalysis.langId(Catalog.documents(s, dir))),
+    "text_tokens_regex" -> ((s, dir) =>
+      graft.ml.TextAnalysis.regexTokens(Catalog.documents(s, dir))),
     "text_stats" -> ((s, dir) =>
       Catalog.documents(s, dir).select(
         col("doc_id"),
@@ -503,6 +513,31 @@ object SparkEntry {
     "dedup_exact" -> ("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
       FROM documents GROUP BY md5(text)""".replaceAll("\\s+", " ")),
     "dedup_minhash" -> NearDup.oracleSql(0.6),
+    "dedup_simhash" -> NearDup.simHashOracleSql(),
+    "dedup_embcos" -> Ann.nearDupCosSql(0.9),
+    "text_quality" -> ("""SELECT doc_id,
+      len(string_split(text, ' ')) AS n_tokens,
+      round((len(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')), 4) AS mean_tok_len,
+      round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / len(text), 4) AS punct_ratio,
+      round(len(list_filter(string_split(text, ' '), t -> list_contains(['the','and','of','to','a','in','is'], t))) * 1.0 / len(string_split(text, ' ')), 4) AS stop_ratio,
+      round(least(len(string_split(text, ' ')) / 100.0, 1.0) *
+        (1.0 - round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / len(text), 4)), 4) AS quality
+      FROM documents""".replaceAll("\\s+", " ")),
+    "text_langid" -> ("""WITH h AS (SELECT doc_id,
+        len(list_filter(string_split(text, ' '), t -> list_contains(['the','and','of','to','a','in','is'], t))) AS h_en,
+        len(list_filter(string_split(text, ' '), t -> list_contains(['der','die','das','und','ist','ein'], t))) AS h_de,
+        len(list_filter(string_split(text, ' '), t -> list_contains(['le','la','les','et','est','un'], t))) AS h_fr,
+        len(list_filter(string_split(text, ' '), t -> list_contains(['el','la','los','y','es','un'], t))) AS h_es
+      FROM documents)
+      SELECT doc_id, CASE
+        WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'und'
+        WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+        WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+        WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS lang_pred
+      FROM h""".replaceAll("\\s+", " ")),
+    "text_tokens_regex" -> ("""SELECT doc_id,
+      len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS n_regex_tokens
+      FROM documents""".replaceAll("\\s+", " ")),
     "text_stats" -> ("""SELECT doc_id,
       len(string_split(text, ' ')) AS n_tokens,
       len(list_distinct(string_split(text, ' '))) AS n_distinct,

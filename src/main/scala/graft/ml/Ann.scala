@@ -83,6 +83,49 @@ object Ann {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates share an LSH bucket
+    * (any of the L tables), survivors re-ranked by exact cosine ≥ minCos.
+    * Returns (vec_a, vec_b, cos). Same no-all-pairs shape as the MinHash
+    * path — the bucket join bounds the candidate set. */
+  def nearDupCos(emb: DataFrame, minCos: Double): DataFrame = {
+    val bk = buckets(emb)
+    val ids = bk.as("x").join(bk.as("y"),
+        col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val pairs = ids
+      .join(e.withColumnRenamed("vec_id", "vec_a")
+        .withColumnRenamed("embedding", "ea"), Seq("vec_a"))
+      .join(e.withColumnRenamed("vec_id", "vec_b")
+        .withColumnRenamed("embedding", "eb"), Seq("vec_b"))
+    val cosine = round(dot(col("ea"), col("eb")) /
+      sqrt(dot(col("ea"), col("ea")) * dot(col("eb"), col("eb"))), 6)
+    pairs.select(col("vec_a"), col("vec_b"), cosine.as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** DuckDB mirror of nearDupCos over the `embeddings` view. */
+  def nearDupCosSql(minCos: Double): String = {
+    def sigExpr(src: String): Seq[String] = (0 until Tables).map { t =>
+      (0 until Bits).map { b =>
+        s"(CASE WHEN list_dot_product($src, ${planeSql(planes(t * Bits + b))}) >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+    }
+    val sigs = sigExpr("e.emb").zipWithIndex
+      .map { case (s, t) => s"$s AS sig$t" }.mkString(", ")
+    val cond = (0 until Tables).map(t => s"x.sig$t = y.sig$t").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |es AS (SELECT e.vec_id, e.emb, $sigs FROM e),
+       |p AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |        round(list_dot_product(x.emb, y.emb) /
+       |          sqrt(list_dot_product(x.emb, x.emb) * list_dot_product(y.emb, y.emb)), 6) AS cos
+       |      FROM es x JOIN es y ON x.vec_id < y.vec_id AND ($cond))
+       |SELECT vec_a, vec_b, cos FROM p WHERE cos >= $minCos
+       |""".stripMargin.replaceAll("\\s+", " ")
+  }
+
   private def planeSql(plane: Seq[Double]): String =
     plane.mkString("[", ",", "]")
 

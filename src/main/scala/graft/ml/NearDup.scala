@@ -79,6 +79,83 @@ object NearDup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  // ---- SimHash variant: 32-bit signature, banded candidates, hamming ----
+
+  val SimBits = 32
+  val SimBands = 4 // 8 bits per band → 256 buckets each; pigeonhole:
+  // any pair at hamming ≤ SimBands−1 shares at least one whole band.
+  val SimMaxHamming = 3
+
+  private val hiHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  /** Distinct single tokens per doc (simhash features). */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+
+  /** 32-bit SimHash as a '0'/'1' string: bit p is the sign of the vote sum
+    * over tokens, where a token votes +1 iff hex digit p of its md5 has the
+    * high bit set (digit ≥ 8), else −1; ties (≥ 0) go to '1'. */
+  def simHashSig(tk: DataFrame): DataFrame = {
+    val bits = (1 to SimBits).map { p =>
+      when(sum(when(substring(md5(col("tok")), p, 1).isin(hiHex: _*), 1)
+        .otherwise(-1)) >= 0, "1").otherwise("0").as(s"b$p")
+    }
+    tk.groupBy("doc_id")
+      .agg(bits.head, bits.tail: _*)
+      .select(col("doc_id"),
+        concat((1 to SimBits).map(p => col(s"b$p")): _*).as("sig"))
+  }
+
+  /** Candidate pairs share at least one of the 4 8-bit bands; survivors are
+    * scored by full hamming distance and kept at ≤ maxHamming.
+    * Returns (doc_a, doc_b, hamming). */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = SimMaxHamming): DataFrame = {
+    val sig = simHashSig(tokens(docs)).cache()
+    val bandLen = SimBits / SimBands
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(array((0 until SimBands).map { b =>
+        struct(lit(b).as("band"),
+          substring(col("sig"), b * bandLen + 1, bandLen).as("bval"))
+      }: _*)).as("x"))
+      .select(col("doc_id"), col("sig"), col("x.band"), col("x.bval"))
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .distinct()
+    val hamming = (1 to SimBits).map { p =>
+      when(substring(col("sa"), p, 1) =!= substring(col("sb"), p, 1), 1).otherwise(0)
+    }.reduce(_ + _)
+    pairs.select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** DuckDB mirror of simHashPairs over the `documents` view. */
+  def simHashOracleSql(maxHamming: Int = SimMaxHamming): String = {
+    val bitsSql = (1 to SimBits).map { p =>
+      s"CASE WHEN sum(CASE WHEN substr(md5(tok), $p, 1) IN " +
+        s"(${hiHex.map(h => s"'$h'").mkString(",")}) THEN 1 ELSE -1 END) >= 0 " +
+        s"THEN '1' ELSE '0' END"
+    }.mkString(" || ")
+    val bandLen = SimBits / SimBands
+    val bandCond = (0 until SimBands).map { b =>
+      s"substr(x.sig, ${b * bandLen + 1}, $bandLen) = substr(y.sig, ${b * bandLen + 1}, $bandLen)"
+    }.mkString(" OR ")
+    val hammingSql = (1 to SimBits).map { p =>
+      s"CASE WHEN substr(x.sig, $p, 1) <> substr(y.sig, $p, 1) THEN 1 ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |s AS (SELECT doc_id, $bitsSql AS sig FROM tk GROUP BY doc_id)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, $hammingSql AS hamming
+       |FROM s x JOIN s y ON x.doc_id < y.doc_id AND ($bandCond)
+       |WHERE ($hammingSql) <= $maxHamming
+       |""".stripMargin.replaceAll("\\s+", " ")
+  }
+
   /** The DuckDB mirror of nearDuplicates over the `documents` view. */
   def oracleSql(minJaccard: Double): String =
     s"""WITH sh AS (

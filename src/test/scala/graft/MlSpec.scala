@@ -41,6 +41,38 @@ class MlSpec extends AnyFunSuite {
     assert(top.length <= 5)
   }
 
+  test("SimHash: near-identical docs collide at low hamming; unrelated don't pair") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 39).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"zz$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = NearDup.simHashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 <= 3))
+    assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L))
+  }
+
+  test("embedding-cosine near-dup finds the planted clone pair") {
+    val rnd = new scala.util.Random(3)
+    def vec(): Array[Float] = Array.fill(Ann.Dims)(rnd.nextGaussian().toFloat)
+    val v = vec()
+    val rows = Seq((0L, v), (1L, v.clone())) ++ (2L to 15L).map(i => (i, vec()))
+    val pairs = Ann.nearDupCos(rows.toDF("vec_id", "embedding"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((0L, 1L, 1.0)))
+  }
+
+  test("language-ID picks the profile with most stopword hits; und when none") {
+    val docs = Seq(
+      (0L, "the cat and the dog is in a house"),
+      (1L, "der hund und die katze ist ein tier"),
+      (2L, "xyzzy plugh quux")).toDF("doc_id", "text")
+    val out = graft.ml.TextAnalysis.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(0L -> "en", 1L -> "de", 2L -> "und"))
+  }
+
   test("Multimodal: per-partition extraction computes real digests over bytes") {
     val docs = Seq((7L, "hello world"), (8L, "grüß")).toDF("doc_id", "text")
     val feats = Multimodal.documentFeatures(spark, docs).collect()
