@@ -45,8 +45,10 @@ object CorrelateExec {
     * counted once). Declarative: no driver-side action. */
   def counts(t: Tables, setA: DataFrame, setB: DataFrame): DataFrame = {
     val k = t.index.select("key", "off").distinct()
-    k.join(setA.withColumn("in_a", lit(1)), Seq("off"), "left_outer")
-      .join(setB.withColumn("in_b", lit(1)), Seq("off"), "left_outer")
+    // membership sets are distinct doc offsets — broadcast them instead of
+    // shuffling the (much larger) per-key posting rows
+    k.join(broadcast(setA.withColumn("in_a", lit(1))), Seq("off"), "left_outer")
+      .join(broadcast(setB.withColumn("in_b", lit(1))), Seq("off"), "left_outer")
       .groupBy("key")
       .agg(
         count(col("in_a")).as("cnt_a"),
@@ -66,9 +68,19 @@ object CorrelateExec {
         greatest(floor(col("n_a") / 20), lit(1L)).as("limit_a"),
         greatest(floor(col("n_b") / 20), lit(1L)).as("limit_b"),
         log((col("n_a") + 1.0) / (col("n_b") + 1.0)).as("prior"))
-    val keySizes = t.index.groupBy("key").agg(count(lit(1)).as("key_n"))
-    counts(t, setA, setB)
-      .join(keySizes, Seq("key"))
+    // ONE pass over the index: groupBy (key, off) carries the duplicate
+    // count, so the raw key size (support gate) and the distinct-offset
+    // match counts come out of the same shuffle — no second full scan.
+    val kc = t.index.groupBy("key", "off").agg(count(lit(1)).as("dup_n"))
+    kc.join(broadcast(setA.withColumn("in_a", lit(1))), Seq("off"), "left_outer")
+      .join(broadcast(setB.withColumn("in_b", lit(1))), Seq("off"), "left_outer")
+      .groupBy("key")
+      .agg(
+        sum("dup_n").as("key_n"),
+        count(col("in_a")).as("cnt_a"),
+        count(col("in_b")).as("cnt_b"),
+        count(when(col("in_a").isNotNull || col("in_b").isNotNull, 1))
+          .as("cnt_a_or_b"))
       .crossJoin(broadcast(sizes))
       .filter(col("key_n") >= least(col("limit_a"), col("limit_b")))
       .filter(col("cnt_a") >= col("limit_a") || col("cnt_b") >= col("limit_b"))
