@@ -119,9 +119,14 @@ object SparkEntry {
     "s6_override" -> ((s, dir) => QueryExec.runRows(s, t(s, dir),
       "QUERY 'in-priority:urgent' ORDER BY 'price' LIMIT 200;")),
 
+    "ql_fetch_offset" -> ((s, dir) => QueryExec.runPage(s, t(s, dir),
+      "QUERY 'status:O' ORDER BY 'price' FETCH FIRST 10 ROWS ONLY OFFSET 5 ROWS;")),
+
     // ---- SELECT pivot (select.cc:80-154) ----
     "select_fields" -> ((s, dir) => SelectExec.run(s, t(s, dir),
       "SELECT 'price', 'status:F', 'nosuchkey' FROM 'status:F' OR 'status:O';")),
+    "select_with_summaries" -> ((s, dir) => SelectExec.run(s, t(s, dir),
+      "SELECT 'qty' FROM 'priority:1-URGENT' WITH SUMMARIES;")),
 
     // ---- CORRELATE counting + scoring layers (correlate.cc:84-148) ----
     "correlate_counts" -> ((s, dir) => {
@@ -416,6 +421,19 @@ object SparkEntry {
           ELSE s.json END AS json
       FROM pg JOIN summ s ON s.off = pg.off LEFT JOIN ovr o ON o.key = s.key""".replaceAll("\\s+", " ")),
 
+    "ql_fetch_offset" -> (s"""$IDX,
+      lhs AS (SELECT DISTINCT off FROM idx WHERE key = 'status:O'),
+      rhs AS (SELECT off, max(score) AS s FROM idx WHERE key = 'price' GROUP BY off),
+      ord AS (SELECT l.off, COALESCE(r.s, CAST('-infinity' AS DOUBLE)) AS score
+              FROM lhs l LEFT JOIN rhs r ON l.off = r.off),
+      d AS (SELECT off, max(score) AS score FROM ord GROUP BY off)
+      SELECT off, score FROM d ORDER BY score DESC, off LIMIT 10 OFFSET 5""".replaceAll("\\s+", " ")),
+    "select_with_summaries" -> (s"""$IDX, $SUMMC,
+      sel AS (SELECT off FROM idx WHERE key = 'priority:1-URGENT' GROUP BY off),
+      q AS (SELECT off, min(score) AS s FROM idx WHERE key = 'qty' GROUP BY off)
+      SELECT s.key AS key, COALESCE(q.s, CAST('nan' AS DOUBLE)) AS f1, s.json AS json
+      FROM sel JOIN summ s ON s.off = sel.off
+      LEFT JOIN q ON q.off = sel.off""".replaceAll("\\s+", " ")),
     // NaN-missing / all-zero→1.0 presence rule (select.cc:34-71): 'price' is
     // continuous (min score), 'status:F' is all-zero (presence → 1.0),
     // 'nosuchkey' is always missing (NaN).
