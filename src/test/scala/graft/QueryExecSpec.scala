@@ -60,6 +60,12 @@ class QueryExecSpec extends AnyFunSuite {
       "QUERY 'k' THRESHOLDS 10 FOR KEY 'k' LIMIT -1;").count() == 0)
   }
 
+  test("LIMIT 0 and OFFSET past the result set yield empty pages") {
+    assert(QueryExec.runPage(spark, fixture, "QUERY 'k' LIMIT 0;").count() == 0)
+    assert(QueryExec.runPage(spark, fixture,
+      "QUERY 'k' LIMIT 5 OFFSET 100;").count() == 0) // query.cc:795-798
+  }
+
   test("override overlay merges JSON for overridden keys only") {
     val rows = QueryExec.runRows(spark, fixture, "QUERY 'k' LIMIT -1;")
       .collect().map(r => (r.getAs[String]("key"), r.getAs[String]("json"))).toMap
