@@ -218,6 +218,36 @@ object SparkEntry {
         .orderBy("r_name")
     }),
 
+    // q6: pure filter-agg — every predicate must reach the parquet scan
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Catalog.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1994-01-01" && col("l_shipdate") < "1995-01-01" &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))),
+    // q10-shaped: top returned-revenue customers (broadcast dims)
+    "q10_returned" -> ((s, dir) => {
+      val c = Catalog.table(s, dir, "customer")
+      val o = Catalog.table(s, dir, "orders")
+      val l = Catalog.table(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    }),
+    // q18-shaped: large-quantity orders (agg-then-having over the fact join)
+    "q18_big_orders" -> ((s, dir) => {
+      val o = Catalog.table(s, dir, "orders")
+      val l = Catalog.table(s, dir, "lineitem")
+      l.groupBy("l_orderkey").agg(sum("l_quantity").as("qty"))
+        .filter(col("qty") > 150)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)
+    }),
+
     // ---- Events: tumbling-window aggregation (SURVEY §2.9) ----
     "ev_daily_counts" -> ((s, dir) =>
       Catalog.events(s, dir)
@@ -522,6 +552,19 @@ object SparkEntry {
       JOIN nation ON s_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name ORDER BY r_name""".replaceAll("\\s+", " ")),
+    "q6_forecast_revenue" -> ("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      FROM lineitem WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".replaceAll("\\s+", " ")),
+    "q10_returned" -> ("""SELECT c_custkey, c_name,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 20""".replaceAll("\\s+", " ")),
+    "q18_big_orders" -> ("""WITH q AS (SELECT l_orderkey, sum(l_quantity) AS qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+      SELECT o_orderkey, o_totalprice, qty FROM q JOIN orders ON l_orderkey = o_orderkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".replaceAll("\\s+", " ")),
     "ev_daily_counts" -> ("""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
       count(*) AS cnt, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""".replaceAll("\\s+", " ")),
