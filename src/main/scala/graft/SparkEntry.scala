@@ -142,6 +142,14 @@ object SparkEntry {
       CorrelateExec.logOdds(t(s, dir), setA, setB)
     }),
 
+    // The COMPLETE pipeline incl. the distributed split-point search (A10) —
+    // oracle mirrors it with window functions.
+    "correlate_full" -> ((s, dir) => {
+      val CorrelateStmt(a, b) = graft.parser.Parser.parseStatement(
+        "CORRELATE QUERY 'status:F', 'status:O';"): @unchecked
+      CorrelateExec.run(s, t(s, dir), a, b)
+    }),
+
     // Leakage filter (correlate.cc:401-462): events = order date + 60 days;
     // only shipments strictly before the event survive, rescaled to
     // days-before-event.
@@ -513,6 +521,7 @@ object SparkEntry {
         AND (cnt_a >= lim_a OR cnt_b >= lim_b)
         AND abs(ln((cnt_a + 1.0) / (cnt_a_or_b - cnt_a + 1.0)) - prior) >= ln(0.55 / 0.45)""".replaceAll("\\s+", " ")),
 
+    "correlate_full" -> CorrelateExec.fullOracleSql(IDX, "status:F", "status:O"),
     "correlate_leakage" -> (s"""$IDX,
       k AS (SELECT key, off, score FROM idx WHERE key = 'shipdate'),
       a AS (SELECT off, min(score + 60) AS amin FROM idx

@@ -91,6 +91,92 @@ object CorrelateExec {
       .select("key", "log_odds", "cnt_a", "cnt_b")
   }
 
+  /** DuckDB mirror of the COMPLETE pipeline (run) for leaf-query A/B — the
+    * split search re-expressed with window functions: cumulative counts per
+    * distinct score, candidate |logit| for the (−inf, mid] and (mid, ∞)
+    * ranges, first-encountered argmax (row_number tie-break = the
+    * reference's strict-> scan order), then per-range re-scoring. The logit
+    * uses the identical double op sequence as splitSearch so comparisons
+    * agree bit-for-bit. */
+  def fullOracleSql(idxCte: String, aKey: String, bKey: String): String =
+    s"""$idxCte,
+       |a AS (SELECT DISTINCT off FROM idx WHERE key = '$aKey'),
+       |b AS (SELECT DISTINCT off FROM idx WHERE key = '$bKey'
+       |      AND off NOT IN (SELECT off FROM a)),
+       |lims AS (SELECT na, nb, greatest(na // 20, 1) AS lim_a,
+       |           greatest(nb // 20, 1) AS lim_b,
+       |           ln((na + 1.0) / (nb + 1.0)) AS prior
+       |         FROM (SELECT (SELECT count(*) FROM a) AS na,
+       |                      (SELECT count(*) FROM b) AS nb)),
+       |km AS (SELECT key, count(*) AS key_n,
+       |         max(CASE WHEN score <> 0 THEN 1 ELSE 0 END) AS cont
+       |       FROM idx GROUP BY key),
+       |keys_ok AS (SELECT key, cont FROM km, lims WHERE key_n >= least(lim_a, lim_b)),
+       |cls AS (SELECT i.key, i.score,
+       |          (CASE WHEN a.off IS NOT NULL THEN 1 ELSE 0 END
+       |           - CASE WHEN b.off IS NOT NULL THEN 1 ELSE 0 END) AS cls
+       |        FROM idx i JOIN keys_ok k ON i.key = k.key AND k.cont = 1
+       |        LEFT JOIN a ON a.off = i.off LEFT JOIN b ON b.off = i.off
+       |        WHERE a.off IS NOT NULL OR b.off IS NOT NULL),
+       |csize AS (SELECT key, count(*) AS n FROM cls GROUP BY key),
+       |agg AS (SELECT key, score,
+       |          sum(ca_s) OVER w AS ca, sum(cb_s) OVER w AS cb, sum(cab_s) OVER w AS cab,
+       |          row_number() OVER (PARTITION BY key ORDER BY score) AS ridx,
+       |          count(*) OVER (PARTITION BY key) AS nagg,
+       |          lead(score) OVER (PARTITION BY key ORDER BY score) AS next_score
+       |        FROM (SELECT key, score,
+       |                sum(CASE WHEN cls >= 0 THEN 1 ELSE 0 END) AS ca_s,
+       |                sum(CASE WHEN cls <= 0 THEN 1 ELSE 0 END) AS cb_s,
+       |                count(*) AS cab_s
+       |              FROM cls GROUP BY key, score)
+       |        WINDOW w AS (PARTITION BY key ORDER BY score
+       |                     ROWS UNBOUNDED PRECEDING)),
+       |tot AS (SELECT key, max(ca) AS ta, max(cb) AS tb, max(cab) AS tab
+       |        FROM agg GROUP BY key),
+       |cand AS (
+       |  SELECT g.key, g.ridx, g.nagg, g.score AS mid, g.next_score, 0 AS is_upper,
+       |    abs(ln(((g.ca + 1.0) / (g.cab + 2.0)) / (1.0 - (g.ca + 1.0) / (g.cab + 2.0))) - l.prior) AS al
+       |  FROM agg g, lims l WHERE g.ca >= l.lim_a OR g.cb >= l.lim_b
+       |  UNION ALL
+       |  SELECT g.key, g.ridx, g.nagg, g.score, g.next_score, 1,
+       |    abs(ln((((t.ta - g.ca) + 1.0) / ((t.tab - g.cab) + 2.0)) /
+       |        (1.0 - ((t.ta - g.ca) + 1.0) / ((t.tab - g.cab) + 2.0))) - l.prior)
+       |  FROM agg g JOIN tot t ON t.key = g.key, lims l
+       |  WHERE (t.ta - g.ca) >= l.lim_a OR (t.tb - g.cb) >= l.lim_b),
+       |chosen AS (SELECT key, ridx, nagg, mid, next_score, al FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY key
+       |      ORDER BY al DESC, ridx ASC, is_upper ASC) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |cont_keys AS (SELECT k.key FROM keys_ok k JOIN csize c ON c.key = k.key, lims l
+       |              WHERE k.cont = 1 AND c.n >= least(l.lim_a, l.lim_b)),
+       |split AS (SELECT * FROM chosen
+       |          WHERE ridx > 1 AND ridx < nagg AND al >= ln(1.05)),
+       |ranges AS (
+       |  SELECT key, CAST(NULL AS DOUBLE) AS lo, mid AS hi FROM split
+       |  UNION ALL
+       |  SELECT key, next_score, CAST(NULL AS DOUBLE) FROM split
+       |  UNION ALL
+       |  SELECT key, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM cont_keys
+       |    WHERE key NOT IN (SELECT key FROM split)
+       |  UNION ALL
+       |  SELECT key, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM keys_ok
+       |    WHERE cont = 0),
+       |inr AS (SELECT DISTINCT r.key, r.lo, r.hi, i.off
+       |        FROM ranges r JOIN idx i ON i.key = r.key
+       |        WHERE (r.lo IS NULL OR i.score >= r.lo)
+       |          AND (r.hi IS NULL OR i.score <= r.hi)),
+       |fin AS (SELECT inr.key, inr.lo, inr.hi,
+       |          count(a.off) AS cnt_a, count(b.off) AS cnt_b,
+       |          count(CASE WHEN a.off IS NOT NULL OR b.off IS NOT NULL THEN 1 END) AS cab
+       |        FROM inr LEFT JOIN a ON a.off = inr.off LEFT JOIN b ON b.off = inr.off
+       |        GROUP BY inr.key, inr.lo, inr.hi)
+       |SELECT key, lo AS min_score, hi AS max_score,
+       |  ln((cnt_a + 1.0) / (cab - cnt_a + 1.0)) - prior AS log_odds, cnt_a, cnt_b
+       |FROM fin, lims
+       |WHERE (cnt_a >= lim_a OR cnt_b >= lim_b)
+       |  AND abs(ln((cnt_a + 1.0) / (cab - cnt_a + 1.0)) - prior) >= ln(0.55 / 0.45)
+       |""".stripMargin.replaceAll("\\s+", " ")
+
   /** The primary keyword of a query — its leftmost leaf identifier
     * (correlate.cc:464-476); drives the time-leakage filter below. */
   def primaryKeyword(q: Query): Option[String] = q match {
