@@ -285,8 +285,10 @@ object CorrelateExec {
     val c = new QueryCompiler(spark, t)
     val pa = dedupMin(c.compile(a).postings)
     val pb = subtract(dedupMin(c.compile(b).postings), pa)
-    val setA = pa.select("off")
-    val setB = pb.select("off")
+    // the distinct membership sets feed the size counts, the class join and
+    // the range re-score — cache once instead of re-evaluating per consumer
+    val setA = pa.select("off").cache()
+    val setB = pb.select("off").cache()
     val nA = setA.count()
     val nB = setB.count()
     if (nA == 0 || nB == 0)
@@ -332,8 +334,8 @@ object CorrelateExec {
     // Ranges: boolean keys → full range; continuous keys → split search over
     // matched (score, cls) pairs.
     val matched = idx.filter(col("continuous") === 1)
-      .join(setA.withColumn("in_a", lit(1)), Seq("off"), "left_outer")
-      .join(setB.withColumn("in_b", lit(1)), Seq("off"), "left_outer")
+      .join(broadcast(setA.withColumn("in_a", lit(1))), Seq("off"), "left_outer")
+      .join(broadcast(setB.withColumn("in_b", lit(1))), Seq("off"), "left_outer")
       .filter(col("in_a").isNotNull || col("in_b").isNotNull)
       .select(col("key"), col("score"),
         (coalesce(col("in_a"), lit(0)) - coalesce(col("in_b"), lit(0))).as("cls"))
@@ -356,8 +358,8 @@ object CorrelateExec {
         (col("hi").isNull || col("score") <= col("hi")))
       .select("key", "lo", "hi", "off").distinct()
     inRange
-      .join(setA.withColumn("in_a", lit(1)), Seq("off"), "left_outer")
-      .join(setB.withColumn("in_b", lit(1)), Seq("off"), "left_outer")
+      .join(broadcast(setA.withColumn("in_a", lit(1))), Seq("off"), "left_outer")
+      .join(broadcast(setB.withColumn("in_b", lit(1))), Seq("off"), "left_outer")
       .groupBy("key", "lo", "hi")
       .agg(
         count(col("in_a")).as("cnt_a"),
