@@ -514,7 +514,7 @@ object SparkEntry {
             FROM k LEFT JOIN a ON a.off = k.off LEFT JOIN b ON b.off = k.off
             GROUP BY k.key)
       SELECT c.key AS key,
-        ln((cnt_a + 1.0) / (cnt_a_or_b - cnt_a + 1.0)) - prior AS log_odds,
+        round(ln((cnt_a + 1.0) / (cnt_a_or_b - cnt_a + 1.0)) - prior, 6) AS log_odds,
         cnt_a, cnt_b
       FROM c JOIN ks ON ks.key = c.key CROSS JOIN lims
       WHERE ks.key_n >= least(lim_a, lim_b)

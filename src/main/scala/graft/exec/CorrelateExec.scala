@@ -88,7 +88,10 @@ object CorrelateExec {
         log((col("cnt_a") + 1.0) / (col("cnt_a_or_b") - col("cnt_a") + 1.0))
           - col("prior"))
       .filter(abs(col("log_odds")) >= lit(math.log(0.55 / 0.45)))
-      .select("key", "log_odds", "cnt_a", "cnt_b")
+      // rounded: Java's and DuckDB's ln may differ by an ulp on the same
+      // input, which an exact hash compare would flag
+      .select(col("key"), round(col("log_odds"), 6).as("log_odds"),
+        col("cnt_a"), col("cnt_b"))
   }
 
   /** DuckDB mirror of the COMPLETE pipeline (run) for leaf-query A/B — the
@@ -171,7 +174,7 @@ object CorrelateExec {
        |        FROM inr LEFT JOIN a ON a.off = inr.off LEFT JOIN b ON b.off = inr.off
        |        GROUP BY inr.key, inr.lo, inr.hi)
        |SELECT key, lo AS min_score, hi AS max_score,
-       |  ln((cnt_a + 1.0) / (cab - cnt_a + 1.0)) - prior AS log_odds, cnt_a, cnt_b
+       |  round(ln((cnt_a + 1.0) / (cab - cnt_a + 1.0)) - prior, 6) AS log_odds, cnt_a, cnt_b
        |FROM fin, lims
        |WHERE (cnt_a >= lim_a OR cnt_b >= lim_b)
        |  AND abs(ln((cnt_a + 1.0) / (cab - cnt_a + 1.0)) - prior) >= ln(0.55 / 0.45)
@@ -372,6 +375,6 @@ object CorrelateExec {
           - lit(prior))
       .filter(abs(col("log_odds")) >= lit(math.log(0.55 / 0.45)))
       .select(col("key"), col("lo").as("min_score"), col("hi").as("max_score"),
-        col("log_odds"), col("cnt_a"), col("cnt_b"))
+        round(col("log_odds"), 6).as("log_odds"), col("cnt_a"), col("cnt_b"))
   }
 }
