@@ -33,6 +33,13 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results: ListMap[String, (Double, Boolean)] =
       ListMap.from(ordered.map { case (name, fn) =>
+        // per-QUERY cache isolation: operators that cache() internally must
+        // not inherit (or evict) another query's cached data — otherwise
+        // late queries measure memory pressure, not the query (observed 2x
+        // swings on the heavy entries). Within a query, reps share the
+        // cache: rep 1 pays population, the median reports repeat
+        // performance.
+        spark.catalog.clearCache()
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           val ok =
