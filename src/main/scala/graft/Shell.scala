@@ -24,7 +24,7 @@ object Shell {
         val out =
           try Presenter.execute(spark, t, state, stmt)
           catch { // error envelope (query.cc:943-947)
-            case e: Exception => s"""{"error":"${e.getMessage}"}"""
+            case e: Exception => Presenter.errorEnvelope(e.getMessage)
           }
         if (out.nonEmpty) println(out)
       }

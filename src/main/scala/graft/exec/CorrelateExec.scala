@@ -289,9 +289,10 @@ object CorrelateExec {
     val pa = dedupMin(c.compile(a).postings)
     val pb = subtract(dedupMin(c.compile(b).postings), pa)
     // the distinct membership sets feed the size counts, the class join and
-    // the range re-score — cache once instead of re-evaluating per consumer
-    val setA = pa.select("off").cache()
-    val setB = pb.select("off").cache()
+    // the range re-score — cache once instead of re-evaluating per consumer;
+    // tracked so the presenter can release them post-materialization
+    val setA = graft.util.Caches.track(pa.select("off").cache())
+    val setB = graft.util.Caches.track(pb.select("off").cache())
     val nA = setA.count()
     val nB = setB.count()
     if (nA == 0 || nB == 0)

@@ -24,7 +24,9 @@ object Presenter {
     var timeFormat: String = "yyyy-MM-dd HH:mm:ss"
   }
 
-  private def jsonEscape(s: String): String = s.flatMap {
+  /** JSON string escaping (util.h:196-253) — shared with Shell's error
+    * envelope so messages echoing user input stay well-formed JSON. */
+  def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
@@ -33,6 +35,11 @@ object Presenter {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   }
+
+  /** The error envelope (query.cc:943-947) — message escaped, since parse
+    * errors echo raw user input. */
+  def errorEnvelope(message: String): String =
+    s"""{"error":"${jsonEscape(String.valueOf(message))}"}"""
 
   /** Strip outer braces from a JSON object body (query.cc:866-875). */
   private def body(json: String): String =
@@ -74,7 +81,9 @@ object Presenter {
   /** SELECT → CSV: key,v1,…[,"json" with doubled quotes] (select.cc:133-152);
     * values print %.9g, NaN prints "nan". */
   def selectCsv(spark: SparkSession, t: Tables, stmt: SelectStmt): String = {
-    val df = SelectExec.run(spark, t, stmt)
+    // offset order — the reference iterates the selection in offset order
+    // (select.cc:133-152); an unordered collect() would be partition-dependent
+    val df = SelectExec.runOrdered(spark, t, stmt)
     val n = stmt.fields.size
     df.collect().map { r =>
       val sb = new StringBuilder(r.getAs[String]("key"))
@@ -91,7 +100,12 @@ object Presenter {
   /** CORRELATE → TSV lines: log_odds \t cnt_a \t cnt_b \t key [\t range]
     * (correlate.cc:146-196). */
   def correlateTsv(spark: SparkSession, t: Tables, stmt: CorrelateStmt): String =
-    CorrelateExec.run(spark, t, stmt.queryA, stmt.queryB).collect().map { r =>
+    // key order (split ranges of one key by lo bound, nulls first) — pins a
+    // deterministic text contract; the reference walks keys in table order
+    CorrelateExec.run(spark, t, stmt.queryA, stmt.queryB)
+      .orderBy(org.apache.spark.sql.functions.asc("key"),
+        org.apache.spark.sql.functions.asc_nulls_first("min_score"))
+      .collect().map { r =>
       val range = (Option(r.getAs[java.lang.Double]("min_score")),
         Option(r.getAs[java.lang.Double]("max_score"))) match {
         case (None, None) => ""
@@ -103,15 +117,19 @@ object Presenter {
         f"${r.getAs[Long]("cnt_b")}\t${r.getAs[String]("key")}$range"
     }.mkString("\n")
 
-  /** Dispatch one parsed statement (statement.cc:12-50). */
+  /** Dispatch one parsed statement (statement.cc:12-50). Internal caches
+    * (CORRELATE membership sets, LSH buckets) are released once the
+    * statement's output is materialized — a long-lived Shell session must not
+    * accumulate cached partitions across statements (ADVICE r3). */
   def execute(spark: SparkSession, t: Tables, state: SessionState,
-      stmt: Statement): String = stmt match {
-    case q: QueryStmt if q.keysOnly => queryKeys(spark, t, q)
-    case q: QueryStmt => queryJson(spark, t, q)
-    case s: SelectStmt => selectCsv(spark, t, s)
-    case c: CorrelateStmt => correlateTsv(spark, t, c)
-    case p: ParseStmt => Printer.print(p.query)
-    case SetOutputFormat(f) => state.outputFormat = f; ""
-    case SetTimeFormat(f) => state.timeFormat = f; ""
-  }
+      stmt: Statement): String =
+    try stmt match {
+      case q: QueryStmt if q.keysOnly => queryKeys(spark, t, q)
+      case q: QueryStmt => queryJson(spark, t, q)
+      case s: SelectStmt => selectCsv(spark, t, s)
+      case c: CorrelateStmt => correlateTsv(spark, t, c)
+      case p: ParseStmt => Printer.print(p.query)
+      case SetOutputFormat(f) => state.outputFormat = f; ""
+      case SetTimeFormat(f) => state.timeFormat = f; ""
+    } finally graft.util.Caches.drain()
 }

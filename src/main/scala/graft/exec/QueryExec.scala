@@ -132,6 +132,13 @@ object QueryExec {
     }
     stmt.thresholds match {
       case None => out
+      // Single threshold value: [t, t) is empty — results() already limited
+      // the page to 0 rows; attach null header columns so the schema matches
+      // the populated-thresholds shape instead of crashing on bs.head
+      // (ADVICE r3; query.cc:775-776).
+      case Some(th) if thresholdPlan(th)._2.isEmpty =>
+        out.withColumn("_header", lit(null).cast(StringType))
+          .withColumn("_header_key", lit(null).cast(StringType))
       case Some(th) =>
         val (_, bs) = thresholdPlan(th)
         val whenChain = bs.tail.foldLeft(

@@ -22,11 +22,13 @@ import graft.operators.PostingAlgebra._
   */
 object SelectExec {
 
-  def run(spark: SparkSession, t: Tables, stmt: SelectStmt): DataFrame = {
+  /** The joined pivot BEFORE the final projection — keeps `off` so callers
+    * can pin the reference's offset iteration order (select.cc:133-152). */
+  private def joined(spark: SparkSession, t: Tables, stmt: SelectStmt): DataFrame = {
     val c = new QueryCompiler(spark, t)
     val selection = dedupMin(c.compile(stmt.from).postings).select("off")
 
-    val joined = stmt.fields.zipWithIndex.foldLeft(selection) {
+    stmt.fields.zipWithIndex.foldLeft(selection) {
       case (acc, (fq, i)) =>
         val name = s"f${i + 1}"
         val field = dedupMin(c.compile(fq).postings)
@@ -41,15 +43,25 @@ object SelectExec {
             when(col("nonzero") === 0, 1.0).otherwise(col("score")).as(name))
         acc.join(valued, Seq("off"), "left_outer")
           .withColumn(name, coalesce(col(name), lit(Double.NaN)))
-    }
+    }.join(t.summaries, Seq("off"), "inner")
+  }
 
-    val withKey = joined.join(t.summaries, Seq("off"), "inner")
+  private def project(df: DataFrame, stmt: SelectStmt): DataFrame = {
     val fieldCols = stmt.fields.indices.map(i => col(s"f${i + 1}"))
     if (stmt.withSummaries)
-      withKey.select(col("key") +: fieldCols :+ col("json"): _*)
+      df.select(col("key") +: fieldCols :+ col("json"): _*)
     else
-      withKey.select(col("key") +: fieldCols: _*)
+      df.select(col("key") +: fieldCols: _*)
   }
+
+  def run(spark: SparkSession, t: Tables, stmt: SelectStmt): DataFrame =
+    project(joined(spark, t, stmt), stmt)
+
+  /** run() with rows in selection-offset order — the CSV presenter's
+    * contract. The sort happens while `off` is still a column; the trailing
+    * narrow projection preserves the order (ADVICE r3). */
+  def runOrdered(spark: SparkSession, t: Tables, stmt: SelectStmt): DataFrame =
+    project(joined(spark, t, stmt).orderBy("off"), stmt)
 
   def run(spark: SparkSession, t: Tables, text: String): DataFrame =
     graft.parser.Parser.parseStatement(text) match {

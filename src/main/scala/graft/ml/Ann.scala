@@ -69,7 +69,7 @@ object Ann {
     * bucket join → distinct candidates → exact cosine re-rank.
     * Returns (vec_id, sim). */
   def topK(emb: DataFrame, qVecId: Long, k: Int): DataFrame = {
-    val bk = buckets(emb).cache() // reused for the query row and candidates
+    val bk = graft.util.Caches.track(buckets(emb).cache()) // reused for the query row and candidates
     val qb = bk.filter(col("vec_id") === qVecId)
       .select(col("t"), col("sig"), col("emb").as("qemb"))
     val cands = bk.filter(col("vec_id") =!= qVecId)
@@ -90,7 +90,7 @@ object Ann {
   def nearDupCos(emb: DataFrame, minCos: Double): DataFrame = {
     // cache: the signature subtree (L×B literal plane arrays) is large to
     // plan/codegen — materialize it once instead of once per self-join side
-    val bk = buckets(emb).cache()
+    val bk = graft.util.Caches.track(buckets(emb).cache())
     val ids = bk.as("x").join(bk.as("y"),
         col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -57,8 +57,8 @@ object NearDup {
     * exact Jaccard over shingle sets; keeps pairs with jaccard ≥ minJaccard.
     * Returns (doc_a, doc_b, jaccard). */
   def nearDuplicates(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val sh = shingles(docs).cache()
-    val b = bands(signatures(sh)).cache() // tiny (docs × bands); reused by both self-join sides
+    val sh = graft.util.Caches.track(shingles(docs).cache())
+    val b = graft.util.Caches.track(bands(signatures(sh)).cache()) // tiny (docs × bands); reused by both self-join sides
     val pairs = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -113,7 +113,7 @@ object NearDup {
     * scored by full hamming distance and kept at ≤ maxHamming.
     * Returns (doc_a, doc_b, hamming). */
   def simHashPairs(docs: DataFrame, maxHamming: Int = SimMaxHamming): DataFrame = {
-    val sig = simHashSig(shingles(docs)).cache()
+    val sig = graft.util.Caches.track(simHashSig(shingles(docs)).cache())
     val bandLen = SimBits / SimBands
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until SimBands).map { b =>

@@ -60,6 +60,19 @@ class QueryExecSpec extends AnyFunSuite {
       "QUERY 'k' THRESHOLDS 10 FOR KEY 'k' LIMIT -1;").count() == 0)
   }
 
+  test("rows() on a single-value THRESHOLDS list is empty, not a crash") {
+    // ADVICE r3: the header when-chain called bs.head on an empty bucket Seq
+    val df = QueryExec.runRows(spark, fixture,
+      "QUERY 'k' THRESHOLDS 10 FOR KEY 'k' LIMIT -1;")
+    assert(df.count() == 0)
+    assert(df.columns.contains("_header")) // schema matches populated case
+    // and the full envelope path (Presenter.queryJson) renders it
+    val stmt = Parser.parseStatement(
+      "QUERY 'k' THRESHOLDS 10 FOR KEY 'k' LIMIT -1;").asInstanceOf[QueryStmt]
+    assert(Presenter.queryJson(spark, fixture, stmt) ==
+      """{"result-count":0,"result":[]}""")
+  }
+
   test("LIMIT 0 and OFFSET past the result set yield empty pages") {
     assert(QueryExec.runPage(spark, fixture, "QUERY 'k' LIMIT 0;").count() == 0)
     assert(QueryExec.runPage(spark, fixture,

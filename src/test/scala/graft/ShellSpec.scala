@@ -52,4 +52,18 @@ class ShellSpec extends AnyFunSuite {
       Parser.parseStatements("QUERY ((broken;")
     }
   }
+
+  test("error envelope escapes quotes, backslashes and newlines") {
+    // ADVICE r3: unescaped e.getMessage produced malformed JSON
+    assert(Presenter.errorEnvelope("bad \"token\"\nat line 1\\") ==
+      """{"error":"bad \"token\"\nat line 1\\"}""")
+    assert(Presenter.errorEnvelope(null) == """{"error":"null"}""")
+  }
+
+  test("SELECT CSV rows come back in selection offset order") {
+    val state = new Presenter.SessionState
+    val out = Presenter.execute(spark, fixture, state,
+      Parser.parseStatements("SELECT 'k' FROM 'b';").head)
+    assert(out.split("\n").toSeq == Seq("d1,10", "d2,20")) // off 1 before 2
+  }
 }
