@@ -1,6 +1,7 @@
 package graft.exec
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ast.Query
 import graft.compiler.QueryCompiler
@@ -224,17 +225,13 @@ object CorrelateExec {
 
   // ---- A10: split-point search for continuous features ----
 
-  /** One matched (score, class) observation for a key: cls = +1 A-only,
-    * 0 both, −1 B-only (correlate.cc:243-292). */
-  final case class ClassRow(key: String, score: Double, cls: Int)
-
-  /** Chosen score range(s) for a key (None bound = unbounded). */
-  final case class KeyRange(key: String, lo: Option[Double], hi: Option[Double])
-
   /** The in-memory split search for one key's sorted (score, cls) pairs —
     * a faithful transcription of the prefix-scan argmax
-    * (correlate.cc:273-341). Returns full range, or the two sub-ranges
-    * (−inf, split] and [next, +inf). */
+    * (correlate.cc:273-341); cls = +1 A-only, 0 both, −1 B-only
+    * (correlate.cc:243-292). The distributed plan runs splitRanges (the
+    * window re-expression); this version pins the reference semantics in
+    * CorrelateSpec, which asserts the two agree. Returns full range, or the
+    * two sub-ranges (−inf, split] and [next, +inf). */
   def splitSearch(pairs: Seq[(Double, Int)], limitA: Long, limitB: Long,
       prior: Double): Seq[(Option[Double], Option[Double])] = {
     val full = Seq((None, None): (Option[Double], Option[Double]))
@@ -273,6 +270,82 @@ object CorrelateExec {
       full
     else
       Seq((None, Some(agg(bestIdx)._1)), (Some(agg(bestIdx + 1)._1), None))
+  }
+
+  /** Distributed A10: the SAME prefix-scan argmax as splitSearch
+    * (correlate.cc:273-341), re-expressed as window aggregation so it stays in
+    * Tungsten codegen: groupBy (key, score) → cumulative sums over a
+    * key-partitioned window → candidate |logit|s for the (−inf, mid] and
+    * (mid, ∞) cuts → first-encountered argmax via row_number (al desc,
+    * ridx asc, lower-before-upper — splitSearch's strict-> scan order).
+    *
+    * Why not groupByKey.flatMapGroups: with few continuous keys every matched
+    * row funnels into a handful of single-threaded JVM object loops (measured
+    * 10.8s at sf0.1); windows keep per-key parallelism at any key count and
+    * the double op sequence is identical, so the chosen cuts agree
+    * bit-for-bit. `matched` columns: key, score, cls (+1 A-only / 0 both /
+    * −1 B-only). Returns (key, lo, hi) with null = unbounded; keys whose
+    * matched-pair count is below min(limitA, limitB) emit nothing
+    * (correlate.cc:241). */
+  def splitRanges(matched: DataFrame, limitA: Long, limitB: Long,
+      prior: Double): DataFrame = {
+    val byScore = matched.groupBy("key", "score").agg(
+      sum(when(col("cls") >= 0, 1L).otherwise(0L)).as("ca_s"),
+      sum(when(col("cls") <= 0, 1L).otherwise(0L)).as("cb_s"),
+      count(lit(1)).as("cab_s"))
+    val ord = Window.partitionBy("key").orderBy("score")
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("key")
+    // cached: agg is one row per distinct (key, score) of the matched set —
+    // compact — and feeds FOUR consumers (lower, upper, the full-range
+    // fallback's key set, and via them the chosen-cut argmax); uncached, each
+    // consumer re-runs the index scan + membership joins + window shuffle
+    // (measured 2× slower overall than the flatMapGroups it replaces).
+    val agg = graft.util.Caches.track(byScore.select(col("key"), col("score"),
+        sum("ca_s").over(cum).as("ca"),
+        sum("cb_s").over(cum).as("cb"),
+        sum("cab_s").over(cum).as("cab"),
+        row_number().over(ord).as("ridx"),
+        count(lit(1)).over(all).as("nagg"),
+        lead("score", 1).over(ord).as("next_score"),
+        sum("ca_s").over(all).as("ta"),
+        sum("cb_s").over(all).as("tb"),
+        sum("cab_s").over(all).as("tab"))
+      .filter(col("tab") >= math.min(limitA, limitB)) // pairs.size gate
+      .cache())
+
+    // identical double op sequence as splitSearch.absLogit
+    def absLogit(a: Column, ab: Column): Column = {
+      val p = (a + lit(1.0)) / (ab + lit(2.0))
+      abs(log(p / (lit(1.0) - p)) - lit(prior))
+    }
+    val lower = agg.filter(col("ca") >= limitA || col("cb") >= limitB)
+      .select(col("key"), col("ridx"), col("nagg"), col("score").as("mid"),
+        col("next_score"), lit(0).as("is_upper"),
+        absLogit(col("ca"), col("cab")).as("al"))
+    val upper = agg
+      .filter(col("ta") - col("ca") >= limitA || col("tb") - col("cb") >= limitB)
+      .select(col("key"), col("ridx"), col("nagg"), col("score").as("mid"),
+        col("next_score"), lit(1).as("is_upper"),
+        absLogit(col("ta") - col("ca"), col("tab") - col("cab")).as("al"))
+    val chosen = lower.unionByName(upper)
+      .withColumn("rn", row_number().over(Window.partitionBy("key")
+        .orderBy(desc("al"), asc("ridx"), asc("is_upper"))))
+      .filter(col("rn") === 1)
+    // boundary or insignificant cuts fall back to the full range; ≤1 row per
+    // key — cached so splitTwo (×2) and the anti-join don't re-run the argmax
+    val split = graft.util.Caches.track(
+      chosen.filter(col("ridx") > 1 && col("ridx") < col("nagg") &&
+        col("al") >= lit(math.log(1.05))).cache())
+    val splitTwo = split
+      .select(col("key"), lit(null).cast("double").as("lo"), col("mid").as("hi"))
+      .unionByName(split.select(col("key"), col("next_score").as("lo"),
+        lit(null).cast("double").as("hi")))
+    val fullRange = agg.select("key").distinct()
+      .join(split.select("key"), Seq("key"), "left_anti")
+      .select(col("key"), lit(null).cast("double").as("lo"),
+        lit(null).cast("double").as("hi"))
+    splitTwo.unionByName(fullRange)
   }
 
   /** Full CORRELATE: boolean keys score over their full range; continuous
@@ -335,21 +408,16 @@ object CorrelateExec {
 
     val idx = adjIdx.join(keyMeta.select("key", "continuous"), Seq("key"))
 
-    // Ranges: boolean keys → full range; continuous keys → split search over
-    // matched (score, cls) pairs.
+    // Ranges: boolean keys → full range; continuous keys → the distributed
+    // split search (windowed prefix-scan argmax) over matched (score, cls)
+    // pairs.
     val matched = idx.filter(col("continuous") === 1)
       .join(broadcast(setA.withColumn("in_a", lit(1))), Seq("off"), "left_outer")
       .join(broadcast(setB.withColumn("in_b", lit(1))), Seq("off"), "left_outer")
       .filter(col("in_a").isNotNull || col("in_b").isNotNull)
       .select(col("key"), col("score"),
         (coalesce(col("in_a"), lit(0)) - coalesce(col("in_b"), lit(0))).as("cls"))
-      .as[ClassRow]
-    val contRanges = matched.groupByKey(_.key).flatMapGroups { (key, rows) =>
-      val pairs = rows.map(r => (r.score, r.cls)).toSeq
-      splitSearch(pairs, limitA, limitB, prior).map { case (lo, hi) =>
-        KeyRange(key, lo, hi)
-      }
-    }.toDF("key", "lo", "hi")
+    val contRanges = splitRanges(matched, limitA, limitB, prior)
     val boolRanges = keyMeta.filter(col("continuous") === 0)
       .select(col("key"), lit(null).cast("double").as("lo"),
         lit(null).cast("double").as("hi"))
@@ -357,7 +425,9 @@ object CorrelateExec {
 
     // Re-score each (key, range) over distinct in-range key offsets
     // (ProcessRange, correlate.cc:84-148). Range bounds are inclusive.
-    val inRange = adjIdx.join(ranges, Seq("key"))
+    // `ranges` is ≤2 rows per key but sits behind windows, so Catalyst can't
+    // estimate it — broadcast explicitly or the full index sort-merge-joins.
+    val inRange = adjIdx.join(broadcast(ranges), Seq("key"))
       .filter((col("lo").isNull || col("score") >= col("lo")) &&
         (col("hi").isNull || col("score") <= col("hi")))
       .select("key", "lo", "hi", "off").distinct()

@@ -32,6 +32,36 @@ class CorrelateSpec extends AnyFunSuite {
     assert(CorrelateExec.splitSearch(Seq((1.0, 1)), 5, 5, 0.0).isEmpty)
   }
 
+  test("splitRanges (windowed) agrees with splitSearch on random fixtures") {
+    // The distributed plan must choose the same cuts as the in-memory
+    // reference transcription — including ties, boundary cuts, duplicate
+    // scores, and the below-support gate.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val keys = (1 to 6).map(k => s"k$trial$k")
+      val pairsByKey = keys.map { k =>
+        val n = 1 + rnd.nextInt(30)
+        k -> (1 to n).map(_ =>
+          (rnd.nextInt(8).toDouble, rnd.nextInt(3) - 1))
+      }.toMap
+      val (limitA, limitB, prior) = (1L + rnd.nextInt(3), 1L + rnd.nextInt(3),
+        rnd.nextDouble() - 0.5)
+      val matched = pairsByKey.toSeq.flatMap { case (k, ps) =>
+        ps.map(p => (k, p._1, p._2))
+      }.toDF("key", "score", "cls")
+      val got = CorrelateExec.splitRanges(matched, limitA, limitB, prior)
+        .collect()
+        .map(r => (r.getString(0), Option(r.getAs[java.lang.Double]("lo")).map(_.doubleValue),
+          Option(r.getAs[java.lang.Double]("hi")).map(_.doubleValue)))
+        .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+      val want = pairsByKey.flatMap { case (k, ps) =>
+        val r = CorrelateExec.splitSearch(ps, limitA, limitB, prior)
+        if (r.isEmpty) None else Some(k -> r.toSet)
+      }
+      assert(got == want, s"trial $trial limits=($limitA,$limitB) prior=$prior")
+    }
+  }
+
   test("leakage filter (two-set): keeps only pre-event facts, rescaled") {
     val keys = Seq(("k", 1L, 10.0), ("k", 1L, 25.0), ("k", 2L, 5.0), ("k", 3L, 7.0))
       .toDF("key", "off", "score")
