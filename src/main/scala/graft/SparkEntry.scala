@@ -276,6 +276,8 @@ object SparkEntry {
       NearDup.simHashPairs(Catalog.documents(s, dir))),
     "dedup_embcos" -> ((s, dir) =>
       Ann.nearDupCos(Catalog.embeddings(s, dir), 0.9)),
+    "dedup_ngram" -> ((s, dir) =>
+      NearDup.ngramJaccard(Catalog.documents(s, dir), 0.6, maxDf = 50)),
     "text_quality" -> ((s, dir) =>
       graft.ml.TextAnalysis.quality(Catalog.documents(s, dir))),
     "text_langid" -> ((s, dir) =>
@@ -297,6 +299,8 @@ object SparkEntry {
     "mm_features" -> ((s, dir) =>
       Multimodal.documentFeatures(s, Catalog.documents(s, dir))
         .select("doc_id", "n_bytes", "fp")),
+    "mm_framesample" -> ((s, dir) =>
+      Multimodal.frameSample(Catalog.documents(s, dir))),
     "emb_topk" -> ((s, dir) => {
       // exact brute-force baseline; graft_dot is the codegen'd native
       // Expression (expressions.DotProduct) — float arrays in, double out
@@ -312,6 +316,7 @@ object SparkEntry {
         .limit(10)
     }),
     "emb_topk_lsh" -> ((s, dir) => Ann.topK(Catalog.embeddings(s, dir), 0, 10)),
+    "emb_topk_ivf" -> ((s, dir) => Ann.ivfTopK(Catalog.embeddings(s, dir), 0, 10)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -585,6 +590,7 @@ object SparkEntry {
     "dedup_minhash" -> NearDup.oracleSql(0.6),
     "dedup_simhash" -> NearDup.simHashOracleSql(),
     "dedup_embcos" -> Ann.nearDupCosSql(0.9),
+    "dedup_ngram" -> NearDup.ngramOracleSql(0.6, maxDf = 50),
     "text_quality" -> ("""SELECT doc_id,
       len(string_split(text, ' ')) AS n_tokens,
       round((len(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')), 4) AS mean_tok_len,
@@ -627,5 +633,7 @@ object SparkEntry {
       FROM e, q WHERE e.vec_id <> 0
       ORDER BY sim DESC, e.vec_id LIMIT 10""".replaceAll("\\s+", " ")),
     "emb_topk_lsh" -> Ann.oracleSql(0, 10),
+    "emb_topk_ivf" -> Ann.ivfOracleSql(0, 10),
+    "mm_framesample" -> Multimodal.frameSampleOracleSql(),
   )
 }

@@ -83,6 +83,73 @@ object Ann {
       .limit(k)
   }
 
+  // ---- IVF variant: coarse-quantize into cells, probe nearest cells ----
+
+  val Cells = 16  // coarse centroids (vec_ids 1..Cells as deterministic seeds)
+  val Probes = 4  // cells searched per query
+
+  /** Raw cosine between two embedding columns (no rounding — used where both
+    * engines COMPARE the value; IEEE doubles with the same op order agree). */
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** IVF-flat top-k: the inverted-file ANN shape — a coarse quantizer assigns
+    * every vector to its nearest of `Cells` centroids (here: the embeddings
+    * of vec_ids 1..Cells, a deterministic stand-in for k-means — swapping in
+    * trained centroids changes no plumbing); a query probes its `Probes`
+    * nearest cells and exact-re-ranks only those cells' members. At 100 TB
+    * the cell id becomes the partition key, the centroid matrix stays a
+    * broadcast, and a lookup touches |probed cells| partitions instead of the
+    * corpus — the complementary scale path to LSH bucketing (topK above).
+    * Returns (vec_id, sim). */
+  def ivfTopK(emb: DataFrame, qVecId: Long, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").as("emb"))
+    val cents = broadcast(e.filter(col("vec_id").between(1, Cells))
+      .select(col("vec_id").as("cent_id"), col("emb").as("cemb")))
+    // narrow (vec_id, cent_id, csim) assignment rows; argmax via max(struct)
+    // = one partial-aggregated shuffle, ties → lowest cent_id
+    val asg = e.crossJoin(cents)
+      .select(col("vec_id"), col("cent_id"),
+        cosine(col("emb"), col("cemb")).as("csim"))
+    val cellOf = asg.groupBy("vec_id")
+      .agg(max(struct(col("csim"), (-col("cent_id")).as("neg"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg")).as("cell"))
+    val qCells = broadcast(asg.filter(col("vec_id") === qVecId)
+      .orderBy(desc("csim"), asc("cent_id")).limit(Probes)
+      .select(col("cent_id").as("cell")))
+    val q = broadcast(e.filter(col("vec_id") === qVecId)
+      .select(col("emb").as("qemb")))
+    cellOf.join(qCells, Seq("cell")).filter(col("vec_id") =!= qVecId)
+      .join(e, Seq("vec_id"))
+      .crossJoin(q)
+      .select(col("vec_id"),
+        round(cosine(col("emb"), col("qemb")), 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of ivfTopK over the `embeddings` view. */
+  def ivfOracleSql(qVecId: Long, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id BETWEEN 1 AND $Cells),
+       |asg AS (SELECT e.vec_id, c.cent_id,
+       |          list_dot_product(e.emb, c.cemb) /
+       |          sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(c.cemb, c.cemb)) AS csim
+       |        FROM e, c),
+       |cell AS (SELECT vec_id, cent_id AS cell FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY csim DESC, cent_id ASC) AS rn FROM asg) WHERE rn = 1),
+       |qc AS (SELECT cent_id AS cell FROM asg WHERE vec_id = $qVecId
+       |       ORDER BY csim DESC, cent_id ASC LIMIT $Probes),
+       |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId)
+       |SELECT cell.vec_id AS vec_id,
+       |  round(list_dot_product(e.emb, q.qemb) /
+       |        sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
+       |FROM cell JOIN qc USING (cell) JOIN e USING (vec_id), q
+       |WHERE cell.vec_id <> $qVecId
+       |ORDER BY sim DESC, vec_id LIMIT $k
+       |""".stripMargin.replaceAll("\\s+", " ")
+
   /** Embedding-cosine near-duplicate pairs: candidates share an LSH bucket
     * (any of the L tables), survivors re-ranked by exact cosine ≥ minCos.
     * Returns (vec_a, vec_b, cos). Same no-all-pairs shape as the MinHash

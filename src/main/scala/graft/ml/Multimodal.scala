@@ -46,4 +46,32 @@ object Multimodal {
     extract(docs.select(col("doc_id"), col("text").cast("binary"))
       .as[(Long, Array[Byte])]).toDF()
   }
+
+  /** Deterministic frame sampling over an opaque binary payload — the
+    * video/audio "decode every Nth frame" plumbing: the payload is treated as
+    * fixed-`frameLen`-byte frames and every `stride`-th frame index is
+    * fingerprinted (a real pipeline would decode the frame here; md5 is the
+    * stubbed extractor). Declarative (explode over a sequence + substring) so
+    * frames of one document fan out across tasks — no per-doc driver loop.
+    * Returns (doc_id, frame_idx, frame_fp). */
+  def frameSample(docs: DataFrame, frameLen: Int = 64, stride: Int = 4): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .filter(length(col("payload")) >= 1)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0),
+          expr(s"CAST((length(payload) - 1) DIV $frameLen AS INT)"),
+          lit(stride))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(expr(s"substring(payload, frame_idx * $frameLen + 1, $frameLen)"))
+          .as("frame_fp"))
+
+  /** DuckDB mirror of frameSample over the `documents` view (docs are ASCII,
+    * so varchar substring/md5 agree with the byte-level Spark path). */
+  def frameSampleOracleSql(frameLen: Int = 64, stride: Int = 4): String =
+    s"""SELECT doc_id, frame_idx,
+       |  md5(substring(text, frame_idx * $frameLen + 1, $frameLen)) AS frame_fp
+       |FROM documents,
+       |  unnest(range(0, ((length(text) - 1) // $frameLen) + 1, $stride)) AS u(frame_idx)
+       |WHERE length(text) >= 1
+       |""".stripMargin.replaceAll("\\s+", " ")
 }

@@ -53,17 +53,11 @@ object NearDup {
       }: _*)).as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bkey").as("bkey"))
 
-  /** Candidate pairs (doc_a < doc_b) sharing any band bucket, verified with
-    * exact Jaccard over shingle sets; keeps pairs with jaccard ≥ minJaccard.
-    * Returns (doc_a, doc_b, jaccard). */
-  def nearDuplicates(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val sh = graft.util.Caches.track(shingles(docs).cache())
-    val b = graft.util.Caches.track(bands(signatures(sh)).cache()) // tiny (docs × bands); reused by both self-join sides
-    val pairs = b.as("x").join(b.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs over the
+    * full shingle sets; keeps pairs with jaccard ≥ minJaccard. Shared by the
+    * MinHash and n-gram candidate generators. */
+  private def verifyJaccard(pairs: DataFrame, sh: DataFrame,
+      minJaccard: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
@@ -78,6 +72,69 @@ object NearDup {
         round(col("i") / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Candidate pairs (doc_a < doc_b) sharing any band bucket, verified with
+    * exact Jaccard over shingle sets; keeps pairs with jaccard ≥ minJaccard.
+    * Returns (doc_a, doc_b, jaccard). */
+  def nearDuplicates(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val sh = graft.util.Caches.track(shingles(docs).cache())
+    val b = graft.util.Caches.track(bands(signatures(sh)).cache()) // tiny (docs × bands); reused by both self-join sides
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(pairs, sh, minJaccard)
+  }
+
+  /** N-gram Jaccard dedup WITHOUT the MinHash approximation: candidates come
+    * from the inverted shingle index itself (docs sharing ≥1 generating
+    * shingle), verified by exact Jaccard. The doc-frequency cap bounds the
+    * self-join fan-out — a shingle occurring in d docs generates O(d²) pairs,
+    * so hot shingles (boilerplate) are excluded from candidate GENERATION
+    * (they still count in the exact verification, so precision is exact;
+    * the cap only costs recall for pairs sharing solely ultra-common
+    * shingles — which cannot be near-dups at any useful threshold). At
+    * 100 TB the cap is what keeps this join sub-quadratic.
+    * Returns (doc_a, doc_b, jaccard). */
+  def ngramJaccard(docs: DataFrame, minJaccard: Double, maxDf: Int): DataFrame = {
+    val sh = graft.util.Caches.track(shingles(docs).cache())
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    val candSh = sh.join(rare, Seq("shingle"))
+    val pairs = candSh.as("x").join(candSh.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(pairs, sh, minJaccard)
+  }
+
+  /** DuckDB mirror of ngramJaccard over the `documents` view. */
+  def ngramOracleSql(minJaccard: Double, maxDf: Int): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+       |    THEN list_transform(range(1, len(string_split(text,' '))-1),
+       |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+       |    ELSE [] END)) AS shingle
+       |  FROM documents),
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $maxDf),
+       |cand AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM cand x JOIN cand y ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS i
+       |  FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a
+       |               JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY p.doc_a, p.doc_b)
+       |SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
+       |       round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+       |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+       |             JOIN sizes sb ON sb.doc_id = i.doc_b
+       |WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= $minJaccard
+       |""".stripMargin.replaceAll("\\s+", " ")
 
   // ---- SimHash variant: 32-bit signature, banded candidates, hamming ----
 

@@ -63,6 +63,54 @@ class MlSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((0L, 1L, 1.0)))
   }
 
+  test("n-gram Jaccard: exact inverted-index dedup; df-cap bounds candidates") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 29).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
+    val unrelated = (1 to 30).map(i => s"other$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = NearDup.ngramJaccard(docs, 0.6, maxDf = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 1)
+    assert(pairs.head._1 == 0L && pairs.head._2 == 1L)
+    assert(math.abs(pairs.head._3 - 27.0 / 29.0) < 1e-4)
+    // df-cap of 1 excludes every shared shingle from candidate generation
+    // (each shared shingle has df=2) → no pairs at all
+    assert(NearDup.ngramJaccard(docs, 0.6, maxDf = 1).count() == 0)
+  }
+
+  test("IVF top-k: clone ranks first; probing touches only probed cells") {
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(Ann.Dims)(rnd.nextGaussian().toFloat)
+    val v0 = vec()
+    val rows = Seq((0L, v0), (99L, v0.clone())) ++
+      (1L to 40L).map(i => (i, vec()))
+    val emb = rows.toDF("vec_id", "embedding")
+    val top = Ann.ivfTopK(emb, 0, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // the clone lands in the same cell as the query (identical cosines to
+    // every centroid) so probing must surface it at sim 1.0
+    assert(top.head._1 == 99L && top.head._2 == 1.0)
+    assert(top.length <= 5)
+  }
+
+  test("frame sampling: deterministic stride over byte frames") {
+    val text = ("x" * 300) // 300 bytes → frames 0..4 (64B); stride 4 → 0, 4
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val frames = Multimodal.frameSample(docs).collect()
+      .map(r => (r.getInt(1), r.getString(2))).sortBy(_._1)
+    assert(frames.map(_._1).toSeq == Seq(0, 4))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val f0 = md.digest("x" * 64 getBytes "UTF-8")
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(frames.head._2 == f0)
+    // last frame (idx 4) is the 44-byte tail — substring truncates
+    md.reset()
+    val f4 = md.digest("x" * 44 getBytes "UTF-8")
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(frames.last._2 == f4)
+  }
+
   test("language-ID picks the profile with most stopword hits; und when none") {
     val docs = Seq(
       (0L, "the cat and the dog is in a house"),
