@@ -88,26 +88,62 @@ object NearDup {
   }
 
   /** N-gram Jaccard dedup WITHOUT the MinHash approximation: candidates come
-    * from the inverted shingle index itself (docs sharing ≥1 generating
-    * shingle), verified by exact Jaccard. The doc-frequency cap bounds the
-    * self-join fan-out — a shingle occurring in d docs generates O(d²) pairs,
-    * so hot shingles (boilerplate) are excluded from candidate GENERATION
-    * (they still count in the exact verification, so precision is exact;
-    * the cap only costs recall for pairs sharing solely ultra-common
-    * shingles — which cannot be near-dups at any useful threshold). At
-    * 100 TB the cap is what keeps this join sub-quadratic.
+    * from the inverted shingle index itself (docs sharing ≥1 rare shingle),
+    * with exact Jaccard. The doc-frequency cap bounds the self-join fan-out —
+    * a shingle occurring in d docs generates O(d²) pairs, so hot shingles
+    * (boilerplate) are excluded from candidate GENERATION; at 100 TB the cap
+    * is what keeps this join sub-quadratic. The cap only costs recall for
+    * pairs sharing solely ultra-common shingles — which cannot be near-dups
+    * at any useful threshold.
+    *
+    * Shape: the rare-shingle self-join is aggregated DIRECTLY into
+    * per-pair co-occurrence counts (one shuffle — no distinct-pairs
+    * materialization, no pairs×shingles re-join: that verify-join shape
+    * benched 8.6s vs 2s here at sf0.1), then a correction term adds the
+    * intersection contributed by hot shingles (usually a tiny set), keeping
+    * the reported Jaccard exact over the FULL shingle sets.
     * Returns (doc_a, doc_b, jaccard). */
   def ngramJaccard(docs: DataFrame, minJaccard: Double, maxDf: Int): DataFrame = {
     val sh = graft.util.Caches.track(shingles(docs).cache())
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("shingle")
-    val candSh = sh.join(rare, Seq("shingle"))
-    val pairs = candSh.as("x").join(candSh.as("y"),
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val rareSh = sh.join(dfs.filter(col("df") <= maxDf).select("shingle"),
+      Seq("shingle"))
+    // co-occurrence over rare shingles = candidate pairs + their rare-side
+    // intersection count, in one aggregation
+    val co = rareSh.as("x").join(rareSh.as("y"),
         col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(pairs, sh, minJaccard)
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i_rare"))
+    // hot-shingle correction: only candidate pairs × the (small) hot set.
+    // Adaptive: when NO shingle exceeds the cap (the common clean-corpus
+    // case) the correction is dropped at plan time — otherwise three extra
+    // shuffles of the full candidate set buy an identically-zero column.
+    val hotSh = sh.join(dfs.filter(col("df") > maxDf).select("shingle"),
+      Seq("shingle"))
+    val hasHot = !hotSh.isEmpty
+    val withI =
+      if (!hasHot) co.withColumn("i", col("i_rare"))
+      else {
+        val iHot = co.select("doc_a", "doc_b")
+          .join(hotSh.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+          .join(hotSh.withColumnRenamed("doc_id", "doc_b"),
+            Seq("doc_b", "shingle"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i_hot"))
+        co.join(iHot, Seq("doc_a", "doc_b"), "left_outer")
+          .withColumn("i", col("i_rare") + coalesce(col("i_hot"), lit(0L)))
+      }
+    // per-doc set sizes: |docs| rows — broadcast (post-agg size is opaque to
+    // Catalyst, which would otherwise sort-merge the candidate set twice)
+    val sizes = broadcast(sh.groupBy("doc_id").agg(count(lit(1)).as("n")))
+    withI
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i") / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** DuckDB mirror of ngramJaccard over the `documents` view. */
