@@ -263,6 +263,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
         .orderBy("day", "event_type")),
     "ev_stream_daily" -> ((s, dir) => EventsIngest.dailyCountsOnce(s, dir)),
+    // session windows (batch plan of the streaming-identical aggregation;
+    // StreamingSpec pins stream == batch)
+    "ev_sessions" -> ((s, dir) =>
+      EventsIngest.sessions(Catalog.events(s, dir))),
 
     // ---- LLM-pipeline: dedup / text analysis / similarity / multimodal ----
     "dedup_exact" -> ((s, dir) =>
@@ -585,6 +589,21 @@ object SparkEntry {
     "ev_stream_daily" -> ("""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
       count(*) AS cnt, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2""".replaceAll("\\s+", " ")),
+    // session_window mirror: new session when the gap from the previous event
+    // (same user, microsecond precision — Spark's ts is nanos DIV 1000) is
+    // ≥ 30 min; session_start = first event's epoch second
+    "ev_sessions" -> ("""WITH ev AS (
+        SELECT user_id, epoch_ns(ts) // 1000 AS tus, value FROM events),
+      s AS (SELECT user_id, tus, value,
+        CASE WHEN lag(tus) OVER w IS NULL
+             OR tus - lag(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS ns
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+      g AS (SELECT user_id, tus, value,
+        sum(ns) OVER (PARTITION BY user_id ORDER BY tus
+                      ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+      SELECT user_id, min(tus) // 1000000 AS session_start,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM g GROUP BY user_id, sid""".replaceAll("\\s+", " ")),
     "dedup_exact" -> ("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
       FROM documents GROUP BY md5(text)""".replaceAll("\\s+", " ")),
     "dedup_minhash" -> NearDup.oracleSql(0.6),

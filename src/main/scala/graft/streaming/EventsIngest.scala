@@ -61,6 +61,26 @@ object EventsIngest {
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Session windows per user — events closer than `gap` to their
+    * predecessor merge into one session (`session_window`: identical
+    * semantics in batch and streaming, the idiomatic stateful-aggregation
+    * shape for sessionization — no hand-rolled mapGroupsWithState needed).
+    * Returns (user_id, session_start epoch-sec, n_events, sum_value).
+    * Scale: state is partitioned by user_id; the watermark (streaming
+    * variant) bounds state retention. */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming variant: watermarked session windows (append mode emits a
+    * session once the watermark passes its close). */
+  def sessionsStream(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    sessions(events.withWatermark("ts", "1 day"), gap)
+
   /** One-shot daily counts: run the windowed aggregation over all available
     * input (complete mode → in-memory sink) and return the result table.
     * This is the CORRECTNESS entry point — the same aggregation the batch

@@ -36,6 +36,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("session windows: streaming append == batch sessions (finalized subset)") {
+    val out = Files.createTempDirectory("graft-stream-sess").toString
+    val q = EventsIngest.sessionsStream(EventsIngest.stream(spark, dir))
+      .writeStream
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append")
+      .format("parquet")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(s"$out/sessions")
+    q.awaitTermination()
+    val emitted = spark.read.parquet(s"$out/sessions")
+    val batch = EventsIngest.sessions(Catalog.events(spark, dir))
+    // every emitted (finalized) session must byte-match the batch plan's
+    assert(emitted.exceptAll(batch).count() == 0)
+    assert(emitted.count() > 0) // watermark passed: sessions actually emitted
+    // sessionization sanity on the batch side: no session exceeds its events
+    val bad = batch.filter(col("n_events") <= 0)
+    assert(bad.count() == 0)
+  }
+
   test("append mode with watermark emits only finalized windows") {
     // Drip the file through in one batch; with append mode the engine holds
     // back windows not yet past the watermark — the emitted set must be a
