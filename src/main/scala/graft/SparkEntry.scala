@@ -184,6 +184,26 @@ object SparkEntry {
       Merge.pickOne(Seq(g1, g2))
     }),
 
+    // ---- S7: TSV text ingest through doc-key resolution (ca-load.cc:116-391)
+    // — loads a deterministically-generated TSV and must reproduce the price
+    // postings the oracle derives directly from orders ----
+    "tsv_load_index" -> ((s, dir) =>
+      graft.ingest.TsvLoader.loadIndex(s, Catalog.tsvFixture(s, dir),
+          Catalog.summaries(s, dir))
+        .select("key", "off", "score")),
+
+    // ---- S11: table copy with rewrites (ca-load.cc:543-568) — write through
+    // SortedWriter (regex filter + strip/add prefix), read the table back ----
+    "copy_rewrite" -> ((s, dir) => {
+      val out = Catalog.scratch(dir, "copy_rewrite")
+      graft.ingest.SortedWriter.copy(
+        Catalog.index(s, dir).select("key", "off", "score"), out,
+        keyFilter = Some("^priority:.*"),
+        stripPrefix = Some("priority:"),
+        addPrefix = Some("prio/"))
+      s.read.parquet(out).select("key", "off", "score")
+    }),
+
     // ---- Dump sinks (ca-dump.cc:74-216,332-400) ----
     "dump_index_regex" -> ((s, dir) =>
       graft.sources.Dump.indexRaw(Catalog.index(s, dir), "^priority:[12].*")),
@@ -548,6 +568,10 @@ object SparkEntry {
       "CASE WHEN off % 3 = 0 THEN score * 2 ELSE score END AS score, " +
       "off % 3 <> 0 AS has_pct FROM idx WHERE key = 'price'"),
 
+    "tsv_load_index" -> ("""SELECT 'price' AS key, o_orderkey AS off,
+      o_totalprice AS score FROM orders""".replaceAll("\\s+", " ")),
+    "copy_rewrite" -> (s"$IDX SELECT 'prio/' || substr(key, 10) AS key, off, score " +
+      "FROM idx WHERE regexp_matches(key, '^priority:.*')"),
     "dump_index_regex" -> (s"$IDX SELECT key, off, score FROM idx " +
       "WHERE regexp_matches(key, '^priority:[12].*')"),
     "dump_timeseries" -> ("""SELECT 'event:' || event_type AS key,

@@ -133,6 +133,28 @@ object Catalog {
       |  UNION ALL SELECT 'name:order' || o_orderkey || '.com', o_orderkey, 0.0 FROM orders
       |)""".stripMargin.replace("\n", " ")
 
+  /** Writable scratch path for entries that exercise WRITE paths (S7 TSV
+    * load, S11 copy): beside the materialization cache, keyed per sf-dir. */
+  def scratch(dir: String, name: String): String = cacheDir(dir, s"scratch_$name")
+
+  /** A TSV fixture in the reference's text-ingest shape
+    * (`key TAB dockey TAB value`, /root/reference/src/ca-load.cc:116-391),
+    * derived deterministically from `orders` and written once — the S7 entry
+    * loads it back through TsvLoader (doc-key resolution included) and must
+    * reproduce the price postings the oracle derives straight from orders. */
+  def tsvFixture(spark: SparkSession, dir: String): String = {
+    val path = cacheDir(dir, "tsv_price")
+    synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        table(spark, dir, "orders")
+          .select(concat_ws("\t", lit("price"),
+            concat(lit("order:"), col("o_orderkey")),
+            col("o_totalprice").cast("string")).as("value"))
+          .write.mode("overwrite").text(path)
+    }
+    path
+  }
+
   /** Summary table: offset → (document key, JSON body), materialized sorted by
     * `off` (/root/reference/README.md:24-27; fetch path src/query.cc:843-875). */
   def summaries(spark: SparkSession, dir: String): DataFrame = {
