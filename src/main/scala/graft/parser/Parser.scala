@@ -24,7 +24,9 @@ object Parser {
   final case class ParseError(message: String, pos: Int)
       extends RuntimeException(s"parse error at token $pos: $message")
 
-  def parseStatements(input: String): List[Statement] = new P(lex(input)).script()
+  /** Leading UTF-8 BOM tolerated (query-parser.yy:116-118 `bom: UTF8BOM |`). */
+  def parseStatements(input: String): List[Statement] =
+    new P(lex(input.stripPrefix("\uFEFF"))).script()
 
   def parseStatement(input: String): Statement =
     parseStatements(input) match {

@@ -53,6 +53,11 @@ class ShellSpec extends AnyFunSuite {
     }
   }
 
+  test("leading UTF-8 BOM is tolerated (query-parser.yy bom rule)") {
+    val stmts = Parser.parseStatements("\uFEFF" + "PARSE 'k';")
+    assert(stmts.length == 1)
+  }
+
   test("error envelope escapes quotes, backslashes and newlines") {
     // ADVICE r3: unescaped e.getMessage produced malformed JSON
     assert(Presenter.errorEnvelope("bad \"token\"\nat line 1\\") ==
