@@ -68,7 +68,10 @@ object Presenter {
       }
       sb.toString
     }
-    s"""{"result-count":$total,"result":[${items.map("{" + _ + "}").mkString(",\n")}]}"""
+    // The reference's printf structure emits "[{" … "}]" unconditionally, so
+    // an EMPTY result set renders as [{}] — one empty object — not []
+    // (query.cc:930-941). Replicated for envelope parity.
+    s"""{"result-count":$total,"result":[{${items.mkString("},\n{")}}]}"""
   }
 
   /** QUERY KEYS FOR — one key per line in rank order (query.cc:809-828). */

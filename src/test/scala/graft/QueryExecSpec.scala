@@ -69,8 +69,9 @@ class QueryExecSpec extends AnyFunSuite {
     // and the full envelope path (Presenter.queryJson) renders it
     val stmt = Parser.parseStatement(
       "QUERY 'k' THRESHOLDS 10 FOR KEY 'k' LIMIT -1;").asInstanceOf[QueryStmt]
+    // reference quirk replicated: empty result renders [{}] (query.cc:930-941)
     assert(Presenter.queryJson(spark, fixture, stmt) ==
-      """{"result-count":0,"result":[]}""")
+      """{"result-count":0,"result":[{}]}""")
   }
 
   test("LIMIT 0 and OFFSET past the result set yield empty pages") {
