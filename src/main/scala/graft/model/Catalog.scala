@@ -133,6 +133,24 @@ object Catalog {
       |  UNION ALL SELECT 'name:order' || o_orderkey || '.com', o_orderkey, 0.0 FROM orders
       |)""".stripMargin.replace("\n", " ")
 
+  /** The bucketed co-location layout SCALE.md describes for 100 TB: the same
+    * index rows, physically bucketed (and sorted) by `off` via the catalog.
+    * Two scans of this table joined on `off` are co-partitioned — Catalyst
+    * plans the posting-algebra joins (AND/SUBTRACT/ORDER BY/theta) with NO
+    * Exchange on either side (asserted by BucketedJoinSpec). The catalog
+    * entry is session-scoped (in-memory catalog); the parquet lives in the
+    * warehouse dir. */
+  def bucketedIndex(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    val name = "graft_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    synchronized {
+      if (!spark.catalog.tableExists(name))
+        index(spark, dir).write
+          .bucketBy(buckets, "off").sortBy("off")
+          .mode("overwrite").format("parquet").saveAsTable(name)
+    }
+    spark.table(name)
+  }
+
   /** Writable scratch path for entries that exercise WRITE paths (S7 TSV
     * load, S11 copy): beside the materialization cache, keyed per sf-dir. */
   def scratch(dir: String, name: String): String = cacheDir(dir, s"scratch_$name")
