@@ -1,24 +1,75 @@
 package graft.functions
 
-/** Keyword metadata — the Spark stand-in for /etc/ca-table/keywords.yaml
-  * (/root/reference/src/keywords.cc:51-58, keywords.h:38-44): prefix filters
-  * classifying keywords as `timestamped` (score values are epoch-days dates,
-  * drives date-formatted threshold headers, query.cc:762) or `ephemeral`
-  * (values change daily; drives CORRELATE leakage filtering,
-  * correlate.cc:486-491).
+/** Keyword metadata — the Spark equivalent of /etc/ca-table/keywords.yaml
+  * (/root/reference/src/keywords.cc:20-58, keywords.h:18-45): two lists of
+  * prefix-or-regex filters classifying keywords as `timestamped` (score
+  * values are epoch-days dates; drives date-formatted threshold headers,
+  * query.cc:762) or `ephemeral` (values change daily; drives CORRELATE
+  * leakage filtering, correlate.cc:486-491).
   *
-  * The reference loads these from a yaml config; our derived index has a fixed
-  * keyword vocabulary, so the classes are declared here. A production
-  * deployment would read them from a config table and broadcast.
+  * Filter syntax follows the reference's config convention
+  * (keywords.cc:28-35): an entry wrapped in slashes (`/re/`) is a regular
+  * expression matched against the FULL keyword (RE2::FullMatch,
+  * keywords.cc:66-68); anything else is a literal prefix. Filters load from
+  * the file named by GRAFT_KEYWORDS (a minimal YAML subset — `ephemeral:` /
+  * `timestamped:` headers with `- "entry"` items); without it, the defaults
+  * mirror the testdata fixture classes. The vocabulary is metadata-sized, so
+  * classification happens driver-side and joins/broadcasts from there.
   */
 object Keywords {
 
-  private val timestampedPrefixes = Seq("orderdate", "shipdate", "event:")
-  private val ephemeralPrefixes = Seq("event:")
+  sealed trait Filter { def matches(key: String): Boolean }
+  private final case class PrefixFilter(prefix: String) extends Filter {
+    def matches(key: String): Boolean = key.startsWith(prefix)
+  }
+  private final case class RegexFilter(re: java.util.regex.Pattern) extends Filter {
+    def matches(key: String): Boolean = re.matcher(key).matches() // full match
+  }
 
-  def isTimestamped(key: String): Boolean =
-    timestampedPrefixes.exists(key.startsWith)
+  /** `/re/` → regex (full match), else prefix (keywords.cc:28-35). */
+  def parseFilter(expr: String): Filter =
+    if (expr.length > 2 && expr.startsWith("/") && expr.endsWith("/"))
+      RegexFilter(java.util.regex.Pattern.compile(
+        expr.substring(1, expr.length - 1)))
+    else PrefixFilter(expr)
 
-  def isEphemeral(key: String): Boolean =
-    ephemeralPrefixes.exists(key.startsWith)
+  /** Minimal parser for the reference config shape: two top-level keys, each
+    * a sequence of scalar entries (quoted or bare). */
+  def parseConfig(text: String): (Seq[Filter], Seq[Filter]) = {
+    var section: String = ""
+    val eph = Seq.newBuilder[Filter]
+    val ts = Seq.newBuilder[Filter]
+    for (raw <- text.linesIterator) {
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) {
+        if (line.endsWith(":")) section = line.dropRight(1).trim
+        else if (line.startsWith("-")) {
+          val v = line.drop(1).trim.stripPrefix("\"").stripSuffix("\"")
+          if (v.nonEmpty) section match {
+            case "ephemeral" => eph += parseFilter(v)
+            case "timestamped" => ts += parseFilter(v)
+            case _ => ()
+          }
+        }
+      }
+    }
+    (eph.result(), ts.result())
+  }
+
+  private lazy val (ephemeral: Seq[Filter], timestamped: Seq[Filter]) =
+    sys.env.get("GRAFT_KEYWORDS") match {
+      case Some(path) =>
+        parseConfig(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+          "UTF-8"))
+      case None =>
+        // testdata fixture classes (FIXTURES.md A.3)
+        (Seq(parseFilter("event:")),
+          Seq(parseFilter("orderdate"), parseFilter("shipdate"),
+            parseFilter("event:")))
+    }
+
+  def isTimestamped(key: String): Boolean = timestamped.exists(_.matches(key))
+
+  def isEphemeral(key: String): Boolean = ephemeral.exists(_.matches(key))
 }

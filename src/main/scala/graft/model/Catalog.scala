@@ -143,10 +143,23 @@ object Catalog {
   def bucketedIndex(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
     val name = "graft_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     synchronized {
-      if (!spark.catalog.tableExists(name))
+      if (!spark.catalog.tableExists(name)) {
+        // the in-memory catalog forgets tables across JVMs but the warehouse
+        // files persist — clear the orphaned location before re-creating
+        val loc = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+          name)
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(); ()
+          }
+          rm(loc)
+        }
         index(spark, dir).write
           .bucketBy(buckets, "off").sortBy("off")
           .mode("overwrite").format("parquet").saveAsTable(name)
+      }
     }
     spark.table(name)
   }
