@@ -9,7 +9,8 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("s1_keyword_leaf", "s3_prefix_scan", "ql_and_order_topk",
-        "t1_topk", "emb_topk_lsh", "dedup_minhash", "q3_top_orders")
+        "t1_topk", "emb_topk_lsh", "emb_topk_ivf", "dedup_minhash",
+        "dedup_ngram", "correlate_full", "q3_top_orders")
     val spark = GraftSession.local()
     for (n <- names) {
       println(s"\n========== $n ==========")
