@@ -165,6 +165,17 @@ object SparkEntry {
       CorrelateExec.leakageFilter(keys, aPost, bPost)
     }),
 
+    // One-set leakage variant (correlate.cc:360-399): offsets outside the
+    // event set are kept, rescaled against a fixed `now`.
+    "correlate_leakage_one" -> ((s, dir) => {
+      val idx = Catalog.index(s, dir)
+      val keys = idx.filter(col("key") === "shipdate").select("key", "off", "score")
+      val aPost = idx.filter(col("key") === "orderdate" &&
+          col("score").between(9500, 9600))
+        .select(col("off"), (col("score") + 60).as("score"))
+      CorrelateExec.leakageFilter(keys, aPost, now = 10000.0)
+    }),
+
     // ---- Merge modes (ca-load.cc:477-494) ----
     "merge_union" -> ((s, dir) => {
       val gen = Catalog.index(s, dir).filter(col("key") === "price")
@@ -560,6 +571,16 @@ object SparkEntry {
       SELECT k.key AS key, k.off AS off, COALESCE(amin, bmin) - k.score AS score
       FROM k LEFT JOIN a ON a.off = k.off LEFT JOIN b ON b.off = k.off
       WHERE COALESCE(amin, bmin) IS NOT NULL AND k.score < COALESCE(amin, bmin)""".replaceAll("\\s+", " ")),
+
+    "correlate_leakage_one" -> (s"""$IDX,
+      k AS (SELECT key, off, score FROM idx WHERE key = 'shipdate'),
+      a AS (SELECT off, min(score + 60) AS amin FROM idx
+            WHERE key = 'orderdate' AND score BETWEEN 9500 AND 9600 GROUP BY off)
+      SELECT k.key AS key, k.off AS off,
+        CASE WHEN amin IS NOT NULL THEN amin - k.score
+             ELSE 10000.0 - k.score END AS score
+      FROM k LEFT JOIN a ON a.off = k.off
+      WHERE amin IS NULL OR k.score < amin""".replaceAll("\\s+", " ")),
 
     // A6/A7 merge modes (ca-load.cc:477-489).
     "merge_union" -> (s"$IDX SELECT key, off, min(score) AS score FROM idx " +
