@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** S10 — dump sinks (/root/reference/src/ca-dump.cc:74-216,332-400):
@@ -25,13 +25,21 @@ object Dump {
     if (lit.isEmpty) None else Some(lit)
   }
 
+  /** Percentile-band pass-through: the reference renders
+    * `score pct5 pct25 pct75 pct95` when a posting has bands
+    * (ca-dump.cc:168-199, HasPercentiles) — kept as columns here when the
+    * source table carries them. */
+  private def pctCols(df: DataFrame): Seq[Column] =
+    Seq("pct5", "pct25", "pct75", "pct95")
+      .filter(df.columns.contains).map(col)
+
   /** index-raw dump rows matching a key regex (ca-dump.cc:140-216). */
   def indexRaw(index: DataFrame, keyRegex: String): DataFrame = {
     val filtered = literalPrefix(keyRegex) match {
       case Some(p) => index.filter(col("key").startsWith(p) && col("key").rlike(keyRegex))
       case None => index.filter(col("key").rlike(keyRegex))
     }
-    filtered.select("key", "off", "score")
+    filtered.select(Seq(col("key"), col("off"), col("score")) ++ pctCols(index): _*)
   }
 
   /** summaries dump (ca-dump.cc:74-110). */
@@ -49,7 +57,7 @@ object Dump {
     * "%Y-%m-%d %H:%M:%S"). */
   def timeSeries(postings: DataFrame,
       fmt: String = "yyyy-MM-dd HH:mm:ss"): DataFrame =
-    postings.select(col("key"),
+    postings.select(Seq(col("key"),
       date_format(timestamp_seconds(col("off")), fmt).as("t"),
-      col("score"))
+      col("score")) ++ pctCols(postings): _*)
 }

@@ -29,6 +29,18 @@ class DumpSpec extends AnyFunSuite {
     assert(r.getString(1) == "2020-01-02 03:04:05")
   }
 
+  test("percentile bands pass through dumps when present (ca-dump.cc:168-199)") {
+    val withPct = Seq(("k", 10L, 1.0, 0.9, 0.95, 1.05, 1.1))
+      .toDF("key", "off", "score", "pct5", "pct25", "pct75", "pct95")
+    assert(Dump.indexRaw(withPct, "^k").columns.toSeq ==
+      Seq("key", "off", "score", "pct5", "pct25", "pct75", "pct95"))
+    assert(Dump.timeSeries(withPct).columns.toSeq ==
+      Seq("key", "t", "score", "pct5", "pct25", "pct75", "pct95"))
+    // bandless tables keep the plain 3-column shape
+    val plain = Seq(("k", 10L, 1.0)).toDF("key", "off", "score")
+    assert(Dump.indexRaw(plain, "^k").columns.toSeq == Seq("key", "off", "score"))
+  }
+
   test("C2 escape/unescape round-trips") {
     val nasty = "a\tb\nc\rd\\e"
     assert(TsvLoader.unescape(TsvLoader.escape(nasty)) == nasty)
