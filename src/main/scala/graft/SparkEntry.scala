@@ -121,6 +121,10 @@ object SparkEntry {
 
     "ql_fetch_offset" -> ((s, dir) => QueryExec.runPage(s, t(s, dir),
       "QUERY 'status:O' ORDER BY 'price' FETCH FIRST 10 ROWS ONLY OFFSET 5 ROWS;")),
+    // KEYS FOR combined with THRESHOLDS — the threshold join filters and
+    // re-scores BEFORE the keys-only output (query.cc:749-828 ordering)
+    "ql_keys_thresholds" -> ((s, dir) => QueryExec.runPage(s, t(s, dir),
+      "QUERY KEYS FOR 'status:O' THRESHOLDS 50000, 300000 FOR KEY 'price' LIMIT 30;")),
 
     // ---- SELECT pivot (select.cc:80-154) ----
     "select_fields" -> ((s, dir) => SelectExec.run(s, t(s, dir),
@@ -444,6 +448,13 @@ object SparkEntry {
       ord AS (SELECT l.off, COALESCE(r.s, CAST('-infinity' AS DOUBLE)) AS score
               FROM lhs l LEFT JOIN rhs r ON l.off = r.off),
       pg AS (SELECT off FROM ord ORDER BY score DESC, off LIMIT 15)
+      SELECT s.key AS key FROM pg JOIN summ s ON s.off = pg.off""".replaceAll("\\s+", " ")),
+    "ql_keys_thresholds" -> (s"""$IDX, $SUMMC,
+      a AS (SELECT DISTINCT off FROM idx WHERE key = 'status:O'),
+      thr AS (SELECT off, max(score) AS score FROM idx WHERE key = 'price' GROUP BY off),
+      flt AS (SELECT a.off, thr.score FROM a JOIN thr ON thr.off = a.off
+              WHERE thr.score >= 50000 AND thr.score < 300000),
+      pg AS (SELECT off FROM flt ORDER BY score DESC, off LIMIT 30)
       SELECT s.key AS key FROM pg JOIN summ s ON s.off = pg.off""".replaceAll("\\s+", " ")),
     "ql_in_prefix" -> (s"""$IDX,
       d AS (SELECT DISTINCT off, 0.0 AS score FROM idx

@@ -18,7 +18,12 @@ import graft.parser.Printer
 object Presenter {
 
   /** Mutable session output state (SET OUTPUT FORMAT / SET TIME FORMAT),
-    * the analogue of the reference's globals (output.cc:25-31). */
+    * the analogue of the reference's globals (output.cc:25-31). Parity note:
+    * in the reference these globals are WRITE-ONLY — statement.cc:35-48
+    * assigns them but no output path reads them (QUERY always prints the JSON
+    * envelope, SELECT always CSV, dumps use their own --date-format flag) —
+    * so accepting SET and rendering formats per statement kind IS the
+    * reference behavior, not a gap. */
   final class SessionState {
     var outputFormat: OutputFormat = OutputFormat.Json
     var timeFormat: String = "yyyy-MM-dd HH:mm:ss"
