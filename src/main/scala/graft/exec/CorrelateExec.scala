@@ -406,7 +406,10 @@ object CorrelateExec {
       max(when(col("score") =!= 0.0, 1).otherwise(0)).as("continuous"))
       .filter(col("key_n") >= math.min(limitA, limitB))
 
-    val idx = adjIdx.join(keyMeta.select("key", "continuous"), Seq("key"))
+    // keyMeta is vocabulary-sized but post-agg (opaque to Catalyst) —
+    // broadcast it or the full index sort-merge-joins on key
+    val idx = adjIdx.join(broadcast(keyMeta.select("key", "continuous")),
+      Seq("key"))
 
     // Ranges: boolean keys → full range; continuous keys → the distributed
     // split search (windowed prefix-scan argmax) over matched (score, cls)
