@@ -206,6 +206,11 @@ object SparkEntry {
       graft.ingest.TsvLoader.loadIndex(s, Catalog.tsvFixture(s, dir),
           Catalog.summaries(s, dir))
         .select("key", "off", "score")),
+    // time-series mode: the date column parses to epoch-SECOND offsets
+    "tsv_load_timeseries" -> ((s, dir) =>
+      graft.ingest.TsvLoader.loadTimeSeries(s,
+          Catalog.tsvTimeSeriesFixture(s, dir))
+        .select("key", "off", "score")),
 
     // ---- S11: table copy with rewrites (ca-load.cc:543-568) — write through
     // SortedWriter (regex filter + strip/add prefix), read the table back ----
@@ -602,6 +607,9 @@ object SparkEntry {
 
     "tsv_load_index" -> ("""SELECT 'price' AS key, o_orderkey AS off,
       o_totalprice AS score FROM orders""".replaceAll("\\s+", " ")),
+    "tsv_load_timeseries" -> ("""SELECT 'event:' || event_type AS key,
+      epoch_ns(ts) // 1000000000 AS off, value AS score
+      FROM events""".replaceAll("\\s+", " ")),
     "copy_rewrite" -> (s"$IDX SELECT 'prio/' || substr(key, 10) AS key, off, score " +
       "FROM idx WHERE regexp_matches(key, '^priority:.*')"),
     "dump_index_regex" -> (s"$IDX SELECT key, off, score FROM idx " +

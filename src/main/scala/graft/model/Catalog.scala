@@ -186,6 +186,25 @@ object Catalog {
     path
   }
 
+  /** Time-series TSV fixture (`key TAB date-string TAB value`,
+    * ca-load.cc --output-type=time-series): derived from `events`, written
+    * once. Loading it back parses the date with the default format and stores
+    * epoch SECONDS as the offset (ca-load.cc:296-314) — sub-second precision
+    * is dropped by the text format, exactly like the reference's strptime. */
+  def tsvTimeSeriesFixture(spark: SparkSession, dir: String): String = {
+    val path = cacheDir(dir, "tsv_events")
+    synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        events(spark, dir)
+          .select(concat_ws("\t",
+            concat(lit("event:"), col("event_type")),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+            col("value").cast("string")).as("value"))
+          .write.mode("overwrite").text(path)
+    }
+    path
+  }
+
   /** Summary table: offset → (document key, JSON body), materialized sorted by
     * `off` (/root/reference/README.md:24-27; fetch path src/query.cc:843-875). */
   def summaries(spark: SparkSession, dir: String): DataFrame = {
