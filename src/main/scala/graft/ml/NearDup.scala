@@ -36,7 +36,7 @@ object NearDup {
     * and recomputed per self-join side). */
   def signatures(sh: DataFrame): DataFrame = {
     val mins = (0 until NumHashes).map(s =>
-      min(md5(concat(lit(s + ":"), col("shingle")))).as(s"mh$s"))
+      min(md5(concat(lit(s"$s:"), col("shingle")))).as(s"mh$s"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
