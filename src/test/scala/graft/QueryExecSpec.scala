@@ -120,6 +120,13 @@ class QueryExecSpec extends AnyFunSuite {
         """{"_key":"d2","b":2,"x":9}]}""")
   }
 
+  test("JSON envelope with thresholds: _header/_header_key per row") {
+    val stmt = Parser.parseStatement(
+      "QUERY 'b' THRESHOLDS 10, 30 FOR KEY 'k' LIMIT -1;").asInstanceOf[QueryStmt]
+    assert(Presenter.queryJson(spark, fixture, stmt) ==
+      """{"result-count":1,"result":[{"_key":"d1","a":1,"_header":"10–30","_header_key":"AAAAB"}]}""")
+  }
+
   test("SELECT: NaN-missing, all-zero→1.0 presence, min-score value") {
     val stmt = Parser.parseStatement("SELECT 'm', 'b' FROM 'k';")
       .asInstanceOf[SelectStmt]
