@@ -345,6 +345,8 @@ object SparkEntry {
         .select("doc_id", "n_bytes", "fp")),
     "mm_framesample" -> ((s, dir) =>
       Multimodal.frameSample(Catalog.documents(s, dir))),
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resize(s, Catalog.documents(s, dir))),
     "emb_topk" -> ((s, dir) => {
       // exact brute-force baseline; graft_dot is the codegen'd native
       // Expression (expressions.DotProduct) — float arrays in, double out
@@ -718,5 +720,6 @@ object SparkEntry {
     "emb_topk_lsh" -> Ann.oracleSql(0, 10),
     "emb_topk_ivf" -> Ann.ivfOracleSql(0, 10),
     "mm_framesample" -> Multimodal.frameSampleOracleSql(),
+    "mm_resize" -> Multimodal.resizeOracleSql,
   )
 }

@@ -47,6 +47,35 @@ object Multimodal {
       .as[(Long, Array[Byte])]).toDF()
   }
 
+  /** "Resize" plumbing — the downsample-every-media stage: the payload's
+    * byte stream is stride-`factor` downsampled per partition batch (a real
+    * pipeline decodes and resamples pixels here; the stride is the
+    * deterministic stub) and re-fingerprinted. Output:
+    * (doc_id, n_bytes_out, fp). */
+  def resize(spark: SparkSession, docs: DataFrame, factor: Int = 2): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val out = bytes.indices.by(factor).map(bytes).toArray
+          md.reset()
+          (id, out.length, md.digest(out).map(b => f"${b & 0xff}%02x").mkString)
+        }
+      }.toDF("doc_id", "n_bytes_out", "fp")
+  }
+
+  /** DuckDB mirror of resize(factor = 2): keeping every 2nd byte of ASCII
+    * text is the regex pair-reduction `(.).` → `\1` ('.' skips nothing here —
+    * the docs are single-line ASCII). */
+  def resizeOracleSql: String =
+    """SELECT doc_id,
+      |  length(regexp_replace(text, '(.).', '\1', 'g')) AS n_bytes_out,
+      |  md5(regexp_replace(text, '(.).', '\1', 'g')) AS fp
+      |FROM documents
+      |""".stripMargin.replaceAll("\\s+", " ")
+
   /** Deterministic frame sampling over an opaque binary payload — the
     * video/audio "decode every Nth frame" plumbing: the payload is treated as
     * fixed-`frameLen`-byte frames and every `stride`-th frame index is

@@ -94,6 +94,16 @@ class MlSpec extends AnyFunSuite {
     assert(top.length <= 5)
   }
 
+  test("resize: stride-2 byte downsample keeps odd positions") {
+    val docs = Seq((1L, "abcde")).toDF("doc_id", "text")
+    val r = Multimodal.resize(spark, docs).collect().head
+    assert(r.getInt(1) == 3) // a, c, e
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest("ace".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(r.getString(2) == want)
+  }
+
   test("frame sampling: deterministic stride over byte frames") {
     val text = ("x" * 300) // 300 bytes → frames 0..4 (64B); stride 4 → 0, 4
     val docs = Seq((1L, text)).toDF("doc_id", "text")
