@@ -58,7 +58,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, (sec, true)) => sec }.sum
     val nErr = results.count(!_._2._2)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"reps":$reps,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"reps":$reps,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the line: the driver captures stdout tails, and r4's
+    // BENCH json lost its "metric":"total" prefix to truncation — a file
+    // copy makes the full record recoverable (VERDICT r4 #3/wrong-5).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_last.json")),
+      line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

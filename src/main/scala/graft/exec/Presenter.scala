@@ -55,8 +55,13 @@ object Presenter {
   /** QUERY → the JSON envelope. Rows come from QueryExec.rows (summary +
     * override merge already applied; optional _header/_header_key columns). */
   def queryJson(spark: SparkSession, t: Tables, stmt: QueryStmt): String = {
-    val total = QueryExec.resultCount(spark, t, stmt)
-    val df = QueryExec.rows(spark, t, stmt)
+    // ONE evaluation of the query: results() is cached, the count and the
+    // page both read the cached set (drained by execute()'s finally after
+    // the collect below materializes — VERDICT r4 #6).
+    val (res, compiled) = QueryExec.results(spark, t, stmt)
+    val cached = graft.util.Caches.track(res.cache())
+    val total = cached.count()
+    val df = QueryExec.rowsFrom(spark, t, stmt, cached, compiled)
     val hasHeaders = df.columns.contains("_header")
     // Rank order: rows() preserves no order after the join; re-sort the page.
     val page = df.orderBy(org.apache.spark.sql.functions.desc("score"),

@@ -120,6 +120,15 @@ object QueryExec {
 
   def rows(spark: SparkSession, t: Tables, stmt: QueryStmt): DataFrame = {
     val (res, compiled) = results(spark, t, stmt)
+    rowsFrom(spark, t, stmt, res, compiled)
+  }
+
+  /** rows() on an ALREADY-BUILT results() pair — lets the presenter derive
+    * `result-count` and the page from ONE cached result set instead of
+    * evaluating the query twice (VERDICT r4 #6; the reference materializes
+    * `offsets` once, query.cc:726-807). */
+  private[graft] def rowsFrom(spark: SparkSession, t: Tables, stmt: QueryStmt,
+      res: DataFrame, compiled: graft.compiler.Compiled): DataFrame = {
     val pg = pageHint(topK(res, stmt.limit, stmt.offset), stmt)
     val withSumm = pg.join(t.summaries, Seq("off"), "inner")
     val ovr = t.overrides.withColumnRenamed("json", "ovr_json")

