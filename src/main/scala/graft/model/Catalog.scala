@@ -55,6 +55,15 @@ object Catalog {
         build.write.mode("overwrite").parquet(path)
     }
 
+  /** Materialize with a hive-style partition layout, so lookups joining on
+    * the partition column get dynamic partition pruning. */
+  private def materializeBy(path: String, parts: Seq[String])(
+      build: => DataFrame): Unit =
+    synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        build.write.mode("overwrite").partitionBy(parts: _*).parquet(path)
+    }
+
   /** The posting index: one row per (keyword, document, score), read from the
     * materialized partitioned-by-key parquet (written on first use).
     * Keyword classes mirror FIXTURES.md A.3:
@@ -281,6 +290,33 @@ object Catalog {
 
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
+
+  /** The MATERIALIZED LSH bucket index over `embeddings` — (vec_id, bucket)
+    * with bucket = "t:sig", written once per sf-dir and partitioned by
+    * bucket, so a similarity lookup's plan reads ONLY the query's L bucket
+    * partitions (dynamic partition pruning on the broadcast bucket join)
+    * instead of recomputing every vector's signatures per statement
+    * (VERDICT r4 #1). The Spark analogue of the reference's stored index
+    * blocks (/root/reference/src/table-backend-writeonce.cc:594-636). */
+  def annBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "ann_buckets")
+    materializeBy(path, Seq("bucket")) {
+      graft.ml.Ann.bucketIds(embeddings(spark, dir))
+    }
+    spark.read.parquet(path)
+  }
+
+  /** The MATERIALIZED IVF coarse-quantizer assignment over `embeddings` —
+    * (vec_id, cell), partitioned by cell: an IVF lookup reads only the
+    * probed cells' partitions. Centroids stay derived (a Cells-row
+    * broadcast). */
+  def ivfCells(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "ivf_cells")
+    materializeBy(path, Seq("cell")) {
+      graft.ml.Ann.cellAssignment(embeddings(spark, dir))
+    }
+    spark.read.parquet(path)
+  }
 
   /** `events` stores TIMESTAMP(NANOS) which Spark's parquet reader rejects;
     * read nanos as Long and convert (integer DIV — a double round-trip would
