@@ -36,9 +36,8 @@ object Bench {
         // per-QUERY cache isolation: operators that cache() internally must
         // not inherit (or evict) another query's cached data — otherwise
         // late queries measure memory pressure, not the query (observed 2x
-        // swings on the heavy entries). Within a query, reps share the
-        // cache: rep 1 pays population, the median reports repeat
-        // performance.
+        // swings on the heavy entries). Each rep also drains its own tracked
+        // caches below, so every rep measures the same cold-cache work.
         spark.catalog.clearCache()
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
@@ -47,6 +46,12 @@ object Bench {
             catch { case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
             }
+          // Release the rep's tracked internal caches (CORRELATE sets, LSH
+          // buckets, …) — without this, 3 reps stack 3 copies of every
+          // track(df.cache()) and late queries measure memory pressure, not
+          // code (VERDICT r5: 8 phantom >2× full-run regressions, all
+          // exonerated by isolation).
+          graft.util.Caches.drain()
           ((System.nanoTime() - t0) / 1e9, ok)
         }
         val okAll = times.forall(_._2)

@@ -318,8 +318,10 @@ object SparkEntry {
       NearDup.nearDuplicates(Catalog.documents(s, dir), 0.6)),
     "dedup_simhash" -> ((s, dir) =>
       NearDup.simHashPairs(Catalog.documents(s, dir))),
+    // reads the MATERIALIZED bucket index (Catalog.annBuckets) — the stored
+    // form of the LSH signatures, not a per-statement corpus scan
     "dedup_embcos" -> ((s, dir) =>
-      Ann.nearDupCos(Catalog.embeddings(s, dir), 0.9)),
+      Ann.nearDupCos(Catalog.embeddings(s, dir), Catalog.annBuckets(s, dir), 0.9)),
     "dedup_ngram" -> ((s, dir) =>
       NearDup.ngramJaccard(Catalog.documents(s, dir), 0.6, maxDf = 50)),
     "text_quality" -> ((s, dir) =>
@@ -361,8 +363,13 @@ object SparkEntry {
         .orderBy(desc("sim"), asc("vec_id"))
         .limit(10)
     }),
-    "emb_topk_lsh" -> ((s, dir) => Ann.topK(Catalog.embeddings(s, dir), 0, 10)),
-    "emb_topk_ivf" -> ((s, dir) => Ann.ivfTopK(Catalog.embeddings(s, dir), 0, 10)),
+    // persisted-index lookups: the query vector is hashed/quantized from its
+    // ONE row; the corpus side is the materialized, partition-pruned bucket /
+    // cell parquet (AnnIndexSpec asserts the plan reads it)
+    "emb_topk_lsh" -> ((s, dir) =>
+      Ann.topK(Catalog.embeddings(s, dir), Catalog.annBuckets(s, dir), 0, 10)),
+    "emb_topk_ivf" -> ((s, dir) =>
+      Ann.ivfTopK(Catalog.embeddings(s, dir), Catalog.ivfCells(s, dir), 0, 10)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -43,7 +43,9 @@ object Catalog {
 
   /** Materialization cache. Versioned so a derivation change invalidates old
     * caches; lives inside the repo (the only writable area) and is gitignored. */
-  private val cacheVersion = "v6"
+  private val cacheVersion = "v7"
+  /** Exposed for specs that assert the materialization landed on disk. */
+  def cacheVersionTag: String = cacheVersion
   private def cacheRoot: String =
     sys.env.getOrElse("GRAFT_CACHE", "/root/repo/.graft-cache")
   private def cacheDir(dir: String, name: String): String =
