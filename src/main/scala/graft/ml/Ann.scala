@@ -120,24 +120,31 @@ object Ann {
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
   /** IVF-flat top-k: the inverted-file ANN shape — a coarse quantizer assigns
-    * every vector to its nearest of `Cells` centroids (here: the embeddings
-    * of vec_ids 1..Cells, a deterministic stand-in for k-means — swapping in
-    * trained centroids changes no plumbing); a query probes its `Probes`
-    * nearest cells and exact-re-ranks only those cells' members. At 100 TB
-    * the cell id becomes the partition key, the centroid matrix stays a
-    * broadcast, and a lookup touches |probed cells| partitions instead of the
-    * corpus — the complementary scale path to LSH bucketing (topK above).
+    * every vector to its nearest of `Cells` centroids; a query probes its
+    * `Probes` nearest cells and exact-re-ranks only those cells' members. At
+    * 100 TB the cell id becomes the partition key, the centroid matrix stays
+    * a broadcast, and a lookup touches |probed cells| partitions instead of
+    * the corpus — the complementary scale path to LSH bucketing (topK above).
     * Returns (vec_id, sim). */
   def ivfTopK(emb: DataFrame, qVecId: Long, k: Int): DataFrame =
     ivfTopK(emb, graft.util.Caches.track(cellAssignment(emb).cache()), qVecId, k)
 
-  /** The centroid table: the embeddings of vec_ids 1..Cells, a deterministic
-    * stand-in for k-means (trained centroids change no plumbing — see
-    * trainedCentroids). Tiny; always broadcast. */
-  def centroids(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("embedding").as("emb"))
-      .filter(col("vec_id").between(1, Cells))
-      .select(col("vec_id").as("cent_id"), col("emb").as("cemb"))
+  /** The coarse-quantizer centroid table (cent_id 1.., cemb): the k-means
+    * matrix trained offline on a corpus sample and committed as constants
+    * (TrainedCentroids, generated by TrainCentroids) — the standard IVF
+    * deployment shape, and what keeps the centroid literals identical in the
+    * Spark plan and the DuckDB oracle. Tiny; always broadcast. */
+  def centroids(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+    val spark = emb.sparkSession
+    spark.createDataFrame(
+      java.util.Arrays.asList(TrainedCentroids.matrix.zipWithIndex.map {
+        case (c, i) => Row((i + 1).toLong, c)
+      }: _*),
+      StructType(Seq(StructField("cent_id", LongType),
+        StructField("cemb", ArrayType(DoubleType)))))
+  }
 
   /** The PERSISTABLE coarse-quantizer assignment (vec_id, cell) — every
     * vector's nearest centroid; argmax via max(struct) = one
@@ -180,10 +187,13 @@ object Ann {
       .limit(k)
   }
 
-  /** DuckDB mirror of ivfTopK over the `embeddings` view. */
-  def ivfOracleSql(qVecId: Long, k: Int): String =
+  /** DuckDB mirror of ivfTopK over the `embeddings` view — the centroid CTE
+    * embeds the same TrainedCentroids literal matrix the Spark plan uses. */
+  def ivfOracleSql(qVecId: Long, k: Int): String = {
+    val cRows = TrainedCentroids.matrix.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, ${planeSql(c)})" }.mkString(", ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id BETWEEN 1 AND $Cells),
+       |c(cent_id, cemb) AS (VALUES $cRows),
        |asg AS (SELECT e.vec_id, c.cent_id,
        |          list_dot_product(e.emb, c.cemb) /
        |          sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(c.cemb, c.cemb)) AS csim
@@ -201,6 +211,7 @@ object Ann {
        |WHERE cell.vec_id <> $qVecId
        |ORDER BY sim DESC, vec_id LIMIT $k
        |""".stripMargin.replaceAll("\\s+", " ")
+  }
 
   /** Embedding-cosine near-duplicate pairs against a PERSISTED bucket index:
     * candidates share an LSH bucket (any of the L tables), survivors
