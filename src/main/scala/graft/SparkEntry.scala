@@ -125,6 +125,11 @@ object SparkEntry {
     // re-scores BEFORE the keys-only output (query.cc:749-828 ordering)
     "ql_keys_thresholds" -> ((s, dir) => QueryExec.runPage(s, t(s, dir),
       "QUERY KEYS FOR 'status:O' THRESHOLDS 50000, 300000 FOR KEY 'price' LIMIT 30;")),
+    // percentile-band family through the full statement path: the four pct
+    // floats of the universal value (ca-table.h:102-105) survive
+    // compile → dedup → topK → page
+    "ql_pct_bands" -> ((s, dir) => QueryExec.runPage(s, t(s, dir),
+      "QUERY 'priceband' LIMIT 20;")),
 
     // ---- SELECT pivot (select.cc:80-154) ----
     "select_fields" -> ((s, dir) => SelectExec.run(s, t(s, dir),
@@ -227,6 +232,10 @@ object SparkEntry {
     // ---- Dump sinks (ca-dump.cc:74-216,332-400) ----
     "dump_index_regex" -> ((s, dir) =>
       graft.sources.Dump.indexRaw(Catalog.index(s, dir), "^priority:[12].*")),
+    // band-carrying dump: pct columns pass through to the sink
+    // (ca-dump.cc:168-199, HasPercentiles)
+    "dump_pct" -> ((s, dir) =>
+      graft.sources.Dump.indexRaw(Catalog.index(s, dir), "^priceband")),
     "dump_timeseries" -> ((s, dir) =>
       graft.sources.Dump.timeSeries(Catalog.events(s, dir).select(
         concat(lit("event:"), col("event_type")).as("key"),
@@ -621,8 +630,12 @@ object SparkEntry {
       FROM events""".replaceAll("\\s+", " ")),
     "copy_rewrite" -> (s"$IDX SELECT 'prio/' || substr(key, 10) AS key, off, score " +
       "FROM idx WHERE regexp_matches(key, '^priority:.*')"),
-    "dump_index_regex" -> (s"$IDX SELECT key, off, score FROM idx " +
+    "dump_index_regex" -> (s"$IDX SELECT key, off, score, pct5, pct25, pct75, pct95 FROM idx " +
       "WHERE regexp_matches(key, '^priority:[12].*')"),
+    "dump_pct" -> (s"$IDX SELECT key, off, score, pct5, pct25, pct75, pct95 FROM idx " +
+      "WHERE regexp_matches(key, '^priceband')"),
+    "ql_pct_bands" -> (s"$IDX SELECT off, score, pct5, pct25, pct75, pct95 FROM idx " +
+      "WHERE key = 'priceband' ORDER BY score DESC, off LIMIT 20"),
     "dump_timeseries" -> ("""SELECT 'event:' || event_type AS key,
       strftime(ts, '%Y-%m-%d %H:%M:%S') AS t, value AS score
       FROM events""".replaceAll("\\s+", " ")),

@@ -3,7 +3,7 @@ package graft.compiler
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ast._
-import graft.functions.Funcs
+import graft.functions.{Funcs, Keywords}
 import graft.model.Tables
 import graft.operators.PostingAlgebra._
 
@@ -81,7 +81,14 @@ final class QueryCompiler(spark: SparkSession, tables: Tables) {
           lower(col("key")).contains(param.toLowerCase))
         .select(col("off")).distinct()
         .withColumn("score", lit(0.0)))
-    } else
+    } else if (Keywords.hasPctBands(token) &&
+        graft.operators.PostingAlgebra.pctCols(index).nonEmpty)
+      // band-carrying family (ca-table.h:102-105): the leaf's posting schema
+      // includes the four pct columns, carried through the algebra to output
+      pure(index.filter(col("key") === token)
+        .select(Seq("off", "score").map(col) ++
+          graft.operators.PostingAlgebra.pctCols(index).map(col): _*))
+    else
       pure(index.filter(col("key") === token).select("off", "score"))
   }
 

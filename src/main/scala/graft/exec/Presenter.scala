@@ -63,6 +63,7 @@ object Presenter {
     val total = cached.count()
     val df = QueryExec.rowsFrom(spark, t, stmt, cached, compiled)
     val hasHeaders = df.columns.contains("_header")
+    val hasBands = df.columns.contains("pct5")
     // Rank order: rows() preserves no order after the join; re-sort the page.
     val page = df.orderBy(org.apache.spark.sql.functions.desc("score"),
       org.apache.spark.sql.functions.asc("off")).collect()
@@ -71,6 +72,13 @@ object Presenter {
       sb.append("\"_key\":\"").append(jsonEscape(r.getAs[String]("key"))).append('"')
       val b = body(r.getAs[String]("json"))
       if (b.nonEmpty) sb.append(',').append(b)
+      // percentile bands render as the ca-dump value string — score then the
+      // four pcts, space-joined %.9g (ca-dump.cc:168-199, HasPercentiles)
+      if (hasBands && r.getAs[java.lang.Double]("pct5") != null) {
+        val band = Seq("score", "pct5", "pct25", "pct75", "pct95")
+          .map(c => Printer.g9(r.getAs[Double](c))).mkString(" ")
+        sb.append(",\"_score\":\"").append(band).append('"')
+      }
       if (hasHeaders && r.getAs[String]("_header") != null) {
         sb.append(",\"_header\":\"").append(jsonEscape(r.getAs[String]("_header")))
           .append("\",\"_header_key\":\"").append(r.getAs[String]("_header_key"))

@@ -133,9 +133,10 @@ object QueryExec {
     val withSumm = pg.join(t.summaries, Seq("off"), "inner")
     val ovr = t.overrides.withColumnRenamed("json", "ovr_json")
     var out = withSumm.join(ovr, Seq("key"), "left_outer")
-      .select(col("off"), col("score"), col("key"),
+      .select(Seq(col("off"), col("score"), col("key"),
         when(col("ovr_json").isNotNull, Funcs.jsonMerge(col("json"), col("ovr_json")))
-          .otherwise(col("json")).as("json"))
+          .otherwise(col("json")).as("json")) ++
+        pctCols(pg).map(col): _*)
     compiled.extra.foreach { e =>
       out = out.join(e, Seq("off"), "left_outer")
     }

@@ -69,7 +69,15 @@ object Keywords {
             parseFilter("event:")))
     }
 
+  /** Keyword families whose postings carry percentile bands (the four pct
+    * floats of the universal value, /root/reference/src/ca-table.h:102-105).
+    * Classified statically — like `timestamped` — so the compiler knows at
+    * plan time whether a leaf's posting schema includes band columns. */
+  private val banded: Seq[Filter] = Seq(parseFilter("priceband"))
+
   def isTimestamped(key: String): Boolean = timestamped.exists(_.matches(key))
 
   def isEphemeral(key: String): Boolean = ephemeral.exists(_.matches(key))
+
+  def hasPctBands(key: String): Boolean = banded.exists(_.matches(key))
 }

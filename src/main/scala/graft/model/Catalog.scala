@@ -43,7 +43,7 @@ object Catalog {
 
   /** Materialization cache. Versioned so a derivation change invalidates old
     * caches; lives inside the repo (the only writable area) and is gitignored. */
-  private val cacheVersion = "v7"
+  private val cacheVersion = "v8"
   /** Exposed for specs that assert the materialization landed on disk. */
   def cacheVersionTag: String = cacheVersion
   private def cacheRoot: String =
@@ -86,7 +86,8 @@ object Catalog {
     // The write above is .partitionBy-free: `key` stays a data column so its
     // parquet dictionary + min/max stats serve pushdown, and the 1-file-per-
     // key layout from repartition(key) gives pruning the same effect.
-    spark.read.parquet(path).select("key", "off", "score")
+    spark.read.parquet(path)
+      .select("key", "off", "score", "pct5", "pct25", "pct75", "pct95")
   }
 
   /** The raw 6-way union derivation (used to build the materialized index and
@@ -125,23 +126,47 @@ object Catalog {
     val dom = o.select(
       concat(lit("name:order"), col("o_orderkey"), lit(".com")).as("key"),
       col("o_orderkey").as("off"), lit(0.0).as("score"))
-    status.unionByName(prio).unionByName(price).unionByName(odate)
+    val bare = status.unionByName(prio).unionByName(price).unionByName(odate)
       .unionByName(qty).unionByName(lineprice).unionByName(sdate)
       .unionByName(dom)
+    // percentile-band family (the four pct floats of the universal value,
+    // /root/reference/src/ca-table.h:102-105): a prediction-band shape derived
+    // deterministically from the price so both engines compute identical
+    // doubles. Every other family carries NULL bands (HasPercentiles==false).
+    // raw single-multiply products — one IEEE op, bit-identical in Spark and
+    // DuckDB (a round(x, 2) here hits half-way cases where the two engines'
+    // rounding modes disagree)
+    val band = o.select(
+      lit("priceband").as("key"),
+      col("o_orderkey").as("off"),
+      col("o_totalprice").as("score"),
+      (col("o_totalprice") * 0.85).as("pct5"),
+      (col("o_totalprice") * 0.95).as("pct25"),
+      (col("o_totalprice") * 1.05).as("pct75"),
+      (col("o_totalprice") * 1.15).as("pct95"))
+    val nullPct = Seq("pct5", "pct25", "pct75", "pct95")
+      .map(n => lit(null).cast("double").as(n))
+    bare.select(Seq(col("key"), col("off"), col("score")) ++ nullPct: _*)
+      .unionByName(band)
   }
 
   /** Identical derivation as a DuckDB CTE, prefixed onto every oracle query so
     * the oracle sees the exact same logical `idx` table. */
   val indexSql: String =
     """WITH idx AS (
-      |  SELECT 'status:' || o_orderstatus AS key, o_orderkey AS off, 0.0 AS score FROM orders
-      |  UNION ALL SELECT 'priority:' || o_orderpriority, o_orderkey, 0.0 FROM orders
-      |  UNION ALL SELECT 'price', o_orderkey, o_totalprice FROM orders
-      |  UNION ALL SELECT 'orderdate', o_orderkey, CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS DOUBLE) FROM orders
-      |  UNION ALL SELECT 'qty', l_orderkey, l_quantity FROM lineitem
-      |  UNION ALL SELECT 'lineprice', l_orderkey, l_extendedprice FROM lineitem
-      |  UNION ALL SELECT 'shipdate', l_orderkey, CAST(date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) AS DOUBLE) FROM lineitem
-      |  UNION ALL SELECT 'name:order' || o_orderkey || '.com', o_orderkey, 0.0 FROM orders
+      |  SELECT 'status:' || o_orderstatus AS key, o_orderkey AS off, 0.0 AS score,
+      |         CAST(NULL AS DOUBLE) AS pct5, CAST(NULL AS DOUBLE) AS pct25,
+      |         CAST(NULL AS DOUBLE) AS pct75, CAST(NULL AS DOUBLE) AS pct95 FROM orders
+      |  UNION ALL SELECT 'priority:' || o_orderpriority, o_orderkey, 0.0, NULL, NULL, NULL, NULL FROM orders
+      |  UNION ALL SELECT 'price', o_orderkey, o_totalprice, NULL, NULL, NULL, NULL FROM orders
+      |  UNION ALL SELECT 'orderdate', o_orderkey, CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS DOUBLE), NULL, NULL, NULL, NULL FROM orders
+      |  UNION ALL SELECT 'qty', l_orderkey, l_quantity, NULL, NULL, NULL, NULL FROM lineitem
+      |  UNION ALL SELECT 'lineprice', l_orderkey, l_extendedprice, NULL, NULL, NULL, NULL FROM lineitem
+      |  UNION ALL SELECT 'shipdate', l_orderkey, CAST(date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) AS DOUBLE), NULL, NULL, NULL, NULL FROM lineitem
+      |  UNION ALL SELECT 'name:order' || o_orderkey || '.com', o_orderkey, 0.0, NULL, NULL, NULL, NULL FROM orders
+      |  UNION ALL SELECT 'priceband', o_orderkey, o_totalprice,
+      |         o_totalprice * 0.85, o_totalprice * 0.95,
+      |         o_totalprice * 1.05, o_totalprice * 1.15 FROM orders
       |)""".stripMargin.replace("\n", " ")
 
   /** The bucketed co-location layout SCALE.md describes for 100 TB: the same

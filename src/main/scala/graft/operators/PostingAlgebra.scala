@@ -20,9 +20,29 @@ import org.apache.spark.sql.functions._
 object PostingAlgebra {
 
   private val postingCols = Seq("off", "score")
+  private val pctNames = Seq("pct5", "pct25", "pct75", "pct95")
+
+  /** The optional percentile-band columns of the universal value
+    * (/root/reference/src/ca-table.h:102-105) present on this posting set.
+    * Presence is schema-level (decided at plan time by the compiler, per
+    * keyword family); operators carry bands on the VALUE side — the side
+    * whose element the reference copies into the result. */
+  def pctCols(df: DataFrame): Seq[String] = pctNames.filter(df.columns.contains)
 
   private def p(df: DataFrame): DataFrame =
-    df.select(postingCols.map(col): _*)
+    df.select((postingCols ++ pctCols(df)).map(col): _*)
+
+  /** Align both sides of a union: pad missing band columns with NULLs when
+    * only one side carries them (mixed-family OR). */
+  private def aligned(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
+    val all = (pctCols(a) ++ pctCols(b)).distinct
+    def pad(df: DataFrame): DataFrame = {
+      val have = pctCols(df)
+      df.select(postingCols.map(col) ++ all.map(n =>
+        if (have.contains(n)) col(n) else lit(null).cast("double").as(n)): _*)
+    }
+    (pad(p(a)), pad(p(b)))
+  }
 
   /** J1 `a OR b` — merge-union (src/query.cc:68-94,418-427). DELIBERATE
     * DEVIATION: the reference drops the lhs element at offset ties and keeps
@@ -30,8 +50,10 @@ object PostingAlgebra {
     * score where this yields max(lhs, rhs). We define OR as plain bag-union
     * (set semantics post-dedup), which is shuffle-free and well-defined on
     * unordered data; the oracle and the property tests pin this contract. */
-  def or(a: DataFrame, b: DataFrame): DataFrame =
-    p(a).unionByName(p(b))
+  def or(a: DataFrame, b: DataFrame): DataFrame = {
+    val (x, y) = aligned(a, b)
+    x.unionByName(y)
+  }
 
   /** J2 `a AND b` — intersect keeping ALL lhs duplicates, scores from lhs
     * (src/query.cc:96-125,429-438). left_semi is exactly that; semi-join
@@ -55,7 +77,7 @@ object PostingAlgebra {
     * reference holds for unique-offset inputs (AlgebraProps); the dup-run
     * deviations are witnessed in AlgebraDeviationSpec. */
   def thetaCompare(a: DataFrame, b: DataFrame, op: String): DataFrame = {
-    val rhs = dedupMax(b).withColumnRenamed("score", "rscore")
+    val rhs = dedupMax(b.select("off", "score")).withColumnRenamed("score", "rscore")
     val joined = p(a).join(rhs, Seq("off"), "inner")
     val kept = op match {
       case ">"  => joined.filter(col("score") >  col("rscore"))
@@ -63,16 +85,17 @@ object PostingAlgebra {
       case "<"  => joined.filter(col("score") <  col("rscore"))
       case "<=" => joined.filter(col("score") <= col("rscore"))
     }
-    kept.select(col("off"), col("score"))
+    kept.select((postingCols ++ pctCols(a)).map(col): _*)
   }
 
   /** J5 `a ORDER BY b` — keep lhs offsets, score := rhs score at same offset,
     * else -inf (src/query.cc:519-547). */
   def orderByQuery(a: DataFrame, b: DataFrame): DataFrame =
-    p(a).join(dedupMax(b).withColumnRenamed("score", "rscore"),
+    p(a).join(dedupMax(b.select("off", "score")).withColumnRenamed("score", "rscore"),
         Seq("off"), "left_outer")
-      .select(col("off"),
-        coalesce(col("rscore"), lit(Double.NegativeInfinity)).as("score"))
+      .select(col("off") +:
+        coalesce(col("rscore"), lit(Double.NegativeInfinity)).as("score") +:
+        pctCols(a).map(col): _*)
 
   /** F1-F4 — element-wise score filters (src/query.cc:451-517). */
   def scoreEq(a: DataFrame, n: Double): DataFrame = p(a).filter(col("score") === n)
@@ -92,14 +115,25 @@ object PostingAlgebra {
   /** A1/A2/J6 — per-offset dedup keeping max (QUERY) or min (SELECT/CORRELATE)
     * score (src/query.cc:137-156,579-607,624-628). Map-side partial agg comes
     * free from groupBy. */
-  def dedupMax(a: DataFrame): DataFrame =
-    p(a).groupBy("off").agg(max("score").as("score"))
-  def dedupMin(a: DataFrame): DataFrame =
-    p(a).groupBy("off").agg(min("score").as("score"))
+  def dedupMax(a: DataFrame): DataFrame = dedup(a, max)
+  def dedupMin(a: DataFrame): DataFrame = dedup(a, min)
 
-  /** A3 `~q` — negate scores (src/query.cc:609-611). */
+  /** Band-carrying dedup: argmax/argmin by score via struct ordering — the
+    * winner's pct columns ride along (ties broken deterministically by the
+    * band values themselves). */
+  private def dedup(a: DataFrame, agg: org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column): DataFrame = {
+    val pc = pctCols(a)
+    if (pc.isEmpty) p(a).groupBy("off").agg(agg(col("score")).as("score"))
+    else p(a).groupBy("off")
+      .agg(agg(struct(("score" +: pc).map(col): _*)).as("m"))
+      .select(col("off") +: ("score" +: pc).map(n => col(s"m.$n").as(n)): _*)
+  }
+
+  /** A3 `~q` — negate scores (src/query.cc:609-611; bands untouched). */
   def negate(a: DataFrame): DataFrame =
-    p(a).select(col("off"), negative(col("score")).as("score"))
+    p(a).select(col("off") +: negative(col("score")).as("score") +:
+      pctCols(a).map(col): _*)
 
   /** T1 — rank by score descending and paginate (src/query.cc:795-807).
     * Ties broken by ascending offset for determinism (the reference's

@@ -120,6 +120,31 @@ class QueryExecSpec extends AnyFunSuite {
         """{"_key":"d2","b":2,"x":9}]}""")
   }
 
+  test("JSON envelope renders percentile bands as the ca-dump value string") {
+    // band-carrying index (ca-table.h:102-105); key 'priceband' is the
+    // statically-classified banded family (Keywords.hasPctBands)
+    val index = Seq(
+      ("priceband", 1L, 20.0, 17.0, 19.0, 21.0, 23.0),
+      ("priceband", 2L, 10.0, 8.5, 9.5, 10.5, 11.5))
+      .toDF("key", "off", "score", "pct5", "pct25", "pct75", "pct95")
+    val t = fixture.copy(index = index)
+    val stmt = Parser.parseStatement("QUERY 'priceband' LIMIT 2;")
+      .asInstanceOf[QueryStmt]
+    // _score = score + four pcts, space-joined %.9g (ca-dump.cc:168-199)
+    assert(Presenter.queryJson(spark, t, stmt) ==
+      """{"result-count":2,"result":[{"_key":"d1","a":1,"_score":"20 17 19 21 23"},""" + "\n" +
+        """{"_key":"d2","b":2,"x":9,"_score":"10 8.5 9.5 10.5 11.5"}]}""")
+  }
+
+  test("dedupMax carries the winning row's bands") {
+    val df = Seq((1L, 5.0, 4.0, 4.5, 5.5, 6.0), (1L, 9.0, 8.0, 8.5, 9.5, 10.0))
+      .toDF("off", "score", "pct5", "pct25", "pct75", "pct95")
+    val out = graft.operators.PostingAlgebra.dedupMax(df).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getDouble(1), r.getDouble(2), r.getDouble(5)) == ((9.0, 8.0, 10.0)))
+  }
+
   test("JSON envelope with thresholds: _header/_header_key per row") {
     val stmt = Parser.parseStatement(
       "QUERY 'b' THRESHOLDS 10, 30 FOR KEY 'k' LIMIT -1;").asInstanceOf[QueryStmt]
