@@ -130,6 +130,12 @@ object SparkEntry {
     // compile → dedup → topK → page
     "ql_pct_bands" -> ((s, dir) => QueryExec.runPage(s, t(s, dir),
       "QUERY 'priceband' LIMIT 20;")),
+    // multi-summary-table address space (schema.cc:97-106): 'custseg:*'
+    // postings address the customer summary table mapped in at
+    // Catalog.CustBase; the summary fetch resolves the shifted offsets
+    // against the unioned address space
+    "ql_multi_summary" -> ((s, dir) => QueryExec.runRows(s, t(s, dir),
+      "QUERY 'custseg:BUILDING' LIMIT 25;")),
 
     // ---- SELECT pivot (select.cc:80-154) ----
     "select_fields" -> ((s, dir) => SelectExec.run(s, t(s, dir),
@@ -636,6 +642,11 @@ object SparkEntry {
       "WHERE regexp_matches(key, '^priceband')"),
     "ql_pct_bands" -> (s"$IDX SELECT off, score, pct5, pct25, pct75, pct95 FROM idx " +
       "WHERE key = 'priceband' ORDER BY score DESC, off LIMIT 20"),
+    "ql_multi_summary" -> (s"""$IDX, $SUMMC,
+      pg AS (SELECT off, max(score) AS score FROM idx WHERE key = 'custseg:BUILDING'
+             GROUP BY off ORDER BY score DESC, off LIMIT 25)
+      SELECT pg.off AS off, pg.score AS score, s.key AS key, s.json AS json
+      FROM pg JOIN summ s ON s.off = pg.off""".replaceAll("\\s+", " ")),
     "dump_timeseries" -> ("""SELECT 'event:' || event_type AS key,
       strftime(ts, '%Y-%m-%d %H:%M:%S') AS t, value AS score
       FROM events""".replaceAll("\\s+", " ")),

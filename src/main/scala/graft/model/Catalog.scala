@@ -43,7 +43,7 @@ object Catalog {
 
   /** Materialization cache. Versioned so a derivation change invalidates old
     * caches; lives inside the repo (the only writable area) and is gitignored. */
-  private val cacheVersion = "v8"
+  private val cacheVersion = "v9"
   /** Exposed for specs that assert the materialization landed on disk. */
   def cacheVersionTag: String = cacheVersion
   private def cacheRoot: String =
@@ -144,9 +144,16 @@ object Catalog {
       (col("o_totalprice") * 0.95).as("pct25"),
       (col("o_totalprice") * 1.05).as("pct75"),
       (col("o_totalprice") * 1.15).as("pct95"))
+    // keyword family addressing the SECOND summary table's address space
+    // (schema.cc:97-106): offsets are shifted by the customer table's base
+    val cseg = table(spark, dir, "customer").select(
+      concat(lit("custseg:"), col("c_mktsegment")).as("key"),
+      (lit(CustBase) + col("c_custkey")).as("off"),
+      col("c_acctbal").cast("double").as("score"))
     val nullPct = Seq("pct5", "pct25", "pct75", "pct95")
       .map(n => lit(null).cast("double").as(n))
-    bare.select(Seq(col("key"), col("off"), col("score")) ++ nullPct: _*)
+    bare.unionByName(cseg)
+      .select(Seq(col("key"), col("off"), col("score")) ++ nullPct: _*)
       .unionByName(band)
   }
 
@@ -164,6 +171,7 @@ object Catalog {
       |  UNION ALL SELECT 'lineprice', l_orderkey, l_extendedprice, NULL, NULL, NULL, NULL FROM lineitem
       |  UNION ALL SELECT 'shipdate', l_orderkey, CAST(date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) AS DOUBLE), NULL, NULL, NULL, NULL FROM lineitem
       |  UNION ALL SELECT 'name:order' || o_orderkey || '.com', o_orderkey, 0.0, NULL, NULL, NULL, NULL FROM orders
+      |  UNION ALL SELECT 'custseg:' || c_mktsegment, 4294967296 + c_custkey, CAST(c_acctbal AS DOUBLE), NULL, NULL, NULL, NULL FROM customer
       |  UNION ALL SELECT 'priceband', o_orderkey, o_totalprice,
       |         o_totalprice * 0.85, o_totalprice * 0.95,
       |         o_totalprice * 1.05, o_totalprice * 1.15 FROM orders
@@ -256,14 +264,31 @@ object Catalog {
     spark.read.parquet(path).select("off", "key", "json")
   }
 
+  /** Address offset of the SECOND summary table (customers) in the single
+    * 64-bit summary address space (/root/reference/src/schema.cc:97-106,
+    * README.md:29-33): every local offset in that table is shifted by the
+    * base, so a global offset resolves to exactly one table — the one with
+    * the greatest base ≤ offset (query.cc:843-854). 2^32 keeps the order and
+    * customer spaces disjoint at any scale factor. */
+  val CustBase: Long = 4294967296L
+
   def deriveSummaries(spark: SparkSession, dir: String): DataFrame = {
     val o = table(spark, dir, "orders")
-    o.select(
+    val orderSumm = o.select(
       col("o_orderkey").as("off"),
       concat(lit("order:"), col("o_orderkey")).as("key"),
       to_json(struct(col("o_orderstatus").as("status"),
         col("o_totalprice").as("price"),
         col("o_orderpriority").as("priority"))).as("json"))
+    // second summary table, mapped in at CustBase — the union-with-offset is
+    // the Spark shape of the reference's per-table address shift
+    val custSumm = table(spark, dir, "customer").select(
+      (lit(CustBase) + col("c_custkey")).as("off"),
+      concat(lit("cust:"), col("c_custkey")).as("key"),
+      to_json(struct(col("c_name").as("name"),
+        col("c_mktsegment").as("segment"),
+        col("c_acctbal").cast("double").as("acctbal"))).as("json"))
+    orderSumm.unionByName(custSumm)
   }
 
   val summariesSql: String =
@@ -271,6 +296,10 @@ object Catalog {
       |  SELECT o_orderkey AS off, 'order:' || o_orderkey AS key,
       |         to_json(struct_pack(status := o_orderstatus, price := o_totalprice, priority := o_orderpriority)) AS json
       |  FROM orders
+      |  UNION ALL
+      |  SELECT 4294967296 + c_custkey, 'cust:' || c_custkey,
+      |         to_json(struct_pack(name := c_name, segment := c_mktsegment, acctbal := CAST(c_acctbal AS DOUBLE)))
+      |  FROM customer
       |)""".stripMargin.replace("\n", " ")
 
   /** Summary-override table: document key → JSON overlay, consulted per result
