@@ -65,6 +65,25 @@ class ShellSpec extends AnyFunSuite {
     assert(Presenter.errorEnvelope(null) == """{"error":"null"}""")
   }
 
+  test("REPL loop: per-line execution, bad line continues, EOF exits") {
+    // ca-shell.cc:163-199 — one statement per line, a failing line prints
+    // its envelope (parse errors included) and the next line still runs
+    val state = new Presenter.SessionState
+    val in = new java.io.BufferedReader(new java.io.StringReader(
+      "QUERY 'k' LIMIT 1;\n" +
+        "\n" + // empty line skipped
+        "QUERY ((broken;\n" +
+        "PARSE 'k' > 15;\n"))
+    val buf = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Shell.repl(spark, fixture, state, in)
+    }
+    val lines = buf.toString("UTF-8").split("\n").filter(_.nonEmpty).toSeq
+    assert(lines.head == """{"result-count":2,"result":[{"_key":"d2","b":2}]}""")
+    assert(lines(1).startsWith("""{"error":"""")) // bad line → envelope
+    assert(lines(2) == "(k>15)") // loop survived the error
+  }
+
   test("SELECT CSV rows come back in selection offset order") {
     val state = new Presenter.SessionState
     val out = Presenter.execute(spark, fixture, state,
