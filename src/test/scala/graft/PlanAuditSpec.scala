@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.model.Catalog
+
+/** Plan-level scale audits: the predicates that make leaf lookups cheap at
+  * 100 TB must actually reach the parquet scan (PushedFilters), and the page
+  * fetch must broadcast the bounded side. `.explain` shows the same facts a
+  * human audit reads; these pin them against regressions. */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("S1 leaf lookup pushes the key equality into the parquet scan") {
+    val p = planOf(Catalog.index(spark, dir)
+      .filter(col("key") === "price").select("off", "score"))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(key,price)"),
+      s"key filter not pushed:\n$p")
+  }
+
+  test("band leaf reads only its columns plus the pct bands") {
+    val df = SparkEntry.queries("ql_pct_bands")(spark, dir)
+    val p = planOf(df)
+    assert(p.contains("EqualTo(key,priceband)"), s"leaf filter not pushed:\n$p")
+    // column pruning: the scan must not read `key` rows beyond the filter —
+    // ReadSchema carries off/score/pcts only after pruning
+    assert(p.contains("pct5") && p.contains("pct95"))
+  }
+
+  test("dump regex prefix reaches the scan as a StartsWith filter") {
+    val p = planOf(SparkEntry.queries("dump_pct")(spark, dir))
+    assert(p.contains("StringStartsWith(key,priceband)"),
+      s"prefix not pushed:\n$p")
+  }
+
+  test("multi-summary page fetch broadcasts the bounded page") {
+    val df = SparkEntry.queries("ql_multi_summary")(spark, dir)
+    val p = planOf(df)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"page join not broadcast:\n$p")
+    assert(df.count() > 0)
+  }
+}
