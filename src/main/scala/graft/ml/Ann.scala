@@ -85,14 +85,20 @@ object Ann {
 
   /** LSH-candidate top-k by cosine for query vector `qVecId` against a
     * PERSISTED bucket index (Catalog.annBuckets): hash the query vector into
-    * its L buckets, dynamic-partition-prune the bucket table down to those
-    * buckets, exact cosine re-rank only the candidates. The lookup plan never
-    * recomputes a corpus signature (VERDICT r4 #1). Returns (vec_id, sim). */
+    * its L buckets, prune the bucket table down to those buckets, exact
+    * cosine re-rank only the candidates. The lookup plan never recomputes a
+    * corpus signature (VERDICT r4 #1). The query's bucket keys are collected
+    * eagerly — a BOUNDED driver-side list (exactly L strings, the same
+    * bounded-collect class as the Presenter page contract) pushed into the
+    * index scan as a static In filter, so file/row-group skipping happens at
+    * planning time instead of through a runtime bucket join. Returns
+    * (vec_id, sim). */
   def topK(emb: DataFrame, bk: DataFrame, qVecId: Long, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").as("emb"))
+    val qbs = queryBuckets(e, qVecId).collect().map(_.getString(0)).toSeq
     val q = broadcast(e.filter(col("vec_id") === qVecId)
       .select(col("emb").as("qemb")))
-    val cands = bk.join(broadcast(queryBuckets(e, qVecId)), Seq("bucket"))
+    val cands = bk.filter(col("bucket").isin(qbs: _*))
       .filter(col("vec_id") =!= qVecId)
       .select("vec_id").distinct()
     val d = dot(col("emb"), col("qemb"))
@@ -162,23 +168,26 @@ object Ann {
   }
 
   /** IVF-flat top-k against a PERSISTED cell assignment (Catalog.ivfCells):
-    * the query probes its `Probes` nearest centroids (a 1×Cells broadcast
-    * nested loop) and exact-re-ranks only those cells' members — the lookup
-    * plan prunes the assignment table to the probed cells instead of
-    * re-quantizing the corpus per query (VERDICT r4 #1). At 100 TB the cell
-    * id is the partition key, the centroid matrix stays a broadcast, and a
-    * lookup touches |probed cells| partitions. Returns (vec_id, sim). */
+    * the query probes its `Probes` nearest centroids (a 1×Cells ranking on
+    * the broadcast centroid matrix) and exact-re-ranks only those cells'
+    * members — the lookup plan prunes the assignment table to the probed
+    * cells instead of re-quantizing the corpus per query (VERDICT r4 #1).
+    * The probed cell ids are collected eagerly (a bounded list of exactly
+    * `Probes` longs) and pushed as a static In filter, giving STATIC
+    * partition pruning on the cell-partitioned table — at 100 TB the cell id
+    * is the partition key and a lookup touches |probed cells| partitions.
+    * Returns (vec_id, sim). */
   def ivfTopK(emb: DataFrame, cells: DataFrame, qVecId: Long, k: Int,
       cents: Option[DataFrame] = None): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").as("emb"))
     val cn = broadcast(cents.getOrElse(centroids(emb)))
-    val qCells = broadcast(e.filter(col("vec_id") === qVecId).crossJoin(cn)
+    val qCells = e.filter(col("vec_id") === qVecId).crossJoin(cn)
       .select(col("cent_id"), cosine(col("emb"), col("cemb")).as("csim"))
       .orderBy(desc("csim"), asc("cent_id")).limit(Probes)
-      .select(col("cent_id").as("cell")))
+      .collect().map(_.getLong(0)).toSeq
     val q = broadcast(e.filter(col("vec_id") === qVecId)
       .select(col("emb").as("qemb")))
-    cells.join(qCells, Seq("cell")).filter(col("vec_id") =!= qVecId)
+    cells.filter(col("cell").isin(qCells: _*)).filter(col("vec_id") =!= qVecId)
       .join(e, Seq("vec_id"))
       .crossJoin(q)
       .select(col("vec_id"),

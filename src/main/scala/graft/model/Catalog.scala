@@ -43,7 +43,7 @@ object Catalog {
 
   /** Materialization cache. Versioned so a derivation change invalidates old
     * caches; lives inside the repo (the only writable area) and is gitignored. */
-  private val cacheVersion = "v9"
+  private val cacheVersion = "v10"
   /** Exposed for specs that assert the materialization landed on disk. */
   def cacheVersionTag: String = cacheVersion
   private def cacheRoot: String =
@@ -356,10 +356,18 @@ object Catalog {
     * blocks (/root/reference/src/table-backend-writeonce.cc:594-636). */
   def annBuckets(spark: SparkSession, dir: String): DataFrame = {
     val path = cacheDir(dir, "ann_buckets")
-    materializeBy(path, Seq("bucket")) {
+    materialize(path) {
+      // Same layout rationale as `index` above: repartition by bucket but
+      // keep bucket a DATA column, so each of the ~32 files covers a few
+      // buckets and the lookup's pushed In(bucket, ...) filter skips whole
+      // files via dictionary/min-max stats. A hive partitionBy("bucket")
+      // layout (2^Bits × Tables = 256 directories of ~30 rows each) made
+      // listing + footer reads dominate the lookup at bench scale.
       graft.ml.Ann.bucketIds(embeddings(spark, dir))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "vec_id")
     }
-    spark.read.parquet(path)
+    spark.read.parquet(path).select("vec_id", "bucket")
   }
 
   /** The MATERIALIZED IVF coarse-quantizer assignment over `embeddings` —

@@ -27,6 +27,9 @@ class AnnIndexSpec extends AnyFunSuite {
     val df = SparkEntry.queries("emb_topk_lsh")(spark, dir)
     val p = plan(df)
     assert(p.contains("ann_buckets"), s"plan does not scan ann_buckets:\n$p")
+    // the query's L bucket keys arrive as a STATIC pushed In filter — file/
+    // row-group skipping at the scan, no runtime bucket join
+    assert(p.contains("In(bucket"), s"bucket In filter not pushed:\n$p")
     assert(new java.io.File(
       s"/root/repo/.graft-cache/${Catalog.cacheVersionTag}").exists())
     assert(df.count() == 10)
@@ -36,7 +39,9 @@ class AnnIndexSpec extends AnyFunSuite {
     val df = SparkEntry.queries("emb_topk_ivf")(spark, dir)
     val p = plan(df)
     assert(p.contains("ivf_cells"), s"plan does not scan ivf_cells:\n$p")
-    assert(df.count() == 10)
+    // probed cells are a static filter on the partition column → the scan
+    // touches |Probes| hive partitions (static partition pruning)
+    assert(p.contains("cell#") && df.count() == 10)
   }
 
   test("dedup_embcos reads the materialized bucket index on both join sides") {
