@@ -318,6 +318,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
         .orderBy("day", "event_type")),
     "ev_stream_daily" -> ((s, dir) => EventsIngest.dailyCountsOnce(s, dir)),
+    "ev_stream_dedup" -> ((s, dir) => EventsIngest.dedupDailyOnce(s, dir)),
+    // percentile-band derivation at ingest (discrete quantiles, §2.9 /
+    // ca-table.h:102-105) — produces the band-carrying index shape that
+    // ql_pct_bands / dump_pct consume downstream
+    "ingest_pct_derive" -> ((s, dir) =>
+      graft.ingest.Bands.deriveDaily(Catalog.events(s, dir))),
     // session windows (batch plan of the streaming-identical aggregation;
     // StreamingSpec pins stream == batch)
     "ev_sessions" -> ((s, dir) =>
@@ -686,6 +692,9 @@ object SparkEntry {
     "ev_stream_daily" -> ("""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
       count(*) AS cnt, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2""".replaceAll("\\s+", " ")),
+    "ev_stream_dedup" -> ("""SELECT DISTINCT user_id, event_type,
+      strftime(ts, '%Y-%m-%d') AS day FROM events""".replaceAll("\\s+", " ")),
+    "ingest_pct_derive" -> graft.ingest.Bands.oracleSql,
     // session_window mirror: new session when the gap from the previous event
     // (same user, microsecond precision — Spark's ts is nanos DIV 1000) is
     // ≥ 30 min; session_start = first event's epoch second

@@ -81,6 +81,36 @@ object EventsIngest {
   def sessionsStream(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     sessions(events.withWatermark("ts", "1 day"), gap)
 
+  /** Streaming exact dedup — one row per (user_id, event_type, day), emitted
+    * the first time the key is seen. `dropDuplicatesWithinWatermark` keys the
+    * state store on the dedup columns and the watermark expires a key's state
+    * once its day can no longer recur; all duplicates of a key fall inside
+    * that key's day, so expiry never re-admits one. The training-pipeline
+    * shape: exact dedup of an unbounded stream with BOUNDED state — at 100 TB
+    * the state store is key-partitioned and holds one entry per key, not the
+    * rows (vs. a plain dropDuplicates whose state grows forever). */
+  def dedupDaily(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withWatermark("ts", "2 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+      .select(col("user_id"), col("event_type"), col("day"))
+
+  /** One-shot streaming dedup over all available input (append mode — rows
+    * flow out in the micro-batch where their key is first seen). */
+  def dedupDailyOnce(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
+    val q = dedupDaily(stream(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** One-shot daily counts: run the windowed aggregation over all available
     * input (complete mode → in-memory sink) and return the result table.
     * This is the CORRECTNESS entry point — the same aggregation the batch

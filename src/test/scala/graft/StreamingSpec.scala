@@ -36,6 +36,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streaming dedup within watermark == batch distinct") {
+    // every duplicate of a (user, type, day) key lands inside that day, so
+    // watermark expiry never re-admits one — streaming == batch DISTINCT
+    val streamed = EventsIngest.dedupDailyOnce(spark, dir)
+    val batch = Catalog.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct()
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("session windows: streaming append == batch sessions (finalized subset)") {
     val out = Files.createTempDirectory("graft-stream-sess").toString
     val q = EventsIngest.sessionsStream(EventsIngest.stream(spark, dir))
