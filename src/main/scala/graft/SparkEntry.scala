@@ -335,6 +335,11 @@ object SparkEntry {
         .groupBy(md5(col("text")).as("text_hash"))
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
         .select("doc_id", "n_copies")),
+    // the composed corpus-prep chain (dedup → quality gate → language
+    // filter → token accounting) in ONE plan — the end-to-end shape a
+    // training-data job runs
+    "pipeline_clean_corpus" -> ((s, dir) =>
+      graft.ml.TextAnalysis.cleanCorpus(Catalog.documents(s, dir), 0.5, "en")),
     "dedup_minhash" -> ((s, dir) =>
       NearDup.nearDuplicates(Catalog.documents(s, dir), 0.6)),
     "dedup_simhash" -> ((s, dir) =>
@@ -712,6 +717,7 @@ object SparkEntry {
       FROM g GROUP BY user_id, sid""".replaceAll("\\s+", " ")),
     "dedup_exact" -> ("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
       FROM documents GROUP BY md5(text)""".replaceAll("\\s+", " ")),
+    "pipeline_clean_corpus" -> graft.ml.TextAnalysis.cleanCorpusSql(0.5, "en"),
     "dedup_minhash" -> NearDup.oracleSql(0.6),
     "dedup_simhash" -> NearDup.simHashOracleSql(),
     "dedup_embcos" -> Ann.nearDupCosSql(0.9),

@@ -17,24 +17,44 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "un"),
     "es" -> Seq("el", "la", "los", "y", "es", "un"))
 
+  // ---- shared signal expressions (one definition; quality/langId/
+  // regexTokens and the composed cleanCorpus all project the same columns) --
+  private def tokens: Column = split(col("text"), " ")
+  private def punctRatioCol: Column = {
+    val nChar = length(col("text"))
+    round((nChar - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+      .cast("double") / nChar, 4)
+  }
+  private def qualityCol: Column =
+    round(least(size(tokens).cast("double") / 100, lit(1.0)) *
+      (lit(1.0) - punctRatioCol), 4)
+  private def langPredCol: Column = {
+    val hits = langProfiles.zipWithIndex.map { case ((lang, words), i) =>
+      struct(size(filter(tokens, t => t.isin(words: _*))).as("hits"),
+        lit(-i).as("ord"), lit(lang).as("lang"))
+    }
+    when(greatest(hits: _*).getField("hits") === 0, "und")
+      .otherwise(greatest(hits: _*).getField("lang"))
+  }
+  private def regexTokensCol: Column =
+    size(regexp_extract_all(col("text"),
+      lit("[a-zA-Z0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+
   /** Quality signals: token count, mean token length, punctuation ratio,
     * stopword ratio, and a composite [0,1] score (longer docs with moderate
     * punctuation and some stopwords score higher — the usual cheap proxy
     * filters applied before expensive dedup at corpus scale). */
   def quality(docs: DataFrame): DataFrame = {
-    val tok = split(col("text"), " ")
+    val tok = tokens
     val nTok = size(tok)
     val nChar = length(col("text"))
-    val punct = nChar - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
     val stop = TextAnalysis.langProfiles.head._2 // en
     val nStop = size(filter(tok, t => t.isin(stop: _*)))
     val meanTokLen = round((nChar - (nTok - 1)).cast("double") / nTok, 4)
-    val punctRatio = round(punct.cast("double") / nChar, 4)
-    val stopRatio = round(nStop.cast("double") / nTok, 4)
     docs.select(col("doc_id"), nTok.as("n_tokens"), meanTokLen.as("mean_tok_len"),
-      punctRatio.as("punct_ratio"), stopRatio.as("stop_ratio"),
-      round(least(nTok.cast("double") / 100, lit(1.0)) * (lit(1.0) - punctRatio), 4)
-        .as("quality"))
+      punctRatioCol.as("punct_ratio"),
+      round(nStop.cast("double") / nTok, 4).as("stop_ratio"),
+      qualityCol.as("quality"))
   }
 
   /** Language-ID by stopword-profile hit counting with deterministic
@@ -42,22 +62,54 @@ object TextAnalysis {
     * profile hits). The real-corpus version swaps profiles for char-n-gram
     * tables; the operator shape — per-doc argmax over a broadcast profile
     * set — is identical. */
-  def langId(docs: DataFrame): DataFrame = {
-    val tok = split(col("text"), " ")
-    val hits = langProfiles.zipWithIndex.map { case ((lang, words), i) =>
-      struct(size(filter(tok, t => t.isin(words: _*))).as("hits"),
-        lit(-i).as("ord"), lit(lang).as("lang"))
-    }
-    docs.select(col("doc_id"),
-      when(greatest(hits: _*).getField("hits") === 0, "und")
-        .otherwise(greatest(hits: _*).getField("lang")).as("lang_pred"))
-  }
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), langPredCol.as("lang_pred"))
 
   /** Token counting with a BPE-ish regex (word runs vs single punctuation
     * marks) instead of whitespace split — the count a subword tokenizer's
     * pre-tokenizer would see. */
   def regexTokens(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      size(regexp_extract_all(col("text"), lit("[a-zA-Z0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
-        .as("n_regex_tokens"))
+    docs.select(col("doc_id"), regexTokensCol.as("n_regex_tokens"))
+
+  /** The composed corpus-prep pipeline a training-data job runs end-to-end:
+    * exact dedup (canonical copy = min doc_id per md5(text)), quality gate,
+    * language filter, subword-ish token accounting. All signals come out of
+    * ONE projection over the deduped docs — composing the per-signal
+    * DataFrames with joins would re-scan the corpus once per signal (the
+    * lazy-plan fan-out trap). The dedup is a groupBy on the hash plus a
+    * left-semi join back — both shuffles hash-partition on bounded keys, no
+    * all-pairs stage, so the chain survives 100 TB unchanged. */
+  def cleanCorpus(docs: DataFrame, minQuality: Double,
+      lang: String): DataFrame = {
+    val keep = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+    docs.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), langPredCol.as("lang_pred"),
+        regexTokensCol.as("n_regex_tokens"), qualityCol.as("quality"))
+      .filter(col("quality") >= minQuality && col("lang_pred") === lang)
+  }
+
+  /** DuckDB mirror of `cleanCorpus` over the `documents` view — each stage
+    * reuses the already-verified per-signal oracle expression verbatim. */
+  def cleanCorpusSql(minQuality: Double, lang: String): String =
+    s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |d AS (SELECT documents.* FROM documents JOIN keep USING (doc_id)),
+       |h AS (SELECT doc_id,
+       |  len(list_filter(string_split(text, ' '), t -> list_contains(['the','and','of','to','a','in','is'], t))) AS h_en,
+       |  len(list_filter(string_split(text, ' '), t -> list_contains(['der','die','das','und','ist','ein'], t))) AS h_de,
+       |  len(list_filter(string_split(text, ' '), t -> list_contains(['le','la','les','et','est','un'], t))) AS h_fr,
+       |  len(list_filter(string_split(text, ' '), t -> list_contains(['el','la','los','y','es','un'], t))) AS h_es,
+       |  len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS n_regex_tokens,
+       |  round(least(len(string_split(text, ' ')) * 1.0 / 100, 1.0) *
+       |    (1.0 - round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / len(text), 4)), 4) AS quality
+       |  FROM d),
+       |sig AS (SELECT doc_id, CASE
+       |    WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'und'
+       |    WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+       |    WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+       |    WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS lang_pred,
+       |  n_regex_tokens, quality FROM h)
+       |SELECT doc_id, lang_pred, n_regex_tokens, quality FROM sig
+       |WHERE quality >= $minQuality AND lang_pred = '$lang'
+       |""".stripMargin.replaceAll("\\s+", " ")
 }

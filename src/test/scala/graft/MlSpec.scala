@@ -149,6 +149,20 @@ class MlSpec extends AnyFunSuite {
     assert(out == Map(0L -> "en", 1L -> "de", 2L -> "und"))
   }
 
+  test("cleanCorpus: dedups, gates quality, filters language in one plan") {
+    val good = ((1 to 120).map(i => s"w$i") ++
+      Seq("the", "and", "of")).mkString(" ") // long, clean, English
+    val german = ((1 to 120).map(i => s"w$i") ++
+      Seq("der", "die", "und", "und")).mkString(" ")
+    val junk = "!!! ??? ***" // short + all punctuation → quality ~0
+    val docs = Seq((3L, good), (1L, good) /* dup, lower id wins */,
+      (5L, german), (7L, junk)).toDF("doc_id", "text")
+    val out = graft.ml.TextAnalysis.cleanCorpus(docs, 0.5, "en").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L)) // canonical English survivor
+    assert(out.head.getAs[Double]("quality") >= 0.5)
+    assert(out.head.getAs[Int]("n_regex_tokens") == 123)
+  }
+
   test("Multimodal: per-partition extraction computes real digests over bytes") {
     val docs = Seq((7L, "hello world"), (8L, "grüß")).toDF("doc_id", "text")
     val feats = Multimodal.documentFeatures(spark, docs).collect()
