@@ -52,6 +52,12 @@ object Bench {
           ((System.nanoTime() - t0) / 1e9, ok)
         }
         graft.util.Caches.drain()
+        // settle the heap between queries: without an explicit collection,
+        // a heavy query's garbage is collected DURING the next query's reps,
+        // billing its GC pauses to an innocent neighbor (observed 1.5-2.5×
+        // full-run swings on simhash/correlate that isolation can't
+        // reproduce)
+        System.gc()
         val okAll = times.forall(_._2)
         val median = times.map(_._1).sorted.apply(reps / 2)
         name -> (median, okAll)
