@@ -12,6 +12,11 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Spark 4 defaults, pinned because the 100 TB design leans on them:
+      // AQE re-plans shuffles at runtime (partition coalescing) and splits
+      // skewed join partitions — the engine's answer to hot keys (SCALE.md)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
