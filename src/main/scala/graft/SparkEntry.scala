@@ -350,6 +350,16 @@ object SparkEntry {
       Ann.nearDupCos(Catalog.embeddings(s, dir), Catalog.annBuckets(s, dir), 0.9)),
     "dedup_ngram" -> ((s, dir) =>
       NearDup.ngramJaccard(Catalog.documents(s, dir), 0.6, maxDf = 50)),
+    // duplicate-cluster resolution: connected components over the verified
+    // near-dup pair graph (pairwise output under-deletes transitive chains)
+    "dedup_clusters" -> ((s, dir) =>
+      graft.ml.Clusters.dedupClusters(Catalog.documents(s, dir), 0.6)),
+    "sample_stratified" -> ((s, dir) =>
+      graft.ml.CorpusOps.stratifiedSample(Catalog.documents(s, dir), "lang", 20)),
+    "vocab_topk" -> ((s, dir) =>
+      graft.ml.CorpusOps.vocabTopK(Catalog.documents(s, dir), 100)),
+    "decontaminate" -> ((s, dir) =>
+      graft.ml.CorpusOps.decontaminate(Catalog.documents(s, dir), 25L, 3)),
     "text_quality" -> ((s, dir) =>
       graft.ml.TextAnalysis.quality(Catalog.documents(s, dir))),
     "text_langid" -> ((s, dir) =>
@@ -722,6 +732,10 @@ object SparkEntry {
     "dedup_simhash" -> NearDup.simHashOracleSql(),
     "dedup_embcos" -> Ann.nearDupCosSql(0.9),
     "dedup_ngram" -> NearDup.ngramOracleSql(0.6, maxDf = 50),
+    "dedup_clusters" -> graft.ml.Clusters.oracleSql(0.6),
+    "sample_stratified" -> graft.ml.CorpusOps.stratifiedOracleSql("lang", 20),
+    "vocab_topk" -> graft.ml.CorpusOps.vocabOracleSql(100),
+    "decontaminate" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),
     "text_quality" -> ("""SELECT doc_id,
       len(string_split(text, ' ')) AS n_tokens,
       round((len(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')), 4) AS mean_tok_len,

@@ -1,0 +1,71 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: connected components over the verified
+  * near-dup pair graph, labeling every clustered document with the minimum
+  * doc_id of its component — the canonical survivor a dedup pass keeps.
+  * Pairwise near-dup output alone under-deletes: if A~B and B~C, the three
+  * docs are one duplicate cluster even though A~C never paired, so the keep
+  * set must come from components, not edges.
+  *
+  * Algorithm: iterative min-label propagation — each round every node adopts
+  * the smallest label among itself and its neighbors, converging in
+  * O(component diameter) rounds. Each round is two hash-partitioned shuffles
+  * on doc_id (join + groupBy), i.e. the hash-join formulation of MapReduce
+  * connected components; no component is ever collected to the driver, so
+  * the shape survives a 100 TB near-dup graph. Near-dup components are
+  * shallow (duplicate clusters are dense), so rounds stay small in practice.
+  * `localCheckpoint` truncates the per-round lineage — without it the plan
+  * doubles every iteration (the iterative-plan trap).
+  */
+object Clusters {
+
+  /** Connected components of the undirected pair graph.
+    * Input: (doc_a, doc_b, ...) candidate pairs. Output: (doc_id,
+    * cluster_id) for every doc appearing in a pair, cluster_id = component
+    * minimum. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    // symmetric edge set, cached: every iteration re-reads it, and the
+    // upstream pair pipeline (MinHash LSH + verify) must run exactly once
+    val edges = graft.util.Caches.track(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct().cache())
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      // smallest neighbor label per node; the symmetric edge set makes this
+      // total over the node set, so an inner join loses nothing
+      val nbr = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id")).agg(min("label").as("nbr"))
+      val next = labels.join(nbr, Seq("doc_id"))
+        .select(col("doc_id"), least(col("label"), col("nbr")).as("label"),
+          (col("nbr") < col("label")).as("moved"))
+        .localCheckpoint()
+      changed = next.filter(col("moved")).count()
+      labels = next.select("doc_id", "label")
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** dedup_clusters over `documents`: MinHash near-dup pairs → components. */
+  def dedupClusters(docs: DataFrame, minJaccard: Double): DataFrame =
+    connectedComponents(NearDup.nearDuplicates(docs, minJaccard))
+
+  /** DuckDB mirror: transitive closure by recursive CTE over the same
+    * verified pair set (NearDup.pairCtesSql), then component-min per node.
+    * The closure is quadratic per component — fine for an oracle at sf0.01,
+    * exactly what the Spark side must NOT do at scale. */
+  def oracleSql(minJaccard: Double): String =
+    s"""WITH RECURSIVE ${NearDup.pairCtesSql(minJaccard)},
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+       |          UNION SELECT doc_b, doc_a FROM dup),
+       |reach AS (SELECT a, b FROM edges
+       |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |FROM reach GROUP BY a""".stripMargin.replaceAll("\\s+", " ")
+}

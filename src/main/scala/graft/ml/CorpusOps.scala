@@ -1,0 +1,91 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators beyond dedup: stratified sampling, vocabulary
+  * statistics, and benchmark decontamination — the remaining verbs a
+  * training-data pipeline runs between raw corpus and tokenizer.
+  */
+object CorpusOps {
+
+  /** Deterministic stratified sample: the first `perStratum` docs per stratum
+    * in md5 hash order — the RANDOM_SAMPLE md5-order contract
+    * (/root/reference/src/query.cc:668-686's deterministic-order sampling
+    * idea) applied per stratum, so the sample is reproducible across runs
+    * and engines with no RNG state. Scale: Spark rewrites the rank-filter
+    * window into WindowGroupLimit (per-partition group top-N BEFORE the
+    * shuffle), so each executor forwards at most `perStratum` rows per
+    * stratum instead of sorting whole skewed strata — the difference between
+    * a bounded shuffle and sorting 60 TB of English. */
+  def stratifiedSample(docs: DataFrame, stratum: String,
+      perStratum: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(md5(concat(lit("smp:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    docs.select(col("doc_id"), col(stratum))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perStratum)
+      .select(col("doc_id"), col(stratum))
+  }
+
+  def stratifiedOracleSql(stratum: String, perStratum: Int): String =
+    s"""SELECT doc_id, $stratum FROM (
+       |  SELECT doc_id, $stratum, row_number() OVER (
+       |    PARTITION BY $stratum
+       |    ORDER BY md5('smp:' || doc_id), doc_id) AS rn
+       |  FROM documents) WHERE rn <= $perStratum""".stripMargin
+      .replaceAll("\\s+", " ")
+
+  /** Corpus vocabulary top-K by token frequency. One shuffle: the
+    * explode→groupBy count partial-aggregates map-side (each partition's
+    * token counts collapse before moving), and the global top-K is a
+    * TakeOrdered over the aggregated vocabulary, not a full sort. The
+    * (freq DESC, token ASC) order is total, so the K-boundary is
+    * deterministic across engines. */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token"))
+      .limit(k)
+
+  def vocabOracleSql(k: Int): String =
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |SELECT token, count(*) AS freq FROM t GROUP BY token
+       |ORDER BY freq DESC, token LIMIT $k""".stripMargin
+      .replaceAll("\\s+", " ")
+
+  /** Benchmark decontamination: count, per training doc, the distinct
+    * 3-word shingles it shares with the held-out benchmark set (docs with
+    * doc_id < benchMaxId); docs at or over `minOverlap` are contamination
+    * suspects a training pipeline must drop before the eval is meaningless.
+    * Scale shape: the benchmark side is small BY DEFINITION (eval suites are
+    * thousands of docs, not billions), so its distinct shingle set is
+    * broadcast and the corpus side streams through a map-side hash join +
+    * one bounded groupBy — no shuffle of the 100 TB side. */
+  def decontaminate(docs: DataFrame, benchMaxId: Long,
+      minOverlap: Int): DataFrame = {
+    val sh = NearDup.shingles(docs) // distinct shingles per doc
+    val bench = broadcast(
+      sh.filter(col("doc_id") < benchMaxId).select("shingle").distinct())
+    sh.filter(col("doc_id") >= benchMaxId)
+      .join(bench, Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  def decontaminateOracleSql(benchMaxId: Long, minOverlap: Int): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+       |    THEN list_transform(range(1, len(string_split(text,' '))-1),
+       |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+       |    ELSE [] END)) AS shingle
+       |  FROM documents),
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < $benchMaxId)
+       |SELECT s.doc_id AS doc_id, count(*) AS n_overlap
+       |FROM sh s JOIN bench USING (shingle)
+       |WHERE s.doc_id >= $benchMaxId
+       |GROUP BY s.doc_id HAVING count(*) >= $minOverlap""".stripMargin
+      .replaceAll("\\s+", " ")
+}

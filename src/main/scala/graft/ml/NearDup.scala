@@ -255,9 +255,11 @@ object NearDup {
        |""".stripMargin.replaceAll("\\s+", " ")
   }
 
-  /** The DuckDB mirror of nearDuplicates over the `documents` view. */
-  def oracleSql(minJaccard: Double): String =
-    s"""WITH sh AS (
+  /** CTE chain ending in `dup(doc_a, doc_b, jaccard)` — the verified MinHash
+    * near-dup pairs — exposed so downstream oracles (Clusters) can compose
+    * with it in one WITH list instead of duplicating the pipeline. */
+  def pairCtesSql(minJaccard: Double): String =
+    s"""sh AS (
        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
        |    THEN list_transform(range(1, len(string_split(text,' '))-1),
        |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
@@ -279,11 +281,16 @@ object NearDup {
        |  SELECT p.doc_a, p.doc_b, count(*) AS i
        |  FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a
        |               JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
-       |  GROUP BY p.doc_a, p.doc_b)
-       |SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
-       |       round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
-       |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
-       |             JOIN sizes sb ON sb.doc_id = i.doc_b
-       |WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= $minJaccard
-       |""".stripMargin.replaceAll("\\s+", " ")
+       |  GROUP BY p.doc_a, p.doc_b),
+       |dup AS (
+       |  SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
+       |         round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+       |  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+       |               JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= $minJaccard)""".stripMargin
+
+  /** The DuckDB mirror of nearDuplicates over the `documents` view. */
+  def oracleSql(minJaccard: Double): String =
+    s"WITH ${pairCtesSql(minJaccard)} SELECT doc_a, doc_b, jaccard FROM dup"
+      .replaceAll("\\s+", " ")
 }

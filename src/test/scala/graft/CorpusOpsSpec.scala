@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.ml.{Clusters, CorpusOps}
+
+class CorpusOpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("connectedComponents merges transitive chains and keeps islands apart") {
+    // chain 1-2, 2-3 (1~3 never paired) plus isolated pair 7-8
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val cc = Clusters.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connectedComponents converges on a long path (diameter > 2)") {
+    val pairs = (1L until 7L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Clusters.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 7 && cc.values.forall(_ == 1L))
+  }
+
+  test("dedupClusters resolves the planted A~B~C chain to one cluster") {
+    val base = (1 to 30).map(i => s"tok$i")
+    val a = base.mkString(" ")
+    val b = (base.dropRight(1) :+ "CHANGED").mkString(" ") // ~a
+    val c = (base.dropRight(2) ++ Seq("CHANGED", "MORE")).mkString(" ") // ~b
+    val other = (1 to 30).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((10L, a), (11L, b), (12L, c), (13L, other))
+      .toDF("doc_id", "text")
+    val cc = Clusters.dedupClusters(docs, 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.keySet.contains(10L) && cc.keySet.contains(11L))
+    assert(cc.values.toSet == Set(10L)) // every clustered doc labels to min
+    assert(!cc.keySet.contains(13L)) // the unrelated doc never enters a pair
+  }
+
+  test("stratifiedSample takes exactly min(n, |stratum|) per stratum, deterministically") {
+    val docs = ((1L to 9L).map(i => (i, "en")) ++ (20L to 22L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val s1 = CorpusOps.stratifiedSample(docs, "lang", 5).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val s2 = CorpusOps.stratifiedSample(docs, "lang", 5).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(s1 == s2) // hash order, no RNG state
+    assert(s1.count(_._2 == "en") == 5)
+    assert(s1.count(_._2 == "de") == 3) // stratum smaller than n: all of it
+  }
+
+  test("vocabTopK counts tokens with a total tie-break order") {
+    val docs = Seq((1L, "a b b c"), (2L, "b c c a")).toDF("doc_id", "text")
+    val top = CorpusOps.vocabTopK(docs, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // b and c both occur 3 times; token ASC breaks the tie
+    assert(top == Seq(("b", 3L), ("c", 3L)))
+  }
+
+  test("decontaminate flags only training docs sharing enough benchmark shingles") {
+    val leaked = (1 to 10).map(i => s"w$i").mkString(" ") // 8 shared shingles
+    val clean = (1 to 10).map(i => s"x$i").mkString(" ")
+    val docs = Seq((0L, leaked), (100L, leaked), (101L, clean))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.decontaminate(docs, benchMaxId = 50L, minOverlap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(100L -> 8L)) // benchmark doc 0 itself is never reported
+  }
+}
