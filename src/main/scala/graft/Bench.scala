@@ -62,20 +62,32 @@ object Bench {
         val median = times.map(_._1).sorted.apply(reps / 2)
         name -> (median, okAll)
       })
-    val qs = results.map { case (k, (sec, ok)) =>
-      "\"" + k + "\":" + (if (ok) sec.toString else s"""{"sec":$sec,"err":true}""")
+    // Two renderings of the same record:
+    //  - stdout gets a COMPACT line (seconds to 2 decimals, trailing zeros
+    //    stripped): the driver captures only the last 2000 chars of stdout,
+    //    and full-precision doubles pushed the line to 2.4k — BENCH_r05 and
+    //    _r06 both recorded "parsed": null because the head of the JSON fell
+    //    off the capture window. 2-decimal seconds keep 83 queries ≈ 1.8k.
+    //  - bench_last.json keeps full precision for offline analysis.
+    def compact(sec: Double): String = {
+      val s = f"$sec%.2f"
+      val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      if (t.isEmpty) "0" else t
+    }
+    def qsLine(fmt: Double => String): String = results.map { case (k, (sec, ok)) =>
+      "\"" + k + "\":" + (if (ok) fmt(sec) else s"""{"sec":${fmt(sec)},"err":true}""")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, (sec, true)) => sec }.sum
     val nErr = results.count(!_._2._2)
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"reps":$reps,"sf":"$sfDir"}"""
-    println(line)
-    // Also persist the line: the driver captures stdout tails, and r4's
+    def record(v: String, qs: String): String =
+      s"""{"metric":"total","value":$v,"unit":"sec","queries":$qs,"errors":$nErr,"reps":$reps,"sf":"$sfDir"}"""
+    println(record(compact(total), qsLine(compact)))
+    // Persist full precision: the driver captures stdout tails, and r4's
     // BENCH json lost its "metric":"total" prefix to truncation — a file
     // copy makes the full record recoverable (VERDICT r4 #3/wrong-5).
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_last.json")),
-      line + "\n")
+      record(total.toString, qsLine(_.toString)) + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

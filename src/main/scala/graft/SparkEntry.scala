@@ -345,9 +345,13 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       NearDup.simHashPairs(Catalog.documents(s, dir))),
     // reads the MATERIALIZED bucket index (Catalog.annBuckets) — the stored
-    // form of the LSH signatures, not a per-statement corpus scan
+    // form of the LSH signatures, not a per-statement corpus scan. Threshold
+    // 0.4 is fixture-driven: the synthetic embeddings' top pairwise cosine is
+    // ~0.51 at sf0.01, so 0.9 returned zero rows on BOTH sides and the entry
+    // passed vacuously (ADVICE r6) — 0.4 keeps the bucket join + re-rank
+    // path oracle-checked on a non-empty result.
     "dedup_embcos" -> ((s, dir) =>
-      Ann.nearDupCos(Catalog.embeddings(s, dir), Catalog.annBuckets(s, dir), 0.9)),
+      Ann.nearDupCos(Catalog.embeddings(s, dir), Catalog.annBuckets(s, dir), 0.4)),
     "dedup_ngram" -> ((s, dir) =>
       NearDup.ngramJaccard(Catalog.documents(s, dir), 0.6, maxDf = 50)),
     // duplicate-cluster resolution: connected components over the verified
@@ -730,7 +734,7 @@ object SparkEntry {
     "pipeline_clean_corpus" -> graft.ml.TextAnalysis.cleanCorpusSql(0.5, "en"),
     "dedup_minhash" -> NearDup.oracleSql(0.6),
     "dedup_simhash" -> NearDup.simHashOracleSql(),
-    "dedup_embcos" -> Ann.nearDupCosSql(0.9),
+    "dedup_embcos" -> Ann.nearDupCosSql(0.4),
     "dedup_ngram" -> NearDup.ngramOracleSql(0.6, maxDf = 50),
     "dedup_clusters" -> graft.ml.Clusters.oracleSql(0.6),
     "sample_stratified" -> graft.ml.CorpusOps.stratifiedOracleSql("lang", 20),

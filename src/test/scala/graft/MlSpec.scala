@@ -63,6 +63,23 @@ class MlSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((0L, 1L, 1.0)))
   }
 
+  test("embedding-cosine near-dup against a PERSISTED bucket index") {
+    // the entry path reads Catalog.annBuckets (parquet); round-trip the
+    // bucket table through parquet so the materialized form — not just the
+    // in-memory derivation — is what the candidate join consumes (ADVICE r6:
+    // the sf0.01 entry used to pass vacuously on 0 rows)
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(Ann.Dims)(rnd.nextGaussian().toFloat)
+    val v = vec()
+    val rows = Seq((0L, v), (1L, v.clone())) ++ (2L to 15L).map(i => (i, vec()))
+    val emb = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("bk").toString
+    Ann.bucketIds(emb).write.mode("overwrite").parquet(dir)
+    val pairs = Ann.nearDupCos(emb, spark.read.parquet(dir), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((0L, 1L, 1.0)))
+  }
+
   test("n-gram Jaccard: exact inverted-index dedup; df-cap bounds candidates") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val nearDup = ((1 to 29).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
