@@ -33,4 +33,13 @@ scalacOptions += "-deprecation"
 // sbt's "[success] Total time: ..." trailer eats ~90 of them. Suppress it
 // so the (compact) JSON line printed by graft.Bench fits the window.
 Global / showSuccess := false
+// Pass the forked JVM's stdout through UNPREFIXED: with the default
+// LoggedOutput strategy every println arrives as "[info] {...}", which a
+// strict line-based json.loads can never parse — BENCH_r01..r07 all
+// recorded "parsed": null even when the full JSON line sat inside the
+// capture window. StdoutOutput makes the child inherit sbt's own stdout/
+// stderr, so graft.Bench's JSON line reaches the driver byte-for-byte
+// (and Spark's stderr log noise stays on stderr instead of being
+// re-logged into stdout as "[error] ..." lines).
+outputStrategy := Some(StdoutOutput)
 Global / excludeLintKeys += showSuccess

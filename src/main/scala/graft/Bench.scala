@@ -21,6 +21,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
     val spark = GraftSession.local()
+    // Bench wants a byte-clean stdout: with build.sbt's StdoutOutput the
+    // child shares the driver's capture window, so even stray stderr WARNs
+    // (interleaved if the driver merges streams) must be minimized.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // Warmup: touch the hot paths once (ignore result + errors).
     for (w <- Seq("q1_pricing", "j2_and", "s1_keyword_leaf"))
@@ -69,26 +73,54 @@ object Bench {
     //    _r06 both recorded "parsed": null because the head of the JSON fell
     //    off the capture window. 2-decimal seconds keep 83 queries ≈ 1.8k.
     //  - bench_last.json keeps full precision for offline analysis.
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // under e.g. de_DE renders 0,49 — invalid JSON (ADVICE r7).
     def compact(sec: Double): String = {
-      val s = f"$sec%.2f"
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))
       val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
       if (t.isEmpty) "0" else t
     }
-    def qsLine(fmt: Double => String): String = results.map { case (k, (sec, ok)) =>
-      "\"" + k + "\":" + (if (ok) fmt(sec) else s"""{"sec":${fmt(sec)},"err":true}""")
-    }.mkString("{", ",", "}")
+    def qsLine(rs: Iterable[(String, (Double, Boolean))], fmt: Double => String): String =
+      rs.map { case (k, (sec, ok)) =>
+        "\"" + k + "\":" + (if (ok) fmt(sec) else s"""{"sec":${fmt(sec)},"err":true}""")
+      }.mkString("{", ",", "}")
     val total = results.collect { case (_, (sec, true)) => sec }.sum
     val nErr = results.count(!_._2._2)
-    def record(v: String, qs: String): String =
-      s"""{"metric":"total","value":$v,"unit":"sec","queries":$qs,"errors":$nErr,"reps":$reps,"sf":"$sfDir"}"""
-    println(record(compact(total), qsLine(compact)))
+    def record(v: String, qs: String, omitted: Int): String = {
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":$v,"unit":"sec","queries":$qs$om,"errors":$nErr,"reps":$reps,"sf":"$sfDir"}"""
+    }
+    // Length guard (ADVICE r7): the driver captures only the last 2000
+    // chars of stdout. Keep the line ≤1700 so it survives even with some
+    // trailing noise in the window — if the full per-query map is too
+    // long, drop the FASTEST queries first (the slow ones are what perf
+    // grading needs) and say how many were omitted.
+    val line: String = {
+      val fullLine = record(compact(total), qsLine(results, compact), 0)
+      if (fullLine.length <= 1700) fullLine
+      else {
+        val bySlowest = results.toSeq.sortBy { case (_, (sec, ok)) => (ok, -sec) }
+        val keep = Iterator.range(bySlowest.size, 0, -1).map { n =>
+          val kept = bySlowest.take(n).sortBy(_._1)
+          record(compact(total), qsLine(kept, compact), results.size - n)
+        }.find(_.length <= 1700).getOrElse(record(compact(total), "{}", results.size))
+        keep
+      }
+    }
+    println(line)
+    System.out.flush()
     // Persist full precision: the driver captures stdout tails, and r4's
     // BENCH json lost its "metric":"total" prefix to truncation — a file
     // copy makes the full record recoverable (VERDICT r4 #3/wrong-5).
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_last.json")),
-      record(total.toString, qsLine(_.toString)) + "\n")
+      record(total.toString, qsLine(results, _.toString), 0) + "\n")
     catch { case _: Throwable => () }
-    spark.stop()
+    try spark.stop() catch { case _: Throwable => () }
+    // Re-print as the ABSOLUTE last stdout line: if anything (a shutdown
+    // WARN, an sbt trailer on a merged stream) landed after the first
+    // print, the driver's tail window still ends in clean JSON.
+    println(line)
+    System.out.flush()
   }
 }
