@@ -352,6 +352,11 @@ object SparkEntry {
     // path oracle-checked on a non-empty result.
     "dedup_embcos" -> ((s, dir) =>
       Ann.nearDupCos(Catalog.embeddings(s, dir), Catalog.annBuckets(s, dir), 0.4)),
+    // realistic-threshold variant (ADVICE r7): deterministic planted
+    // near-dups (cos ≈ 0.9988) let the 0.9 threshold return non-vacuous,
+    // oracle-checked rows — the corpus itself has no genuine near-dups
+    "dedup_embcos_real" -> ((s, dir) =>
+      Ann.nearDupCosPlanted(Catalog.embeddings(s, dir), 0.9, 50)),
     "dedup_ngram" -> ((s, dir) =>
       NearDup.ngramJaccard(Catalog.documents(s, dir), 0.6, maxDf = 50)),
     // duplicate-cluster resolution: connected components over the verified
@@ -735,6 +740,7 @@ object SparkEntry {
     "dedup_minhash" -> NearDup.oracleSql(0.6),
     "dedup_simhash" -> NearDup.simHashOracleSql(),
     "dedup_embcos" -> Ann.nearDupCosSql(0.4),
+    "dedup_embcos_real" -> Ann.nearDupCosPlantedSql(0.9, 50),
     "dedup_ngram" -> NearDup.ngramOracleSql(0.6, maxDf = 50),
     "dedup_clusters" -> graft.ml.Clusters.oracleSql(0.6),
     "sample_stratified" -> graft.ml.CorpusOps.stratifiedOracleSql("lang", 20),

@@ -252,8 +252,58 @@ object Ann {
   def nearDupCos(emb: DataFrame, minCos: Double): DataFrame =
     nearDupCos(emb, graft.util.Caches.track(bucketIds(emb).cache()), minCos)
 
+  /** Planted-variant vec_ids live `PlantOffset` above their source row. */
+  val PlantOffset = 1000000L
+
+  /** Deterministic near-duplicate augmentation (ADVICE r7): the synthetic
+    * corpus' top pairwise cosine is ~0.51, so realistic near-dup thresholds
+    * returned empty on both engines and could only be exercised with a
+    * fixture-driven 0.4. Every `every`-th vector gets a planted variant —
+    * first Dims/2 components scaled by 1.1 → cosine ≈ 0.9988 against its
+    * source — under vec_id + PlantOffset. Embeddings are widened
+    * float→double BEFORE perturbing so the arithmetic is bit-identical to
+    * the DuckDB mirror's DOUBLE[] math. */
+  def plantedCorpus(emb: DataFrame, every: Int): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val half = Dims / 2
+    val planted = e.filter(col("vec_id") % every === 0)
+      .select((col("vec_id") + PlantOffset).as("vec_id"),
+        concat(
+          transform(slice(col("embedding"), 1, half), x => x * lit(1.1)),
+          slice(col("embedding"), half + 1, Dims - half)).as("embedding"))
+    e.unionAll(planted)
+  }
+
+  /** nearDupCos at a REALISTIC threshold (0.9+) over the planted corpus:
+    * demonstrates genuine near-dup recall — each planted pair collides in
+    * ≥1 LSH table with p ≈ 0.9999 at cos 0.9988 — while staying fully
+    * oracle-checked (the mirror plants the same variants). */
+  def nearDupCosPlanted(emb: DataFrame, minCos: Double, every: Int): DataFrame =
+    nearDupCos(plantedCorpus(emb, every), minCos)
+
   /** DuckDB mirror of nearDupCos over the `embeddings` view. */
-  def nearDupCosSql(minCos: Double): String = {
+  def nearDupCosSql(minCos: Double): String =
+    nearDupCosSqlFrom(
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings",
+      minCos)
+
+  /** DuckDB mirror of nearDupCosPlanted: same source augmentation (double
+    * widening FIRST, then the 1.1 half-scale) so cosines are bit-identical. */
+  def nearDupCosPlantedSql(minCos: Double, every: Int): String = {
+    val half = Dims / 2
+    val base = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings"
+    val src =
+      s"""SELECT vec_id, emb FROM ($base)
+         | UNION ALL
+         | SELECT vec_id + $PlantOffset AS vec_id,
+         |   list_concat(list_transform(emb[1:$half], x -> x * 1.1),
+         |               emb[${half + 1}:$Dims]) AS emb
+         | FROM ($base) WHERE vec_id % $every = 0""".stripMargin
+    nearDupCosSqlFrom(src, minCos)
+  }
+
+  private def nearDupCosSqlFrom(srcSql: String, minCos: Double): String = {
     def sigExpr(src: String): Seq[String] = (0 until Tables).map { t =>
       (0 until Bits).map { b =>
         s"(CASE WHEN list_dot_product($src, ${planeSql(planes(t * Bits + b))}) >= 0 THEN '1' ELSE '0' END)"
@@ -262,7 +312,7 @@ object Ann {
     val sigs = sigExpr("e.emb").zipWithIndex
       .map { case (s, t) => s"$s AS sig$t" }.mkString(", ")
     val cond = (0 until Tables).map(t => s"x.sig$t = y.sig$t").mkString(" OR ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""WITH e AS ($srcSql),
        |es AS (SELECT e.vec_id, e.emb, $sigs FROM e),
        |p AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
        |        round(list_dot_product(x.emb, y.emb) /

@@ -73,11 +73,20 @@ class MlSpec extends AnyFunSuite {
     val v = vec()
     val rows = Seq((0L, v), (1L, v.clone())) ++ (2L to 15L).map(i => (i, vec()))
     val emb = rows.toDF("vec_id", "embedding")
-    val dir = java.nio.file.Files.createTempDirectory("bk").toString
-    Ann.bucketIds(emb).write.mode("overwrite").parquet(dir)
-    val pairs = Ann.nearDupCos(emb, spark.read.parquet(dir), 0.9)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(pairs.toSeq == Seq((0L, 1L, 1.0)))
+    val dirPath = java.nio.file.Files.createTempDirectory("bk")
+    try {
+      val dir = dirPath.toString
+      Ann.bucketIds(emb).write.mode("overwrite").parquet(dir)
+      val pairs = Ann.nearDupCos(emb, spark.read.parquet(dir), 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.toSeq == Seq((0L, 1L, 1.0)))
+    } finally {
+      // don't leak a parquet directory per test run (ADVICE r7)
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach((p: Path) => Files.deleteIfExists(p))
+    }
   }
 
   test("n-gram Jaccard: exact inverted-index dedup; df-cap bounds candidates") {
