@@ -319,6 +319,9 @@ object SparkEntry {
         .orderBy("day", "event_type")),
     "ev_stream_daily" -> ((s, dir) => EventsIngest.dailyCountsOnce(s, dir)),
     "ev_stream_dedup" -> ((s, dir) => EventsIngest.dedupDailyOnce(s, dir)),
+    // custom-state streaming (§2.10): flatMapGroupsWithState per-user
+    // profile; final per-user update == the batch lifetime aggregate
+    "ev_user_profile" -> ((s, dir) => EventsIngest.userProfilesOnce(s, dir)),
     // percentile-band derivation at ingest (discrete quantiles, §2.9 /
     // ca-table.h:102-105) — produces the band-carrying index shape that
     // ql_pct_bands / dump_pct consume downstream
@@ -718,6 +721,11 @@ object SparkEntry {
       FROM events GROUP BY 1, 2""".replaceAll("\\s+", " ")),
     "ev_stream_dedup" -> ("""SELECT DISTINCT user_id, event_type,
       strftime(ts, '%Y-%m-%d') AS day FROM events""".replaceAll("\\s+", " ")),
+    "ev_user_profile" -> ("""SELECT user_id,
+      min(epoch_ns(ts) // 1000000000) AS first_sec,
+      max(epoch_ns(ts) // 1000000000) AS last_sec,
+      count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY user_id""".replaceAll("\\s+", " ")),
     "ingest_pct_derive" -> graft.ingest.Bands.oracleSql,
     // session_window mirror: new session when the gap from the previous event
     // (same user, microsecond precision — Spark's ts is nanos DIV 1000) is

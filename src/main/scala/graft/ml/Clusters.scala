@@ -33,8 +33,14 @@ object Clusters {
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .distinct().cache())
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+    // seed with min(self, direct neighbors) — one aggregation over the edge
+    // set (same shuffle cost as the plain distinct it replaces) that already
+    // IS the fixpoint for clique-shaped components, which near-dup clusters
+    // overwhelmingly are: the loop then just verifies convergence in one
+    // round instead of propagating + verifying in two
+    var labels = edges.groupBy("src").agg(min("dst").as("m"))
+      .select(col("src").as("doc_id"), least(col("src"), col("m")).as("label"))
+      .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       // smallest neighbor label per node; the symmetric edge set makes this

@@ -111,6 +111,73 @@ object EventsIngest {
     spark.table(name)
   }
 
+  /** Per-user lifetime profile state: first/last event second, event count,
+    * raw value sum. Merging an event is commutative and associative, so the
+    * emitted profile is independent of micro-batch slicing and intra-batch
+    * row order — which is what makes the stream output oracle-checkable. */
+  case class UserProfile(first: Long, last: Long, n: Long, sum: Double)
+
+  /** §2.10's custom-state shape — `flatMapGroupsWithState` with an arbitrary
+    * case-class state per key, for stateful logic the built-in aggregations
+    * don't express (the running profile must SURVIVE across micro-batches
+    * and re-emit its updated value each time the user appears). Update mode:
+    * each micro-batch emits one refreshed profile row per user seen in it.
+    *
+    * Scale: state is hash-partitioned by user_id in the state store — 4
+    * fields per user, not the events — so 100 TB of events costs O(users)
+    * state. NoTimeout because the profile is lifetime-scoped; a deployment
+    * bounding state would set `GroupStateTimeout.EventTimeTimeout` and drop
+    * users idle past the watermark. Works identically over a batch Dataset
+    * (Spark runs the same function once per key), which is what the
+    * stream == batch spec pins. */
+  def userProfiles(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserProfile, (Long, Long, Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Double)],
+         state: GroupState[UserProfile]) =>
+          var s = state.getOption
+            .getOrElse(UserProfile(Long.MaxValue, Long.MinValue, 0L, 0.0))
+          rows.foreach { case (_, sec, v) =>
+            s = UserProfile(math.min(s.first, sec), math.max(s.last, sec),
+              s.n + 1, s.sum + v)
+          }
+          state.update(s)
+          Iterator((uid, s.first, s.last, s.n, s.sum))
+      }
+      .toDF("user_id", "first_sec", "last_sec", "n_events", "sum_value")
+      // raw sum in state, rounding only at the emission edge (the repo's
+      // float-output contract: round double sums to 2 decimals both sides)
+      .withColumn("sum_value", round(col("sum_value"), 2))
+  }
+
+  /** One-shot profile stream: run userProfiles over all available input in
+    * Update mode (memory sink accumulates every per-batch update), then keep
+    * each user's LAST update — n_events strictly grows per update, so the
+    * max-n row is the final state. The kept set equals the batch
+    * groupBy(user_id) aggregate. */
+  def userProfilesOnce(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val name = s"graft_stream_prof_${runId.incrementAndGet()}"
+    val q = userProfiles(stream(spark, dir))
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(desc("n_events"))))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   /** One-shot daily counts: run the windowed aggregation over all available
     * input (complete mode → in-memory sink) and return the result table.
     * This is the CORRECTNESS entry point — the same aggregation the batch

@@ -36,6 +36,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("custom-state user profiles: final stream update == batch aggregate") {
+    // flatMapGroupsWithState merges events commutatively, so each user's
+    // LAST emitted update must equal the batch lifetime groupBy regardless
+    // of micro-batch slicing
+    val streamed = EventsIngest.userProfilesOnce(spark, dir)
+    val batch = Catalog.events(spark, dir)
+      .groupBy("user_id")
+      .agg(min(unix_timestamp(col("ts"))).as("first_sec"),
+        max(unix_timestamp(col("ts"))).as("last_sec"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("streaming dedup within watermark == batch distinct") {
     // every duplicate of a (user, type, day) key lands inside that day, so
     // watermark expiry never re-admits one — streaming == batch DISTINCT
