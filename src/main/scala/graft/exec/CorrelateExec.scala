@@ -366,8 +366,16 @@ object CorrelateExec {
     // tracked so the presenter can release them post-materialization
     val setA = graft.util.Caches.track(pa.select("off").cache())
     val setB = graft.util.Caches.track(pb.select("off").cache())
-    val nA = setA.count()
-    val nB = setB.count()
+    // ONE action for both set sizes: the union materializes both caches in
+    // the same job, so the A and B compile pipelines run concurrently across
+    // the executor cores instead of as two sequential job waves (the B side
+    // embeds a subtract against A, but its scan/dedup stages still overlap
+    // A's)
+    val counts = setA.groupBy().count().withColumn("s", lit("a"))
+      .unionAll(setB.groupBy().count().withColumn("s", lit("b")))
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    val nA = counts.getOrElse("a", 0L)
+    val nB = counts.getOrElse("b", 0L)
     if (nA == 0 || nB == 0)
       return spark.emptyDataset[(String, Double, Double, Double, Long, Long)]
         .toDF("key", "min_score", "max_score", "log_odds", "cnt_a", "cnt_b")
