@@ -7,7 +7,7 @@ import graft.exec.{CorrelateExec, QueryExec, SelectExec}
 import graft.ingest.Merge
 import graft.ml.{Ann, Multimodal, NearDup}
 import graft.model.{Catalog, Tables}
-import graft.operators.PostingAlgebra
+import graft.operators.{PostingAlgebra, TimeSeriesOps}
 import graft.operators.PostingAlgebra._
 import graft.streaming.EventsIngest
 
@@ -331,6 +331,56 @@ object SparkEntry {
     // StreamingSpec pins stream == batch)
     "ev_sessions" -> ((s, dir) =>
       EventsIngest.sessions(Catalog.events(s, dir))),
+
+    // ---- Time-series operators (union+window as-of, per-key grid gap-fill,
+    // bucketized date-range join, OHLC downsample) ----
+    // latest 'view' at-or-before each 'purchase', per user — one hash
+    // exchange on user_id, no range cross-product
+    "ts_asof" -> ((s, dir) => {
+      val ev = Catalog.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      TimeSeriesOps.asofJoin(p, v, "user_id", "ts", Seq("value"))
+        .select(col("user_id"),
+          unix_micros(col("ts")).as("p_us"), col("value").as("p_value"),
+          unix_micros(col("r_ts")).as("v_us"), col("r_value").as("v_value"))
+    }),
+    // per-user daily purchase series resampled to a dense daily grid,
+    // missing days forward-filled from the last observation
+    "ts_gapfill" -> ((s, dir) => {
+      val d = Catalog.events(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("v"))
+      TimeSeriesOps.gapFillDaily(d, "user_id", "day", "v")
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("v"), col("filled"))
+    }),
+    // shipments landing inside each high-value order's first week — the
+    // BETWEEN predicate rides a co-partitioned bucket equi-join, so the
+    // 60k-row (6 B at scale) point side is never broadcast or duplicated
+    "range_join_days" -> ((s, dir) => {
+      val o = Catalog.table(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d0"),
+          date_add(to_date(col("o_orderdate")), 7).as("d1"))
+      val l = Catalog.table(s, dir, "lineitem")
+        .select(to_date(col("l_shipdate")).as("sd"))
+      TimeSeriesOps.rangeJoinDays(o, "d0", "d1", l, "sd", bucketDays = 7)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))
+    }),
+    // OHLC downsample: one partial-aggregating groupBy; min_by/max_by pick
+    // exact input values (no arithmetic), deterministic because
+    // (event_type, ts) is unique in the fixture
+    "ts_ohlc" -> ((s, dir) =>
+      Catalog.events(s, dir)
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(min_by(col("value"), col("ts")).as("open"),
+          max("value").as("high"), min("value").as("low"),
+          max_by(col("value"), col("ts")).as("close"))),
 
     // ---- LLM-pipeline: dedup / text analysis / similarity / multimodal ----
     "dedup_exact" -> ((s, dir) =>
@@ -727,6 +777,36 @@ object SparkEntry {
       count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM events GROUP BY user_id""".replaceAll("\\s+", " ")),
     "ingest_pct_derive" -> graft.ingest.Bands.oracleSql,
+    // DuckDB's native ASOF JOIN is the oracle for the union+window plan;
+    // deterministic because (user_id, ts) is unique in the fixture
+    "ts_asof" -> ("""SELECT p.user_id AS user_id, epoch_us(p.ts) AS p_us,
+      p.value AS p_value, epoch_us(v.ts) AS v_us, v.value AS v_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts""".replaceAll("\\s+", " ")),
+    "ts_gapfill" -> ("""WITH d AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      b AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+      g AS (SELECT user_id,
+              unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+            FROM b),
+      j AS (SELECT g.user_id, g.day, d.v FROM g
+            LEFT JOIN d ON d.user_id = g.user_id AND d.day = g.day)
+      SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+          ROWS UNBOUNDED PRECEDING) AS v,
+        v IS NULL AS filled
+      FROM j""".replaceAll("\\s+", " ")),
+    "range_join_days" -> ("""SELECT o.o_orderkey AS o_orderkey, count(*) AS cnt
+      FROM orders o JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+      AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+      WHERE o.o_totalprice > 450000 GROUP BY 1""".replaceAll("\\s+", " ")),
+    "ts_ohlc" -> ("""SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+      arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2""".replaceAll("\\s+", " ")),
     // session_window mirror: new session when the gap from the previous event
     // (same user, microsecond precision — Spark's ts is nanos DIV 1000) is
     // ≥ 30 min; session_start = first event's epoch second

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series relational operators the reference's time-series mode implies
+  * but Spark lacks as built-ins: as-of join, gap-fill/forward-fill resample,
+  * and bounded date-range join. (Reference context: time-series tables keyed
+  * by (key, offset-seconds) — src/ca-table.h:96-105, ca-dump.cc:332-400 —
+  * are exactly the shape these operators consume downstream.)
+  *
+  * All three are formulated for the 100 TB case: each is a constant number of
+  * hash shuffles on the series key (or bucket id), no broadcast of a big
+  * side, no per-key cross-product, and everything between the exchanges
+  * stays in whole-stage codegen.
+  */
+object TimeSeriesOps {
+
+  /** As-of join: for every left row, attach the single latest right row of
+    * the same `key` with `right.ts <= left.ts` (nulls when no such row).
+    *
+    * Implemented as a tagged UNION + one running-window scan per key — the
+    * scale-correct distributed as-of: ONE hash exchange on `key`, a
+    * per-partition sort on (ts, side), and a `last(..., ignoreNulls)` carry.
+    * A join-based formulation (range theta-join, or equi-join + filter +
+    * re-rank) expands O(|L|·|R|) per key before pruning and dies on skewed
+    * keys; this one is linear in |L|+|R| per key.
+    *
+    * Right rows sorting at side 0 makes a right row with ts equal to a left
+    * row's visible to it ("<=", not "<"). Ties between two RIGHT rows at the
+    * same (key, ts) are resolved arbitrarily — pre-dedup the right side if
+    * its (key, ts) is not unique.
+    *
+    * Output: all left columns, plus `r_ts` and `r_<c>` for each carry column.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               carry: Seq[String]): DataFrame = {
+    val rTagged = right
+      .select(col(key) +: col(ts) +: carry.map(c => col(c).as(s"r_$c")): _*)
+      .withColumn("r_ts", col(ts))
+      .withColumn("_side", lit(0))
+    val lTagged = left.withColumn("_side", lit(1))
+    val matched = "r_ts" +: carry.map(c => s"r_$c")
+    val w = Window.partitionBy(key).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    matched
+      .foldLeft(lTagged.unionByName(rTagged, allowMissingColumns = true)) {
+        (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+      .filter(col("_side") === 1)
+      .select(left.columns.map(col) ++ matched.map(col): _*)
+  }
+
+  /** Daily resample with forward fill: `series` (key, day: DateType, v) →
+    * one row per key per calendar day between that key's min and max day;
+    * days with no observation carry the previous day's value, flagged
+    * `filled`. The grid explode is bounded by each key's own span (never a
+    * global min–max cross-product), and both the bounds aggregate and the
+    * fill window hash-partition on `key` alone, so the plan is two
+    * exchanges regardless of data volume.
+    */
+  def gapFillDaily(series: DataFrame, key: String, day: String,
+                   v: String): DataFrame = {
+    val grid = series.groupBy(key)
+      .agg(min(col(day)).as("_d0"), max(col(day)).as("_d1"))
+      .select(col(key),
+        explode(sequence(col("_d0"), col("_d1"), expr("interval 1 day")))
+          .as(day))
+    val w = Window.partitionBy(key).orderBy(day)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(series, Seq(key, day), "left")
+      .withColumn("filled", col(v).isNull)
+      .withColumn(v, last(col(v), ignoreNulls = true).over(w))
+  }
+
+  /** Date-range join via fixed-width bucketing: returns every (range row,
+    * point row) pair with `startDay <= pDay < endDayExcl` (dates, end
+    * exclusive). The non-equi BETWEEN predicate rides on an equi-join over
+    * bucket ids: the RANGE side explodes into the O(span/width) buckets it
+    * overlaps, while the (usually much larger) POINT side keeps exactly one
+    * bucket per row — no point row is ever duplicated, and the shuffle is a
+    * plain hash partition on the bucket id. This is the standard rewrite
+    * that turns an O(|R|·|P|) theta-join (a broadcast-nested-loop in stock
+    * Spark) into a co-partitioned equi-join; pick `bucketDays` near the
+    * typical range span so ranges explode into ~2 buckets.
+    */
+  def rangeJoinDays(ranges: DataFrame, startDay: String, endDayExcl: String,
+                    points: DataFrame, pDay: String,
+                    bucketDays: Int = 7): DataFrame = {
+    val rb = ranges.withColumn("_b",
+      explode(sequence(
+        floor(unix_date(col(startDay)) / bucketDays),
+        floor((unix_date(col(endDayExcl)) - 1) / bucketDays))))
+    val pb = points.withColumn("_b",
+      floor(unix_date(col(pDay)) / bucketDays))
+    rb.join(pb,
+        rb("_b") === pb("_b") &&
+          col(pDay) >= col(startDay) && col(pDay) < col(endDayExcl))
+      .drop("_b")
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeriesOps
+
+/** Semantics + plan-shape pins for the time-series operators. */
+class TimeSeriesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("asofJoin: latest right <= left, inclusive at equal ts, null before first") {
+    val left = Seq((1L, 10L, "p10"), (1L, 20L, "p20"), (1L, 5L, "p5"),
+                   (2L, 10L, "q10")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (2L, 11L, 9.0))
+      .toDF("k", "ts", "v")
+    val got = TimeSeriesOps.asofJoin(left, right, "k", "ts", Seq("v"))
+      .select("k", "ts", "tag", "r_ts", "r_v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toSet
+    assert(got === Set(
+      (1L, 5L, "p5", -1L, -1.0),       // before any right row
+      (1L, 10L, "p10", 10L, 1.0),      // equal ts IS visible (<=)
+      (1L, 20L, "p20", 15L, 2.0),      // latest wins, not first
+      (2L, 10L, "q10", -1L, -1.0)))    // other key's rows don't leak
+  }
+
+  test("asofJoin matches per-row naive computation on random data") {
+    val rnd = new scala.util.Random(42)
+    val ls = Seq.fill(300)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      .distinct.map { case (k, t) => (k, t, t.toDouble) }
+    val rs = Seq.fill(200)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      .distinct.map { case (k, t) => (k, t, t * 10.0) }
+    val got = TimeSeriesOps.asofJoin(
+        ls.toDF("k", "ts", "lv"), rs.toDF("k", "ts", "rv"), "k", "ts", Seq("rv"))
+      .select("k", "ts", "r_ts").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    for ((k, t, _) <- ls) {
+      val want = rs.filter(r => r._1 == k && r._2 <= t)
+        .map(_._2).maxOption
+      assert(got((k, t)) === want, s"key=$k ts=$t")
+    }
+  }
+
+  test("gapFillDaily: dense per-key grid, forward fill, filled flags") {
+    val s = Seq((1L, "2024-01-01", 5.0), (1L, "2024-01-04", 7.0),
+                (2L, "2024-01-02", 3.0))
+      .toDF("k", "d", "v").select($"k", to_date($"d").as("d"), $"v")
+    val got = TimeSeriesOps.gapFillDaily(s, "k", "d", "v")
+      .select($"k", date_format($"d", "yyyy-MM-dd").as("d"), $"v", $"filled")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    assert(got === Set(
+      (1L, "2024-01-01", 5.0, false),
+      (1L, "2024-01-02", 5.0, true),   // carried forward
+      (1L, "2024-01-03", 5.0, true),
+      (1L, "2024-01-04", 7.0, false),
+      (2L, "2024-01-02", 3.0, false))) // singleton span: no synthesis
+  }
+
+  test("rangeJoinDays == naive theta join, invariant to bucket width") {
+    val rnd = new scala.util.Random(7)
+    val ranges = (1 to 40).map { i =>
+      val d0 = rnd.nextInt(60)
+      (i.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d0)),
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d0 + 1 + rnd.nextInt(10))))
+    }.toDF("rid", "d0", "d1")
+    val points = (1 to 500).map { i =>
+      (i.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(rnd.nextInt(70))))
+    }.toDF("pid", "pd")
+    val naive = ranges.join(points, $"pd" >= $"d0" && $"pd" < $"d1")
+      .select("rid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (width <- Seq(1, 7, 30)) {
+      val got = TimeSeriesOps.rangeJoinDays(ranges, "d0", "d1", points, "pd", width)
+        .select("rid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === naive, s"bucketDays=$width")
+    }
+  }
+
+  test("rangeJoinDays plans as an equi-join on the bucket id, not a nested loop") {
+    val ranges = Seq((1L, java.sql.Date.valueOf("2024-01-01"),
+      java.sql.Date.valueOf("2024-01-08"))).toDF("rid", "d0", "d1")
+    val points = Seq((1L, java.sql.Date.valueOf("2024-01-03"))).toDF("pid", "pd")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable broadcast so a non-equi join would surface as CartesianProduct /
+    // BroadcastNestedLoopJoin rather than being hidden by a tiny-side BHJ
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = TimeSeriesOps.rangeJoinDays(ranges, "d0", "d1", points, "pd")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"range join fell back to a cross product:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join on the bucket id:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
