@@ -28,6 +28,12 @@ object SparkEntry {
   private val SUMMC = Catalog.summariesSql.stripPrefix("WITH ")
   private val OVR = Catalog.overridesSql
 
+  /** Mixture-sampling target composition: fractions of `MixtureTotal` drawn
+    * per source (same constants embedded in the oracle SQL). */
+  private val MixtureWeights: Seq[(String, Double)] =
+    Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+  private val MixtureTotal = 80
+
   /** Flagship: the full statement path on sf0.001 — parse, compile, execute,
     * fetch summaries with override overlay. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
@@ -418,6 +424,18 @@ object SparkEntry {
       graft.ml.Clusters.dedupClusters(Catalog.documents(s, dir), 0.6)),
     "sample_stratified" -> ((s, dir) =>
       graft.ml.CorpusOps.stratifiedSample(Catalog.documents(s, dir), "lang", 20)),
+    // data-mixing draw: per-source quotas from target fractions, filled in
+    // deterministic md5 order (WindowGroupLimit-bounded rank, see CorpusOps)
+    "sample_mixture" -> ((s, dir) =>
+      graft.ml.CorpusOps.mixtureSample(Catalog.documents(s, dir),
+        MixtureWeights, MixtureTotal)),
+    // Gopher-style intra-doc repetition signals (top-bigram share, repeated
+    // trigram share) — the boilerplate filter before dedup
+    "text_repetition" -> ((s, dir) =>
+      graft.ml.TextAnalysis.repetition(Catalog.documents(s, dir))),
+    // per-doc top-3 tf-idf terms over exact corpus document frequencies
+    "tfidf_topterms" -> ((s, dir) =>
+      graft.ml.CorpusOps.tfidfTopTerms(Catalog.documents(s, dir), 3)),
     "vocab_topk" -> ((s, dir) =>
       graft.ml.CorpusOps.vocabTopK(Catalog.documents(s, dir), 100)),
     "decontaminate" -> ((s, dir) =>
@@ -832,6 +850,9 @@ object SparkEntry {
     "dedup_ngram" -> NearDup.ngramOracleSql(0.6, maxDf = 50),
     "dedup_clusters" -> graft.ml.Clusters.oracleSql(0.6),
     "sample_stratified" -> graft.ml.CorpusOps.stratifiedOracleSql("lang", 20),
+    "sample_mixture" -> graft.ml.CorpusOps.mixtureOracleSql(MixtureWeights, MixtureTotal),
+    "text_repetition" -> graft.ml.TextAnalysis.repetitionOracleSql,
+    "tfidf_topterms" -> graft.ml.CorpusOps.tfidfOracleSql(3),
     "vocab_topk" -> graft.ml.CorpusOps.vocabOracleSql(100),
     "decontaminate" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),
     "text_quality" -> ("""SELECT doc_id,

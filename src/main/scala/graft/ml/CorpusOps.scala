@@ -56,6 +56,86 @@ object CorpusOps {
        |ORDER BY freq DESC, token LIMIT $k""".stripMargin
       .replaceAll("\\s+", " ")
 
+  /** Data-mixing sample: draw a deterministic sample whose per-source
+    * composition follows `weights` (source → fraction of `total`) — the
+    * mixture-construction step that turns N heterogeneous sources into one
+    * training mix. Quotas resolve to row counts at PLAN time (same constants
+    * the oracle embeds), and each source's quota is filled in md5 order, so
+    * the draw is reproducible across runs, engines, and partitionings.
+    * The static bound `maxQuota` is applied BEFORE the per-source quota
+    * join so Spark can rewrite the rank filter into WindowGroupLimit —
+    * executors forward at most maxQuota rows per source instead of ranking
+    * whole skewed sources; the exact per-source cut happens on the bounded
+    * survivor set. A source with fewer rows than its quota contributes all
+    * of them (identically on both engines). */
+  def mixtureSample(docs: DataFrame, weights: Seq[(String, Double)],
+      total: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val quotas = weights.map { case (src, w) => (src, math.round(total * w).toInt) }
+    val maxQuota = quotas.map(_._2).max
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxQuota)
+      .join(broadcast(quotas.toDF("source", "quota")), Seq("source"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("source"))
+  }
+
+  def mixtureOracleSql(weights: Seq[(String, Double)], total: Int): String = {
+    val rows = weights
+      .map { case (src, w) => s"('$src', ${math.round(total * w).toInt})" }
+      .mkString(", ")
+    s"""WITH q(source, quota) AS (VALUES $rows),
+       |r AS (SELECT doc_id, source, row_number() OVER (
+       |    PARTITION BY source
+       |    ORDER BY md5('mix:' || doc_id), doc_id) AS rn
+       |  FROM documents)
+       |SELECT doc_id, source FROM r JOIN q USING (source)
+       |WHERE rn <= quota""".stripMargin.replaceAll("\\s+", " ")
+  }
+
+  /** Per-document top-K terms by tf-idf — the keyword/relevance signal a
+    * corpus index derives per doc (tf = in-doc occurrences, idf =
+    * ln(N/df) over exact document frequencies). Scale shape: tf is one
+    * partial-aggregating groupBy on (doc_id, term); df aggregates the
+    * ALREADY-reduced tf table (vocabulary-sized, ≪ corpus) and broadcasts
+    * back, so the corpus-sized side shuffles exactly once; N rides along as
+    * a one-row broadcast cross join, never a driver-side collect. Ranking
+    * runs on the ROUNDED score with a term tie-break, so the top-K boundary
+    * is total and engine-stable. */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+    tf.join(broadcast(dft), Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  def tfidfOracleSql(k: Int): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |sc AS (SELECT doc_id, term,
+       |    round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+       |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+       |r AS (SELECT doc_id, term, tfidf, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM sc)
+       |SELECT doc_id, term, tfidf, rn FROM r WHERE rn <= $k""".stripMargin
+      .replaceAll("\\s+", " ")
+
   /** Benchmark decontamination: count, per training doc, the distinct
     * 3-word shingles it shares with the held-out benchmark set (docs with
     * doc_id < benchMaxId); docs at or over `minOverlap` are contamination

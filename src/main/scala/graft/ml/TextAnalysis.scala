@@ -89,6 +89,49 @@ object TextAnalysis {
       .filter(col("quality") >= minQuality && col("lang_pred") === lang)
   }
 
+  /** Repetition signals (the Gopher-style intra-document repetition rules a
+    * quality filter applies before training): per doc, the fraction of all
+    * bigram occurrences claimed by the single most frequent bigram, and the
+    * fraction of trigram occurrences that are repeats of an earlier trigram.
+    * High values flag boilerplate/degenerate text. The trigram ratio is a
+    * pure per-row array projection (no shuffle); the top-bigram ratio is two
+    * partial-aggregating groupBys keyed on doc_id — both bounded per doc, so
+    * the operator is a linear scan at any corpus size. Assumes ≥2 tokens per
+    * doc (the corpus-prep chain upstream already drops shorter rows). */
+  def repetition(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), tokens.as("tok"))
+    val tri = tok.select(col("doc_id"),
+      expr("transform(sequence(0, size(tok)-3), i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))").as("tg"))
+      .select(col("doc_id"),
+        round(lit(1.0) - size(array_distinct(col("tg"))).cast("double") /
+          size(col("tg")), 6).as("dup_trigram_frac"))
+    val big = tok.select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(tok)-2), i -> concat_ws(' ', tok[i], tok[i+1]))")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max("c").cast("double") / sum("c"), 6).as("top_bigram_frac"))
+    tri.join(big, Seq("doc_id"))
+  }
+
+  /** DuckDB mirror of `repetition` over the `documents` view. */
+  def repetitionOracleSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |tri AS (SELECT doc_id,
+      |  list_transform(range(1, len(tok) - 1),
+      |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) AS tg FROM tok),
+      |tr AS (SELECT doc_id,
+      |  round(1.0 - len(list_distinct(tg)) * 1.0 / len(tg), 6) AS dup_trigram_frac
+      |  FROM tri),
+      |bg AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])) AS bg
+      |  FROM tok),
+      |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+      |tb AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+      |  FROM bc GROUP BY doc_id)
+      |SELECT t.doc_id AS doc_id, t.dup_trigram_frac, tb.top_bigram_frac
+      |FROM tr t JOIN tb ON tb.doc_id = t.doc_id""".stripMargin
+      .replaceAll("\\s+", " ")
+
   /** DuckDB mirror of `cleanCorpus` over the `documents` view — each stage
     * reuses the already-verified per-signal oracle expression verbatim. */
   def cleanCorpusSql(minQuality: Double, lang: String): String =

@@ -67,4 +67,46 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out == Map(100L -> 8L)) // benchmark doc 0 itself is never reported
   }
+
+  test("mixtureSample fills per-source quotas, capped by availability") {
+    val docs = ((1 to 10).map(i => (i.toLong, "srcA")) ++
+      (11 to 13).map(i => (i.toLong, "srcB")))        // srcB short of quota
+      .map { case (id, s) => (id, "t", s) }.toDF("doc_id", "text", "source")
+    val got = CorpusOps
+      .mixtureSample(docs, Seq("srcA" -> 0.6, "srcB" -> 0.4), total = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc == Map("srcA" -> 6, "srcB" -> 3)) // 0.4*10=4 wanted, 3 exist
+    // deterministic: a second draw returns the identical id set
+    val again = CorpusOps
+      .mixtureSample(docs, Seq("srcA" -> 0.6, "srcB" -> 0.4), total = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("repetition: hand-computed bigram/trigram fractions") {
+    val docs = Seq((1L, "a b a b a"), (2L, "x y z w")).toDF("doc_id", "text")
+    val got = graft.ml.TextAnalysis.repetition(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // doc 1: bigrams (a b, b a, a b, b a) → top 2/4; trigrams (aba, bab, aba)
+    // → 1 − 2/3 repeats
+    assert(got(1L) == ((0.333333, 0.5)))
+    // doc 2: all bigrams unique → 1/3; trigrams all distinct → 0
+    assert(got(2L) == ((0.0, 0.333333)))
+  }
+
+  test("tfidfTopTerms ranks by rounded score with term tie-break") {
+    // 4 docs; "rare" appears in doc 1 only (3×), "mid" in docs 1-2,
+    // "all" in every doc (idf = ln(1) = 0)
+    val docs = Seq(
+      (1L, "rare rare rare mid all"), (2L, "mid all"),
+      (3L, "all all"), (4L, "all")).toDF("doc_id", "text")
+    val got = CorpusOps.tfidfTopTerms(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._4)
+    assert(d1.map(_._2).toSeq == Seq("rare", "mid"))
+    assert(d1.head._3 == math.rint(3 * math.log(4.0) * 1e6) / 1e6)
+    // doc 3: "all" scores 0 (idf ln(1)=0) but still ranks (only term)
+    assert(got.filter(_._1 == 3L).map(_._2).toSeq == Seq("all"))
+  }
 }
