@@ -328,6 +328,9 @@ object SparkEntry {
     // custom-state streaming (§2.10): flatMapGroupsWithState per-user
     // profile; final per-user update == the batch lifetime aggregate
     "ev_user_profile" -> ((s, dir) => EventsIngest.userProfilesOnce(s, dir)),
+    // stream-static enrichment: broadcast dimension join inside the stream
+    // (stateless per micro-batch), then the stateful aggregate
+    "ev_stream_enrich" -> ((s, dir) => EventsIngest.enrichedOnce(s, dir)),
     // percentile-band derivation at ingest (discrete quantiles, §2.9 /
     // ca-table.h:102-105) — produces the band-carrying index shape that
     // ql_pct_bands / dump_pct consume downstream
@@ -789,6 +792,10 @@ object SparkEntry {
       FROM events GROUP BY 1, 2""".replaceAll("\\s+", " ")),
     "ev_stream_dedup" -> ("""SELECT DISTINCT user_id, event_type,
       strftime(ts, '%Y-%m-%d') AS day FROM events""".replaceAll("\\s+", " ")),
+    "ev_stream_enrich" -> ("""SELECT c_mktsegment AS segment, event_type,
+      count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2""".replaceAll("\\s+", " ")),
     "ev_user_profile" -> ("""SELECT user_id,
       min(epoch_ns(ts) // 1000000000) AS first_sec,
       max(epoch_ns(ts) // 1000000000) AS last_sec,

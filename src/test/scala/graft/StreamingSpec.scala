@@ -102,4 +102,16 @@ class StreamingSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
     assert(emitted.exceptAll(batch).count() == 0) // subset, rows identical
   }
+
+  test("stream-static enrichment: streamed segment aggregate == batch join") {
+    val streamed = EventsIngest.enrichedOnce(spark, dir)
+    val batch = Catalog.events(spark, dir)
+      .join(Catalog.table(spark, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment")),
+        Seq("user_id"))
+      .groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
 }
