@@ -380,6 +380,24 @@ object SparkEntry {
       TimeSeriesOps.rangeJoinDays(o, "d0", "d1", l, "sd", bucketDays = 7)
         .groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))
     }),
+    // calendar-aware 7-day trailing average per user (RANGE frame over
+    // epoch-day, so gap days shrink the window rather than stretching it)
+    "ts_moving_avg" -> ((s, dir) => {
+      val d = Catalog.events(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_date(to_date(col("ts"))).as("dnum"))
+        .agg(sum("value").as("v"))
+      TimeSeriesOps.movingAvgDaily(d, "user_id", "dnum", "v", 7)
+    }),
+    // salted join: lineitem spread over (key, salt) reducers against an
+    // 8×-replicated orders side — identical result to the plain join, the
+    // manual hot-key treatment when the build side can't broadcast
+    "join_salted" -> ((s, dir) => {
+      val l = Catalog.table(s, dir, "lineitem").select("l_orderkey")
+      val o = Catalog.table(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.SkewJoin.saltedJoin(l, o, Seq("l_orderkey"), 8)
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+    }),
     // OHLC downsample: one partial-aggregating groupBy; min_by/max_by pick
     // exact input values (no arithmetic), deterministic because
     // (event_type, ts) is unique in the fixture
@@ -828,6 +846,18 @@ object SparkEntry {
       ON l.l_shipdate >= o.o_orderdate
       AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
       WHERE o.o_totalprice > 450000 GROUP BY 1""".replaceAll("\\s+", " ")),
+    "ts_moving_avg" -> ("""WITH d AS (
+        SELECT user_id,
+          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dnum,
+          sum(value) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT user_id, dnum, round(avg(v) OVER (
+        PARTITION BY user_id ORDER BY dnum
+        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg7
+      FROM d""".replaceAll("\\s+", " ")),
+    "join_salted" -> ("""SELECT o_orderpriority, count(*) AS cnt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1""".replaceAll("\\s+", " ")),
     "ts_ohlc" -> ("""SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
       arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
       arg_max(value, ts) AS close

@@ -74,6 +74,19 @@ object TimeSeriesOps {
       .withColumn(v, last(col(v), ignoreNulls = true).over(w))
   }
 
+  /** Trailing moving average over a daily series (key, dnum: epoch-day, v):
+    * per key, the average of `days`-day trailing values by RANGE frame —
+    * calendar-aware (a gap day shrinks the frame; a ROWS frame would
+    * wrongly average the last N observations). One hash exchange on the
+    * key; the frame scan is linear per key. */
+  def movingAvgDaily(series: DataFrame, key: String, dnum: String, v: String,
+                     days: Int): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(dnum)
+      .rangeBetween(-(days - 1), Window.currentRow)
+    series.select(col(key), col(dnum),
+      round(avg(col(v)).over(w), 4).as(s"avg$days"))
+  }
+
   /** Date-range join via fixed-width bucketing: returns every (range row,
     * point row) pair with `startDay <= pDay < endDayExcl` (dates, end
     * exclusive). The non-equi BETWEEN predicate rides on an equi-join over

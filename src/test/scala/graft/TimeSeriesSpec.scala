@@ -79,6 +79,34 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("movingAvgDaily: RANGE frame shrinks over gap days (calendar-aware)") {
+    val s = Seq((1L, 0L, 10.0), (1L, 1L, 20.0), (1L, 9L, 30.0))
+      .toDF("k", "dnum", "v")
+    val got = TimeSeriesOps.movingAvgDaily(s, "k", "dnum", "v", 7)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    // day 9 is >6 days past both others → frame holds only itself;
+    // a ROWS frame would have wrongly averaged the last 3 observations
+    assert(got == Map(0L -> 10.0, 1L -> 15.0, 9L -> 30.0))
+  }
+
+  test("saltedJoin == plain join, and the physical join keys carry the salt") {
+    val rnd = new scala.util.Random(3)
+    // one hot key (0) with 300 rows — the shape salting exists for
+    val big = ((1 to 300).map(_ => 0L) ++ (1 to 200).map(_ => rnd.nextInt(50).toLong))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val small = (0L until 50L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val salted = graft.operators.SkewJoin.saltedJoin(big, small, Seq("k"), 4)
+    val plain = big.join(small, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+    val keys = salted.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.map(_.toString).getOrElse("")
+    }
+    assert(keys.exists(_.contains("_salt")), s"join condition lost the salt: $keys")
+  }
+
   test("rangeJoinDays plans as an equi-join on the bucket id, not a nested loop") {
     val ranges = Seq((1L, java.sql.Date.valueOf("2024-01-01"),
       java.sql.Date.valueOf("2024-01-08"))).toDF("rid", "d0", "d1")
