@@ -79,6 +79,19 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin plans as ONE exchange with all carries in a single Window") {
+    val left = Seq((1L, 10L, 1.0)).toDF("k", "ts", "lv")
+    val right = Seq((1L, 5L, 2.0, "x")).toDF("k", "ts", "rv", "rw")
+    val plan = TimeSeriesOps.asofJoin(left, right, "k", "ts", Seq("rv", "rw"))
+      .queryExecution.executedPlan.toString
+    // the union+window formulation: exactly one hash exchange on the key —
+    // a join-based as-of would add a second (or a per-key expansion)
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+    // the foldLeft over carry columns must fuse into ONE Window operator
+    // (same partition/order spec), not a window per carried column
+    assert("Window ".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("movingAvgDaily: RANGE frame shrinks over gap days (calendar-aware)") {
     val s = Seq((1L, 0L, 10.0), (1L, 1L, 20.0), (1L, 9L, 30.0))
       .toDF("k", "dnum", "v")
