@@ -341,6 +341,25 @@ object SparkEntry {
     "ev_sessions" -> ((s, dir) =>
       EventsIngest.sessions(Catalog.events(s, dir))),
 
+    // ---- Product analytics over events (EventAnalytics) ----
+    // 7-day rolling distinct active users (the windowed COUNT(DISTINCT)
+    // Spark windows can't express — bounded-explode rewrite)
+    "ev_active_users" -> ((s, dir) =>
+      graft.operators.EventAnalytics.rollingActiveUsers(
+        Catalog.events(s, dir), 7)),
+    // signup → purchase conversion: first target at-or-after first source,
+    // unconverted users kept with null conversion
+    "ev_funnel" -> ((s, dir) =>
+      graft.operators.EventAnalytics.funnel(
+          Catalog.events(s, dir), "signup", "purchase")
+        .select(col("user_id"),
+          unix_micros(col("from_ts")).as("signup_us"),
+          unix_micros(col("to_ts")).as("conv_us"), col("converted"))),
+    // retention triangle: distinct users per (first-seen cohort day, days
+    // since cohort)
+    "ev_retention" -> ((s, dir) =>
+      graft.operators.EventAnalytics.retentionCohorts(Catalog.events(s, dir))),
+
     // ---- Time-series operators (union+window as-of, per-key grid gap-fill,
     // bucketized date-range join, OHLC downsample) ----
     // latest 'view' at-or-before each 'purchase', per user — one hash
@@ -384,7 +403,8 @@ object SparkEntry {
     // epoch-day, so gap days shrink the window rather than stretching it)
     "ts_moving_avg" -> ((s, dir) => {
       val d = Catalog.events(s, dir).filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), unix_date(to_date(col("ts"))).as("dnum"))
+        .groupBy(col("user_id"),
+          unix_date(to_date(col("ts"))).cast("long").as("dnum"))
         .agg(sum("value").as("v"))
       TimeSeriesOps.movingAvgDaily(d, "user_id", "dnum", "v", 7)
     }),
@@ -820,6 +840,27 @@ object SparkEntry {
       count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM events GROUP BY user_id""".replaceAll("\\s+", " ")),
     "ingest_pct_derive" -> graft.ingest.Bands.oracleSql,
+    "ev_active_users" -> ("""WITH act AS (SELECT DISTINCT user_id,
+        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day FROM events),
+      days AS (SELECT DISTINCT day FROM act),
+      cover AS (SELECT user_id, unnest(generate_series(day, day + 6)) AS d FROM act)
+      SELECT d, count(DISTINCT user_id) AS active_users
+      FROM cover JOIN days ON days.day = cover.d GROUP BY d""".replaceAll("\\s+", " ")),
+    "ev_funnel" -> ("""WITH s AS (SELECT user_id, min(ts) AS sts FROM events
+        WHERE event_type = 'signup' GROUP BY 1),
+      p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+      SELECT s.user_id AS user_id, epoch_us(s.sts) AS signup_us,
+        epoch_us(min(CASE WHEN p.ts >= s.sts THEN p.ts END)) AS conv_us,
+        min(CASE WHEN p.ts >= s.sts THEN p.ts END) IS NOT NULL AS converted
+      FROM s LEFT JOIN p ON p.user_id = s.user_id
+      GROUP BY s.user_id, s.sts""".replaceAll("\\s+", " ")),
+    "ev_retention" -> ("""WITH act AS (SELECT DISTINCT user_id,
+        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day FROM events),
+      coh AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1)
+      SELECT c.cohort AS cohort, a.day - c.cohort AS k,
+        count(DISTINCT a.user_id) AS n
+      FROM act a JOIN coh c ON c.user_id = a.user_id
+      GROUP BY 1, 2""".replaceAll("\\s+", " ")),
     // DuckDB's native ASOF JOIN is the oracle for the union+window plan;
     // deterministic because (user_id, ts) is unique in the fixture
     "ts_asof" -> ("""SELECT p.user_id AS user_id, epoch_us(p.ts) AS p_us,

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+import graft.operators.EventAnalytics
+
+/** Hand-computed semantics pins for the product-analytics operators. */
+class EventAnalyticsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(day: Int, h: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-${day}%02d $h%02d:00:00")
+
+  // epoch day of 2024-01-d
+  private def ep(day: Int): Long = 19723L + (day - 1)
+
+  test("rollingActiveUsers: trailing window, only observed anchor days") {
+    val ev = Seq(
+      (1L, ts(1), "view"), (2L, ts(1), "view"),
+      (1L, ts(2), "view"),
+      (3L, ts(9), "view")).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.rollingActiveUsers(ev, 7).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // observed days: 1, 2, 9. Day 2's window covers days 1-2 → users 1,2.
+    // Day 9's window covers 3-9 → only user 3 (days 10-15 are unobserved
+    // anchors and must NOT be reported).
+    assert(got == Map(ep(1) -> 2L, ep(2) -> 2L, ep(9) -> 1L))
+  }
+
+  test("funnel: keeps unconverted users, ignores conversions before the source") {
+    val ev = Seq(
+      (1L, ts(1), "signup"), (1L, ts(3), "purchase"), // converts on day 3
+      (2L, ts(5), "signup"), (2L, ts(4), "purchase"), // purchase BEFORE signup
+      (3L, ts(2), "signup"),                          // never purchases
+      (4L, ts(1), "purchase")                         // never signs up
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnel(ev, "signup", "purchase").collect()
+      .map(r => (r.getLong(0),
+        Option(r.getTimestamp(2)).map(_.toString), r.getBoolean(3))).toSet
+    assert(got == Set(
+      (1L, Some("2024-01-03 00:00:00.0"), true),
+      (2L, None, false), // pre-signup purchase doesn't convert
+      (3L, None, false)))  // user 4 absent: no source event
+  }
+
+  test("retentionCohorts: k measured from each user's own first day") {
+    val ev = Seq(
+      (1L, ts(1), "v"), (1L, ts(3), "v"),
+      (2L, ts(1), "v"), (2L, ts(3), "v"), (2L, ts(3, 5), "v"), // same day 2×
+      (3L, ts(2), "v"), (3L, ts(4), "v")).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.retentionCohorts(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (ep(1), 0L) -> 2L, // users 1,2 on their cohort day
+      (ep(1), 2L) -> 2L, // both back on day 3 (user 2 counted once)
+      (ep(2), 0L) -> 1L, // user 3's own cohort
+      (ep(2), 2L) -> 1L))
+  }
+}
