@@ -44,6 +44,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (3L, None, false)))  // user 4 absent: no source event
   }
 
+  test("rollingActiveUsers matches the naive per-day count on random data") {
+    val rnd = new scala.util.Random(11)
+    val act = Seq.fill(400)((rnd.nextInt(20).toLong, rnd.nextInt(40) + 1))
+    val ev = act.map { case (u, d) =>
+      (u, Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d - 1)
+        .atTime(rnd.nextInt(24), 0)), "v")
+    }.toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.rollingActiveUsers(ev, 7).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDay = act.map { case (u, d) => (u, ep(1) + (d - 1)) }.distinct
+    val observed = byDay.map(_._2).distinct
+    for (d <- observed) {
+      val want = byDay.filter { case (_, ad) => ad >= d - 6 && ad <= d }
+        .map(_._1).distinct.size.toLong
+      assert(got(d) === want, s"day $d")
+    }
+    assert(got.keySet == observed.toSet) // no unobserved anchors
+  }
+
   test("retentionCohorts: k measured from each user's own first day") {
     val ev = Seq(
       (1L, ts(1), "v"), (1L, ts(3), "v"),
