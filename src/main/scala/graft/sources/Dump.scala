@@ -8,22 +8,20 @@ import org.apache.spark.sql.functions._
   * with the regex key filter's prefix short-circuit.
   *
   * The reference derives a seek range from the regex via
-  * RE2::PossibleMatchRange (ca-dump.cc:334-338); Catalyst cannot derive a
-  * range from `rlike`, so we extract the literal prefix of an anchored regex
-  * ourselves and add a `startsWith` conjunct — that predicate reaches the
+  * RE2::PossibleMatchRange (ca-dump.cc:334-338); here the session-wide
+  * optimizer rule `plans.RegexPrefixPushdown` derives the equivalent
+  * StartsWith conjunct from the anchored rlike — that predicate reaches the
   * parquet scan (min/max + dictionary pruning on the sorted key files), and
-  * the rlike only runs on the pruned remainder. Same trick, Spark-shaped.
+  * the rlike only runs on the pruned remainder (PlanAuditSpec pins the
+  * pushed filter). Same trick, Spark-shaped — and every rlike filter in the
+  * session gets it, not just the dump path.
   */
 object Dump {
 
   /** Literal prefix of an anchored regex ("^priority:[12].*" → "priority:").
-    * None when the regex is unanchored or starts with a metachar. */
-  def literalPrefix(re: String): Option[String] = {
-    if (!re.startsWith("^")) return None
-    val meta = ".[]{}()*+?|\\$"
-    val lit = re.drop(1).takeWhile(c => !meta.contains(c))
-    if (lit.isEmpty) None else Some(lit)
-  }
+    * Delegates to the optimizer rule's (quantifier-safe) extractor. */
+  def literalPrefix(re: String): Option[String] =
+    graft.plans.RegexPrefixPushdown.literalPrefix(re)
 
   /** Percentile-band pass-through: the reference renders
     * `score pct5 pct25 pct75 pct95` when a posting has bands
@@ -33,14 +31,12 @@ object Dump {
     Seq("pct5", "pct25", "pct75", "pct95")
       .filter(df.columns.contains).map(col)
 
-  /** index-raw dump rows matching a key regex (ca-dump.cc:140-216). */
-  def indexRaw(index: DataFrame, keyRegex: String): DataFrame = {
-    val filtered = literalPrefix(keyRegex) match {
-      case Some(p) => index.filter(col("key").startsWith(p) && col("key").rlike(keyRegex))
-      case None => index.filter(col("key").rlike(keyRegex))
-    }
-    filtered.select(Seq(col("key"), col("off"), col("score")) ++ pctCols(index): _*)
-  }
+  /** index-raw dump rows matching a key regex (ca-dump.cc:140-216). The
+    * plain rlike is enough — RegexPrefixPushdown injects the pushable
+    * prefix conjunct at optimization time. */
+  def indexRaw(index: DataFrame, keyRegex: String): DataFrame =
+    index.filter(col("key").rlike(keyRegex))
+      .select(Seq(col("key"), col("off"), col("score")) ++ pctCols(index): _*)
 
   /** summaries dump (ca-dump.cc:74-110). */
   def summaries(summ: DataFrame): DataFrame = summ.select("key", "json")
