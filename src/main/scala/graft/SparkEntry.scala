@@ -331,6 +331,12 @@ object SparkEntry {
     // stream-static enrichment: broadcast dimension join inside the stream
     // (stateless per micro-batch), then the stateful aggregate
     "ev_stream_enrich" -> ((s, dir) => EventsIngest.enrichedOnce(s, dir)),
+    // stream-stream interval self-join (purchases × same-user trailing
+    // views) — watermark + time-interval condition bound the join state
+    "ev_stream_join" -> ((s, dir) =>
+      EventsIngest.intervalJoinOnce(s, dir)
+        .select(col("user_id"), unix_micros(col("p_ts")).as("p_us"),
+          unix_micros(col("v_ts")).as("v_us"))),
     // percentile-band derivation at ingest (discrete quantiles, §2.9 /
     // ca-table.h:102-105) — produces the band-carrying index shape that
     // ql_pct_bands / dump_pct consume downstream
@@ -834,6 +840,11 @@ object SparkEntry {
       count(*) AS cnt, round(sum(value), 2) AS sum_value
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY 1, 2""".replaceAll("\\s+", " ")),
+    "ev_stream_join" -> ("""SELECT p.user_id AS user_id,
+      epoch_us(p.ts) AS p_us, epoch_us(v.ts) AS v_us
+      FROM events p JOIN events v ON v.user_id = p.user_id
+      WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+      AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts""".replaceAll("\\s+", " ")),
     "ev_user_profile" -> ("""SELECT user_id,
       min(epoch_ns(ts) // 1000000000) AS first_sec,
       max(epoch_ns(ts) // 1000000000) AS last_sec,

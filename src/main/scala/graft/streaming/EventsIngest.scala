@@ -194,6 +194,41 @@ object EventsIngest {
       .groupBy("segment", "event_type")
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
 
+  /** Stream-stream self interval join: each purchase paired with the same
+    * user's views in the trailing `gap` — the watermarked two-stream join
+    * Structured Streaming runs with BOUNDED state: the time-interval
+    * condition plus both watermarks lets the engine drop buffered rows once
+    * they can no longer match (state ≈ gap + watermark of stream, never the
+    * stream's history). The append-mode output is exactly the batch
+    * interval join, which the entry's oracle and the spec both pin. */
+  def intervalJoin(events: DataFrame, gap: String = "1 hour"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 day")
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 day")
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr(s"interval $gap") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("user_id"), col("p_ts"), col("v_ts"))
+  }
+
+  /** One-shot stream-stream interval join over all available input (append
+    * mode — pairs emit once both watermarks pass). */
+  def intervalJoinOnce(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_join_${runId.incrementAndGet()}"
+    val q = intervalJoin(stream(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** One-shot stream-static enrichment over all available input (complete
     * mode → memory sink). */
   def enrichedOnce(spark: SparkSession, dir: String): DataFrame = {

@@ -103,6 +103,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.exceptAll(batch).count() == 0) // subset, rows identical
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val streamed = EventsIngest.intervalJoinOnce(spark, dir)
+    val ev = Catalog.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val batch = p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("interval 1 hour") &&
+        col("v_ts") <= col("p_ts"))
+      .select("user_id", "p_ts", "v_ts")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("stream-static enrichment: streamed segment aggregate == batch join") {
     val streamed = EventsIngest.enrichedOnce(spark, dir)
     val batch = Catalog.events(spark, dir)
