@@ -531,6 +531,11 @@ object SparkEntry {
     // cell parquet (AnnIndexSpec asserts the plan reads it)
     "emb_topk_lsh" -> ((s, dir) =>
       Ann.topK(Catalog.embeddings(s, dir), Catalog.annBuckets(s, dir), 0, 10)),
+    // incremental index maintenance: new embeddings stream through the SAME
+    // signature pipeline the batch build uses and append to the stored
+    // bucket index — stateless, no shuffle
+    "ann_stream_index" -> ((s, dir) =>
+      graft.streaming.EmbeddingsIngest.bucketsOnce(s, dir)),
     "emb_topk_ivf" -> ((s, dir) =>
       Ann.ivfTopK(Catalog.embeddings(s, dir), Catalog.ivfCells(s, dir), 0, 10)),
   )
@@ -986,6 +991,7 @@ object SparkEntry {
       FROM e, q WHERE e.vec_id <> 0
       ORDER BY sim DESC, e.vec_id LIMIT 10""".replaceAll("\\s+", " ")),
     "emb_topk_lsh" -> Ann.oracleSql(0, 10),
+    "ann_stream_index" -> Ann.bucketsOracleSql,
     "emb_topk_ivf" -> Ann.ivfOracleSql(0, 10),
     "mm_framesample" -> Multimodal.frameSampleOracleSql(),
     "mm_resize" -> Multimodal.resizeOracleSql,

@@ -288,6 +288,20 @@ object Ann {
       "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings",
       minCos)
 
+  /** DuckDB mirror of the full bucketIds table (the materialized /
+    * stream-maintained index content): one "t:sig" row per (vector, hash
+    * table). */
+  def bucketsOracleSql: String = {
+    def sigExpr(t: Int): String = (0 until Bits).map { b =>
+      s"(CASE WHEN list_dot_product(emb, ${planeSql(planes(t * Bits + b))}) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    val perTable = (0 until Tables).map(t =>
+      s"SELECT vec_id, '$t:' || ${sigExpr(t)} AS bucket FROM e")
+      .mkString(" UNION ALL ")
+    s"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) $perTable"
+      .replaceAll("\\s+", " ")
+  }
+
   /** DuckDB mirror of nearDupCosPlanted: same source augmentation (double
     * widening FIRST, then the 1.1 half-scale) so cosines are bit-identical. */
   def nearDupCosPlantedSql(minCos: Double, every: Int): String = {

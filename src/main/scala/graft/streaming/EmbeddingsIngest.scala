@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.ml.Ann
+
+/** Incremental maintenance of the materialized ANN bucket index
+  * (Catalog.annBuckets): new embedding rows stream through the SAME
+  * signature pipeline the batch build uses (Ann.bucketIds — graft_dot
+  * hyperplane signs, data-independent planes) and append to the index.
+  * Stateless — no state store, no shuffle; at 100 TB this is the always-on
+  * writer that keeps the stored index current between full rebuilds, the
+  * same role the reference's per-generation index blocks play
+  * (/root/reference/src/table-backend-writeonce.cc:594-636).
+  */
+object EmbeddingsIngest {
+
+  val schema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def stream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(s"$dir/{embeddings.parquet}")
+
+  /** Stream-derived bucket rows (vec_id, bucket) — identical projection to
+    * the batch index build. */
+  def bucketRows(emb: DataFrame): DataFrame = Ann.bucketIds(emb)
+
+  /** Append the streamed bucket rows to a parquet index directory (the
+    * deployment shape: same layout the batch materialization writes). */
+  def runBucketSink(spark: SparkSession, dir: String, outPath: String,
+      checkpoint: String): Unit = {
+    val q = bucketRows(stream(spark, dir))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .start(outPath)
+    q.awaitTermination()
+  }
+
+  /** One-shot streamed index build over all available input (memory sink) —
+    * the CORRECTNESS entry point. */
+  def bucketsOnce(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_ann_${runId.incrementAndGet()}"
+    val q = bucketRows(stream(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

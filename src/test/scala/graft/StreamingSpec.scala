@@ -103,6 +103,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.exceptAll(batch).count() == 0) // subset, rows identical
   }
 
+  test("streamed ANN bucket rows == batch index build (incremental upkeep)") {
+    val streamed = graft.streaming.EmbeddingsIngest.bucketsOnce(spark, dir)
+    val batch = graft.ml.Ann.bucketIds(Catalog.embeddings(spark, dir))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stream-stream interval join == batch interval join") {
     val streamed = EventsIngest.intervalJoinOnce(spark, dir)
     val ev = Catalog.events(spark, dir)
