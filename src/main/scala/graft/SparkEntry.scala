@@ -347,6 +347,20 @@ object SparkEntry {
     "ev_sessions" -> ((s, dir) =>
       EventsIngest.sessions(Catalog.events(s, dir))),
 
+    // OLAP rollup: per-(type, day) counts plus per-type and grand totals in
+    // one pass — Spark expands the grouping sets map-side, one shuffle
+    "ev_rollup" -> ((s, dir) =>
+      Catalog.events(s, dir)
+        .rollup(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))),
+    // CDC compaction: the LATEST event per (user, type) — one max_by
+    // aggregation, the log-compaction read a changelog consumer runs
+    "ev_latest" -> ((s, dir) =>
+      Catalog.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(unix_micros(max("ts")).as("last_us"),
+          max_by(col("value"), col("ts")).as("last_value"))),
+
     // ---- Product analytics over events (EventAnalytics) ----
     // 7-day rolling distinct active users (the windowed COUNT(DISTINCT)
     // Spark windows can't express — bounded-explode rewrite)
@@ -856,6 +870,12 @@ object SparkEntry {
       count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM events GROUP BY user_id""".replaceAll("\\s+", " ")),
     "ingest_pct_derive" -> graft.ingest.Bands.oracleSql,
+    "ev_rollup" -> ("""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY ROLLUP (event_type, day)""".replaceAll("\\s+", " ")),
+    "ev_latest" -> ("""SELECT user_id, event_type, epoch_us(max(ts)) AS last_us,
+      arg_max(value, ts) AS last_value
+      FROM events GROUP BY 1, 2""".replaceAll("\\s+", " ")),
     "ev_active_users" -> ("""WITH act AS (SELECT DISTINCT user_id,
         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day FROM events),
       days AS (SELECT DISTINCT day FROM act),
