@@ -347,6 +347,21 @@ object SparkEntry {
     "ev_sessions" -> ((s, dir) =>
       EventsIngest.sessions(Catalog.events(s, dir))),
 
+    // value histogram: fixed-width bins (50, clamped tail) per type — one
+    // partial-aggregating shuffle of (type, bin) scalars
+    "ts_histogram" -> ((s, dir) =>
+      Catalog.events(s, dir)
+        .groupBy(col("event_type"),
+          least(floor(col("value") / 50), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("cnt"))),
+    // per-key distribution stats; stddev rounded because Welford vs naive
+    // accumulation differs in the last ulps across engines
+    "ts_key_stats" -> ((s, dir) =>
+      Catalog.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("mean"),
+          round(stddev_samp(col("value")), 4).as("sd"),
+          min("value").as("vmin"), max("value").as("vmax"))),
     // OLAP rollup: per-(type, day) counts plus per-type and grand totals in
     // one pass — Spark expands the grouping sets map-side, one shuffle
     "ev_rollup" -> ((s, dir) =>
@@ -870,6 +885,13 @@ object SparkEntry {
       count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM events GROUP BY user_id""".replaceAll("\\s+", " ")),
     "ingest_pct_derive" -> graft.ingest.Bands.oracleSql,
+    "ts_histogram" -> ("""SELECT event_type,
+      least(CAST(floor(value / 50) AS BIGINT), 9) AS bin, count(*) AS cnt
+      FROM events GROUP BY 1, 2""".replaceAll("\\s+", " ")),
+    "ts_key_stats" -> ("""SELECT event_type, count(*) AS n,
+      round(avg(value), 4) AS mean, round(stddev_samp(value), 4) AS sd,
+      min(value) AS vmin, max(value) AS vmax
+      FROM events GROUP BY 1""".replaceAll("\\s+", " ")),
     "ev_rollup" -> ("""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
       count(*) AS cnt, round(sum(value), 2) AS sum_value
       FROM events GROUP BY ROLLUP (event_type, day)""".replaceAll("\\s+", " ")),
