@@ -63,6 +63,41 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.keySet == observed.toSet) // no unobserved anchors
   }
 
+  test("funnel and retention match naive computations on random data") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(500)((rnd.nextInt(15).toLong,
+      rnd.nextInt(30) + 1, rnd.nextInt(24),
+      if (rnd.nextBoolean()) "signup" else "purchase"))
+      .distinct
+    val ev = rows.map { case (u, d, h, t) => (u, ts(d, h), t) }
+      .toDF("user_id", "ts", "event_type")
+    // funnel vs naive
+    val gotF = EventAnalytics.funnel(ev, "signup", "purchase").collect()
+      .map(r => r.getLong(0) ->
+        (r.getTimestamp(1), Option(r.getTimestamp(2)))).toMap
+    val byUser = rows.groupBy(_._1)
+    for ((u, rs) <- byUser) {
+      val signups = rs.filter(_._4 == "signup").map(r => ts(r._2, r._3))
+      if (signups.isEmpty) assert(!gotF.contains(u))
+      else {
+        val s0 = signups.minBy(_.getTime)
+        val conv = rs.filter(_._4 == "purchase").map(r => ts(r._2, r._3))
+          .filter(_.getTime >= s0.getTime)
+        assert(gotF(u)._1 == s0, s"user $u first signup")
+        assert(gotF(u)._2 == (if (conv.isEmpty) None
+          else Some(conv.minBy(_.getTime))), s"user $u conversion")
+      }
+    }
+    // retention vs naive
+    val gotR = EventAnalytics.retentionCohorts(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val actDays = rows.map(r => (r._1, ep(r._2))).distinct
+    val cohort = actDays.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val wantR = actDays.groupBy { case (u, d) => (cohort(u), d - cohort(u)) }
+      .view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    assert(gotR == wantR)
+  }
+
   test("retentionCohorts: k measured from each user's own first day") {
     val ev = Seq(
       (1L, ts(1), "v"), (1L, ts(3), "v"),

@@ -60,6 +60,31 @@ class TimeSeriesSpec extends AnyFunSuite {
       (2L, "2024-01-02", 3.0, false))) // singleton span: no synthesis
   }
 
+  test("gapFillDaily matches naive forward-fill on random sparse series") {
+    val rnd = new scala.util.Random(17)
+    val obs = (for (k <- 0L until 6L) yield {
+      val days = rnd.shuffle((0 to 50).toList).take(rnd.nextInt(10) + 2).sorted
+      days.map(d => (k, d, rnd.nextInt(100).toDouble))
+    }).flatten
+    val s = obs.map { case (k, d, v) =>
+      (k, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d)), v)
+    }.toDF("k", "d", "v")
+    val got = TimeSeriesOps.gapFillDaily(s, "k", "d", "v")
+      .select($"k", datediff($"d", lit("2024-01-01")).as("d"), $"v", $"filled")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    for ((k, rows) <- obs.groupBy(_._1)) {
+      val byDay = rows.map(r => r._2 -> r._3).toMap
+      val (d0, d1) = (rows.map(_._2).min, rows.map(_._2).max)
+      assert(got.keys.count(_._1 == k) == d1 - d0 + 1, s"key $k grid size")
+      var carry = 0.0
+      for (d <- d0 to d1) {
+        byDay.get(d).foreach(carry = _)
+        assert(got((k, d)) == ((carry, !byDay.contains(d))), s"key $k day $d")
+      }
+    }
+  }
+
   test("rangeJoinDays == naive theta join, invariant to bucket width") {
     val rnd = new scala.util.Random(7)
     val ranges = (1 to 40).map { i =>
