@@ -509,6 +509,9 @@ object SparkEntry {
     // trigram share) — the boilerplate filter before dedup
     "text_repetition" -> ((s, dir) =>
       graft.ml.TextAnalysis.repetition(Catalog.documents(s, dir))),
+    // PII/URL masking pass over a planted fixture (corpus has no real PII)
+    "text_scrub" -> ((s, dir) =>
+      graft.ml.TextAnalysis.scrubPlanted(Catalog.documents(s, dir), 25)),
     // per-doc top-3 tf-idf terms over exact corpus document frequencies
     "tfidf_topterms" -> ((s, dir) =>
       graft.ml.CorpusOps.tfidfTopTerms(Catalog.documents(s, dir), 3)),
@@ -988,6 +991,7 @@ object SparkEntry {
     "sample_stratified" -> graft.ml.CorpusOps.stratifiedOracleSql("lang", 20),
     "sample_mixture" -> graft.ml.CorpusOps.mixtureOracleSql(MixtureWeights, MixtureTotal),
     "text_repetition" -> graft.ml.TextAnalysis.repetitionOracleSql,
+    "text_scrub" -> graft.ml.TextAnalysis.scrubPlantedOracleSql(25),
     "tfidf_topterms" -> graft.ml.CorpusOps.tfidfOracleSql(3),
     "vocab_topk" -> graft.ml.CorpusOps.vocabOracleSql(100),
     "decontaminate" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),

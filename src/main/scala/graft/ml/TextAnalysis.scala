@@ -113,6 +113,43 @@ object TextAnalysis {
     tri.join(big, Seq("doc_id"))
   }
 
+  /** PII/URL scrubbing — the masking pass a corpus runs before release:
+    * count and replace email addresses and URLs with placeholder tokens.
+    * Pure per-row regexes (codegen'd, no shuffle, linear scan at any
+    * volume). The synthetic corpus contains no PII, so `scrubPlanted`
+    * deterministically appends an email + URL to every `every`-th doc on
+    * BOTH engines (the planted-fixture pattern dedup_embcos_real uses) to
+    * keep the entry non-vacuous. */
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val UrlRe = "https?://[^ ]+"
+
+  def scrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("n_urls"),
+      md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>")).as("scrubbed_md5"))
+
+  def scrubPlanted(docs: DataFrame, every: Int): DataFrame =
+    scrub(docs.withColumn("text",
+      when(col("doc_id") % every === 0,
+        concat(col("text"),
+          lit(" reach out to sales.team+eu@example-corp.io or https://example-corp.io/contact?ref=1")))
+        .otherwise(col("text"))))
+
+  def scrubPlantedOracleSql(every: Int): String =
+    s"""WITH d AS (SELECT doc_id,
+       |    CASE WHEN doc_id % $every = 0 THEN text ||
+       |      ' reach out to sales.team+eu@example-corp.io or https://example-corp.io/contact?ref=1'
+       |    ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(text, '$UrlRe')) AS n_urls,
+       |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |      '$UrlRe', '<URL>', 'g')) AS scrubbed_md5
+       |FROM d""".stripMargin.replaceAll("\\s+", " ")
+
   /** DuckDB mirror of `repetition` over the `documents` view. */
   def repetitionOracleSql: String =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),

@@ -95,6 +95,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(2L) == ((0.0, 0.333333)))
   }
 
+  test("scrub counts and masks emails and urls") {
+    val docs = Seq(
+      (1L, "mail a.b+c@x-y.io and also http://t.co/z here"),
+      (2L, "nothing to hide")).toDF("doc_id", "text")
+    val got = graft.ml.TextAnalysis.scrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1L)._1 == 1 && got(1L)._2 == 1)
+    assert(got(2L) == ((0, 0, TestSpark.spark.sql(
+      "SELECT md5('nothing to hide')").head.getString(0))))
+    // masked text hashes differently from the original
+    assert(got(1L)._3 != got(2L)._3)
+  }
+
   test("tfidfTopTerms ranks by rounded score with term tie-break") {
     // 4 docs; "rare" appears in doc 1 only (3×), "mid" in docs 1-2,
     // "all" in every doc (idf = ln(1) = 0)
