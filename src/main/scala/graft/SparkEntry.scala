@@ -515,6 +515,9 @@ object SparkEntry {
     // per-doc top-3 tf-idf terms over exact corpus document frequencies
     "tfidf_topterms" -> ((s, dir) =>
       graft.ml.CorpusOps.tfidfTopTerms(Catalog.documents(s, dir), 3)),
+    // unigram log-prob scoring (perplexity-filter analogue)
+    "text_logprob" -> ((s, dir) =>
+      graft.ml.CorpusOps.unigramLogProb(Catalog.documents(s, dir))),
     "vocab_topk" -> ((s, dir) =>
       graft.ml.CorpusOps.vocabTopK(Catalog.documents(s, dir), 100)),
     "decontaminate" -> ((s, dir) =>
@@ -993,6 +996,7 @@ object SparkEntry {
     "text_repetition" -> graft.ml.TextAnalysis.repetitionOracleSql,
     "text_scrub" -> graft.ml.TextAnalysis.scrubPlantedOracleSql(25),
     "tfidf_topterms" -> graft.ml.CorpusOps.tfidfOracleSql(3),
+    "text_logprob" -> graft.ml.CorpusOps.unigramLogProbOracleSql,
     "vocab_topk" -> graft.ml.CorpusOps.vocabOracleSql(100),
     "decontaminate" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),
     "text_quality" -> ("""SELECT doc_id,

@@ -136,6 +136,38 @@ object CorpusOps {
        |SELECT doc_id, term, tfidf, rn FROM r WHERE rn <= $k""".stripMargin
       .replaceAll("\\s+", " ")
 
+  /** Unigram log-probability scoring — the cheap stand-in for the
+    * perplexity filter a training pipeline runs (docs whose tokens are
+    * uniformly rare under the corpus distribution are noise candidates;
+    * real deployments swap the unigram table for a KenLM-style model, the
+    * operator shape is identical). Per doc: mean over token OCCURRENCES of
+    * ln(freq(token)/N). Same shuffle shape as tfidf: one corpus-sized
+    * groupBy on (doc, token); the unigram table aggregates the reduced tf
+    * rows and broadcasts back; N rides a one-row broadcast. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val uni = tf.groupBy("token").agg(sum("tf").as("freq"))
+    val n = uni.agg(sum("freq").as("n_tokens"))
+    tf.join(broadcast(uni), Seq("token"))
+      .crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(round(sum(col("tf") * log(col("freq") / col("n_tokens"))) /
+        sum("tf"), 4).as("mean_logprob"))
+  }
+
+  def unigramLogProbOracleSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |uni AS (SELECT token, sum(tf) AS freq FROM tf GROUP BY token),
+      |n AS (SELECT sum(freq) AS n_tokens FROM uni)
+      |SELECT doc_id,
+      |  round(sum(tf * ln(freq / n_tokens)) / sum(tf), 4) AS mean_logprob
+      |FROM tf JOIN uni USING (token) CROSS JOIN n
+      |GROUP BY doc_id""".stripMargin.replaceAll("\\s+", " ")
+
   /** Benchmark decontamination: count, per training doc, the distinct
     * 3-word shingles it shares with the held-out benchmark set (docs with
     * doc_id < benchMaxId); docs at or over `minOverlap` are contamination
