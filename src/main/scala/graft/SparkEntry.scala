@@ -906,10 +906,12 @@ object SparkEntry {
       FROM events GROUP BY 1, 2""".replaceAll("\\s+", " ")),
     "ev_active_users" -> ("""WITH act AS (SELECT DISTINCT user_id,
         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day FROM events),
-      days AS (SELECT DISTINCT day FROM act),
-      cover AS (SELECT user_id, unnest(generate_series(day, day + 6)) AS d FROM act)
-      SELECT d, count(DISTINCT user_id) AS active_users
-      FROM cover JOIN days ON days.day = cover.d GROUP BY d""".replaceAll("\\s+", " ")),
+      grid AS (SELECT unnest(generate_series(lo, hi)) AS d
+        FROM (SELECT min(day) AS lo, max(day) AS hi FROM act)),
+      cover AS (SELECT user_id, unnest(generate_series(day, day + 6)) AS d FROM act),
+      cnt AS (SELECT d, count(DISTINCT user_id) AS au FROM cover GROUP BY d)
+      SELECT grid.d AS d, coalesce(au, 0) AS active_users
+      FROM grid LEFT JOIN cnt ON cnt.d = grid.d""".replaceAll("\\s+", " ")),
     "ev_funnel" -> ("""WITH s AS (SELECT user_id, min(ts) AS sts FROM events
         WHERE event_type = 'signup' GROUP BY 1),
       p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')

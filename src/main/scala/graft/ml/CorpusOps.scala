@@ -102,9 +102,14 @@ object CorpusOps {
     * corpus index derives per doc (tf = in-doc occurrences, idf =
     * ln(N/df) over exact document frequencies). Scale shape: tf is one
     * partial-aggregating groupBy on (doc_id, term); df aggregates the
-    * ALREADY-reduced tf table (vocabulary-sized, ≪ corpus) and broadcasts
-    * back, so the corpus-sized side shuffles exactly once; N rides along as
-    * a one-row broadcast cross join, never a driver-side collect. Ranking
+    * ALREADY-reduced tf table and re-joins it as a plain shuffle equi-join
+    * on `term` — NOT a broadcast: a web-scale corpus has billions of
+    * distinct tokens, tens of GB of vocabulary, past any broadcast
+    * threshold (driver OOM). Both join inputs are reduced aggregates, the
+    * term-hash exchange is vocabulary-sized, and AQE still downgrades to a
+    * broadcast at runtime when the vocabulary is genuinely small. N rides
+    * along as a one-row broadcast cross join, never a driver-side collect.
+    * Ranking
     * runs on the ROUNDED score with a term tie-break, so the top-K boundary
     * is total and engine-stable. */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
@@ -114,7 +119,7 @@ object CorpusOps {
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
-    tf.join(broadcast(dft), Seq("term"))
+    tf.join(dft, Seq("term"))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
@@ -143,14 +148,17 @@ object CorpusOps {
     * operator shape is identical). Per doc: mean over token OCCURRENCES of
     * ln(freq(token)/N). Same shuffle shape as tfidf: one corpus-sized
     * groupBy on (doc, token); the unigram table aggregates the reduced tf
-    * rows and broadcasts back; N rides a one-row broadcast. */
+    * rows and re-joins on `token` as a plain shuffle equi-join (the
+    * vocabulary is unbounded at corpus scale — see tfidfTopTerms — so it is
+    * never broadcast by hint; AQE may still choose broadcast when small);
+    * N rides a one-row broadcast. */
   def unigramLogProb(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val uni = tf.groupBy("token").agg(sum("tf").as("freq"))
     val n = uni.agg(sum("freq").as("n_tokens"))
-    tf.join(broadcast(uni), Seq("token"))
+    tf.join(uni, Seq("token"))
       .crossJoin(broadcast(n))
       .groupBy("doc_id")
       .agg(round(sum(col("tf") * log(col("freq") / col("n_tokens"))) /

@@ -96,15 +96,26 @@ object TextAnalysis {
     * High values flag boilerplate/degenerate text. The trigram ratio is a
     * pure per-row array projection (no shuffle); the top-bigram ratio is two
     * partial-aggregating groupBys keyed on doc_id — both bounded per doc, so
-    * the operator is a linear scan at any corpus size. Assumes ≥2 tokens per
-    * doc (the corpus-prep chain upstream already drops shorter rows). */
+    * the operator is a linear scan at any corpus size. Docs with <3 tokens
+    * have no trigrams, so their dup_trigram_frac is pinned to 0.0 (the
+    * unguarded sequence(0, size-3) would otherwise go descending and invent
+    * degenerate trigrams). Assumes ≥2 tokens per doc for the bigram signal
+    * (the corpus-prep chain upstream already drops shorter rows). */
   def repetition(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), tokens.as("tok"))
+    // the guard must wrap the transform itself: on a <3-token doc the
+    // unguarded sequence(0, size-3) goes descending and tok[i+2] is an
+    // ANSI out-of-bounds error, not a null
     val tri = tok.select(col("doc_id"),
-      expr("transform(sequence(0, size(tok)-3), i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))").as("tg"))
+      expr("""CASE WHEN size(tok) >= 3
+             THEN transform(sequence(0, size(tok)-3),
+                  i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))
+             ELSE array() END""").as("tg"))
       .select(col("doc_id"),
-        round(lit(1.0) - size(array_distinct(col("tg"))).cast("double") /
-          size(col("tg")), 6).as("dup_trigram_frac"))
+        when(size(col("tg")) > 0,
+          round(lit(1.0) - size(array_distinct(col("tg"))).cast("double") /
+            size(col("tg")), 6))
+          .otherwise(lit(0.0)).as("dup_trigram_frac"))
     val big = tok.select(col("doc_id"),
         explode(expr("transform(sequence(0, size(tok)-2), i -> concat_ws(' ', tok[i], tok[i+1]))")).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
@@ -153,11 +164,13 @@ object TextAnalysis {
   /** DuckDB mirror of `repetition` over the `documents` view. */
   def repetitionOracleSql: String =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
-      |tri AS (SELECT doc_id,
+      |tri AS (SELECT doc_id, len(tok) AS n_tok,
       |  list_transform(range(1, len(tok) - 1),
       |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) AS tg FROM tok),
       |tr AS (SELECT doc_id,
-      |  round(1.0 - len(list_distinct(tg)) * 1.0 / len(tg), 6) AS dup_trigram_frac
+      |  CASE WHEN n_tok >= 3
+      |    THEN round(1.0 - len(list_distinct(tg)) * 1.0 / len(tg), 6)
+      |    ELSE 0.0 END AS dup_trigram_frac
       |  FROM tri),
       |bg AS (SELECT doc_id,
       |  unnest(list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])) AS bg

@@ -11,27 +11,33 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
-  /** Rolling distinct active users: for every observed activity day `d`, the
-    * number of distinct users active in the trailing `days`-day window
-    * [d−days+1, d]. Formulation: the (user, day) activity set is deduped
-    * FIRST (one row per user-day — the shuffle carries the reduced set, not
-    * raw events), each activity row then covers the `days` window anchors it
-    * contributes to via a bounded explode, and a distinct-aggregate per
-    * anchor day finishes. A windowed COUNT(DISTINCT) can't be expressed as a
-    * Spark window function at all; this explode form is the standard
-    * scale-out rewrite, linear in |activity| × days. */
+  /** Rolling distinct active users: for every calendar day `d` in the
+    * observed span [min day, max day], the number of distinct users active
+    * in the trailing `days`-day window [d−days+1, d] — a DENSE series, so an
+    * interior day with zero events still appears (with the count its
+    * non-empty trailing window implies, or 0). Formulation: the (user, day)
+    * activity set is deduped FIRST (one row per user-day — the shuffle
+    * carries the reduced set, not raw events), each activity row then covers
+    * the `days` window anchors it contributes to via a bounded explode, and
+    * a distinct-aggregate per anchor day finishes; a generated calendar grid
+    * (one-row span aggregate, broadcast) zero-fills the gaps and truncates
+    * partial windows past the last observed day. A windowed COUNT(DISTINCT)
+    * can't be expressed as a Spark window function at all; this explode form
+    * is the standard scale-out rewrite, linear in |activity| × days. */
   def rollingActiveUsers(events: DataFrame, days: Int): DataFrame = {
     val act = events
       .select(col("user_id"),
         unix_date(to_date(col("ts"))).cast("long").as("day"))
       .distinct()
-    val anchors = act.select(col("day").as("d")).distinct()
+    val grid = act.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
     act
       .select(col("user_id"),
         explode(sequence(col("day"), col("day") + (days - 1))).as("d"))
-      .join(anchors, Seq("d"), "left_semi") // partial windows past the last
-      .groupBy("d")                         // observed day are not reported
-      .agg(countDistinct("user_id").as("active_users"))
+      .groupBy("d")
+      .agg(countDistinct("user_id").as("au"))
+      .join(grid, Seq("d"), "right")
+      .select(col("d"), coalesce(col("au"), lit(0L)).as("active_users"))
   }
 
   /** Conversion funnel: per user with a `from` event, the first `from`

@@ -19,11 +19,15 @@ object SkewJoin {
 
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int): DataFrame = {
-    // deterministic-enough spread: hash of the join key + a per-partition
-    // row ordinal; correctness needs no randomness property at all
+    // The salt must be DETERMINISTIC per row: a shuffle-stage retry
+    // recomputes map output, and a salt derived from partition-dependent
+    // state (monotonically_increasing_id, rand) can re-place rows between
+    // reducers mid-retry, duplicating or dropping them (SPARK-23207 class).
+    // Hashing every big-side column is stable across retries; fully
+    // identical duplicate rows share a salt, which only costs spread, never
+    // correctness.
     val salted = big.withColumn("_salt",
-      pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*),
-        lit(salts)))
+      pmod(hash(big.columns.map(col): _*), lit(salts)))
     val replicated = small.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     salted.join(replicated, keys :+ "_salt").drop("_salt")

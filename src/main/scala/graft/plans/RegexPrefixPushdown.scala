@@ -34,7 +34,7 @@ object RegexPrefixPushdown extends Rule[LogicalPlan] {
     if (!re.startsWith("^")) return None
     val body = re.drop(1)
     if (body.contains('|')) return None
-    val meta = ".[]{}()*+?\\$"
+    val meta = ".[]{}()*+?\\$^" // '^' too: "^^abc" matches "abc", not "^abc"
     val lit = body.takeWhile(c => !meta.contains(c))
     val safe =
       if (lit.length < body.length && "*+?{".contains(body(lit.length)))

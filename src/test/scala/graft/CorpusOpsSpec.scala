@@ -95,6 +95,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(2L) == ((0.0, 0.333333)))
   }
 
+  test("repetition pins dup_trigram_frac to 0.0 below 3 tokens") {
+    // unguarded sequence(0, size-3) would go descending on a 2-token doc and
+    // invent degenerate trigrams (dup_trigram_frac 0.5 vs the oracle's 0/0)
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val got = graft.ml.TextAnalysis.repetition(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((0.0, 1.0))) // no trigrams; the single bigram is top
+  }
+
+  test("tfidf/logprob vocabulary join is never hint-broadcast") {
+    // a 100 TB corpus has an unbounded vocabulary: the df/unigram side must
+    // reach the term join through a shuffle (AQE may downgrade at runtime,
+    // but a broadcast() HINT would force it at any size → driver OOM).
+    // Threshold -1 disables auto-broadcast, so any BroadcastHashJoin left in
+    // the plan can only come from a reintroduced hint.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+      for (df <- Seq(CorpusOps.tfidfTopTerms(docs, 2),
+                     CorpusOps.unigramLogProb(docs))) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastHashJoin"),
+          s"vocabulary side must not be a build-side broadcast:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("scrub counts and masks emails and urls") {
     val docs = Seq(
       (1L, "mail a.b+c@x-y.io and also http://t.co/z here"),

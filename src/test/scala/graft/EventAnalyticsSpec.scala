@@ -15,17 +15,20 @@ class EventAnalyticsSpec extends AnyFunSuite {
   // epoch day of 2024-01-d
   private def ep(day: Int): Long = 19723L + (day - 1)
 
-  test("rollingActiveUsers: trailing window, only observed anchor days") {
+  test("rollingActiveUsers: dense trailing windows over the observed span") {
     val ev = Seq(
       (1L, ts(1), "view"), (2L, ts(1), "view"),
       (1L, ts(2), "view"),
       (3L, ts(9), "view")).toDF("user_id", "ts", "event_type")
     val got = EventAnalytics.rollingActiveUsers(ev, 7).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // observed days: 1, 2, 9. Day 2's window covers days 1-2 → users 1,2.
-    // Day 9's window covers 3-9 → only user 3 (days 10-15 are unobserved
-    // anchors and must NOT be reported).
-    assert(got == Map(ep(1) -> 2L, ep(2) -> 2L, ep(9) -> 1L))
+    // activity days 1, 2, 9; the series is DENSE over 1..9: interior days
+    // 3-8 report the count their trailing window implies (days 3-7 still see
+    // both users from days 1-2; day 8 sees only day 2's user 1). Days 10-15
+    // are past the last observed day and must NOT be reported.
+    assert(got == Map(
+      ep(1) -> 2L, ep(2) -> 2L, ep(3) -> 2L, ep(4) -> 2L, ep(5) -> 2L,
+      ep(6) -> 2L, ep(7) -> 2L, ep(8) -> 1L, ep(9) -> 1L))
   }
 
   test("funnel: keeps unconverted users, ignores conversions before the source") {
@@ -54,13 +57,14 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val got = EventAnalytics.rollingActiveUsers(ev, 7).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val byDay = act.map { case (u, d) => (u, ep(1) + (d - 1)) }.distinct
-    val observed = byDay.map(_._2).distinct
-    for (d <- observed) {
+    val lo = byDay.map(_._2).min
+    val hi = byDay.map(_._2).max
+    for (d <- lo to hi) {
       val want = byDay.filter { case (_, ad) => ad >= d - 6 && ad <= d }
         .map(_._1).distinct.size.toLong
       assert(got(d) === want, s"day $d")
     }
-    assert(got.keySet == observed.toSet) // no unobserved anchors
+    assert(got.keySet == (lo to hi).toSet) // dense, no anchors past the span
   }
 
   test("funnel and retention match naive computations on random data") {

@@ -23,6 +23,8 @@ class RegexPushdownSpec extends AnyFunSuite {
     assert(literalPrefix("^ab\\d*") == Some("ab"))  // escape ends the literal
     assert(literalPrefix("^a|b") == None)           // '^' may not govern all
     assert(literalPrefix("^a?x") == None)           // nothing guaranteed
+    assert(literalPrefix("^^abc") == None)          // "^^abc" matches "abc"
+    assert(literalPrefix("^ab^c") == Some("ab"))    // inner '^' ends literal
   }
 
   test("a bare rlike filter over the index parquet pushes StringStartsWith") {
