@@ -386,25 +386,22 @@ object CorrelateExec {
     // Time-leakage handling (correlate.cc:524-563): when A's primary keyword
     // is timestamped, ephemeral keys are skipped entirely and timestamped
     // keys are leakage-filtered (against B's dates, or `now` when B is not
-    // timestamped). The key vocabulary is metadata-sized — classifying it on
-    // the driver mirrors the reference's per-key dispatch loop.
+    // timestamped). The reference dispatches per key in a loop
+    // (correlate.cc:522-572); here the keywords.yaml filter lists compile to
+    // column predicates evaluated inside the scan — the key vocabulary
+    // (every indexed keyword, unbounded at corpus scale) never reaches the
+    // driver.
     val aTs = primaryKeyword(a).exists(Keywords.isTimestamped)
     val bTs = primaryKeyword(b).exists(Keywords.isTimestamped)
-    val vocab =
-      if (aTs) t.index.select("key").distinct().collect().map(_.getString(0)).toSeq
-      else Seq.empty
-    val dropKeys = vocab.filter(Keywords.isEphemeral)
-    val tsKeys = vocab.filter(Keywords.isTimestamped)
-    val baseIdx =
-      if (dropKeys.isEmpty) t.index
-      else t.index.filter(!col("key").isin(dropKeys: _*))
+    val tsPred = Keywords.timestampedCol(col("key"))
     val adjIdx =
-      if (!aTs || tsKeys.isEmpty) baseIdx
+      if (!aTs) t.index
       else {
-        val ts = baseIdx.filter(col("key").isin(tsKeys: _*))
+        val baseIdx = t.index.filter(!Keywords.ephemeralCol(col("key")))
+        val ts = baseIdx.filter(tsPred)
         val filtered = if (bTs) leakageFilter(ts, pa, pb)
           else leakageFilter(ts, pa, now)
-        baseIdx.filter(!col("key").isin(tsKeys: _*)).unionByName(filtered)
+        baseIdx.filter(!tsPred).unionByName(filtered)
       }
 
     // Support gate on RAW posting counts (checked before the filter,

@@ -13,8 +13,13 @@ package graft.functions
   * keywords.cc:66-68); anything else is a literal prefix. Filters load from
   * the file named by GRAFT_KEYWORDS (a minimal YAML subset — `ephemeral:` /
   * `timestamped:` headers with `- "entry"` items); without it, the defaults
-  * mirror the testdata fixture classes. The vocabulary is metadata-sized, so
-  * classification happens driver-side and joins/broadcasts from there.
+  * mirror the testdata fixture classes. The FILTER LISTS are config-sized
+  * (dozens of entries), but the key vocabulary they classify is not — at
+  * corpus scale it is every indexed keyword — so classification compiles to
+  * column predicates (`timestampedCol`/`ephemeralCol`) evaluated inside the
+  * scan, never by collecting keys to the driver. Prefix filters become
+  * StartsWith (pushed to parquet min/max); anchored regexes inherit
+  * RegexPrefixPushdown's derived prefix.
   */
 object Keywords {
 
@@ -56,12 +61,17 @@ object Keywords {
     (eph.result(), ts.result())
   }
 
+  /** Load + parse a keywords config file — the exact code path the
+    * GRAFT_KEYWORDS env-var init takes, exposed so tests can round-trip a
+    * written file without faking process env. */
+  def loadConfig(path: String): (Seq[Filter], Seq[Filter]) =
+    parseConfig(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      "UTF-8"))
+
   private lazy val (ephemeral: Seq[Filter], timestamped: Seq[Filter]) =
     sys.env.get("GRAFT_KEYWORDS") match {
-      case Some(path) =>
-        parseConfig(new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-          "UTF-8"))
+      case Some(path) => loadConfig(path)
       case None =>
         // testdata fixture classes (FIXTURES.md A.3)
         (Seq(parseFilter("event:")),
@@ -80,4 +90,21 @@ object Keywords {
   def isEphemeral(key: String): Boolean = ephemeral.exists(_.matches(key))
 
   def hasPctBands(key: String): Boolean = banded.exists(_.matches(key))
+
+  /** The same classification as `isTimestamped`/`isEphemeral`, compiled to a
+    * Column predicate: prefix filters → startsWith (parquet-pushable),
+    * regex filters → rlike anchored to reproduce RE2::FullMatch
+    * (keywords.cc:66-68). An empty filter list compiles to `false`. */
+  private def toPredicate(filters: Seq[Filter],
+      keyCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filters.map {
+      case PrefixFilter(p) => keyCol.startsWith(p)
+      case RegexFilter(re) => keyCol.rlike("^(?:" + re.pattern + ")$")
+    }.foldLeft(org.apache.spark.sql.functions.lit(false))(_ || _)
+
+  def timestampedCol(keyCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    toPredicate(timestamped, keyCol)
+
+  def ephemeralCol(keyCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    toPredicate(ephemeral, keyCol)
 }

@@ -38,6 +38,49 @@ class KeywordsSpec extends AnyFunSuite {
     assert(ts.size == 1 && eph.size == 2)
   }
 
+  test("GRAFT_KEYWORDS file round-trip pins classification semantics") {
+    // write the reference config shape (keywords.cc:28-68) to disk and load
+    // it through the same path the GRAFT_KEYWORDS env init takes
+    val f = java.nio.file.Files.createTempFile("graft-keywords", ".yaml")
+    try {
+      java.nio.file.Files.write(f,
+        """# reference keywords.yaml shape
+          |ephemeral:
+          |  - "event:"
+          |  - /sess-[0-9a-f]+/
+          |timestamped:
+          |  - orderdate
+          |  - shipdate     # prefix, not full match
+          |""".stripMargin.getBytes("UTF-8"))
+      val (eph, ts) = Keywords.loadConfig(f.toString)
+      // prefix entries match by prefix (keywords.cc:34-35)
+      assert(ts.exists(_.matches("shipdate")))
+      assert(ts.exists(_.matches("shipdate:2024")))
+      assert(!ts.exists(_.matches("xshipdate")))
+      // /re/ entries are RE2::FullMatch (keywords.cc:66-68)
+      assert(eph.exists(_.matches("sess-0af3")))
+      assert(!eph.exists(_.matches("sess-0af3-tail")))
+      assert(eph.exists(_.matches("event:login")))
+      assert(!ts.exists(_.matches("event:login")) && eph.size == 2 && ts.size == 2)
+    } finally java.nio.file.Files.delete(f)
+  }
+
+  test("column predicates agree with scalar classification over a key table") {
+    import TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val keys = Seq("orderdate", "orderdate:x", "shipdate", "event:click",
+      "event:", "price", "xorderdate", "evt").toDF("key")
+    val gotTs = keys.filter(Keywords.timestampedCol(col("key")))
+      .collect().map(_.getString(0)).toSet
+    val gotEph = keys.filter(Keywords.ephemeralCol(col("key")))
+      .collect().map(_.getString(0)).toSet
+    val all = Seq("orderdate", "orderdate:x", "shipdate", "event:click",
+      "event:", "price", "xorderdate", "evt")
+    assert(gotTs == all.filter(Keywords.isTimestamped).toSet)
+    assert(gotEph == all.filter(Keywords.isEphemeral).toSet)
+  }
+
   test("default classes mirror the testdata fixtures") {
     assert(Keywords.isTimestamped("orderdate"))
     assert(Keywords.isTimestamped("shipdate"))
