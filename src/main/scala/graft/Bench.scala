@@ -17,6 +17,46 @@ import scala.collection.immutable.ListMap
   *    would otherwise masquerade as a fast success — VERDICT r1 #7).
   */
 object Bench {
+
+  /** Seconds to at most 2 decimals, trailing zeros stripped, Locale.ROOT
+    * (the f-interpolator honors the JVM locale — de_DE renders 0,49,
+    * invalid JSON; ADVICE r7). */
+  def compact(sec: Double): String = {
+    val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))
+    val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+    if (t.isEmpty) "0" else t
+  }
+
+  /** The stdout bench line with the length guard applied: the driver
+    * captures only the last 2000 chars of stdout, so the line must stay
+    * ≤ `maxLen` (1700 — headroom for trailing noise). If the full per-query
+    * map is too long, the FASTEST queries drop first (the slow ones are what
+    * perf grading needs) and `queries_omitted` says how many. This is the
+    * contract whose silent regression produced BENCH_r05/r06's
+    * "parsed": null. */
+  def guardedLine(results: ListMap[String, (Double, Boolean)], reps: Int,
+      sfDir: String, maxLen: Int = 1700): String = {
+    def qsLine(rs: Iterable[(String, (Double, Boolean))]): String =
+      rs.map { case (k, (sec, ok)) =>
+        "\"" + k + "\":" + (if (ok) compact(sec) else s"""{"sec":${compact(sec)},"err":true}""")
+      }.mkString("{", ",", "}")
+    val total = results.collect { case (_, (sec, true)) => sec }.sum
+    val nErr = results.count(!_._2._2)
+    def record(qs: String, omitted: Int): String = {
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${compact(total)},"unit":"sec","queries":$qs$om,"errors":$nErr,"reps":$reps,"sf":"$sfDir"}"""
+    }
+    val fullLine = record(qsLine(results), 0)
+    if (fullLine.length <= maxLen) fullLine
+    else {
+      val bySlowest = results.toSeq.sortBy { case (_, (sec, ok)) => (ok, -sec) }
+      Iterator.range(bySlowest.size, 0, -1).map { n =>
+        val kept = bySlowest.take(n).sortBy(_._1)
+        record(qsLine(kept), results.size - n)
+      }.find(_.length <= maxLen).getOrElse(record("{}", results.size))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
@@ -66,55 +106,25 @@ object Bench {
         val median = times.map(_._1).sorted.apply(reps / 2)
         name -> (median, okAll)
       })
-    // Two renderings of the same record:
-    //  - stdout gets a COMPACT line (seconds to 2 decimals, trailing zeros
-    //    stripped): the driver captures only the last 2000 chars of stdout,
-    //    and full-precision doubles pushed the line to 2.4k — BENCH_r05 and
-    //    _r06 both recorded "parsed": null because the head of the JSON fell
-    //    off the capture window. 2-decimal seconds keep 83 queries ≈ 1.8k.
-    //  - bench_last.json keeps full precision for offline analysis.
-    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
-    // under e.g. de_DE renders 0,49 — invalid JSON (ADVICE r7).
-    def compact(sec: Double): String = {
-      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))
-      val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
-      if (t.isEmpty) "0" else t
-    }
-    def qsLine(rs: Iterable[(String, (Double, Boolean))], fmt: Double => String): String =
-      rs.map { case (k, (sec, ok)) =>
-        "\"" + k + "\":" + (if (ok) fmt(sec) else s"""{"sec":${fmt(sec)},"err":true}""")
-      }.mkString("{", ",", "}")
-    val total = results.collect { case (_, (sec, true)) => sec }.sum
-    val nErr = results.count(!_._2._2)
-    def record(v: String, qs: String, omitted: Int): String = {
-      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":$v,"unit":"sec","queries":$qs$om,"errors":$nErr,"reps":$reps,"sf":"$sfDir"}"""
-    }
-    // Length guard (ADVICE r7): the driver captures only the last 2000
-    // chars of stdout. Keep the line ≤1700 so it survives even with some
-    // trailing noise in the window — if the full per-query map is too
-    // long, drop the FASTEST queries first (the slow ones are what perf
-    // grading needs) and say how many were omitted.
-    val line: String = {
-      val fullLine = record(compact(total), qsLine(results, compact), 0)
-      if (fullLine.length <= 1700) fullLine
-      else {
-        val bySlowest = results.toSeq.sortBy { case (_, (sec, ok)) => (ok, -sec) }
-        val keep = Iterator.range(bySlowest.size, 0, -1).map { n =>
-          val kept = bySlowest.take(n).sortBy(_._1)
-          record(compact(total), qsLine(kept, compact), results.size - n)
-        }.find(_.length <= 1700).getOrElse(record(compact(total), "{}", results.size))
-        keep
-      }
-    }
+    // stdout gets the guarded COMPACT line (see guardedLine);
+    // bench_last.json below keeps full precision for offline analysis.
+    val line: String = guardedLine(results, reps, sfDir)
     println(line)
     System.out.flush()
     // Persist full precision: the driver captures stdout tails, and r4's
     // BENCH json lost its "metric":"total" prefix to truncation — a file
     // copy makes the full record recoverable (VERDICT r4 #3/wrong-5).
+    val fullPrecision = {
+      val qs = results.map { case (k, (sec, ok)) =>
+        "\"" + k + "\":" + (if (ok) sec.toString else s"""{"sec":$sec,"err":true}""")
+      }.mkString("{", ",", "}")
+      val total = results.collect { case (_, (sec, true)) => sec }.sum
+      val nErr = results.count(!_._2._2)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"reps":$reps,"sf":"$sfDir"}"""
+    }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_last.json")),
-      record(total.toString, qsLine(results, _.toString), 0) + "\n")
+      fullPrecision + "\n")
     catch { case _: Throwable => () }
     try spark.stop() catch { case _: Throwable => () }
     // Re-print as the ABSOLUTE last stdout line: if anything (a shutdown

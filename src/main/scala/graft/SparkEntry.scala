@@ -540,9 +540,11 @@ object SparkEntry {
         col("doc_id"),
         md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
           .as("fingerprint"))),
+    // real byte decoding: each doc planted as a valid binary PGM (P5),
+    // decoded per-partition; the oracle recomputes the pixel stats from the
+    // planted source chars, never the bytes
     "mm_features" -> ((s, dir) =>
-      Multimodal.documentFeatures(s, Catalog.documents(s, dir))
-        .select("doc_id", "n_bytes", "fp")),
+      Multimodal.documentFeatures(s, Catalog.documents(s, dir))),
     "mm_framesample" -> ((s, dir) =>
       Multimodal.frameSample(Catalog.documents(s, dir))),
     "mm_resize" -> ((s, dir) =>
@@ -573,6 +575,12 @@ object SparkEntry {
       graft.streaming.EmbeddingsIngest.bucketsOnce(s, dir)),
     "emb_topk_ivf" -> ((s, dir) =>
       Ann.ivfTopK(Catalog.embeddings(s, dir), Catalog.ivfCells(s, dir), 0, 10)),
+    // ANN QUALITY as an oracle entry: recall@10 of the LSH and IVF lookups
+    // vs the exact baseline, driver-checked every round (not just bucket
+    // membership logic)
+    "ann_recall" -> ((s, dir) =>
+      Ann.recallAtK(Catalog.embeddings(s, dir), Catalog.annBuckets(s, dir),
+        Catalog.ivfCells(s, dir), 0, 10)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1033,8 +1041,7 @@ object SparkEntry {
     "doc_fingerprint" -> ("""SELECT doc_id,
       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
       FROM documents""".replaceAll("\\s+", " ")),
-    "mm_features" -> ("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-      md5(text) AS fp FROM documents""".replaceAll("\\s+", " ")),
+    "mm_features" -> Multimodal.documentFeaturesOracleSql,
     "emb_topk" -> ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0)
       SELECT e.vec_id AS vec_id,
@@ -1045,6 +1052,7 @@ object SparkEntry {
     "emb_topk_lsh" -> Ann.oracleSql(0, 10),
     "ann_stream_index" -> Ann.bucketsOracleSql,
     "emb_topk_ivf" -> Ann.ivfOracleSql(0, 10),
+    "ann_recall" -> Ann.recallOracleSql(0, 10),
     "mm_framesample" -> Multimodal.frameSampleOracleSql(),
     "mm_resize" -> Multimodal.resizeOracleSql,
   )

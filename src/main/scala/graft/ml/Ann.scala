@@ -336,6 +336,69 @@ object Ann {
        |""".stripMargin.replaceAll("\\s+", " ")
   }
 
+  /** Recall@k of both approximate lookups (LSH buckets, IVF cells) against
+    * the exact brute-force top-k, for one query vector — the ANN QUALITY
+    * check as a deterministic relational result: (method, hits, recall).
+    * Membership logic alone can pass while recall quietly degrades (bad
+    * planes, too few probes); this pins the quality number itself to the
+    * oracle each round. All three rankings use the rounded-sim,
+    * vec_id-tiebreak total order the individual entries already pin, so the
+    * k-boundaries agree across engines.
+    *
+    * Expected regime, pinned so a change is visible: on the near-uniform
+    * synthetic corpus the exact top-10 sits at cos ≈ 0.2-0.3, where IVF
+    * recall ≈ the probed fraction (Probes/Cells = 1/4 → ~0.5 with the
+    * proximity correlation) and hyperplane-LSH recall is ~0 BY DESIGN — a
+    * 16-bit × 8-table index only collides at high cosine (p ≈ 0.87 at the
+    * planted-clone 0.999, ~1e-3 at 0.25). LSH is the near-duplicate index
+    * (its quality regime is pinned by dedup_embcos_real); IVF is the
+    * general top-k scale path. A recall ENTRY failing means an engine
+    * diverged; the VALUES moving means planes/centroids/probes changed. */
+  def recallAtK(emb: DataFrame, bk: DataFrame, cells: DataFrame,
+      qVecId: Long, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").as("emb"))
+    val q = broadcast(e.filter(col("vec_id") === qVecId)
+      .select(col("emb").as("qemb")))
+    val exact = e.filter(col("vec_id") =!= qVecId).crossJoin(q)
+      .select(col("vec_id"),
+        round(dot(col("emb"), col("qemb")) /
+          sqrt(dot(col("emb"), col("emb")) * dot(col("qemb"), col("qemb"))), 6)
+          .as("sim"))
+      .orderBy(desc("sim"), asc("vec_id")).limit(k)
+      .select("vec_id")
+    def recall(method: String, approx: DataFrame): DataFrame =
+      approx.select("vec_id").join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(method).as("method"), col("hits"),
+          round(col("hits") * lit(1.0) / k, 4).as("recall"))
+    recall("lsh", topK(emb, bk, qVecId, k))
+      .unionByName(recall("ivf", ivfTopK(emb, cells, qVecId, k)))
+  }
+
+  /** DuckDB mirror of recallAtK: the exact, LSH, and IVF top-k oracles
+    * (each already verified stand-alone) composed as CTE subqueries. */
+  def recallOracleSql(qVecId: Long, k: Int): String = {
+    val exact =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId)
+         |SELECT e.vec_id AS vec_id,
+         |  round(list_dot_product(e.emb, q.qemb) /
+         |    sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
+         |FROM e, q WHERE e.vec_id <> $qVecId
+         |ORDER BY sim DESC, e.vec_id LIMIT $k""".stripMargin
+    s"""WITH exact AS ((${exact})),
+       |lshr AS ((${oracleSql(qVecId, k)})),
+       |ivfr AS ((${ivfOracleSql(qVecId, k)}))
+       |SELECT 'lsh' AS method, count(*) AS hits,
+       |  round(count(*) * 1.0 / $k, 4) AS recall
+       |FROM lshr WHERE vec_id IN (SELECT vec_id FROM exact)
+       |UNION ALL
+       |SELECT 'ivf' AS method, count(*) AS hits,
+       |  round(count(*) * 1.0 / $k, 4) AS recall
+       |FROM ivfr WHERE vec_id IN (SELECT vec_id FROM exact)
+       |""".stripMargin.replaceAll("\\s+", " ")
+  }
+
   private def planeSql(plane: Seq[Double]): String =
     plane.mkString("[", ",", "]")
 

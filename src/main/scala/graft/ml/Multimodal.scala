@@ -5,47 +5,86 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media payloads as opaque `binary` columns with
   * typed metadata, processed per-partition in batches — the shape an
-  * image/audio feature-extraction stage has at 100 TB (brief: decode libs are
-  * absent in this container, so the DECODE step is a clearly-marked
-  * deterministic stub; the Spark-side plumbing — schema, partition batching,
-  * feature signature — is real and tested).
+  * image/audio feature-extraction stage has at 100 TB. The container has no
+  * JPEG/PNG/PCM codecs, so the planted payload is a REAL image format the
+  * JVM can decode bare-handed: binary PGM (P5), whose 12-byte header + raw
+  * pixel bytes exercise genuine byte-level decoding (magic check, ASCII
+  * dimension parse, bounds check, pixel extraction) in the same
+  * mapPartitions batch shape a codec/GPU stage needs. A deployment swaps
+  * `decodePgm` for its codec; every other line stays.
   */
 object Multimodal {
 
-  /** Extracted per-media features. `fp` is a real digest of the bytes;
-    * `feat` is the stubbed "decoded" feature vector. */
-  final case class MediaFeature(doc_id: Long, n_bytes: Int, fp: String,
-      feat: Array[Float])
+  /** Minimal REAL decoder for binary PGM (P5): parses `P5`, whitespace-
+    * separated ASCII width/height/maxval, one whitespace, then width×height
+    * raw pixel bytes. Returns (width, height, pixels) or None for anything
+    * malformed (bad magic, non-positive dims, maxval > 255, truncated
+    * payload) — corrupt media must be droppable, not a task failure. */
+  def decodePgm(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '5') return None
+    var i = 2
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
+    def readInt(): Int = {
+      while (i < bytes.length && isWs(bytes(i))) i += 1
+      var v = 0; var any = false
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    i += 1 // exactly one whitespace byte separates maxval from pixel data
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255 ||
+        i + w.toLong * h > bytes.length) return None
+    Some((w, h, Array.tabulate(w * h)(j => bytes(i + j) & 0xff)))
+  }
 
-  /** STUB DECODER — stands in for image/audio decode (JPEG/PNG/PCM...).
-    * Deterministic: features derive from the payload digest, so tests and
-    * oracles are stable. A real deployment swaps only this function. */
-  private def decodeStub(digest: Array[Byte]): Array[Float] =
-    digest.take(4).map(b => (b & 0xff) / 255.0f)
-
-  /** Per-partition batch feature extraction over (id, bytes) rows — one
-    * MessageDigest per partition, no per-row setup; this is the
-    * mapPartitions batch shape a GPU/codec stage needs. */
-  def extract(media: Dataset[(Long, Array[Byte])]): Dataset[MediaFeature] = {
+  /** Per-partition batch decode over (id, payload) rows → decoded pixel
+    * stats (width, height, n_px, min/max/sum of pixel values). Rows whose
+    * payload fails to decode are dropped (flatMap), the per-partition
+    * iterator is the batch boundary a codec stage amortizes setup over. */
+  def decodeFeatures(media: Dataset[(Long, Array[Byte])]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { case (id, bytes) =>
-        md.reset()
-        val digest = md.digest(bytes)
-        val hex = digest.map(b => f"${b & 0xff}%02x").mkString
-        MediaFeature(id, bytes.length, hex, decodeStub(digest))
+      it.flatMap { case (id, bytes) =>
+        decodePgm(bytes).map { case (w, h, px) =>
+          (id, w, h, px.length, px.min, px.max, px.map(_.toLong).sum)
+        }
       }
-    }
+    }.toDF("doc_id", "width", "height", "n_px", "min_px", "max_px", "sum_px")
   }
 
-  /** The documents table viewed as a media table (text bytes standing in for
-    * an image/audio payload) → features. */
+  /** The documents table as a planted PGM corpus: each doc's payload is a
+    * valid 8×4 P5 image whose 32 pixels are the doc's first 32 text bytes —
+    * constructed identically in the oracle, so the DECODED values (not
+    * digests) are cross-checked. Docs under 32 chars are skipped (no full
+    * image). Returns per-image decoded stats + mean pixel value. */
   def documentFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    extract(docs.select(col("doc_id"), col("text").cast("binary"))
-      .as[(Long, Array[Byte])]).toDF()
+    val media = docs.filter(length(col("text")) >= 32)
+      .select(col("doc_id"),
+        concat(lit("P5\n8 4\n255\n").cast("binary"),
+          substring(col("text"), 1, 32).cast("binary")).as("payload"))
+      .as[(Long, Array[Byte])]
+    decodeFeatures(media)
+      .withColumn("mean_px", round(col("sum_px") / col("n_px"), 4))
   }
+
+  /** DuckDB mirror of documentFeatures: the oracle never sees the PGM bytes —
+    * it derives the expected decoded stats straight from the text chars the
+    * pixels were planted from (ASCII code = pixel value), so a decoder bug
+    * (off-by-one header skip, sign error on bytes ≥ 0x80) breaks the match. */
+  def documentFeaturesOracleSql: String =
+    """WITH d AS (SELECT doc_id, substring(text, 1, 32) AS px FROM documents
+      |  WHERE length(text) >= 32),
+      |p AS (SELECT doc_id,
+      |  list_transform(range(1, 33), i -> ascii(substring(px, i, 1))) AS codes
+      |  FROM d)
+      |SELECT doc_id, 8 AS width, 4 AS height, 32 AS n_px,
+      |  list_min(codes) AS min_px, list_max(codes) AS max_px,
+      |  CAST(list_sum(codes) AS BIGINT) AS sum_px,
+      |  round(CAST(list_sum(codes) AS BIGINT) * 1.0 / 32, 4) AS mean_px
+      |FROM p""".stripMargin.replaceAll("\\s+", " ")
 
   /** "Resize" plumbing — the downsample-every-media stage: the payload's
     * byte stream is stride-`factor` downsampled per partition batch (a real

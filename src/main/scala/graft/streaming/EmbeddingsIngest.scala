@@ -45,17 +45,20 @@ object EmbeddingsIngest {
   }
 
   /** One-shot streamed index build over all available input (memory sink) —
-    * the CORRECTNESS entry point. */
-  def bucketsOnce(spark: SparkSession, dir: String): DataFrame = {
-    val name = s"graft_stream_ann_${runId.incrementAndGet()}"
-    val q = bucketRows(stream(spark, dir))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+    * the CORRECTNESS entry point. Memoized per statement window (see
+    * Caches.memoize): repeated evaluation reuses the first run's sink
+    * instead of bootstrapping a fresh stream. */
+  def bucketsOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:annbuckets:$dir") {
+      val name = s"graft_stream_ann_${runId.incrementAndGet()}"
+      val q = bucketRows(stream(spark, dir))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    }
 }

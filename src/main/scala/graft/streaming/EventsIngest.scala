@@ -21,6 +21,22 @@ object EventsIngest {
 
   private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Run a one-shot (AvailableNow) stream with a bounded state-partition
+    * count. A stateful micro-batch commits one state-store checkpoint PER
+    * SHUFFLE PARTITION per operator — at the session default of 32 that is
+    * hundreds of small files for a few seconds of local input, which is
+    * bring-up cost, not work. The partition count is pinned into the
+    * checkpoint at the first batch, so this only applies to these
+    * self-contained one-shot runs (fresh checkpoint each call); an always-on
+    * deployment sizes `spark.sql.shuffle.partitions` to its cluster before
+    * starting the query and never pays bring-up again. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** The raw event stream (nanos → timestamp, same as the batch reader). */
   def stream(spark: SparkSession, dir: String): DataFrame =
     // The glob braces make the file-stream source treat `dir` as basePath
@@ -98,18 +114,19 @@ object EventsIngest {
 
   /** One-shot streaming dedup over all available input (append mode — rows
     * flow out in the micro-batch where their key is first seen). */
-  def dedupDailyOnce(spark: SparkSession, dir: String): DataFrame = {
-    val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
-    val q = dedupDaily(stream(spark, dir))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  def dedupDailyOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:dedup:$dir") { withStatePartitions(spark, 8) {
+      val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
+      val q = dedupDaily(stream(spark, dir))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } }
 
   /** Per-user lifetime profile state: first/last event second, event count,
     * raw value sum. Merging an event is commutative and associative, so the
@@ -161,17 +178,20 @@ object EventsIngest {
     * each user's LAST update — n_events strictly grows per update, so the
     * max-n row is the final state. The kept set equals the batch
     * groupBy(user_id) aggregate. */
-  def userProfilesOnce(spark: SparkSession, dir: String): DataFrame = {
+  def userProfilesOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:profiles:$dir") {
     import org.apache.spark.sql.expressions.Window
     val name = s"graft_stream_prof_${runId.incrementAndGet()}"
-    val q = userProfiles(stream(spark, dir))
-      .writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = userProfiles(stream(spark, dir))
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .withColumn("rn", row_number().over(
         Window.partitionBy("user_id").orderBy(desc("n_events"))))
@@ -216,48 +236,51 @@ object EventsIngest {
 
   /** One-shot stream-stream interval join over all available input (append
     * mode — pairs emit once both watermarks pass). */
-  def intervalJoinOnce(spark: SparkSession, dir: String): DataFrame = {
-    val name = s"graft_stream_join_${runId.incrementAndGet()}"
-    val q = intervalJoin(stream(spark, dir))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  def intervalJoinOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:ivjoin:$dir") { withStatePartitions(spark, 8) {
+      val name = s"graft_stream_join_${runId.incrementAndGet()}"
+      val q = intervalJoin(stream(spark, dir))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } }
 
   /** One-shot stream-static enrichment over all available input (complete
     * mode → memory sink). */
-  def enrichedOnce(spark: SparkSession, dir: String): DataFrame = {
-    val name = s"graft_stream_enrich_${runId.incrementAndGet()}"
-    val q = enriched(stream(spark, dir), Catalog.table(spark, dir, "customer"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  def enrichedOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:enrich:$dir") { withStatePartitions(spark, 8) {
+      val name = s"graft_stream_enrich_${runId.incrementAndGet()}"
+      val q = enriched(stream(spark, dir), Catalog.table(spark, dir, "customer"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } }
 
   /** One-shot daily counts: run the windowed aggregation over all available
     * input (complete mode → in-memory sink) and return the result table.
     * This is the CORRECTNESS entry point — the same aggregation the batch
     * `ev_daily_counts` query does, produced by the streaming engine. */
-  def dailyCountsOnce(spark: SparkSession, dir: String): DataFrame = {
-    val name = s"graft_stream_daily_${runId.incrementAndGet()}"
-    val q = dailyCounts(stream(spark, dir))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  def dailyCountsOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:daily:$dir") { withStatePartitions(spark, 8) {
+      val name = s"graft_stream_daily_${runId.incrementAndGet()}"
+      val q = dailyCounts(stream(spark, dir))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } }
 }

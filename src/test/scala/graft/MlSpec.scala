@@ -189,19 +189,35 @@ class MlSpec extends AnyFunSuite {
     assert(out.head.getAs[Int]("n_regex_tokens") == 123)
   }
 
-  test("Multimodal: per-partition extraction computes real digests over bytes") {
-    val docs = Seq((7L, "hello world"), (8L, "grüß")).toDF("doc_id", "text")
-    val feats = Multimodal.documentFeatures(spark, docs).collect()
-      .map(r => r.getAs[Long]("doc_id") ->
-        ((r.getAs[Int]("n_bytes"), r.getAs[String]("fp"),
-          r.getSeq[Float](r.fieldIndex("feat")))))
-      .toMap
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val expected = md.digest("hello world".getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString
-    assert(feats(7L)._1 == 11)
-    assert(feats(7L)._2 == expected)
-    assert(feats(8L)._1 == "grüß".getBytes("UTF-8").length) // multi-byte utf-8
-    assert(feats(7L)._3.length == 4) // stubbed decode emits the feature shape
+  test("Multimodal: decodePgm parses real PGM bytes, rejects malformed ones") {
+    val px = Array[Byte](10, 20, 30, 255.toByte)
+    val img = "P5\n2 2\n255\n".getBytes("UTF-8") ++ px
+    val Some((w, h, pixels)) = Multimodal.decodePgm(img)
+    assert(w == 2 && h == 2)
+    assert(pixels.toSeq == Seq(10, 20, 30, 255)) // byte 0xff reads as 255, not -1
+    // multi-digit dims + tab/space separators parse
+    val wide = "P5 12 1\t255\n".getBytes("UTF-8") ++ Array.fill[Byte](12)(7)
+    assert(Multimodal.decodePgm(wide).map(_._1) == Some(12))
+    // malformed: wrong magic, truncated pixel data, maxval over 8-bit
+    assert(Multimodal.decodePgm("P6\n2 2\n255\n".getBytes ++ px) == None)
+    assert(Multimodal.decodePgm("P5\n4 4\n255\n".getBytes ++ px) == None)
+    assert(Multimodal.decodePgm("P5\n2 2\n65535\n".getBytes ++ px) == None)
+    assert(Multimodal.decodePgm(Array[Byte]()) == None)
+  }
+
+  test("Multimodal: documentFeatures decodes planted PGM stats per partition") {
+    val text = ('a' to 'z').mkString + "ABCDEF" // 32 chars, codes 97..122,65..70
+    val docs = Seq((7L, text), (8L, "short")).toDF("doc_id", "text")
+    val rows = Multimodal.documentFeatures(spark, docs).collect()
+    assert(rows.length == 1) // <32-char doc has no full image → dropped
+    val r = rows.head
+    val codes = text.take(32).map(_.toInt)
+    assert(r.getAs[Int]("width") == 8 && r.getAs[Int]("height") == 4)
+    assert(r.getAs[Int]("n_px") == 32)
+    assert(r.getAs[Int]("min_px") == codes.min) // 'A' = 65
+    assert(r.getAs[Int]("max_px") == codes.max) // 'z' = 122
+    assert(r.getAs[Long]("sum_px") == codes.sum.toLong)
+    assert(r.getAs[Double]("mean_px") ==
+      math.rint(codes.sum.toDouble / 32 * 1e4) / 1e4)
   }
 }
