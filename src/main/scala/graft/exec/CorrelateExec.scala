@@ -286,7 +286,16 @@ object CorrelateExec {
     * bit-for-bit. `matched` columns: key, score, cls (+1 A-only / 0 both /
     * −1 B-only). Returns (key, lo, hi) with null = unbounded; keys whose
     * matched-pair count is below min(limitA, limitB) emit nothing
-    * (correlate.cc:241). */
+    * (correlate.cc:241).
+    *
+    * Measured-and-rejected restructures (r9, sf0.1, cold tracked caches;
+    * keep for future rounds): (a) per-key totals as a groupBy aggregate
+    * broadcast-joined back instead of the unbounded-frame windows — the
+    * broadcast subplan races the main pipeline for the byScore cache and
+    * duplicates the matched scan, 4.6s → 8.0s; (b) fusing the lower/upper
+    * cut candidates row-locally before one argmax window (halves the passes
+    * over `agg`) — 4.6s → 7.7s despite strictly fewer operators. The cached
+    * cascade below is the fastest shape found. */
   def splitRanges(matched: DataFrame, limitA: Long, limitB: Long,
       prior: Double): DataFrame = {
     val byScore = matched.groupBy("key", "score").agg(
