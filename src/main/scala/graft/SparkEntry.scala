@@ -494,12 +494,22 @@ object SparkEntry {
       Ann.nearDupCosPlanted(Catalog.embeddings(s, dir), 0.9, 50)),
     "dedup_ngram" -> ((s, dir) =>
       NearDup.ngramJaccard(Catalog.documents(s, dir), 0.6, maxDf = 50)),
+    // MOSS winnowing: substring-overlap candidates from the ~1/w-sized
+    // fingerprint sketch (any shared run of >= k+w-1 tokens is guaranteed
+    // a shared fingerprint)
+    "dedup_winnow" -> ((s, dir) =>
+      NearDup.winnowCandidates(Catalog.documents(s, dir),
+        minShared = 2, maxDf = 50)),
     // duplicate-cluster resolution: connected components over the verified
     // near-dup pair graph (pairwise output under-deletes transitive chains)
     "dedup_clusters" -> ((s, dir) =>
       graft.ml.Clusters.dedupClusters(Catalog.documents(s, dir), 0.6)),
     "sample_stratified" -> ((s, dir) =>
       graft.ml.CorpusOps.stratifiedSample(Catalog.documents(s, dir), "lang", 20)),
+    // greedy sequence packing into ~2000-token training batches, 8 hash
+    // shards packing independently (per-shard sequential, shards parallel)
+    "pack_batches" -> ((s, dir) =>
+      graft.ml.CorpusOps.packBatches(Catalog.documents(s, dir), 2000L, 8)),
     // data-mixing draw: per-source quotas from target fractions, filled in
     // deterministic md5 order (WindowGroupLimit-bounded rank, see CorpusOps)
     "sample_mixture" -> ((s, dir) =>
@@ -1000,8 +1010,10 @@ object SparkEntry {
     "dedup_embcos" -> Ann.nearDupCosSql(0.4),
     "dedup_embcos_real" -> Ann.nearDupCosPlantedSql(0.9, 50),
     "dedup_ngram" -> NearDup.ngramOracleSql(0.6, maxDf = 50),
+    "dedup_winnow" -> NearDup.winnowOracleSql(minShared = 2, maxDf = 50),
     "dedup_clusters" -> graft.ml.Clusters.oracleSql(0.6),
     "sample_stratified" -> graft.ml.CorpusOps.stratifiedOracleSql("lang", 20),
+    "pack_batches" -> graft.ml.CorpusOps.packOracleSql(2000L, 8),
     "sample_mixture" -> graft.ml.CorpusOps.mixtureOracleSql(MixtureWeights, MixtureTotal),
     "text_repetition" -> graft.ml.TextAnalysis.repetitionOracleSql,
     "text_scrub" -> graft.ml.TextAnalysis.scrubPlantedOracleSql(25),

@@ -98,6 +98,42 @@ object CorpusOps {
        |WHERE rn <= quota""".stripMargin.replaceAll("\\s+", " ")
   }
 
+  /** Greedy sequence packing — the batch-construction step before training:
+    * docs are laid out in a deterministic md5 order and cut into consecutive
+    * batches of ~`budget` tokens (a doc lands in the batch its running
+    * prefix sum starts in, so a batch overflows by at most one document —
+    * the standard greedy fill). Packing is inherently sequential, so the
+    * order is SHARDED: each of `shards` hash shards packs independently
+    * (one window partition each), which is exactly how a 100 TB corpus
+    * packs on a cluster — per-shard sequential, shards parallel. All
+    * ordering inputs are data-derived (md5, doc_id), so the layout is
+    * reproducible across runs, engines, and partitionings. */
+  def packBatches(docs: DataFrame, budget: Long, shards: Int): DataFrame = {
+    val w = Window.partitionBy("shard")
+      .orderBy(md5(concat(lit("pack:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        floor((col("cum") - col("n_tok")) / lit(budget.toDouble)).as("batch_id"))
+  }
+
+  def packOracleSql(budget: Long, shards: Int): String =
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    doc_id % $shards AS shard FROM documents),
+       |c AS (SELECT doc_id, shard, n_tok, sum(n_tok) OVER (
+       |    PARTITION BY shard
+       |    ORDER BY md5('pack:' || doc_id), doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+       |SELECT doc_id, shard, n_tok,
+       |  CAST(floor((cum - n_tok) / $budget.0) AS BIGINT) AS batch_id
+       |FROM c""".stripMargin.replaceAll("\\s+", " ")
+
   /** Per-document top-K terms by tf-idf — the keyword/relevance signal a
     * corpus index derives per doc (tf = in-doc occurrences, idf =
     * ln(N/df) over exact document frequencies). Scale shape: tf is one

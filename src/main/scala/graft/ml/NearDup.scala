@@ -147,6 +147,69 @@ object NearDup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the public local document-fingerprinting algorithm): hash
+    * every k-token gram, slide a window of w consecutive gram hashes, keep
+    * each window's MINIMUM — the winnowing guarantee is that any shared
+    * token run of length ≥ k+w−1 contributes at least one shared
+    * fingerprint, while the stored sketch shrinks to ~2/(w+1) of the full
+    * gram set. The gram hash is the first 8 md5 hex chars (engine-portable
+    * total order; a rolling hash is a CPU micro-optimization, not a
+    * semantic requirement — winnowing only needs a deterministic hash).
+    * Fully declarative per row (transform/slice/array_min — no UDF, no
+    * shuffle); docs shorter than k+w−1 tokens have no full window and are
+    * skipped. Returns the distinct (doc_id, fp) sketch table — what a
+    * substring-dedup pass STORES instead of every shingle at 100 TB. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .filter(size(col("tok")) >= k + w - 1)
+      .select(col("doc_id"), expr(
+        s"transform(sequence(1, size(tok) - ${k - 1}), " +
+          s"i -> substring(md5(concat_ws(' ', slice(tok, i, $k))), 1, 8))")
+        .as("hs"))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(hs) - ${w - 1}), " +
+          s"j -> array_min(slice(hs, j, $w))))")).as("fp"))
+
+  /** Substring-overlap candidates from the winnowed sketch: pairs sharing
+    * ≥ minShared fingerprints. Same bounded shape as ngramJaccard — the
+    * inverted fingerprint index aggregates directly into per-pair counts
+    * (one shuffle), and the df cap bounds hot-fingerprint fan-out (the
+    * O(df²) term); unlike ngramJaccard no exactness correction is needed,
+    * because winnowing is itself a sketch — dropping ubiquitous
+    * fingerprints only tightens the candidate set. */
+  def winnowCandidates(docs: DataFrame, minShared: Int, maxDf: Int,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    val fp = graft.util.Caches.track(winnowFingerprints(docs, k, w).cache())
+    val rare = fp.join(
+      fp.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("fp"),
+      Seq("fp"))
+    rare.as("x").join(rare.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** DuckDB mirror of winnowCandidates over the `documents` view. */
+  def winnowOracleSql(minShared: Int, maxDf: Int, k: Int = 3,
+      w: Int = 4): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok
+       |  FROM documents WHERE len(string_split(text, ' ')) >= ${k + w - 1}),
+       |h AS (SELECT doc_id, list_transform(range(1, len(tok) - ${k - 1} + 1),
+       |    i -> substr(md5(array_to_string(tok[i:i+${k - 1}], ' ')), 1, 8)) AS hs
+       |  FROM t),
+       |fpt AS (SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(hs) - ${w - 1} + 1),
+       |      j -> list_min(hs[j:j+${w - 1}])))) AS fp FROM h),
+       |rare AS (SELECT fp FROM fpt GROUP BY fp HAVING count(*) <= $maxDf),
+       |c AS (SELECT fpt.doc_id, fpt.fp FROM fpt JOIN rare USING (fp))
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+       |FROM c x JOIN c y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |""".stripMargin.replaceAll("\\s+", " ")
+
   /** DuckDB mirror of ngramJaccard over the `documents` view. */
   def ngramOracleSql(minJaccard: Double, maxDf: Int): String =
     s"""WITH sh AS (

@@ -95,6 +95,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(2L) == ((0.0, 0.333333)))
   }
 
+  test("packBatches: greedy fill invariants, deterministic layout") {
+    val rnd = new scala.util.Random(5)
+    val docs = (1L to 60L).map(i =>
+      (i, (1 to rnd.nextInt(40) + 1).map(_ => "t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.packBatches(docs, budget = 50L, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 60)
+    // every doc is in the batch its prefix sum starts in → recompute naively
+    val byShard = got.groupBy(_._2)
+    for ((_, rows) <- byShard) {
+      // reconstruct the md5 order from the assignment: batch ids must be
+      // non-decreasing along the order and each batch's token load must
+      // stay under budget + its last doc (greedy overflow bound)
+      val loads = rows.groupBy(_._4).view.mapValues(_.map(_._3).sum)
+      for ((b, load) <- loads if loads.contains(b + 1))
+        assert(load >= 50L - 40L, s"batch $b underfilled at $load") // no gaps
+      for ((_, load) <- loads)
+        assert(load <= 50L + 40L, s"overflow beyond one doc: $load")
+    }
+    // deterministic: same input → identical assignment
+    val again = CorpusOps.packBatches(docs, budget = 50L, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("repetition pins dup_trigram_frac to 0.0 below 3 tokens") {
     // unguarded sequence(0, size-3) would go descending on a 2-token doc and
     // invent degenerate trigrams (dup_trigram_frac 0.5 vs the oracle's 0/0)

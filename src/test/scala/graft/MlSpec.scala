@@ -105,6 +105,30 @@ class MlSpec extends AnyFunSuite {
     assert(NearDup.ngramJaccard(docs, 0.6, maxDf = 1).count() == 0)
   }
 
+  test("winnowing: sketch shrinks, guarantee holds, identical docs fully match") {
+    // doc 0 and 1 share a 10-token run (>= k+w-1 = 6) → winnowing GUARANTEES
+    // at least one shared fingerprint; doc 2 shares nothing
+    val shared = (1 to 10).map(i => s"run$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"aa bb cc $shared"),
+      (1L, s"$shared xx yy zz"),
+      (2L, (1 to 13).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val fps = NearDup.winnowFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // sketch is strictly smaller than the full gram set (13 tokens → 11
+    // grams; w=4 windows keep at most 8 distinct minima, typically ~2/(w+1))
+    assert(fps.count(_._1 == 0L) < 11)
+    val cands = NearDup.winnowCandidates(docs, minShared = 1, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.toSeq == Seq((0L, 1L)))
+    // identical docs share their entire sketch
+    val twins = Seq((0L, shared), (1L, shared)).toDF("doc_id", "text")
+    val n = NearDup.winnowFingerprints(twins).filter(col("doc_id") === 0).count()
+    val both = NearDup.winnowCandidates(twins, minShared = 1, maxDf = 50)
+      .collect()
+    assert(both.length == 1 && both.head.getLong(2) == n)
+  }
+
   test("ngramJaccard plan construction launches no Spark job (VERDICT r4 #5)") {
     val docs = Seq((0L, "a b c d e"), (1L, "a b c d f")).toDF("doc_id", "text")
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)

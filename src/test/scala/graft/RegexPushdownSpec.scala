@@ -36,9 +36,9 @@ class RegexPushdownSpec extends AnyFunSuite {
   }
 
   test("rule preserves rlike semantics on optional-head regexes") {
-    val data = Seq("ac", "abc", "abbc", "xabc", "a", "c", "zac")
+    val data = Seq("ac", "abc", "abbc", "xabc", "a", "c", "zac", "^abc")
       .toDF("key")
-    for (re <- Seq("^ab*c", "^a.c", "^abc$", "^ab\\d*")) {
+    for (re <- Seq("^ab*c", "^a.c", "^abc$", "^ab\\d*", "^^abc")) {
       val got = data.filter(col("key").rlike(re))
         .collect().map(_.getString(0)).toSet
       val want = data.collect().map(_.getString(0))
