@@ -46,10 +46,11 @@ object CorrelateExec {
     * counted once). Declarative: no driver-side action. */
   def counts(t: Tables, setA: DataFrame, setB: DataFrame): DataFrame = {
     val k = t.index.select("key", "off").distinct()
-    // membership sets are distinct doc offsets — broadcast them instead of
-    // shuffling the (much larger) per-key posting rows
-    k.join(broadcast(setA.withColumn("in_a", lit(1))), Seq("off"), "left_outer")
-      .join(broadcast(setB.withColumn("in_b", lit(1))), Seq("off"), "left_outer")
+    // membership sets are QUERY-RESULT-sized — no broadcast hint (it would
+    // cap the engine at queries whose result fits on the driver); AQE
+    // runtime-broadcasts them when small, shuffle-joins on `off` when not
+    k.join(setA.withColumn("in_a", lit(1)), Seq("off"), "left_outer")
+      .join(setB.withColumn("in_b", lit(1)), Seq("off"), "left_outer")
       .groupBy("key")
       .agg(
         count(col("in_a")).as("cnt_a"),
@@ -73,8 +74,8 @@ object CorrelateExec {
     // count, so the raw key size (support gate) and the distinct-offset
     // match counts come out of the same shuffle — no second full scan.
     val kc = t.index.groupBy("key", "off").agg(count(lit(1)).as("dup_n"))
-    kc.join(broadcast(setA.withColumn("in_a", lit(1))), Seq("off"), "left_outer")
-      .join(broadcast(setB.withColumn("in_b", lit(1))), Seq("off"), "left_outer")
+    kc.join(setA.withColumn("in_a", lit(1)), Seq("off"), "left_outer")
+      .join(setB.withColumn("in_b", lit(1)), Seq("off"), "left_outer")
       .groupBy("key")
       .agg(
         sum("dup_n").as("key_n"),
@@ -420,17 +421,24 @@ object CorrelateExec {
       max(when(col("score") =!= 0.0, 1).otherwise(0)).as("continuous"))
       .filter(col("key_n") >= math.min(limitA, limitB))
 
-    // keyMeta is vocabulary-sized but post-agg (opaque to Catalyst) —
-    // broadcast it or the full index sort-merge-joins on key
-    val idx = adjIdx.join(broadcast(keyMeta.select("key", "continuous")),
-      Seq("key"))
+    // keyMeta is VOCABULARY-sized — one row per distinct key, unbounded at
+    // corpus scale — so it must not carry a broadcast hint (the same class
+    // as the r8 tf-idf/log-prob finding). Statically it is post-agg and
+    // opaque to Catalyst, but AQE sees the real size after the aggregate's
+    // shuffle and converts to a runtime broadcast whenever it actually
+    // fits; at 100 TB it stays a shuffle join on `key`, which is correct.
+    val idx = adjIdx.join(keyMeta.select("key", "continuous"), Seq("key"))
 
     // Ranges: boolean keys → full range; continuous keys → the distributed
     // split search (windowed prefix-scan argmax) over matched (score, cls)
     // pairs.
+    // the membership sets are QUERY-RESULT-sized (every matching offset) —
+    // hint-broadcasting them caps the engine at queries whose result fits
+    // on the driver. Unhinted, AQE runtime-broadcasts the cached sets when
+    // small and shuffle-joins on `off` when not.
     val matched = idx.filter(col("continuous") === 1)
-      .join(broadcast(setA.withColumn("in_a", lit(1))), Seq("off"), "left_outer")
-      .join(broadcast(setB.withColumn("in_b", lit(1))), Seq("off"), "left_outer")
+      .join(setA.withColumn("in_a", lit(1)), Seq("off"), "left_outer")
+      .join(setB.withColumn("in_b", lit(1)), Seq("off"), "left_outer")
       .filter(col("in_a").isNotNull || col("in_b").isNotNull)
       .select(col("key"), col("score"),
         (coalesce(col("in_a"), lit(0)) - coalesce(col("in_b"), lit(0))).as("cls"))
@@ -442,15 +450,15 @@ object CorrelateExec {
 
     // Re-score each (key, range) over distinct in-range key offsets
     // (ProcessRange, correlate.cc:84-148). Range bounds are inclusive.
-    // `ranges` is ≤2 rows per key but sits behind windows, so Catalyst can't
-    // estimate it — broadcast explicitly or the full index sort-merge-joins.
-    val inRange = adjIdx.join(broadcast(ranges), Seq("key"))
+    // `ranges` is ≤2 rows per CONTINUOUS key — also vocabulary-class, so no
+    // hint; AQE broadcasts it at runtime when it fits.
+    val inRange = adjIdx.join(ranges, Seq("key"))
       .filter((col("lo").isNull || col("score") >= col("lo")) &&
         (col("hi").isNull || col("score") <= col("hi")))
       .select("key", "lo", "hi", "off").distinct()
     inRange
-      .join(broadcast(setA.withColumn("in_a", lit(1))), Seq("off"), "left_outer")
-      .join(broadcast(setB.withColumn("in_b", lit(1))), Seq("off"), "left_outer")
+      .join(setA.withColumn("in_a", lit(1)), Seq("off"), "left_outer")
+      .join(setB.withColumn("in_b", lit(1)), Seq("off"), "left_outer")
       .groupBy("key", "lo", "hi")
       .agg(
         count(col("in_a")).as("cnt_a"),
