@@ -267,8 +267,10 @@ object SparkEntry {
       val c = Catalog.table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = Catalog.table(s, dir, "orders")
       val l = Catalog.table(s, dir, "lineitem")
+      // customer scales with the data (unlike nation/region) — no broadcast
+      // hint; AQE runtime-broadcasts the filtered segment when it fits
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(desc("revenue"), asc("l_orderkey"))
@@ -279,7 +281,9 @@ object SparkEntry {
       val n = Catalog.table(s, dir, "nation")
       val su = Catalog.table(s, dir, "supplier")
       val l = Catalog.table(s, dir, "lineitem")
-      l.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      // nation/region are FIXED-size (25/5 rows at any SF) — broadcast by
+      // construction; supplier scales with the data, so no hint there
+      l.join(su, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
@@ -293,13 +297,13 @@ object SparkEntry {
         .filter(col("l_shipdate") >= "1994-01-01" && col("l_shipdate") < "1995-01-01" &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))),
-    // q10-shaped: top returned-revenue customers (broadcast dims)
+    // q10-shaped: top returned-revenue customers
     "q10_returned" -> ((s, dir) => {
       val c = Catalog.table(s, dir, "customer")
       val o = Catalog.table(s, dir, "orders")
       val l = Catalog.table(s, dir, "lineitem").filter(col("l_returnflag") === "R")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(desc("revenue"), asc("c_custkey"))

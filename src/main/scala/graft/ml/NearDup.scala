@@ -134,9 +134,11 @@ object NearDup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i_hot"))
     val withI = co.join(iHot, Seq("doc_a", "doc_b"), "left_outer")
       .withColumn("i", col("i_rare") + coalesce(col("i_hot"), lit(0L)))
-    // per-doc set sizes: |docs| rows — broadcast (post-agg size is opaque to
-    // Catalyst, which would otherwise sort-merge the candidate set twice)
-    val sizes = broadcast(sh.groupBy("doc_id").agg(count(lit(1)).as("n")))
+    // per-doc set sizes: one row per DOCUMENT — corpus-scaled, so no
+    // broadcast hint (it would cap the operator at corpora whose doc count
+    // fits on the driver); AQE sees the post-shuffle size and still
+    // broadcasts at runtime when it fits
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     withI
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n", "na"), Seq("doc_a"))
