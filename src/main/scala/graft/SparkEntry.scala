@@ -526,6 +526,10 @@ object SparkEntry {
     // PII/URL masking pass over a planted fixture (corpus has no real PII)
     "text_scrub" -> ((s, dir) =>
       graft.ml.TextAnalysis.scrubPlanted(Catalog.documents(s, dir), 25)),
+    // per-domain doc/char volume (blocklist & per-domain-quota signal) over
+    // doc_id-varied planted URLs
+    "domain_stats" -> ((s, dir) =>
+      graft.ml.TextAnalysis.domainStatsPlanted(Catalog.documents(s, dir), 5)),
     // per-doc top-3 tf-idf terms over exact corpus document frequencies
     "tfidf_topterms" -> ((s, dir) =>
       graft.ml.CorpusOps.tfidfTopTerms(Catalog.documents(s, dir), 3)),
@@ -1021,6 +1025,7 @@ object SparkEntry {
     "sample_mixture" -> graft.ml.CorpusOps.mixtureOracleSql(MixtureWeights, MixtureTotal),
     "text_repetition" -> graft.ml.TextAnalysis.repetitionOracleSql,
     "text_scrub" -> graft.ml.TextAnalysis.scrubPlantedOracleSql(25),
+    "domain_stats" -> graft.ml.TextAnalysis.domainStatsPlantedOracleSql(5),
     "tfidf_topterms" -> graft.ml.CorpusOps.tfidfOracleSql(3),
     "text_logprob" -> graft.ml.CorpusOps.unigramLogProbOracleSql,
     "vocab_topk" -> graft.ml.CorpusOps.vocabOracleSql(100),

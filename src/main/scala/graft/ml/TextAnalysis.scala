@@ -161,6 +161,42 @@ object TextAnalysis {
        |      '$UrlRe', '<URL>', 'g')) AS scrubbed_md5
        |FROM d""".stripMargin.replaceAll("\\s+", " ")
 
+  /** Per-domain corpus stats — the signal behind domain blocklists and
+    * per-domain quotas (a web corpus is curated per REGISTRAR domain, not
+    * per page): extract each doc's first URL host, aggregate doc count and
+    * char volume per domain. Pure regexp_extract + one partial-aggregating
+    * groupBy on the (bounded) domain key — a linear scan at any corpus
+    * size. The synthetic corpus has no URLs, so `domainStatsPlanted`
+    * deterministically appends a doc_id-varied URL to every `every`-th doc
+    * on BOTH engines (the planted-fixture pattern text_scrub uses). */
+  def domainStats(docs: DataFrame): DataFrame =
+    docs.select(
+        regexp_extract(col("text"), "https?://([^/ ]+)", 1).as("domain"),
+        col("n_chars"))
+      .filter(col("domain") =!= "")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+
+  def domainStatsPlanted(docs: DataFrame, every: Int): DataFrame =
+    domainStats(docs.withColumn("text",
+      when(col("doc_id") % every === 0,
+        concat(col("text"), lit(" see https://site"),
+          (col("doc_id") % 7).cast("string"), lit(".example/path?x=1")))
+        .otherwise(col("text"))))
+
+  def domainStatsPlantedOracleSql(every: Int): String =
+    s"""WITH d AS (SELECT
+       |    CASE WHEN doc_id % $every = 0 THEN text || ' see https://site' ||
+       |      CAST(doc_id % 7 AS VARCHAR) || '.example/path?x=1'
+       |    ELSE text END AS text, n_chars
+       |  FROM documents),
+       |x AS (SELECT regexp_extract(text, 'https?://([^/ ]+)', 1) AS domain,
+       |    n_chars FROM d)
+       |SELECT domain, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM x WHERE domain <> '' GROUP BY domain""".stripMargin
+      .replaceAll("\\s+", " ")
+
   /** DuckDB mirror of `repetition` over the `documents` view. */
   def repetitionOracleSql: String =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),

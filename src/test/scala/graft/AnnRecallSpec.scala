@@ -48,4 +48,19 @@ class AnnRecallSpec extends AnyFunSuite {
     // most true neighbors inside the probed quarter.
     assert(mean >= 0.5, f"mean recall $mean%.2f below bound")
   }
+
+  test("LSH finds its regime: planted near-clones surface as top-1") {
+    // hyperplane LSH is the NEAR-DUP index (recall ~0 at the corpus's
+    // low-cos top-k is by design — ann_recall pins that number); here each
+    // planted cos≈0.999 clone must collide with its source and rank first
+    val emb = Ann.plantedCorpus(Catalog.embeddings(spark, dir), every = 50)
+    val sources = Seq(0L, 50L, 100L)
+    var hit = 0
+    for (q <- sources) {
+      val top = Ann.topK(emb, q, 5).collect().map(_.getLong(0))
+      if (top.headOption.contains(q + Ann.PlantOffset)) hit += 1
+    }
+    graft.util.Caches.drain()
+    assert(hit >= 2, s"only $hit/3 planted clones surfaced as top-1")
+  }
 }
