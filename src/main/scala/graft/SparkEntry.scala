@@ -366,6 +366,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("mean"),
           round(stddev_samp(col("value")), 4).as("sd"),
           min("value").as("vmin"), max("value").as("vmax"))),
+    // per-key exact continuous quantiles (both engines interpolate at rank
+    // (n-1)p). EXACT percentile buffers each group's values — right for the
+    // oracle gate and bounded per-key cardinalities; at 100 TB swap in
+    // approx_percentile (t-digest: mergeable partial aggregate, bounded
+    // memory) — the same exact/approx split Bands documents.
+    "ts_quantiles" -> ((s, dir) =>
+      Catalog.events(s, dir)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("q"))
+        .select(col("event_type"),
+          round(element_at(col("q"), 1), 4).as("p50"),
+          round(element_at(col("q"), 2), 4).as("p90"),
+          round(element_at(col("q"), 3), 4).as("p99"))),
     // OLAP rollup: per-(type, day) counts plus per-type and grand totals in
     // one pass — Spark expands the grouping sets map-side, one shuffle
     "ev_rollup" -> ((s, dir) =>
@@ -924,6 +937,10 @@ object SparkEntry {
       round(avg(value), 4) AS mean, round(stddev_samp(value), 4) AS sd,
       min(value) AS vmin, max(value) AS vmax
       FROM events GROUP BY 1""".replaceAll("\\s+", " ")),
+    "ts_quantiles" -> ("""WITH q AS (SELECT event_type,
+        quantile_cont(value, [0.5, 0.9, 0.99]) AS q FROM events GROUP BY 1)
+      SELECT event_type, round(q[1], 4) AS p50, round(q[2], 4) AS p90,
+        round(q[3], 4) AS p99 FROM q""".replaceAll("\\s+", " ")),
     "ev_rollup" -> ("""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
       count(*) AS cnt, round(sum(value), 2) AS sum_value
       FROM events GROUP BY ROLLUP (event_type, day)""".replaceAll("\\s+", " ")),
