@@ -149,6 +149,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("de-hinted vocab join still broadcasts at runtime via AQE when small") {
+    // complement of the no-hint test above: with the default threshold the
+    // tiny df table must reach the term join as a RUNTIME broadcast (AQE
+    // converts after seeing post-shuffle sizes) — proving the hint removal
+    // costs nothing when the vocabulary actually fits
+    val docs = Seq((1L, "a b c"), (2L, "b c d"), (3L, "c d e"))
+      .toDF("doc_id", "text")
+    val df = CorpusOps.tfidfTopTerms(docs, 2)
+    df.collect() // adaptive plans finalize on execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"AQE did not runtime-broadcast the small vocab side:\n$plan")
+  }
+
+  test("Caches.memoize: statement-scoped, cleared by drain") {
+    var builds = 0
+    def make() = graft.util.Caches.memoize("spec:memo") {
+      builds += 1
+      Seq((1L, "x")).toDF("id", "v")
+    }
+    val a = make(); val b = make()
+    assert(builds == 1 && (a eq b)) // second call reuses the first build
+    graft.util.Caches.drain()
+    make()
+    assert(builds == 2) // a new statement window builds afresh
+    graft.util.Caches.drain()
+  }
+
   test("scrub counts and masks emails and urls") {
     val docs = Seq(
       (1L, "mail a.b+c@x-y.io and also http://t.co/z here"),
