@@ -517,6 +517,11 @@ object SparkEntry {
     "dedup_winnow" -> ((s, dir) =>
       NearDup.winnowCandidates(Catalog.documents(s, dir),
         minShared = 2, maxDf = 50)),
+    // ingest-time admission check: new docs (id >= 250) vs the existing
+    // corpus's stored fingerprint sketch
+    "dedup_incremental" -> ((s, dir) =>
+      NearDup.incrementalDupes(Catalog.documents(s, dir), splitId = 250L,
+        minShared = 2, maxDf = 50)),
     // duplicate-cluster resolution: connected components over the verified
     // near-dup pair graph (pairwise output under-deletes transitive chains)
     "dedup_clusters" -> ((s, dir) =>
@@ -1036,6 +1041,8 @@ object SparkEntry {
     "dedup_embcos_real" -> Ann.nearDupCosPlantedSql(0.9, 50),
     "dedup_ngram" -> NearDup.ngramOracleSql(0.6, maxDf = 50),
     "dedup_winnow" -> NearDup.winnowOracleSql(minShared = 2, maxDf = 50),
+    "dedup_incremental" -> NearDup.incrementalOracleSql(splitId = 250L,
+      minShared = 2, maxDf = 50),
     "dedup_clusters" -> graft.ml.Clusters.oracleSql(0.6),
     "sample_stratified" -> graft.ml.CorpusOps.stratifiedOracleSql("lang", 20),
     "pack_batches" -> graft.ml.CorpusOps.packOracleSql(2000L, 8),

@@ -194,6 +194,61 @@ object NearDup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Ingest-time incremental dedup: flag NEW docs (doc_id ≥ splitId) whose
+    * winnowed sketch shares ≥ minShared fingerprints with any EXISTING doc
+    * (doc_id < splitId) — the admission check an always-on ingest runs
+    * against the STORED fingerprint index instead of re-deduping the whole
+    * corpus per batch. At 100 TB the existing side is the materialized
+    * sketch table (w× smaller than shingles, partitioned by fp); the new
+    * batch joins against it and never touches corpus text. Same df-capped
+    * candidate bound as winnowCandidates. Returns (doc_id, src_id,
+    * n_shared) — the new doc, its best-evidenced existing source, and the
+    * shared-fingerprint count. */
+  def incrementalDupes(docs: DataFrame, splitId: Long, minShared: Int,
+      maxDf: Int, k: Int = 3, w: Int = 4): DataFrame = {
+    val fp = graft.util.Caches.track(winnowFingerprints(docs, k, w).cache())
+    val rare = fp.join(
+      fp.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("fp"),
+      Seq("fp"))
+    val existing = rare.filter(col("doc_id") < splitId)
+      .select(col("fp"), col("doc_id").as("src_id"))
+    val fresh = rare.filter(col("doc_id") >= splitId)
+    fresh.join(existing, Seq("fp"))
+      .groupBy(col("doc_id"), col("src_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      // one row per new doc: the strongest-evidence source (ties → lowest)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("n_shared").desc, col("src_id").asc)))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** DuckDB mirror of incrementalDupes over the `documents` view. */
+  def incrementalOracleSql(splitId: Long, minShared: Int, maxDf: Int,
+      k: Int = 3, w: Int = 4): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok
+       |  FROM documents WHERE len(string_split(text, ' ')) >= ${k + w - 1}),
+       |h AS (SELECT doc_id, list_transform(range(1, len(tok) - ${k - 1} + 1),
+       |    i -> substr(md5(array_to_string(tok[i:i+${k - 1}], ' ')), 1, 8)) AS hs
+       |  FROM t),
+       |fpt AS (SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(hs) - ${w - 1} + 1),
+       |      j -> list_min(hs[j:j+${w - 1}])))) AS fp FROM h),
+       |rare AS (SELECT fp FROM fpt GROUP BY fp HAVING count(*) <= $maxDf),
+       |c AS (SELECT fpt.doc_id, fpt.fp FROM fpt JOIN rare USING (fp)),
+       |pairs AS (SELECT n.doc_id AS doc_id, o.doc_id AS src_id,
+       |    count(*) AS n_shared
+       |  FROM c n JOIN c o ON n.fp = o.fp
+       |    AND n.doc_id >= $splitId AND o.doc_id < $splitId
+       |  GROUP BY 1, 2 HAVING count(*) >= $minShared),
+       |r AS (SELECT doc_id, src_id, n_shared, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY n_shared DESC, src_id ASC) AS rn
+       |  FROM pairs)
+       |SELECT doc_id, src_id, n_shared FROM r WHERE rn = 1
+       |""".stripMargin.replaceAll("\\s+", " ")
+
   /** DuckDB mirror of winnowCandidates over the `documents` view. */
   def winnowOracleSql(minShared: Int, maxDf: Int, k: Int = 3,
       w: Int = 4): String =

@@ -129,6 +129,24 @@ class MlSpec extends AnyFunSuite {
     assert(both.length == 1 && both.head.getLong(2) == n)
   }
 
+  test("incrementalDupes: new docs flagged against the existing sketch only") {
+    val shared = (1 to 10).map(i => s"run$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"aa bb cc $shared"),                               // existing
+      (1L, (1 to 13).map(i => s"old$i").mkString(" ")),        // existing
+      (100L, s"$shared xx yy zz"),                             // new, dups 0
+      (101L, (1 to 13).map(i => s"fresh$i").mkString(" ")),    // new, clean
+      (102L, s"zz yy $shared")                                 // new, dups 0
+    ).toDF("doc_id", "text")
+    val got = NearDup.incrementalDupes(docs, splitId = 100L,
+        minShared = 1, maxDf = 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(100L, 102L)) // clean new doc not flagged
+    assert(got.values.toSet == Set(0L))   // matched to the existing source
+    // new docs never flag each other (100 and 102 share `shared` too)
+    assert(!got.values.exists(_ >= 100L))
+  }
+
   test("ngramJaccard plan construction launches no Spark job (VERDICT r4 #5)") {
     val docs = Seq((0L, "a b c d e"), (1L, "a b c d f")).toDF("doc_id", "text")
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
