@@ -526,6 +526,9 @@ object SparkEntry {
     // near-dup pair graph (pairwise output under-deletes transitive chains)
     "dedup_clusters" -> ((s, dir) =>
       graft.ml.Clusters.dedupClusters(Catalog.documents(s, dir), 0.6)),
+    // the composed removal pass: components -> keep each cluster's minimum
+    "dedup_removal" -> ((s, dir) =>
+      graft.ml.Clusters.removeNearDups(Catalog.documents(s, dir), 0.6)),
     "sample_stratified" -> ((s, dir) =>
       graft.ml.CorpusOps.stratifiedSample(Catalog.documents(s, dir), "lang", 20)),
     // greedy sequence packing into ~2000-token training batches, 8 hash
@@ -1044,6 +1047,7 @@ object SparkEntry {
     "dedup_incremental" -> NearDup.incrementalOracleSql(splitId = 250L,
       minShared = 2, maxDf = 50),
     "dedup_clusters" -> graft.ml.Clusters.oracleSql(0.6),
+    "dedup_removal" -> graft.ml.Clusters.removalOracleSql(0.6),
     "sample_stratified" -> graft.ml.CorpusOps.stratifiedOracleSql("lang", 20),
     "pack_batches" -> graft.ml.CorpusOps.packOracleSql(2000L, 8),
     "sample_mixture" -> graft.ml.CorpusOps.mixtureOracleSql(MixtureWeights, MixtureTotal),

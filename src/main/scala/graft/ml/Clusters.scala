@@ -62,6 +62,30 @@ object Clusters {
   def dedupClusters(docs: DataFrame, minJaccard: Double): DataFrame =
     connectedComponents(NearDup.nearDuplicates(docs, minJaccard))
 
+  /** The full near-dup REMOVAL pass: pairs → components → drop every
+    * clustered doc except its component's canonical minimum. The anti-join
+    * touches only doc_ids (components output, not text), so the removal is
+    * one hash-partitioned anti-join over the corpus regardless of cluster
+    * shape. Returns the surviving doc_id set. */
+  def removeNearDups(docs: DataFrame, minJaccard: Double): DataFrame =
+    docs.join(
+      dedupClusters(docs, minJaccard)
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+      .select("doc_id")
+
+  def removalOracleSql(minJaccard: Double): String =
+    s"""WITH RECURSIVE ${NearDup.pairCtesSql(minJaccard)},
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+       |          UNION SELECT doc_b, doc_a FROM dup),
+       |reach AS (SELECT a, b FROM edges
+       |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |       FROM reach GROUP BY a)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+       |""".stripMargin.replaceAll("\\s+", " ")
+
   /** DuckDB mirror: transitive closure by recursive CTE over the same
     * verified pair set (NearDup.pairCtesSql), then component-min per node.
     * The closure is quadratic per component — fine for an oracle at sf0.01,
