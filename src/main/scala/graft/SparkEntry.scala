@@ -514,14 +514,17 @@ object SparkEntry {
     // MOSS winnowing: substring-overlap candidates from the ~1/w-sized
     // fingerprint sketch (any shared run of >= k+w-1 tokens is guaranteed
     // a shared fingerprint)
+    // both winnow entries read the MATERIALIZED fp-partitioned sketch
+    // (Catalog.winnowSketch) — the stored-index shape; corpus text is
+    // never re-read at lookup time
     "dedup_winnow" -> ((s, dir) =>
-      NearDup.winnowCandidates(Catalog.documents(s, dir),
+      NearDup.winnowCandidatesFrom(Catalog.winnowSketch(s, dir),
         minShared = 2, maxDf = 50)),
     // ingest-time admission check: new docs (id >= 250) vs the existing
     // corpus's stored fingerprint sketch
     "dedup_incremental" -> ((s, dir) =>
-      NearDup.incrementalDupes(Catalog.documents(s, dir), splitId = 250L,
-        minShared = 2, maxDf = 50)),
+      NearDup.incrementalDupesFrom(Catalog.winnowSketch(s, dir),
+        splitId = 250L, minShared = 2, maxDf = 50)),
     // duplicate-cluster resolution: connected components over the verified
     // near-dup pair graph (pairwise output under-deletes transitive chains)
     "dedup_clusters" -> ((s, dir) =>

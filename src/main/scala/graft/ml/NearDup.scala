@@ -181,8 +181,17 @@ object NearDup {
     * because winnowing is itself a sketch — dropping ubiquitous
     * fingerprints only tightens the candidate set. */
   def winnowCandidates(docs: DataFrame, minShared: Int, maxDf: Int,
-      k: Int = 3, w: Int = 4): DataFrame = {
-    val fp = graft.util.Caches.track(winnowFingerprints(docs, k, w).cache())
+      k: Int = 3, w: Int = 4): DataFrame =
+    winnowCandidatesFrom(
+      graft.util.Caches.track(winnowFingerprints(docs, k, w).cache()),
+      minShared, maxDf)
+
+  /** winnowCandidates against a PREBUILT sketch table (doc_id, fp) — the
+    * deployment shape: the sketch is the stored index
+    * (Catalog.winnowSketch), fp-partitioned, and the corpus text is never
+    * re-read. */
+  def winnowCandidatesFrom(fp: DataFrame, minShared: Int,
+      maxDf: Int): DataFrame = {
     val rare = fp.join(
       fp.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("fp"),
@@ -205,8 +214,16 @@ object NearDup {
     * n_shared) — the new doc, its best-evidenced existing source, and the
     * shared-fingerprint count. */
   def incrementalDupes(docs: DataFrame, splitId: Long, minShared: Int,
-      maxDf: Int, k: Int = 3, w: Int = 4): DataFrame = {
-    val fp = graft.util.Caches.track(winnowFingerprints(docs, k, w).cache())
+      maxDf: Int, k: Int = 3, w: Int = 4): DataFrame =
+    incrementalDupesFrom(
+      graft.util.Caches.track(winnowFingerprints(docs, k, w).cache()),
+      splitId, minShared, maxDf)
+
+  /** incrementalDupes against the PREBUILT sketch (Catalog.winnowSketch) —
+    * the always-on ingest shape: both the existing side and the new batch's
+    * rows come from the stored fp-partitioned index. */
+  def incrementalDupesFrom(fp: DataFrame, splitId: Long, minShared: Int,
+      maxDf: Int): DataFrame = {
     val rare = fp.join(
       fp.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("fp"),

@@ -370,6 +370,22 @@ object Catalog {
     spark.read.parquet(path).select("vec_id", "bucket")
   }
 
+  /** The MATERIALIZED winnowing sketch over `documents` — (doc_id, fp),
+    * written once per sf-dir, repartitioned by fp so the incremental-dedup
+    * admission join co-locates on the fingerprint key and pushed fp filters
+    * skip files via min/max stats. This is what "the existing corpus's
+    * sketch" means at 100 TB: new batches join against THIS table; the
+    * corpus text is never re-read. Same stored-index role as annBuckets. */
+  def winnowSketch(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "winnow_sketch")
+    materialize(path) {
+      graft.ml.NearDup.winnowFingerprints(documents(spark, dir))
+        .repartition(col("fp"))
+        .sortWithinPartitions("fp", "doc_id")
+    }
+    spark.read.parquet(path).select("doc_id", "fp")
+  }
+
   /** The MATERIALIZED IVF coarse-quantizer assignment over `embeddings` —
     * (vec_id, cell), partitioned by cell: an IVF lookup reads only the
     * probed cells' partitions. Centroids stay derived (a Cells-row
