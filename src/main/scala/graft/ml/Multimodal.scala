@@ -33,7 +33,10 @@ object Multimodal {
       if (any) v else -1
     }
     val w = readInt(); val h = readInt(); val maxv = readInt()
-    i += 1 // exactly one whitespace byte separates maxval from pixel data
+    // exactly one whitespace byte separates maxval from pixel data; a
+    // non-whitespace byte here means a malformed header, not pixel 0
+    if (i >= bytes.length || !isWs(bytes(i))) return None
+    i += 1
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255 ||
         i + w.toLong * h > bytes.length) return None
     Some((w, h, Array.tabulate(w * h)(j => bytes(i + j) & 0xff)))

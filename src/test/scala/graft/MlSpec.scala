@@ -245,6 +245,10 @@ class MlSpec extends AnyFunSuite {
     assert(Multimodal.decodePgm("P5\n4 4\n255\n".getBytes ++ px) == None)
     assert(Multimodal.decodePgm("P5\n2 2\n65535\n".getBytes ++ px) == None)
     assert(Multimodal.decodePgm(Array[Byte]()) == None)
+    // missing whitespace after maxval = malformed header, not pixel 0
+    // (first pixel 65 = 'A', so only the separator check can reject it)
+    assert(Multimodal.decodePgm(
+      "P5\n1 1\n255".getBytes ++ Array[Byte](65)) == None)
   }
 
   test("Multimodal: documentFeatures decodes planted PGM stats per partition") {
