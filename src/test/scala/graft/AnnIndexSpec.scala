@@ -35,6 +35,20 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(df.count() == 10)
   }
 
+  test("winnow entries read the materialized fingerprint sketch") {
+    // same stored-index contract for text near-dup: the candidate and
+    // admission-check plans scan the persisted winnow_sketch parquet, not a
+    // corpus-text re-derivation of fingerprints
+    for (name <- Seq("dedup_winnow", "dedup_incremental")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val p = plan(df)
+      assert(p.contains("winnow_sketch"),
+        s"$name does not scan winnow_sketch:\n$p")
+      assert(!p.toLowerCase.contains("documents.parquet"),
+        s"$name re-reads corpus text:\n$p")
+    }
+  }
+
   test("emb_topk_ivf reads the materialized cell assignment") {
     val df = SparkEntry.queries("emb_topk_ivf")(spark, dir)
     val p = plan(df)
