@@ -341,6 +341,15 @@ object SparkEntry {
       EventsIngest.intervalJoinOnce(s, dir)
         .select(col("user_id"), unix_micros(col("p_ts")).as("p_us"),
           unix_micros(col("v_ts")).as("v_us"))),
+    // left-outer variant: unmatched purchases emit with null views once the
+    // watermark proves no view can pair; both engines restrict to the
+    // watermark-resolved region (2-day cutoff from max event time)
+    "ev_stream_left_join" -> ((s, dir) =>
+      EventsIngest.intervalJoinLeftOnce(s, dir)
+        .crossJoin(broadcast(Catalog.events(s, dir).agg(max("ts").as("mx"))))
+        .filter(col("p_ts") <= col("mx") - expr("interval 2 days"))
+        .select(col("user_id"), unix_micros(col("p_ts")).as("p_us"),
+          unix_micros(col("v_ts")).as("v_us"))),
     // percentile-band derivation at ingest (discrete quantiles, §2.9 /
     // ca-table.h:102-105) — produces the band-carrying index shape that
     // ql_pct_bands / dump_pct consume downstream
@@ -935,6 +944,13 @@ object SparkEntry {
       FROM events p JOIN events v ON v.user_id = p.user_id
       WHERE p.event_type = 'purchase' AND v.event_type = 'view'
       AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts""".replaceAll("\\s+", " ")),
+    "ev_stream_left_join" -> ("""WITH m AS (SELECT max(ts) AS mx FROM events),
+      p AS (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+      v AS (SELECT user_id AS v_user, ts AS v_ts FROM events WHERE event_type = 'view')
+      SELECT p.user_id AS user_id, epoch_us(p.p_ts) AS p_us, epoch_us(v.v_ts) AS v_us
+      FROM p LEFT JOIN v ON p.user_id = v.v_user
+        AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR AND v.v_ts <= p.p_ts, m
+      WHERE p.p_ts <= m.mx - INTERVAL 2 DAY""".replaceAll("\\s+", " ")),
     "ev_user_profile" -> ("""SELECT user_id,
       min(epoch_ns(ts) // 1000000000) AS first_sec,
       max(epoch_ns(ts) // 1000000000) AS last_sec,

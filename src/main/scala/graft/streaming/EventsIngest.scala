@@ -234,6 +234,47 @@ object EventsIngest {
       .select(col("user_id"), col("p_ts"), col("v_ts"))
   }
 
+  /** LEFT-OUTER variant of the interval join: purchases with NO view in the
+    * trailing `gap` still emit, with null view columns — but only once the
+    * view-side watermark passes the purchase's match window, i.e. the
+    * engine PROVES no future view can pair (the subtle half of streaming
+    * outer joins: null emission is watermark-forced, not absence-observed).
+    * State stays bounded exactly as in the inner variant. Purchases younger
+    * than (max event time − watermark) are still awaiting proof when a
+    * one-shot run drains, so consumers comparing against a batch left join
+    * must restrict to the resolved region (the entry applies a 2-day
+    * cutoff on both engines). */
+  def intervalJoinLeft(events: DataFrame, gap: String = "1 hour"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 day")
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 day")
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr(s"interval $gap") &&
+        col("v_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("user_id"), col("p_ts"), col("v_ts"))
+  }
+
+  /** One-shot left-outer interval join over all available input. */
+  def intervalJoinLeftOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:ivjoinleft:$dir") {
+      withStatePartitions(spark, 8) {
+        val name = s"graft_stream_ljoin_${runId.incrementAndGet()}"
+        val q = intervalJoinLeft(stream(spark, dir))
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table(name)
+      }
+    }
+
   /** One-shot stream-stream interval join over all available input (append
     * mode — pairs emit once both watermarks pass). */
   def intervalJoinOnce(spark: SparkSession, dir: String): DataFrame =

@@ -126,6 +126,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("left-outer interval join == batch left join on the resolved region") {
+    // null emission is WATERMARK-FORCED: a purchase emits unmatched only
+    // once the view watermark proves no future pair. Purchases younger than
+    // (max ts − watermark) are unresolved when the one-shot drains, so the
+    // comparison restricts both sides to a 2-day cutoff.
+    val ev = Catalog.events(spark, dir)
+    val cutoff = ev.agg(max("ts")).head.getTimestamp(0).toInstant
+      .minus(java.time.Duration.ofDays(2))
+    val streamed = EventsIngest.intervalJoinLeftOnce(spark, dir)
+      .filter(col("p_ts") <= lit(java.sql.Timestamp.from(cutoff)))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val batch = p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("interval 1 hour") &&
+        col("v_ts") <= col("p_ts"), "left_outer")
+      .select("user_id", "p_ts", "v_ts")
+      .filter(col("p_ts") <= lit(java.sql.Timestamp.from(cutoff)))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    // the unmatched (null) half must be present, not vacuously equal
+    assert(streamed.filter(col("v_ts").isNull).count() > 0)
+  }
+
   test("stream-static enrichment: streamed segment aggregate == batch join") {
     val streamed = EventsIngest.enrichedOnce(spark, dir)
     val batch = Catalog.events(spark, dir)
