@@ -534,6 +534,10 @@ object SparkEntry {
     "dedup_incremental" -> ((s, dir) =>
       NearDup.incrementalDupesFrom(Catalog.winnowSketch(s, dir),
         splitId = 250L, minShared = 2, maxDf = 50)),
+    // incremental sketch maintenance: new documents stream through the SAME
+    // fingerprint pipeline the batch build uses and append — stateless
+    "winnow_stream_index" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.sketchOnce(s, dir)),
     // duplicate-cluster resolution: connected components over the verified
     // near-dup pair graph (pairwise output under-deletes transitive chains)
     "dedup_clusters" -> ((s, dir) =>
@@ -1065,6 +1069,7 @@ object SparkEntry {
     "dedup_winnow" -> NearDup.winnowOracleSql(minShared = 2, maxDf = 50),
     "dedup_incremental" -> NearDup.incrementalOracleSql(splitId = 250L,
       minShared = 2, maxDf = 50),
+    "winnow_stream_index" -> NearDup.sketchOracleSql(),
     "dedup_clusters" -> graft.ml.Clusters.oracleSql(0.6),
     "dedup_removal" -> graft.ml.Clusters.removalOracleSql(0.6),
     "sample_stratified" -> graft.ml.CorpusOps.stratifiedOracleSql("lang", 20),

@@ -266,6 +266,19 @@ object NearDup {
        |SELECT doc_id, src_id, n_shared FROM r WHERE rn = 1
        |""".stripMargin.replaceAll("\\s+", " ")
 
+  /** DuckDB mirror of the full winnowFingerprints sketch table — the
+    * materialized / stream-maintained index content. */
+  def sketchOracleSql(k: Int = 3, w: Int = 4): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok
+       |  FROM documents WHERE len(string_split(text, ' ')) >= ${k + w - 1}),
+       |h AS (SELECT doc_id, list_transform(range(1, len(tok) - ${k - 1} + 1),
+       |    i -> substr(md5(array_to_string(tok[i:i+${k - 1}], ' ')), 1, 8)) AS hs
+       |  FROM t)
+       |SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(hs) - ${w - 1} + 1),
+       |      j -> list_min(hs[j:j+${w - 1}])))) AS fp FROM h
+       |""".stripMargin.replaceAll("\\s+", " ")
+
   /** DuckDB mirror of winnowCandidates over the `documents` view. */
   def winnowOracleSql(minShared: Int, maxDf: Int, k: Int = 3,
       w: Int = 4): String =

@@ -151,6 +151,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.filter(col("v_ts").isNull).count() > 0)
   }
 
+  test("streamed winnow sketch == batch sketch (text index upkeep)") {
+    val streamed = graft.streaming.DocumentsIngest.sketchOnce(spark, dir)
+    val batch = graft.ml.NearDup.winnowFingerprints(
+      Catalog.documents(spark, dir))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stream-static enrichment: streamed segment aggregate == batch join") {
     val streamed = EventsIngest.enrichedOnce(spark, dir)
     val batch = Catalog.events(spark, dir)
