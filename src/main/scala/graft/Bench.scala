@@ -27,6 +27,23 @@ object Bench {
     if (t.isEmpty) "0" else t
   }
 
+  /** ONE renderer for both record forms (stdout compact line and the
+    * full-precision bench_last.json): totals/errors always come from ALL
+    * results, the per-query map from the (possibly guarded) kept subset —
+    * structurally shared so the two renderings can't drift. */
+  private[graft] def record(kept: Iterable[(String, (Double, Boolean))],
+      all: ListMap[String, (Double, Boolean)], reps: Int, sfDir: String,
+      fmt: Double => String): String = {
+    val qs = kept.map { case (k, (sec, ok)) =>
+      "\"" + k + "\":" + (if (ok) fmt(sec) else s"""{"sec":${fmt(sec)},"err":true}""")
+    }.mkString("{", ",", "}")
+    val total = all.collect { case (_, (sec, true)) => sec }.sum
+    val nErr = all.count(!_._2._2)
+    val omitted = all.size - kept.size
+    val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"errors":$nErr,"reps":$reps,"sf":"$sfDir"}"""
+  }
+
   /** The stdout bench line with the length guard applied: the driver
     * captures only the last 2000 chars of stdout, so the line must stay
     * ≤ `maxLen` (1700 — headroom for trailing noise). If the full per-query
@@ -36,24 +53,14 @@ object Bench {
     * "parsed": null. */
   def guardedLine(results: ListMap[String, (Double, Boolean)], reps: Int,
       sfDir: String, maxLen: Int = 1700): String = {
-    def qsLine(rs: Iterable[(String, (Double, Boolean))]): String =
-      rs.map { case (k, (sec, ok)) =>
-        "\"" + k + "\":" + (if (ok) compact(sec) else s"""{"sec":${compact(sec)},"err":true}""")
-      }.mkString("{", ",", "}")
-    val total = results.collect { case (_, (sec, true)) => sec }.sum
-    val nErr = results.count(!_._2._2)
-    def record(qs: String, omitted: Int): String = {
-      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${compact(total)},"unit":"sec","queries":$qs$om,"errors":$nErr,"reps":$reps,"sf":"$sfDir"}"""
-    }
-    val fullLine = record(qsLine(results), 0)
+    val fullLine = record(results, results, reps, sfDir, compact)
     if (fullLine.length <= maxLen) fullLine
     else {
       val bySlowest = results.toSeq.sortBy { case (_, (sec, ok)) => (ok, -sec) }
       Iterator.range(bySlowest.size, 0, -1).map { n =>
-        val kept = bySlowest.take(n).sortBy(_._1)
-        record(qsLine(kept), results.size - n)
-      }.find(_.length <= maxLen).getOrElse(record("{}", results.size))
+        record(bySlowest.take(n).sortBy(_._1), results, reps, sfDir, compact)
+      }.find(_.length <= maxLen)
+        .getOrElse(record(Nil, results, reps, sfDir, compact))
     }
   }
 
@@ -114,17 +121,9 @@ object Bench {
     // Persist full precision: the driver captures stdout tails, and r4's
     // BENCH json lost its "metric":"total" prefix to truncation — a file
     // copy makes the full record recoverable (VERDICT r4 #3/wrong-5).
-    val fullPrecision = {
-      val qs = results.map { case (k, (sec, ok)) =>
-        "\"" + k + "\":" + (if (ok) sec.toString else s"""{"sec":$sec,"err":true}""")
-      }.mkString("{", ",", "}")
-      val total = results.collect { case (_, (sec, true)) => sec }.sum
-      val nErr = results.count(!_._2._2)
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"reps":$reps,"sf":"$sfDir"}"""
-    }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_last.json")),
-      fullPrecision + "\n")
+      record(results, results, reps, sfDir, _.toString) + "\n")
     catch { case _: Throwable => () }
     try spark.stop() catch { case _: Throwable => () }
     // Re-print as the ABSOLUTE last stdout line: if anything (a shutdown

@@ -473,7 +473,11 @@ object SparkEntry {
     // 8×-replicated orders side — identical result to the plain join, the
     // manual hot-key treatment when the build side can't broadcast
     "join_salted" -> ((s, dir) => {
-      val l = Catalog.table(s, dir, "lineitem").select("l_orderkey")
+      // l_linenumber is the row-distinguishing column the salt hashes over:
+      // a key-only projection would collapse every hot key to ONE salt and
+      // silently undo the spread (saltedJoin now rejects that shape)
+      val l = Catalog.table(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber")
       val o = Catalog.table(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
       graft.operators.SkewJoin.saltedJoin(l, o, Seq("l_orderkey"), 8)

@@ -93,13 +93,16 @@ object Keywords {
 
   /** The same classification as `isTimestamped`/`isEphemeral`, compiled to a
     * Column predicate: prefix filters → startsWith (parquet-pushable),
-    * regex filters → rlike anchored to reproduce RE2::FullMatch
-    * (keywords.cc:66-68). An empty filter list compiles to `false`. */
-  private def toPredicate(filters: Seq[Filter],
+    * regex filters → rlike anchored with \A...\z to reproduce
+    * Matcher.matches()/RE2::FullMatch (keywords.cc:66-68) exactly — ^...$
+    * would also match before a trailing line terminator, classifying a
+    * newline-bearing key differently from the scalar path. An empty filter
+    * list compiles to `false`. */
+  private[graft] def toPredicate(filters: Seq[Filter],
       keyCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     filters.map {
       case PrefixFilter(p) => keyCol.startsWith(p)
-      case RegexFilter(re) => keyCol.rlike("^(?:" + re.pattern + ")$")
+      case RegexFilter(re) => keyCol.rlike("\\A(?:" + re.pattern + ")\\z")
     }.foldLeft(org.apache.spark.sql.functions.lit(false))(_ || _)
 
   def timestampedCol(keyCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

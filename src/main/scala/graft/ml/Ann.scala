@@ -359,13 +359,17 @@ object Ann {
     val e = emb.select(col("vec_id"), col("embedding").as("emb"))
     val q = broadcast(e.filter(col("vec_id") === qVecId)
       .select(col("emb").as("qemb")))
-    val exact = e.filter(col("vec_id") =!= qVecId).crossJoin(q)
-      .select(col("vec_id"),
-        round(dot(col("emb"), col("qemb")) /
-          sqrt(dot(col("emb"), col("emb")) * dot(col("qemb"), col("qemb"))), 6)
-          .as("sim"))
-      .orderBy(desc("sim"), asc("vec_id")).limit(k)
-      .select("vec_id")
+    // cached: the brute-force subplan (corpus-wide cosine + sort) feeds
+    // BOTH recall probes — uncached it executes twice per evaluation
+    val exact = graft.util.Caches.track(
+      e.filter(col("vec_id") =!= qVecId).crossJoin(q)
+        .select(col("vec_id"),
+          round(dot(col("emb"), col("qemb")) /
+            sqrt(dot(col("emb"), col("emb")) * dot(col("qemb"), col("qemb"))), 6)
+            .as("sim"))
+        .orderBy(desc("sim"), asc("vec_id")).limit(k)
+        .select("vec_id")
+        .cache())
     def recall(method: String, approx: DataFrame): DataFrame =
       approx.select("vec_id").join(exact, Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))

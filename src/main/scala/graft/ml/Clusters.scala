@@ -75,16 +75,11 @@ object Clusters {
       .select("doc_id")
 
   def removalOracleSql(minJaccard: Double): String =
-    s"""WITH RECURSIVE ${NearDup.pairCtesSql(minJaccard)},
-       |edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
-       |          UNION SELECT doc_b, doc_a FROM dup),
-       |reach AS (SELECT a, b FROM edges
-       |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       |cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-       |       FROM reach GROUP BY a)
-       |SELECT doc_id FROM documents
-       |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
-       |""".stripMargin.replaceAll("\\s+", " ")
+    // composes oracleSql verbatim as a subquery so the closure semantics
+    // have exactly one definition to fix
+    s"""SELECT doc_id FROM documents WHERE doc_id NOT IN (
+       |  SELECT doc_id FROM (${oracleSql(minJaccard)})
+       |  WHERE doc_id <> cluster_id)""".stripMargin.replaceAll("\\s+", " ")
 
   /** DuckDB mirror: transitive closure by recursive CTE over the same
     * verified pair set (NearDup.pairCtesSql), then component-min per node.

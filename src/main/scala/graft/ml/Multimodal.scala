@@ -26,11 +26,13 @@ object Multimodal {
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
     def readInt(): Int = {
       while (i < bytes.length && isWs(bytes(i))) i += 1
-      var v = 0; var any = false
+      // accumulate in Long with a sane ceiling: a 32-bit wrap would turn a
+      // huge malformed dimension into a small "valid" one
+      var v = 0L; var any = false
       while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
-        v = v * 10 + (bytes(i) - '0'); i += 1; any = true
+        v = math.min(v * 10 + (bytes(i) - '0'), 1L << 40); i += 1; any = true
       }
-      if (any) v else -1
+      if (!any || v > 1000000) -1 else v.toInt
     }
     val w = readInt(); val h = readInt(); val maxv = readInt()
     // exactly one whitespace byte separates maxval from pixel data; a
@@ -58,31 +60,40 @@ object Multimodal {
   }
 
   /** The documents table as a planted PGM corpus: each doc's payload is a
-    * valid 8×4 P5 image whose 32 pixels are the doc's first 32 text bytes —
-    * constructed identically in the oracle, so the DECODED values (not
-    * digests) are cross-checked. Docs under 32 chars are skipped (no full
-    * image). Returns per-image decoded stats + mean pixel value. */
+    * valid 8×4 P5 image whose 32 pixels are the first 32 PRINTABLE-ASCII
+    * bytes of the doc's text — the ASCII normalization is part of the
+    * planting on BOTH engines, because the cross-check equates Spark's
+    * UTF-8 payload BYTES with the oracle's per-character code points, which
+    * only coincide for ASCII (a 'ü' is two bytes but one code point).
+    * Docs with fewer than 32 such bytes are skipped (no full image).
+    * Returns per-image decoded stats + mean pixel value. */
   def documentFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val media = docs.filter(length(col("text")) >= 32)
+    val media = docs
+      .withColumn("px_src",
+        substring(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), 1, 32))
+      .filter(length(col("px_src")) >= 32)
       .select(col("doc_id"),
         concat(lit("P5\n8 4\n255\n").cast("binary"),
-          substring(col("text"), 1, 32).cast("binary")).as("payload"))
+          col("px_src").cast("binary")).as("payload"))
       .as[(Long, Array[Byte])]
     decodeFeatures(media)
       .withColumn("mean_px", round(col("sum_px") / col("n_px"), 4))
   }
 
   /** DuckDB mirror of documentFeatures: the oracle never sees the PGM bytes —
-    * it derives the expected decoded stats straight from the text chars the
-    * pixels were planted from (ASCII code = pixel value), so a decoder bug
-    * (off-by-one header skip, sign error on bytes ≥ 0x80) breaks the match. */
+    * it derives the expected decoded stats straight from the (ASCII-
+    * normalized) source chars the pixels were planted from (code point =
+    * pixel value), so a decoder bug (off-by-one header skip, sign error on
+    * bytes ≥ 0x80) breaks the match. */
   def documentFeaturesOracleSql: String =
-    """WITH d AS (SELECT doc_id, substring(text, 1, 32) AS px FROM documents
-      |  WHERE length(text) >= 32),
+    """WITH d AS (SELECT doc_id,
+      |  substring(regexp_replace(text, '[^\x20-\x7e]', '', 'g'), 1, 32) AS px
+      |  FROM documents),
+      |f AS (SELECT doc_id, px FROM d WHERE length(px) >= 32),
       |p AS (SELECT doc_id,
       |  list_transform(range(1, 33), i -> ascii(substring(px, i, 1))) AS codes
-      |  FROM d)
+      |  FROM f)
       |SELECT doc_id, 8 AS width, 4 AS height, 32 AS n_px,
       |  list_min(codes) AS min_px, list_max(codes) AS max_px,
       |  CAST(list_sum(codes) AS BIGINT) AS sum_px,

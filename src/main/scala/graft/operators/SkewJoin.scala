@@ -23,9 +23,17 @@ object SkewJoin {
     // recomputes map output, and a salt derived from partition-dependent
     // state (monotonically_increasing_id, rand) can re-place rows between
     // reducers mid-retry, duplicating or dropping them (SPARK-23207 class).
-    // Hashing every big-side column is stable across retries; fully
-    // identical duplicate rows share a salt, which only costs spread, never
-    // correctness.
+    // Hashing every big-side column is stable across retries; the SPREAD it
+    // buys is a function of how the big side's rows differ WITHIN a hot
+    // key, so the caller must keep at least one row-distinguishing non-key
+    // column in `big` (a key-only projection degenerates to one salt per
+    // key — the salted join still returns the correct result, but the hot
+    // key funnels through one reducer again). Fully identical duplicate
+    // rows likewise share a salt: cost is spread, never correctness.
+    // hash() rejects MapType columns — pre-hash or drop maps first.
+    require(big.columns.length > keys.length,
+      "saltedJoin: big side must carry a row-distinguishing non-key column" +
+        " (a key-only projection yields one salt per key - no spread)")
     val salted = big.withColumn("_salt",
       pmod(hash(big.columns.map(col): _*), lit(salts)))
     val replicated = small.withColumn("_salt",

@@ -81,6 +81,21 @@ class KeywordsSpec extends AnyFunSuite {
     assert(gotEph == all.filter(Keywords.isEphemeral).toSet)
   }
 
+  test("column regex predicate is FullMatch even with a trailing newline") {
+    import TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Matcher.matches() must consume the \n; ^...$ anchoring would match
+    // BEFORE the trailing line terminator and classify the two paths apart
+    val (eph, _) = Keywords.parseConfig(
+      "ephemeral:\n  - /sess-[0-9a-f]+/\n")
+    assert(!eph.exists(_.matches("sess-0af3\n")))
+    val colHit = Seq("sess-0af3\n", "sess-0af3").toDF("key")
+      .filter(Keywords.toPredicate(eph, col("key")))
+      .collect().map(_.getString(0)).toSeq
+    assert(colHit == Seq("sess-0af3")) // newline-bearing key excluded
+  }
+
   test("default classes mirror the testdata fixtures") {
     assert(Keywords.isTimestamped("orderdate"))
     assert(Keywords.isTimestamped("shipdate"))

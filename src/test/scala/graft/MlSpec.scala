@@ -249,6 +249,10 @@ class MlSpec extends AnyFunSuite {
     // (first pixel 65 = 'A', so only the separator check can reject it)
     assert(Multimodal.decodePgm(
       "P5\n1 1\n255".getBytes ++ Array[Byte](65)) == None)
+    // a dimension that would wrap a 32-bit int must reject, not alias to a
+    // small "valid" image
+    assert(Multimodal.decodePgm(
+      "P5\n4294967297 1\n255\n".getBytes ++ Array[Byte](7)) == None)
   }
 
   test("Multimodal: documentFeatures decodes planted PGM stats per partition") {

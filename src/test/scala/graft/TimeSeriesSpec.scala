@@ -143,6 +143,16 @@ class TimeSeriesSpec extends AnyFunSuite {
         j.condition.map(_.toString).getOrElse("")
     }
     assert(keys.exists(_.contains("_salt")), s"join condition lost the salt: $keys")
+    // the hot key must actually SPREAD: its 300 rows (distinct payloads)
+    // hash to more than one salt value
+    val hotSalts = big.withColumn("_salt",
+      pmod(hash(big.columns.map(col): _*), lit(4)))
+      .filter(col("k") === 0L).select("_salt").distinct().count()
+    assert(hotSalts > 1, s"hot key collapsed to $hotSalts salt(s)")
+    // a key-only projection yields ONE salt per key (no spread) — rejected
+    intercept[IllegalArgumentException] {
+      graft.operators.SkewJoin.saltedJoin(big.select("k"), small, Seq("k"), 4)
+    }
   }
 
   test("rangeJoinDays plans as an equi-join on the bucket id, not a nested loop") {
