@@ -243,7 +243,12 @@ object EventsIngest {
     * than (max event time − watermark) are still awaiting proof when a
     * one-shot run drains, so consumers comparing against a batch left join
     * must restrict to the resolved region (the entry applies a 2-day
-    * cutoff on both engines). */
+    * cutoff on both engines). The trailing region itself is pinned by
+    * StreamingSpec's two-phase checkpoint-resume fixture: a buffered
+    * unmatched purchase flushes (null view columns) exactly when later
+    * input advances the watermark past its window — noting the global
+    * watermark is the MIN across BOTH sides' watermark columns, so both
+    * streams must see fresh data for the flush to fire. */
   def intervalJoinLeft(events: DataFrame, gap: String = "1 hour"): DataFrame = {
     val p = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("p_ts"))

@@ -151,6 +151,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.filter(col("v_ts").isNull).count() > 0)
   }
 
+  test("left-outer interval join: watermark-forced flush of trailing rows") {
+    // VERDICT r9 #2 — the region the stream==batch spec above excludes: a
+    // purchase younger than (max ts − watermark) must NOT emit unmatched
+    // until the view watermark PROVES no pair can arrive, and MUST emit
+    // (with null view columns) once later input advances the watermark past
+    // its window. Two-phase fixture over one checkpoint: phase 1's trailing
+    // purchase stays buffered; phase 2 appends only a far-future view for an
+    // unrelated user and the resumed stream flushes the null row.
+    val base = Files.createTempDirectory("graft_ljflush").toString
+    val in = s"$base/in"
+    val day0 = 1704067200L // 2024-01-01 UTC, epoch seconds
+    def ns(daysH: Double): java.lang.Long = // nanos, fractional days
+      java.lang.Long.valueOf(((day0 + daysH * 86400).toLong) * 1000000000L)
+    import spark.implicits._
+    def write(rows: Seq[(Long, java.lang.Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(in)
+    // the memory sink cannot resume a checkpoint; the parquet sink is the
+    // recoverable deployment sink, so each phase appends to one output dir
+    // and a phase's emissions are the rows beyond the previous phase's count
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p_ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("v_ts",
+        org.apache.spark.sql.types.TimestampType)))
+    def runPhase(): Seq[org.apache.spark.sql.Row] = {
+      val src = spark.readStream.schema(Catalog.eventsSchema).parquet(in)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val q = EventsIngest.intervalJoinLeft(src)
+        .writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .outputMode("append").format("parquet")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(s"$base/out")
+      q.awaitTermination()
+      spark.read.schema(outSchema).parquet(s"$base/out").collect().toSeq
+    }
+    write(Seq(
+      (1L, ns(1.0), 1L, "purchase", 5.0, "{}"),  // early, no view → null row
+      (2L, ns(1.5), 2L, "view", 0.0, "{}"),
+      (3L, ns(1.52), 2L, "purchase", 7.0, "{}"), // view 29 min before → match
+      (4L, ns(9.95), 3L, "purchase", 9.0, "{}"), // TRAILING: inside the last
+                                                 // watermark window at phase-1 end
+      (5L, ns(10.0), 99L, "view", 0.0, "{}")))   // clock: watermark → day 9
+    val p1 = runPhase()
+    // the trailing purchase is UNRESOLVED at phase-1 end: watermark (day 9)
+    // has not passed its window — emitting it now would be a wrong-answer
+    assert(!p1.exists(r => r.getLong(0) == 3L),
+      s"trailing purchase emitted before watermark proof: $p1")
+    // phase 2: far-future events advance the watermark to day 13 — on BOTH
+    // sides, because the global watermark is the MIN over every
+    // withWatermark column; a view-only clock would leave the purchase-side
+    // watermark behind and gate the flush forever. The resumed stream must
+    // now emit user 3's unmatched purchase. (User 98's clock purchase is
+    // itself trailing and stays buffered — it never appears in the output.)
+    write(Seq(
+      (6L, ns(14.0), 99L, "view", 0.0, "{}"),
+      (7L, ns(14.0), 98L, "purchase", 1.0, "{}")))
+    val p2 = runPhase().diff(p1)
+    assert(p2.exists(r => r.getLong(0) == 3L && r.isNullAt(2)),
+      s"watermark advance did not flush the trailing null row: $p2")
+    // across both phases: u1 null, u2 match, u3 null — exactly once each
+    val all = (p1 ++ p2).map(r => (r.getLong(0), r.isNullAt(2)))
+    assert(all.count(_ == (1L, true)) == 1)
+    assert(all.count(_ == (2L, false)) == 1)
+    assert(all.count(_ == (3L, true)) == 1)
+    assert(all.size == 3, s"spurious rows: ${p1 ++ p2}")
+    graft.ingest.Compact.rmTree(base)
+  }
+
   test("streamed winnow sketch == batch sketch (text index upkeep)") {
     val streamed = graft.streaming.DocumentsIngest.sketchOnce(spark, dir)
     val batch = graft.ml.NearDup.winnowFingerprints(
