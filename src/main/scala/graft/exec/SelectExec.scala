@@ -22,20 +22,83 @@ import graft.operators.PostingAlgebra._
   */
 object SelectExec {
 
+  /** Fields that compile to a PLAIN index leaf lookup (S1, including the
+    * band-carrying family — same `key === token` filter, SELECT ignores the
+    * band columns): these collapse into one shared scan. CAS expansion,
+    * prefix scans, doc-key lookups, and compound queries keep the per-field
+    * path. Mirrors QueryCompiler.leaf's dispatch on the decoded token. */
+  private def plainLeafToken(q: graft.ast.Query): Option[String] = q match {
+    case graft.ast.Leaf(id) =>
+      val token = graft.functions.Funcs.decodeUriComponent(id)
+      val colonAt = token.indexOf(':')
+      val isCas = colonAt > 3 && token.regionMatches(colonAt - 3, "-in", 0, 3)
+      val isScan = token.startsWith("in-") && colonAt >= 0
+      if (isCas || isScan) None else Some(token)
+    case _ => None
+  }
+
   /** The joined pivot BEFORE the final projection — keeps `off` so callers
     * can pin the reference's offset iteration order (select.cc:133-152). */
   private def joined(spark: SparkSession, t: Tables, stmt: SelectStmt): DataFrame = {
     val c = new QueryCompiler(spark, t)
     val selection = dedupMin(c.compile(stmt.from).postings).select("off")
 
-    stmt.fields.zipWithIndex.foldLeft(selection) {
+    // ---- single-scan collapse (VERDICT r9 #4): N plain-leaf fields are ONE
+    // `key isin (…)` scan + pivot, not N scans of the index. The reference
+    // farms its per-field scans to a 16-thread pool (select.cc:95-115); at
+    // 100 TB the scan count, not the thread count, is what matters — one
+    // pass computes every field's dedup-min, all-zero flag, and pivot
+    // column. Non-plain fields (CAS, prefix scans, compound queries) fall
+    // through to the per-field join path below, positionally unchanged.
+    val plain: Seq[(String, Int)] = stmt.fields.zipWithIndex.flatMap {
+      case (fq, i) => plainLeafToken(fq).map(tok => (tok, i)).toSeq
+    }
+    val base =
+      if (plain.size >= 2) {
+        val tokens = plain.map(_._1).distinct
+        val scanned = t.index.filter(col("key").isin(tokens: _*))
+          .select("key", "off", "score")
+        // one aggregation computes the per-(field, off) MIN (= dedupMin per
+        // field) and the per-off nonzero witness; the field-wide all-zero
+        // flag (a property of the ENTIRE raw posting list, select.cc:47-53
+        // — pre-dedup, as SelectProps' transcription pins: an offset
+        // holding scores {0, 5} makes the field continuous even though its
+        // dedup-min is 0) is a window max over the key partition — still
+        // the same single scan.
+        val perOff = scanned.groupBy("key", "off").agg(
+          min("score").as("mscore"),
+          max(when(col("score") =!= 0.0, 1).otherwise(0)).as("nz"))
+        val valued = perOff
+          .withColumn("nonzero", max(col("nz")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("key")))
+          .select(col("key"), col("off"),
+            when(col("nonzero") === 0, 1.0).otherwise(col("mscore")).as("value"))
+        // explicit pivot values → no extra distinct-keys job; positional
+        // renames dodge token characters col() would parse (dots, colons)
+        val pivoted = valued.groupBy("off").pivot("key", tokens)
+          .agg(first("value"))
+          .toDF("off" +: tokens.indices.map(j => s"_p$j"): _*)
+        val byTok = tokens.zipWithIndex.toMap
+        plain.foldLeft(selection.join(pivoted, Seq("off"), "left_outer")) {
+          case (df, (tok, i)) =>
+            df.withColumn(s"f${i + 1}",
+              coalesce(col(s"_p${byTok(tok)}"), lit(Double.NaN)))
+        }.drop(tokens.indices.map(j => s"_p$j"): _*)
+      } else selection
+    val collapsed: Set[Int] =
+      if (plain.size >= 2) plain.map(_._2).toSet else Set.empty
+
+    stmt.fields.zipWithIndex.filterNot { case (_, i) => collapsed(i) }
+      .foldLeft(base) {
       case (acc, (fq, i)) =>
         val name = s"f${i + 1}"
-        val field = dedupMin(c.compile(fq).postings)
-        // all_zero is a property of the ENTIRE field posting list, not the
-        // matched subset (select.cc:47-53): compute it as a 1-row aggregate
-        // and broadcast — no driver-side action, stays one lazy plan.
-        val allZero = field.agg(
+        val raw = c.compile(fq).postings
+        val field = dedupMin(raw)
+        // all_zero is a property of the ENTIRE RAW posting list (pre-dedup,
+        // select.cc:47-53 — see the collapse comment above), not the
+        // matched subset: compute it as a 1-row aggregate and broadcast —
+        // no driver-side action, stays one lazy plan.
+        val allZero = raw.agg(
           coalesce(max(when(col("score") =!= 0.0, 1).otherwise(0)), lit(0))
             .as("nonzero"))
         val valued = field.crossJoin(broadcast(allZero))

@@ -38,6 +38,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"prefix not pushed:\n$p")
   }
 
+  test("5-field SELECT collapses plain leaves into ONE index scan") {
+    // VERDICT r9 #4: N plain-leaf fields must not mean N scans of a 100 TB
+    // index — the collapse makes it one `key isin (…)` scan + pivot. Total
+    // parquet scans = FROM selection + the ONE shared field scan +
+    // summaries = 3 (it was 7 with per-field scans).
+    val df = graft.exec.SelectExec.run(spark,
+      graft.model.Catalog.tables(spark, dir),
+      "SELECT 'price', 'qty', 'status:F', 'status:O', 'nosuchkey' " +
+        "FROM 'status:F';")
+    val p = planOf(df)
+    val scans = p.split("Scan parquet").length - 1
+    assert(scans == 3, s"expected 3 parquet scans, got $scans:\n$p")
+    assert(p.contains("In(key"), s"field key-set filter not pushed:\n$p")
+    assert(df.count() > 0)
+  }
+
   test("multi-summary page fetch broadcasts the bounded page") {
     val df = SparkEntry.queries("ql_multi_summary")(spark, dir)
     val p = planOf(df)

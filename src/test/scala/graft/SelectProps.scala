@@ -21,6 +21,28 @@ class SelectProps extends AnyFunSuite {
     else at.map(_._2).min
   }
 
+  test("all-zero flag is PRE-dedup: {0, nonzero} at one offset stays continuous") {
+    // regression for the single-scan collapse (VERDICT r9 #4): a field whose
+    // only nonzero score shares an offset with a zero is still CONTINUOUS
+    // (select.cc:47-53 checks the raw posting list), even though its
+    // dedup-min at that offset is 0 — a post-dedup flag would flip every
+    // value to the 1.0 presence rule. Exercised through both the collapsed
+    // (2 plain fields) and per-field (1 field) paths.
+    val index = Seq(("q", 1L, 0.0), ("q", 2L, 0.0),
+      ("f1", 1L, 0.0), ("f1", 1L, 5.0), ("f1", 2L, 0.0),
+      ("f2", 1L, 0.0))
+    val summaries = Seq((1L, "d1", "{}"), (2L, "d2", "{}"))
+    val t = Tables(index.toDF("key", "off", "score"),
+      summaries.toDF("off", "key", "json"),
+      Seq.empty[(String, String)].toDF("key", "json"))
+    for (sql <- Seq("SELECT 'f1', 'f2' FROM 'q';", "SELECT 'f1' FROM 'q';")) {
+      val got = SelectExec.run(spark, t, sql).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got("d1") == 0.0, s"$sql: off 1 must be the min 0.0, not 1.0")
+      assert(got("d2") == 0.0, s"$sql: off 2 must be the min 0.0, not 1.0")
+    }
+  }
+
   test("SELECT pivot matches the in-memory reference transcription") {
     val rnd = new scala.util.Random(77)
     for (trial <- 1 to 6) {
