@@ -31,17 +31,29 @@ object Bench {
     * full-precision bench_last.json): totals/errors always come from ALL
     * results, the per-query map from the (possibly guarded) kept subset —
     * structurally shared so the two renderings can't drift. */
+  /** JSON string escaping for interpolated names/paths (ADVICE r9: a quote
+    * or backslash in SPARK_GRAFT_SF_DIR would otherwise emit an invalid
+    * bench line). Entry names are repo-controlled identifiers, but the sf
+    * dir is environment input. */
+  private[graft] def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   private[graft] def record(kept: Iterable[(String, (Double, Boolean))],
       all: ListMap[String, (Double, Boolean)], reps: Int, sfDir: String,
       fmt: Double => String): String = {
     val qs = kept.map { case (k, (sec, ok)) =>
-      "\"" + k + "\":" + (if (ok) fmt(sec) else s"""{"sec":${fmt(sec)},"err":true}""")
+      jstr(k) + ":" + (if (ok) fmt(sec) else s"""{"sec":${fmt(sec)},"err":true}""")
     }.mkString("{", ",", "}")
     val total = all.collect { case (_, (sec, true)) => sec }.sum
     val nErr = all.count(!_._2._2)
     val omitted = all.size - kept.size
     val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"errors":$nErr,"reps":$reps,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"errors":$nErr,"reps":$reps,"sf":${jstr(sfDir)}}"""
   }
 
   /** The stdout bench line with the length guard applied: the driver

@@ -335,6 +335,11 @@ object SparkEntry {
     // stream-static enrichment: broadcast dimension join inside the stream
     // (stateless per micro-batch), then the stateful aggregate
     "ev_stream_enrich" -> ((s, dir) => EventsIngest.enrichedOnce(s, dir)),
+    // billion-row-dim variant: NO broadcast — the stream shuffles against
+    // the dimension per micro-batch (the shape when the dim outgrows an
+    // executor); identical results, pinned by the same oracle
+    "ev_stream_enrich_big" -> ((s, dir) =>
+      EventsIngest.enrichedShuffledOnce(s, dir)),
     // stream-stream interval self-join (purchases × same-user trailing
     // views) — watermark + time-interval condition bound the join state
     "ev_stream_join" -> ((s, dir) =>
@@ -654,6 +659,12 @@ object SparkEntry {
     "ann_recall" -> ((s, dir) =>
       Ann.recallAtK(Catalog.embeddings(s, dir), Catalog.annBuckets(s, dir),
         Catalog.ivfCells(s, dir), 0, 10)),
+    // quality-regime recall gate (VERDICT r9 #5): a planted 10-clone
+    // cluster makes the exact top-10 provably LSH-reachable, so lsh recall
+    // is pinned HIGH here (AnnRecallSpec asserts >= 0.8) — a planes/banding
+    // regression now moves a non-trivial number on both engines
+    "ann_recall_planted" -> ((s, dir) =>
+      Ann.recallAtKPlanted(Catalog.embeddings(s, dir), 0L, 10, 10)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -961,6 +972,10 @@ object SparkEntry {
       count(*) AS cnt, round(sum(value), 2) AS sum_value
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY 1, 2""".replaceAll("\\s+", " ")),
+    "ev_stream_enrich_big" -> ("""SELECT c_mktsegment AS segment, event_type,
+      count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2""".replaceAll("\\s+", " ")),
     "ev_stream_join" -> ("""SELECT p.user_id AS user_id,
       epoch_us(p.ts) AS p_us, epoch_us(v.ts) AS v_us
       FROM events p JOIN events v ON v.user_id = p.user_id
@@ -1146,6 +1161,8 @@ object SparkEntry {
     "ann_stream_index" -> Ann.bucketsOracleSql,
     "emb_topk_ivf" -> Ann.ivfOracleSql(0, 10),
     "ann_recall" -> Ann.recallOracleSql(0, 10),
+    "ann_recall_planted" -> Ann.recallOracleSql(0, 10,
+      Ann.plantedClusterSrcSql(0L, 10)),
     "mm_framesample" -> Multimodal.frameSampleOracleSql(),
     "mm_resize" -> Multimodal.resizeOracleSql,
   )

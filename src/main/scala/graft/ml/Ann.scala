@@ -198,10 +198,11 @@ object Ann {
 
   /** DuckDB mirror of ivfTopK over the `embeddings` view — the centroid CTE
     * embeds the same TrainedCentroids literal matrix the Spark plan uses. */
-  def ivfOracleSql(qVecId: Long, k: Int): String = {
+  def ivfOracleSql(qVecId: Long, k: Int,
+      srcSql: String = BaseSrcSql): String = {
     val cRows = TrainedCentroids.matrix.zipWithIndex
       .map { case (c, i) => s"(${i + 1}, ${planeSql(c)})" }.mkString(", ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""WITH e AS ($srcSql),
        |c(cent_id, cemb) AS (VALUES $cRows),
        |asg AS (SELECT e.vec_id, c.cent_id,
        |          list_dot_product(e.emb, c.cemb) /
@@ -273,6 +274,43 @@ object Ann {
           transform(slice(col("embedding"), 1, half), x => x * lit(1.1)),
           slice(col("embedding"), half + 1, Dims - half)).as("embedding"))
     e.unionAll(planted)
+  }
+
+  /** A planted CLUSTER around one source vector: m variants under
+    * vec_id + PlantOffset + j, variant j scaling the first Dims/2
+    * components by (1 + 0.02·j) — cosines to the source range ~0.9988 down
+    * to ~0.99, all far above the synthetic corpus' natural ceiling (~0.51),
+    * so the exact top-m for the source IS the cluster. This is the
+    * structured regime the flat `ann_recall` entry cannot probe (VERDICT
+    * r9 #5): hyperplane LSH recall at the planted cosines is provably high
+    * (per-table collision ≈ 0.91 at cos 0.9988; ≥1-of-4 ≈ 0.9999), so a
+    * quality regression in planes/banding moves a recall pinned ≥ 0.8
+    * instead of one pinned at the honest-but-toothless 0.0. Double-widened
+    * BEFORE perturbing, factors inlined as literals — bit-identical to the
+    * DuckDB mirror. */
+  def plantedCluster(emb: DataFrame, qVecId: Long, m: Int): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val half = Dims / 2
+    val variants = (1 to m).map { j =>
+      val f = 1.0 + 0.02 * j
+      e.filter(col("vec_id") === qVecId)
+        .select((col("vec_id") + lit(PlantOffset + j)).as("vec_id"),
+          concat(
+            transform(slice(col("embedding"), 1, half), x => x * lit(f)),
+            slice(col("embedding"), half + 1, Dims - half)).as("embedding"))
+    }
+    variants.foldLeft(e)(_ unionAll _)
+  }
+
+  /** recallAtK over the planted cluster — the quality-regime recall gate:
+    * both index derivations and the exact baseline run over the SAME
+    * augmented corpus (ad-hoc derived and cached for the statement, like
+    * the other planted entries). */
+  def recallAtKPlanted(emb: DataFrame, qVecId: Long, m: Int, k: Int): DataFrame = {
+    val e = graft.util.Caches.track(plantedCluster(emb, qVecId, m).cache())
+    recallAtK(e, graft.util.Caches.track(bucketIds(e).cache()),
+      graft.util.Caches.track(cellAssignment(e).cache()), qVecId, k)
   }
 
   /** nearDupCos at a REALISTIC threshold (0.9+) over the planted corpus:
@@ -381,9 +419,10 @@ object Ann {
 
   /** DuckDB mirror of recallAtK: the exact, LSH, and IVF top-k oracles
     * (each already verified stand-alone) composed as CTE subqueries. */
-  def recallOracleSql(qVecId: Long, k: Int): String = {
+  def recallOracleSql(qVecId: Long, k: Int,
+      srcSql: String = BaseSrcSql): String = {
     val exact =
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      s"""WITH e AS ($srcSql),
          |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId)
          |SELECT e.vec_id AS vec_id,
          |  round(list_dot_product(e.emb, q.qemb) /
@@ -391,8 +430,8 @@ object Ann {
          |FROM e, q WHERE e.vec_id <> $qVecId
          |ORDER BY sim DESC, e.vec_id LIMIT $k""".stripMargin
     s"""WITH exact AS ((${exact})),
-       |lshr AS ((${oracleSql(qVecId, k)})),
-       |ivfr AS ((${ivfOracleSql(qVecId, k)}))
+       |lshr AS ((${oracleSql(qVecId, k, srcSql)})),
+       |ivfr AS ((${ivfOracleSql(qVecId, k, srcSql)}))
        |SELECT 'lsh' AS method, count(*) AS hits,
        |  round(count(*) * 1.0 / $k, 4) AS recall
        |FROM lshr WHERE vec_id IN (SELECT vec_id FROM exact)
@@ -403,11 +442,30 @@ object Ann {
        |""".stripMargin.replaceAll("\\s+", " ")
   }
 
+  /** The un-augmented oracle source relation (doubles widened first). */
+  val BaseSrcSql = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings"
+
+  /** DuckDB mirror of plantedCluster: same widening-then-scale order and
+    * the same factor literals, so cosines are bit-identical. */
+  def plantedClusterSrcSql(qVecId: Long, m: Int): String = {
+    val half = Dims / 2
+    val variants = (1 to m).map { j =>
+      val f = 1.0 + 0.02 * j
+      s"""SELECT vec_id + ${PlantOffset + j} AS vec_id,
+         |  list_concat(list_transform(emb[1:$half], x -> x * $f),
+         |              emb[${half + 1}:$Dims]) AS emb
+         |  FROM ($BaseSrcSql) WHERE vec_id = $qVecId""".stripMargin
+    }
+    (s"SELECT vec_id, emb FROM ($BaseSrcSql)" +: variants)
+      .mkString(" UNION ALL ")
+  }
+
   private def planeSql(plane: Seq[Double]): String =
     plane.mkString("[", ",", "]")
 
   /** DuckDB mirror of topK over the `embeddings` view. */
-  def oracleSql(qVecId: Long, k: Int): String = {
+  def oracleSql(qVecId: Long, k: Int,
+      srcSql: String = BaseSrcSql): String = {
     def sigExpr(src: String): Seq[String] = (0 until Tables).map { t =>
       val bits = (0 until Bits).map { b =>
         s"(CASE WHEN list_dot_product($src, ${planeSql(planes(t * Bits + b))}) >= 0 THEN '1' ELSE '0' END)"
@@ -419,7 +477,7 @@ object Ann {
     val qSigs = sigExpr("q.qemb").zipWithIndex
       .map { case (s, t) => s"$s AS qsig$t" }.mkString(", ")
     val matchCond = (0 until Tables).map(t => s"es.sig$t = qs.qsig$t").mkString(" OR ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""WITH e AS ($srcSql),
        |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId),
        |es AS (SELECT e.vec_id, e.emb, $eSigs FROM e),
        |qs AS (SELECT q.qemb, $qSigs FROM q),

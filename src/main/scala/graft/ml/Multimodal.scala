@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
   * typed metadata, processed per-partition in batches — the shape an
   * image/audio feature-extraction stage has at 100 TB. The container has no
   * JPEG/PNG/PCM codecs, so the planted payload is a REAL image format the
-  * JVM can decode bare-handed: binary PGM (P5), whose 12-byte header + raw
-  * pixel bytes exercise genuine byte-level decoding (magic check, ASCII
+  * JVM can decode bare-handed: binary PGM (P5), whose ASCII header
+  * ("P5\n8 4\n255\n" — magic, dims, maxval; decodePgm parses it
+  * positionally, not at a fixed offset) + raw pixel bytes exercise genuine
+  * byte-level decoding (magic check, ASCII
   * dimension parse, bounds check, pixel extraction) in the same
   * mapPartitions batch shape a codec/GPU stage needs. A deployment swaps
   * `decodePgm` for its codec; every other line stays.

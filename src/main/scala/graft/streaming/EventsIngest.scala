@@ -30,12 +30,36 @@ object EventsIngest {
     * self-contained one-shot runs (fresh checkpoint each call); an always-on
     * deployment sizes `spark.sql.shuffle.partitions` to its cluster before
     * starting the query and never pays bring-up again. */
-  private def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, prev)
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(
+      f: SparkSession => T): T = {
+    // a CLONED session (same SparkContext/SharedState/extensions, fresh
+    // SQLConf) carries the bounded partition count, so the parent session's
+    // spark.sql.shuffle.partitions is never mutated — a query running
+    // concurrently on the parent keeps its own setting (ADVICE r9)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    f(s)
   }
+
+  /** Run a one-shot (AvailableNow) memory-sink stream on the bounded-state
+    * cloned session and return the sink table — registered with
+    * Caches.trackSinkTable so drain() drops it with the statement's memo
+    * (the runId-fresh tables otherwise accumulate for the session
+    * lifetime). */
+  private def memorySinkOnce(spark: SparkSession, n: Int, prefix: String,
+      mode: String)(build: SparkSession => DataFrame): DataFrame =
+    withStatePartitions(spark, n) { s =>
+      val name = s"${prefix}_${runId.incrementAndGet()}"
+      val q = build(s).writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.util.Caches.trackSinkTable(s, name)
+      s.table(name)
+    }
 
   /** The raw event stream (nanos → timestamp, same as the batch reader). */
   def stream(spark: SparkSession, dir: String): DataFrame =
@@ -115,18 +139,10 @@ object EventsIngest {
   /** One-shot streaming dedup over all available input (append mode — rows
     * flow out in the micro-batch where their key is first seen). */
   def dedupDailyOnce(spark: SparkSession, dir: String): DataFrame =
-    graft.util.Caches.memoize(s"stream:dedup:$dir") { withStatePartitions(spark, 8) {
-      val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
-      val q = dedupDaily(stream(spark, dir))
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name)
-    } }
+    graft.util.Caches.memoize(s"stream:dedup:$dir") {
+      memorySinkOnce(spark, 8, "graft_stream_dedup", "append")(s =>
+        dedupDaily(stream(s, dir)))
+    }
 
   /** Per-user lifetime profile state: first/last event second, event count,
     * raw value sum. Merging an event is commutative and associative, so the
@@ -180,23 +196,13 @@ object EventsIngest {
     * groupBy(user_id) aggregate. */
   def userProfilesOnce(spark: SparkSession, dir: String): DataFrame =
     graft.util.Caches.memoize(s"stream:profiles:$dir") {
-    import org.apache.spark.sql.expressions.Window
-    val name = s"graft_stream_prof_${runId.incrementAndGet()}"
-    withStatePartitions(spark, 8) {
-      val q = userProfiles(stream(spark, dir))
-        .writeStream
-        .outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      import org.apache.spark.sql.expressions.Window
+      memorySinkOnce(spark, 8, "graft_stream_prof", "update")(s =>
+        userProfiles(stream(s, dir)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(desc("n_events"))))
+        .filter(col("rn") === 1).drop("rn")
     }
-    spark.table(name)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("user_id").orderBy(desc("n_events"))))
-      .filter(col("rn") === 1).drop("rn")
-  }
 
   /** Stream-static enrichment: the event stream joined to a STATIC dimension
     * (customer market segment keyed by user_id = c_custkey), then aggregated
@@ -211,6 +217,23 @@ object EventsIngest {
     events
       .join(broadcast(dim.select(col("c_custkey").as("user_id"),
         col("c_mktsegment").as("segment"))), Seq("user_id"))
+      .groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+
+  /** Billion-row-dimension variant of `enriched` (VERDICT r9 #6): NO
+    * broadcast — the micro-batch SHUFFLES against the dimension on
+    * user_id, which is the deployment shape when the dimension does not
+    * fit on one executor (a billion-user profile table). Cost model: every
+    * micro-batch pays a shuffle of batch + the dimension's matching side
+    * (mitigated in practice by storing the dimension bucketed on the join
+    * key so only the stream side moves); broadcast-refresh (above) pays a
+    * per-batch rebroadcast instead. The crossover is dimension size ≈ what
+    * an executor can hold — both shapes produce identical results, which
+    * the shared oracle pins. */
+  def enrichedShuffled(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(dim.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment")), Seq("user_id"))
       .groupBy("segment", "event_type")
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
 
@@ -266,67 +289,40 @@ object EventsIngest {
   /** One-shot left-outer interval join over all available input. */
   def intervalJoinLeftOnce(spark: SparkSession, dir: String): DataFrame =
     graft.util.Caches.memoize(s"stream:ivjoinleft:$dir") {
-      withStatePartitions(spark, 8) {
-        val name = s"graft_stream_ljoin_${runId.incrementAndGet()}"
-        val q = intervalJoinLeft(stream(spark, dir))
-          .writeStream
-          .outputMode("append")
-          .format("memory")
-          .queryName(name)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        spark.table(name)
-      }
+      memorySinkOnce(spark, 8, "graft_stream_ljoin", "append")(s =>
+        intervalJoinLeft(stream(s, dir)))
     }
 
   /** One-shot stream-stream interval join over all available input (append
     * mode — pairs emit once both watermarks pass). */
   def intervalJoinOnce(spark: SparkSession, dir: String): DataFrame =
-    graft.util.Caches.memoize(s"stream:ivjoin:$dir") { withStatePartitions(spark, 8) {
-      val name = s"graft_stream_join_${runId.incrementAndGet()}"
-      val q = intervalJoin(stream(spark, dir))
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name)
-    } }
+    graft.util.Caches.memoize(s"stream:ivjoin:$dir") {
+      memorySinkOnce(spark, 8, "graft_stream_join", "append")(s =>
+        intervalJoin(stream(s, dir)))
+    }
 
   /** One-shot stream-static enrichment over all available input (complete
     * mode → memory sink). */
   def enrichedOnce(spark: SparkSession, dir: String): DataFrame =
-    graft.util.Caches.memoize(s"stream:enrich:$dir") { withStatePartitions(spark, 8) {
-      val name = s"graft_stream_enrich_${runId.incrementAndGet()}"
-      val q = enriched(stream(spark, dir), Catalog.table(spark, dir, "customer"))
-        .writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name)
-    } }
+    graft.util.Caches.memoize(s"stream:enrich:$dir") {
+      memorySinkOnce(spark, 8, "graft_stream_enrich", "complete")(s =>
+        enriched(stream(s, dir), Catalog.table(s, dir, "customer")))
+    }
+
+  /** One-shot shuffled (non-broadcast) enrichment over all available input. */
+  def enrichedShuffledOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:enrichbig:$dir") {
+      memorySinkOnce(spark, 8, "graft_stream_enrichbig", "complete")(s =>
+        enrichedShuffled(stream(s, dir), Catalog.table(s, dir, "customer")))
+    }
 
   /** One-shot daily counts: run the windowed aggregation over all available
     * input (complete mode → in-memory sink) and return the result table.
     * This is the CORRECTNESS entry point — the same aggregation the batch
     * `ev_daily_counts` query does, produced by the streaming engine. */
   def dailyCountsOnce(spark: SparkSession, dir: String): DataFrame =
-    graft.util.Caches.memoize(s"stream:daily:$dir") { withStatePartitions(spark, 8) {
-      val name = s"graft_stream_daily_${runId.incrementAndGet()}"
-      val q = dailyCounts(stream(spark, dir))
-        .writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name)
-    } }
+    graft.util.Caches.memoize(s"stream:daily:$dir") {
+      memorySinkOnce(spark, 8, "graft_stream_daily", "complete")(s =>
+        dailyCounts(stream(s, dir)))
+    }
 }

@@ -21,6 +21,18 @@ object Caches {
     override def initialValue: Map[String, DataFrame] = Map.empty
   }
 
+  private val sinkTables = new ThreadLocal[List[(org.apache.spark.sql.SparkSession, String)]] {
+    override def initialValue: List[(org.apache.spark.sql.SparkSession, String)] = Nil
+  }
+
+  /** Register a memory-sink temp view created by a memoized one-shot
+    * streaming helper, so drain() DROPS it with the memo entry (ADVICE r9:
+    * the runId-incremented graft_stream_* tables otherwise pin their rows
+    * in driver memory for the session lifetime while new statement windows
+    * register fresh ones). */
+  def trackSinkTable(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
+    sinkTables.set((spark, name) :: sinkTables.get)
+
   def track(df: DataFrame): DataFrame = {
     tracked.set(df :: tracked.get)
     df
@@ -44,10 +56,14 @@ object Caches {
     }
 
   /** Unpersist every tracked DataFrame (non-blocking), drop memoized
-    * results, and clear both registries. */
+    * results AND their memory-sink temp views, and clear the registries. */
   def drain(): Unit = {
     tracked.get.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
     tracked.set(Nil)
+    sinkTables.get.foreach { case (s, n) =>
+      try { s.catalog.dropTempView(n); () } catch { case _: Throwable => () }
+    }
+    sinkTables.set(Nil)
     memoed.set(Map.empty)
   }
 }

@@ -49,6 +49,19 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(mean >= 0.5, f"mean recall $mean%.2f below bound")
   }
 
+  test("planted-cluster recall gate: lsh >= 0.8 (VERDICT r9 #5)") {
+    // the ann_recall_planted entry's regime, pinned numerically: the
+    // 10-clone cluster's exact top-10 is all high-cosine, so a working
+    // hyperplane index MUST recover most of it — the floor a flat-corpus
+    // recall pinned at 0.0 could never enforce. IVF must also find the
+    // cluster (it lands in the query's own cell, probed first).
+    val rows = Ann.recallAtKPlanted(Catalog.embeddings(spark, dir), 0L, 10, 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    graft.util.Caches.drain()
+    assert(rows("lsh") >= 0.8, s"lsh planted recall ${rows("lsh")} < 0.8")
+    assert(rows("ivf") >= 0.8, s"ivf planted recall ${rows("ivf")} < 0.8")
+  }
+
   test("LSH finds its regime: planted near-clones surface as top-1") {
     // hyperplane LSH is the NEAR-DUP index (recall ~0 at the corpus's
     // low-cos top-k is by design — ann_recall pins that number); here each

@@ -18,10 +18,22 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.compact(2.0) == "2")
     assert(Bench.compact(1.5) == "1.5")
     assert(Bench.compact(0.0) == "0")
+    // NOTE: swaps the JVM-GLOBAL default locale — safe only because the
+    // suites run sequentially (build.sbt does not enable parallel test
+    // execution); if that ever changes, move this to an explicit
+    // String.format(locale, …) harness instead of the global default.
     val prev = java.util.Locale.getDefault
     java.util.Locale.setDefault(java.util.Locale.GERMANY) // would render 0,49
     try assert(Bench.compact(0.49) == "0.49")
     finally java.util.Locale.setDefault(prev)
+  }
+
+  test("bench line stays valid JSON when sfDir contains quotes/backslashes") {
+    val line = Bench.guardedLine(fake(3), reps = 1,
+      sfDir = "/tmp/we\"ird\\path")
+    assert(line.contains("\"sf\":\"/tmp/we\\\"ird\\\\path\""), line)
+    // no unescaped quote sequence survives
+    assert(!line.contains("\"/tmp/we\"ird"), line)
   }
 
   test("guard keeps the line ≤1700 chars at any query count") {
