@@ -27,10 +27,6 @@ object Bench {
     if (t.isEmpty) "0" else t
   }
 
-  /** ONE renderer for both record forms (stdout compact line and the
-    * full-precision bench_last.json): totals/errors always come from ALL
-    * results, the per-query map from the (possibly guarded) kept subset —
-    * structurally shared so the two renderings can't drift. */
   /** JSON string escaping for interpolated names/paths (ADVICE r9: a quote
     * or backslash in SPARK_GRAFT_SF_DIR would otherwise emit an invalid
     * bench line). Entry names are repo-controlled identifiers, but the sf
@@ -43,6 +39,10 @@ object Bench {
       case c => c.toString
     } + "\""
 
+  /** ONE renderer for both record forms (stdout compact line and the
+    * full-precision bench_last.json): totals/errors always come from ALL
+    * results, the per-query map from the (possibly guarded) kept subset —
+    * structurally shared so the two renderings can't drift. */
   private[graft] def record(kept: Iterable[(String, (Double, Boolean))],
       all: ListMap[String, (Double, Boolean)], reps: Int, sfDir: String,
       fmt: Double => String): String = {

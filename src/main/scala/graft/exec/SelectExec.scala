@@ -58,19 +58,21 @@ object SelectExec {
         val tokens = plain.map(_._1).distinct
         val scanned = t.index.filter(col("key").isin(tokens: _*))
           .select("key", "off", "score")
-        // one aggregation computes the per-(field, off) MIN (= dedupMin per
-        // field) and the per-off nonzero witness; the field-wide all-zero
-        // flag (a property of the ENTIRE raw posting list, select.cc:47-53
-        // — pre-dedup, as SelectProps' transcription pins: an offset
-        // holding scores {0, 5} makes the field continuous even though its
-        // dedup-min is 0) is a window max over the key partition — still
-        // the same single scan.
+        // the per-(field, off) MIN (= dedupMin per field) in one
+        // aggregation over the shared pruned scan
         val perOff = scanned.groupBy("key", "off").agg(
-          min("score").as("mscore"),
-          max(when(col("score") =!= 0.0, 1).otherwise(0)).as("nz"))
-        val valued = perOff
-          .withColumn("nonzero", max(col("nz")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("key")))
+          min("score").as("mscore"))
+        // field-wide all-zero flags: a property of the ENTIRE raw posting
+        // list (select.cc:47-53 — pre-dedup, as SelectProps' transcription
+        // pins: an offset holding scores {0, 5} makes the field continuous
+        // even though its dedup-min is 0). One |tokens|-row aggregate over
+        // the same pruned scan, broadcast back — bounded by the field
+        // count, so the broadcast is policy-clean, and unlike a window max
+        // over the key partition it never funnels a hot key's whole
+        // posting list through one task.
+        val flags = scanned.groupBy("key").agg(
+          max(when(col("score") =!= 0.0, 1).otherwise(0)).as("nonzero"))
+        val valued = perOff.join(broadcast(flags), Seq("key"))
           .select(col("key"), col("off"),
             when(col("nonzero") === 0, 1.0).otherwise(col("mscore")).as("value"))
         // explicit pivot values → no extra distinct-keys job; positional

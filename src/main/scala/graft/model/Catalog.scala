@@ -390,7 +390,7 @@ object Catalog {
     * the sibling of `winnowSketch` (VERDICT r9 #1): the df-cap pruning an
     * admission batch needs is a LOOKUP against this table, never a
     * re-aggregation of the whole sketch. Maintained incrementally at ingest
-    * by appending per-batch deltas (DocumentsIngest.dfDeltaRows) that a
+    * by appending per-batch deltas (DocumentsIngest.runDfDeltaSink) that a
     * generation merge (Compact.mergeDfGenerations) folds back into one row
     * per fp — the Spark analogue of the reference's generation merge
     * (/root/reference/src/merge.cc:120-184), which also never recounts. */

@@ -59,6 +59,7 @@ object DocumentsIngest {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      graft.util.Caches.trackSinkTable(spark, name)
       spark.table(name)
     }
 

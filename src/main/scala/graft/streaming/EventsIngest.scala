@@ -47,8 +47,10 @@ object EventsIngest {
     * (the runId-fresh tables otherwise accumulate for the session
     * lifetime). */
   private def memorySinkOnce(spark: SparkSession, n: Int, prefix: String,
-      mode: String)(build: SparkSession => DataFrame): DataFrame =
+      mode: String, confs: Map[String, String] = Map.empty)(
+      build: SparkSession => DataFrame): DataFrame =
     withStatePartitions(spark, n) { s =>
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
       val name = s"${prefix}_${runId.incrementAndGet()}"
       val q = build(s).writeStream
         .outputMode(mode)
@@ -312,7 +314,13 @@ object EventsIngest {
   /** One-shot shuffled (non-broadcast) enrichment over all available input. */
   def enrichedShuffledOnce(spark: SparkSession, dir: String): DataFrame =
     graft.util.Caches.memoize(s"stream:enrichbig:$dir") {
-      memorySinkOnce(spark, 8, "graft_stream_enrichbig", "complete")(s =>
+      // broadcast DISABLED on the cloned session: the testdata dimension is
+      // small enough that the planner would otherwise pick a broadcast join
+      // and the entry would silently exercise the same plan as
+      // ev_stream_enrich — the point here is the big-dim SHUFFLE shape
+      // (StreamingSpec pins the plan contains no broadcast join)
+      memorySinkOnce(spark, 8, "graft_stream_enrichbig", "complete",
+        Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"))(s =>
         enrichedShuffled(stream(s, dir), Catalog.table(s, dir, "customer")))
     }
 

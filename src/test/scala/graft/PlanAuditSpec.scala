@@ -40,17 +40,22 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("5-field SELECT collapses plain leaves into ONE index scan") {
     // VERDICT r9 #4: N plain-leaf fields must not mean N scans of a 100 TB
-    // index — the collapse makes it one `key isin (…)` scan + pivot. Total
-    // parquet scans = FROM selection + the ONE shared field scan +
-    // summaries = 3 (it was 7 with per-field scans).
+    // index — the collapse makes it one shared `key isin (…)` scan read
+    // twice (per-(field,off) mins + the tiny field-wide flags aggregate,
+    // both key-pruned). Total parquet scans = FROM selection + 2 pruned
+    // field reads + summaries = 4, independent of field count (the
+    // per-field path scanned the index 2N+1 times). No window over the key
+    // partition may appear — it would funnel a hot key's posting list
+    // through one task.
     val df = graft.exec.SelectExec.run(spark,
       graft.model.Catalog.tables(spark, dir),
       "SELECT 'price', 'qty', 'status:F', 'status:O', 'nosuchkey' " +
         "FROM 'status:F';")
     val p = planOf(df)
     val scans = p.split("Scan parquet").length - 1
-    assert(scans == 3, s"expected 3 parquet scans, got $scans:\n$p")
+    assert(scans == 4, s"expected 4 parquet scans, got $scans:\n$p")
     assert(p.contains("In(key"), s"field key-set filter not pushed:\n$p")
+    assert(!p.contains("Window"), s"unbounded key-partition window:\n$p")
     assert(df.count() > 0)
   }
 

@@ -232,6 +232,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("shuffled enrich variant: streamed == batch and the plan has NO broadcast join") {
+    // the big-dim variant must actually exercise the shuffle shape — with
+    // the testdata dimension under the broadcast threshold the planner
+    // would silently pick the same BroadcastHashJoin as ev_stream_enrich,
+    // so the one-shot disables autoBroadcastJoinThreshold on its cloned
+    // session; this pin runs the identical conf + batch plan and asserts
+    // the join is a real shuffle join
+    val streamed = EventsIngest.enrichedShuffledOnce(spark, dir)
+    val batch = Catalog.events(spark, dir)
+      .join(Catalog.table(spark, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment")),
+        Seq("user_id"))
+      .groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = EventsIngest.enrichedShuffled(
+        Catalog.events(s2, dir), Catalog.table(s2, dir, "customer"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"), s"big-dim enrich broadcasts:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"no shuffle join in big-dim enrich plan:\n$p")
+  }
+
   test("stream-static enrichment: streamed segment aggregate == batch join") {
     val streamed = EventsIngest.enrichedOnce(spark, dir)
     val batch = Catalog.events(spark, dir)
