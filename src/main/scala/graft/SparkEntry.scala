@@ -651,6 +651,11 @@ object SparkEntry {
     // bucket index — stateless, no shuffle
     "ann_stream_index" -> ((s, dir) =>
       graft.streaming.EmbeddingsIngest.bucketsOnce(s, dir)),
+    // IVF cell upkeep: the coarse-quantizer assignment as a stateless
+    // per-row projection (argmax over constant centroids folds into
+    // array_max) — new vectors assign themselves on the way in
+    "ivf_stream_index" -> ((s, dir) =>
+      graft.streaming.EmbeddingsIngest.cellsOnce(s, dir)),
     "emb_topk_ivf" -> ((s, dir) =>
       Ann.ivfTopK(Catalog.embeddings(s, dir), Catalog.ivfCells(s, dir), 0, 10)),
     // ANN QUALITY as an oracle entry: recall@10 of the LSH and IVF lookups
@@ -1163,6 +1168,7 @@ object SparkEntry {
     "ann_recall" -> Ann.recallOracleSql(0, 10),
     "ann_recall_planted" -> Ann.recallOracleSql(0, 10,
       Ann.plantedClusterSrcSql(0L, 10)),
+    "ivf_stream_index" -> Ann.cellsOracleSql,
     "mm_framesample" -> Multimodal.frameSampleOracleSql(),
     "mm_resize" -> Multimodal.resizeOracleSql,
   )

@@ -442,6 +442,25 @@ object Ann {
        |""".stripMargin.replaceAll("\\s+", " ")
   }
 
+  /** DuckDB mirror of the full IVF cell assignment (the materialized /
+    * stream-maintained index content) — the `cell` CTE of ivfOracleSql as
+    * a stand-alone result, cell widened to BIGINT to match the Spark
+    * column. */
+  def cellsOracleSql: String = {
+    val cRows = TrainedCentroids.matrix.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, ${planeSql(c)})" }.mkString(", ")
+    s"""WITH e AS ($BaseSrcSql),
+       |c(cent_id, cemb) AS (VALUES $cRows),
+       |asg AS (SELECT e.vec_id, c.cent_id,
+       |          list_dot_product(e.emb, c.cemb) /
+       |          sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(c.cemb, c.cemb)) AS csim
+       |        FROM e, c)
+       |SELECT vec_id, CAST(cent_id AS BIGINT) AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY csim DESC, cent_id ASC) AS rn FROM asg) WHERE rn = 1
+       |""".stripMargin.replaceAll("\\s+", " ")
+  }
+
   /** The un-augmented oracle source relation (doubles widened first). */
   val BaseSrcSql = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings"
 

@@ -62,4 +62,45 @@ object EmbeddingsIngest {
       graft.util.Caches.trackSinkTable(spark, name)
       spark.table(name)
     }
+
+  /** Stream-derived IVF cell rows (vec_id, cell) — the coarse-quantizer
+    * assignment as a PURE PROJECTION: the argmax over the 16 constant
+    * centroid cosines folds into array_max over (csim, −cent_id) structs
+    * (struct ordering = highest similarity, ties → lowest cent_id, exactly
+    * Ann.cellAssignment's max(struct) aggregate), so the upkeep stream
+    * stays stateless append like the bucket sink — no aggregation, no
+    * state store. At 100 TB new vectors assign themselves on the way in
+    * and append to the cell-partitioned index. */
+  def cellRows(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = emb.select(col("vec_id"), col("embedding").as("emb"))
+    val entries = graft.ml.TrainedCentroids.matrix.zipWithIndex.map {
+      case (cvec, i) =>
+        val cemb = array(cvec.map(lit): _*)
+        val d = call_function("graft_dot", col("emb"), cemb)
+        val na = call_function("graft_dot", col("emb"), col("emb"))
+        val nb = call_function("graft_dot", cemb, cemb)
+        struct((d / sqrt(na * nb)).as("csim"),
+          lit(-(i + 1).toLong).as("neg"))
+    }
+    e.select(col("vec_id"),
+      (-array_max(array(entries: _*)).getField("neg")).as("cell"))
+  }
+
+  /** One-shot streamed cell-assignment build — the CORRECTNESS entry point
+    * for IVF index upkeep (the cell twin of bucketsOnce). */
+  def cellsOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:ivfcells:$dir") {
+      val name = s"graft_stream_ivf_${runId.incrementAndGet()}"
+      val q = cellRows(stream(spark, dir))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.util.Caches.trackSinkTable(spark, name)
+      spark.table(name)
+    }
 }

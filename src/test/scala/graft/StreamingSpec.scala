@@ -111,6 +111,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streamed IVF cell rows == batch cell assignment (index upkeep)") {
+    // the projection-shaped streaming argmax must agree with the batch
+    // max(struct) aggregate, ties included
+    val streamed = graft.streaming.EmbeddingsIngest.cellsOnce(spark, dir)
+    val batch = graft.ml.Ann.cellAssignment(Catalog.embeddings(spark, dir))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stream-stream interval join == batch interval join") {
     val streamed = EventsIngest.intervalJoinOnce(spark, dir)
     val ev = Catalog.events(spark, dir)
