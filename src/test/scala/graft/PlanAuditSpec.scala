@@ -59,6 +59,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("vocabulary joins carry NO explicit broadcast hint (r9 de-broadcast pins)") {
+    // the r9 scale fix: df/unigram vocabularies and CORRELATE membership
+    // sets are data-scaled, so their joins must reach the planner unhinted
+    // (AQE may still runtime-broadcast when a side actually fits — that is
+    // the desired behavior; an explicit hint would cap the operator at
+    // driver-memory vocabulary sizes). The pinned counts are the KNOWN
+    // bounded hints — tfidf/logprob each carry exactly one, the ONE-ROW
+    // corpus-size aggregate (policy-clean); anything above the pin means a
+    // data-scaled side got re-hinted.
+    val allowed = Map("tfidf_topterms" -> 1, "text_logprob" -> 1,
+      "dedup_ngram" -> 0, "correlate_leakage" -> 0, "dedup_incremental" -> 0)
+    for ((name, n) <- allowed) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val got = "ResolvedHint".r
+        .findAllIn(df.queryExecution.analyzed.toString).size
+      assert(got == n, s"$name: $got explicit join hints, pinned $n")
+      graft.util.Caches.drain()
+    }
+  }
+
   test("multi-summary page fetch broadcasts the bounded page") {
     val df = SparkEntry.queries("ql_multi_summary")(spark, dir)
     val p = planOf(df)
