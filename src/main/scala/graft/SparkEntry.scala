@@ -658,6 +658,12 @@ object SparkEntry {
       graft.streaming.EmbeddingsIngest.cellsOnce(s, dir)),
     "emb_topk_ivf" -> ((s, dir) =>
       Ann.ivfTopK(Catalog.embeddings(s, dir), Catalog.ivfCells(s, dir), 0, 10)),
+    // scalar int8 quantization: the 4x-smaller embedding STORE — top-k runs
+    // on dequantized codes (quantize -> store -> dequantize -> rank), the
+    // storage-scale path of a 100 TB vector corpus; QuantSpec bounds the
+    // cosine error vs exact
+    "emb_topk_sq8" -> ((s, dir) =>
+      graft.ml.Quant.sq8TopK(Catalog.embeddings(s, dir), 0, 10)),
     // ANN QUALITY as an oracle entry: recall@10 of the LSH and IVF lookups
     // vs the exact baseline, driver-checked every round (not just bucket
     // membership logic)
@@ -1169,6 +1175,7 @@ object SparkEntry {
     "ann_recall_planted" -> Ann.recallOracleSql(0, 10,
       Ann.plantedClusterSrcSql(0L, 10)),
     "ivf_stream_index" -> Ann.cellsOracleSql,
+    "emb_topk_sq8" -> graft.ml.Quant.sq8OracleSql(0, 10),
     "mm_framesample" -> Multimodal.frameSampleOracleSql(),
     "mm_resize" -> Multimodal.resizeOracleSql,
   )
