@@ -537,7 +537,7 @@ object SparkEntry {
     // never re-read at lookup time
     "dedup_winnow" -> ((s, dir) =>
       NearDup.winnowCandidatesFrom(Catalog.winnowSketch(s, dir),
-        minShared = 2, maxDf = 50)),
+        Catalog.winnowDf(s, dir), minShared = 2, maxDf = 50)),
     // ingest-time admission check: new docs (id >= 250) vs the existing
     // corpus's stored fingerprint sketch; the df cap reads the STORED
     // (fp, df) sibling table — no per-batch aggregation over the sketch

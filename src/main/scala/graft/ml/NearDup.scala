@@ -189,12 +189,22 @@ object NearDup {
   /** winnowCandidates against a PREBUILT sketch table (doc_id, fp) — the
     * deployment shape: the sketch is the stored index
     * (Catalog.winnowSketch), fp-partitioned, and the corpus text is never
-    * re-read. */
+    * re-read. The df aggregation here is inline (an ad-hoc corpus gets no
+    * stored sibling); the stored-index entry uses the overload below. */
   def winnowCandidatesFrom(fp: DataFrame, minShared: Int,
+      maxDf: Int): DataFrame =
+    winnowCandidatesFrom(fp,
+      fp.groupBy("fp").agg(count(lit(1)).as("df")), minShared, maxDf)
+
+  /** winnowCandidatesFrom with the PREBUILT (fp, df) sibling
+    * (Catalog.winnowDf): the df cap joins the stored table instead of
+    * re-aggregating the sketch — consistent with the admission path
+    * (incrementalDupesFrom), so a full candidate pass reads each stored
+    * table once. */
+  def winnowCandidatesFrom(fp: DataFrame, dfTable: DataFrame, minShared: Int,
       maxDf: Int): DataFrame = {
     val rare = fp.join(
-      fp.groupBy("fp").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select("fp"),
+      dfTable.filter(col("df") <= maxDf).select("fp"),
       Seq("fp"))
     rare.as("x").join(rare.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))

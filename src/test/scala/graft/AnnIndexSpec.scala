@@ -49,17 +49,20 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
-  test("incremental admission plan never aggregates the sketch (VERDICT r9 #1)") {
+  test("winnow plans never aggregate the sketch (VERDICT r9 #1)") {
     // the df cap must be a LOOKUP against the stored winnow_df sibling, not
-    // a per-batch groupBy(fp).count over the whole stored sketch — the only
-    // aggregates allowed in the admission plan are the per-pair
-    // (doc_id, src_id) counts. A keys=[fp#..] hash aggregate in the plan is
-    // exactly the O(index)-per-micro-batch recount this pin forbids.
-    val df = SparkEntry.queries("dedup_incremental")(spark, dir)
-    val p = plan(df)
-    assert(p.contains("winnow_df"), s"df cap does not read winnow_df:\n$p")
-    assert(!p.contains("keys=[fp#"),
-      s"admission plan re-aggregates the sketch by fp:\n$p")
+    // a groupBy(fp).count over the whole stored sketch — the only
+    // aggregates allowed are the per-pair counts. A keys=[fp#..] hash
+    // aggregate in the plan is exactly the O(index) recount this pin
+    // forbids (per-micro-batch for the admission check; per-statement for
+    // the candidate pass).
+    for (name <- Seq("dedup_incremental", "dedup_winnow")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val p = plan(df)
+      assert(p.contains("winnow_df"), s"$name df cap does not read winnow_df:\n$p")
+      assert(!p.contains("keys=[fp#"),
+        s"$name re-aggregates the sketch by fp:\n$p")
+    }
   }
 
   test("emb_topk_ivf reads the materialized cell assignment") {

@@ -233,6 +233,20 @@ class StreamingSpec extends AnyFunSuite {
     graft.ingest.Compact.rmTree(base)
   }
 
+  test("drain() drops memory-sink temp views registered by one-shots") {
+    // ADVICE r9: without the drop, each statement window's runId-fresh
+    // graft_stream_* table pins its rows in driver memory for the session
+    graft.util.Caches.drain() // fresh window
+    graft.streaming.DocumentsIngest.sketchOnce(spark, dir)
+    val live = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_stream_wsk"))
+    assert(live.nonEmpty, "one-shot did not register a sink view")
+    graft.util.Caches.drain()
+    val after = spark.catalog.listTables().collect()
+      .map(_.name).filter(live.contains(_))
+    assert(after.isEmpty, s"drain left sink views: ${after.toSeq}")
+  }
+
   test("streamed winnow sketch == batch sketch (text index upkeep)") {
     val streamed = graft.streaming.DocumentsIngest.sketchOnce(spark, dir)
     val batch = graft.ml.NearDup.winnowFingerprints(
