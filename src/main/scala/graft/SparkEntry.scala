@@ -658,12 +658,12 @@ object SparkEntry {
       graft.streaming.EmbeddingsIngest.cellsOnce(s, dir)),
     "emb_topk_ivf" -> ((s, dir) =>
       Ann.ivfTopK(Catalog.embeddings(s, dir), Catalog.ivfCells(s, dir), 0, 10)),
-    // scalar int8 quantization: the 4x-smaller embedding STORE — top-k runs
-    // on dequantized codes (quantize -> store -> dequantize -> rank), the
-    // storage-scale path of a 100 TB vector corpus; QuantSpec bounds the
-    // cosine error vs exact
+    // scalar int8 quantization: top-k over the MATERIALIZED 4x-smaller
+    // byte-code store (quantize -> store -> dequantize -> rank; raw
+    // embeddings never load at search time) — the storage-scale path of a
+    // 100 TB vector corpus; QuantSpec bounds the ranking cost vs exact
     "emb_topk_sq8" -> ((s, dir) =>
-      graft.ml.Quant.sq8TopK(Catalog.embeddings(s, dir), 0, 10)),
+      graft.ml.Quant.sq8TopKFrom(Catalog.sq8Store(s, dir), 0, 10)),
     // ANN QUALITY as an oracle entry: recall@10 of the LSH and IVF lookups
     // vs the exact baseline, driver-checked every round (not just bucket
     // membership logic)

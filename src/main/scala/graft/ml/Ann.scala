@@ -199,18 +199,8 @@ object Ann {
   /** DuckDB mirror of ivfTopK over the `embeddings` view — the centroid CTE
     * embeds the same TrainedCentroids literal matrix the Spark plan uses. */
   def ivfOracleSql(qVecId: Long, k: Int,
-      srcSql: String = BaseSrcSql): String = {
-    val cRows = TrainedCentroids.matrix.zipWithIndex
-      .map { case (c, i) => s"(${i + 1}, ${planeSql(c)})" }.mkString(", ")
-    s"""WITH e AS ($srcSql),
-       |c(cent_id, cemb) AS (VALUES $cRows),
-       |asg AS (SELECT e.vec_id, c.cent_id,
-       |          list_dot_product(e.emb, c.cemb) /
-       |          sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(c.cemb, c.cemb)) AS csim
-       |        FROM e, c),
-       |cell AS (SELECT vec_id, cent_id AS cell FROM (
-       |           SELECT *, row_number() OVER (PARTITION BY vec_id
-       |             ORDER BY csim DESC, cent_id ASC) AS rn FROM asg) WHERE rn = 1),
+      srcSql: String = BaseSrcSql): String =
+    s"""WITH ${cellCtesSql(srcSql)},
        |qc AS (SELECT cent_id AS cell FROM asg WHERE vec_id = $qVecId
        |       ORDER BY csim DESC, cent_id ASC LIMIT $Probes),
        |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId)
@@ -221,7 +211,7 @@ object Ann {
        |WHERE cell.vec_id <> $qVecId
        |ORDER BY sim DESC, vec_id LIMIT $k
        |""".stripMargin.replaceAll("\\s+", " ")
-  }
+
 
   /** Embedding-cosine near-duplicate pairs against a PERSISTED bucket index:
     * candidates share an LSH bucket (any of the L tables), survivors
@@ -442,24 +432,31 @@ object Ann {
        |""".stripMargin.replaceAll("\\s+", " ")
   }
 
-  /** DuckDB mirror of the full IVF cell assignment (the materialized /
-    * stream-maintained index content) — the `cell` CTE of ivfOracleSql as
-    * a stand-alone result, cell widened to BIGINT to match the Spark
-    * column. */
-  def cellsOracleSql: String = {
+  /** Shared oracle CTE chain `e, c, asg, cell` — ONE rendering of the
+    * coarse quantizer (centroid VALUES + cosine assignment + per-vector
+    * argmax) used by BOTH ivfOracleSql and cellsOracleSql, so the two
+    * entries pinning the same quantizer cannot drift. */
+  private def cellCtesSql(srcSql: String): String = {
     val cRows = TrainedCentroids.matrix.zipWithIndex
       .map { case (c, i) => s"(${i + 1}, ${planeSql(c)})" }.mkString(", ")
-    s"""WITH e AS ($BaseSrcSql),
+    s"""e AS ($srcSql),
        |c(cent_id, cemb) AS (VALUES $cRows),
        |asg AS (SELECT e.vec_id, c.cent_id,
        |          list_dot_product(e.emb, c.cemb) /
        |          sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(c.cemb, c.cemb)) AS csim
-       |        FROM e, c)
-       |SELECT vec_id, CAST(cent_id AS BIGINT) AS cell FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id
-       |    ORDER BY csim DESC, cent_id ASC) AS rn FROM asg) WHERE rn = 1
-       |""".stripMargin.replaceAll("\\s+", " ")
+       |        FROM e, c),
+       |cell AS (SELECT vec_id, cent_id AS cell FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY csim DESC, cent_id ASC) AS rn FROM asg) WHERE rn = 1)""".stripMargin
   }
+
+  /** DuckDB mirror of the full IVF cell assignment (the materialized /
+    * stream-maintained index content), cell widened to BIGINT to match
+    * the Spark column. */
+  def cellsOracleSql: String =
+    s"""WITH ${cellCtesSql(BaseSrcSql)}
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM cell
+       |""".stripMargin.replaceAll("\\s+", " ")
 
   /** The un-augmented oracle source relation (doubles widened first). */
   val BaseSrcSql = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings"

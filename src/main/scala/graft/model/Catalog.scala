@@ -417,6 +417,19 @@ object Catalog {
     spark.read.parquet(path)
   }
 
+  /** The MATERIALIZED SQ8 code store over `embeddings` — (vec_id,
+    * codes array<tinyint>, mn, scale): the 4×-smaller embedding index
+    * (Quant.sq8Store), written once per sf-dir and sorted by vec_id. The
+    * sq8 lookup reads ONLY this table — raw embeddings never load at
+    * search time. */
+  def sq8Store(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "sq8_codes")
+    materialize(path) {
+      graft.ml.Quant.sq8Store(embeddings(spark, dir)).sort("vec_id")
+    }
+    spark.read.parquet(path).select("vec_id", "codes", "mn", "scale")
+  }
+
   /** `events` stores TIMESTAMP(NANOS) which Spark's parquet reader rejects;
     * read nanos as Long and convert (integer DIV — a double round-trip would
     * lose precision above 2^53 ns). Requires

@@ -70,13 +70,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // data-scaled side got re-hinted.
     val allowed = Map("tfidf_topterms" -> 1, "text_logprob" -> 1,
       "dedup_ngram" -> 0, "correlate_leakage" -> 0, "dedup_incremental" -> 0)
-    for ((name, n) <- allowed) {
+    for ((name, n) <- allowed) try {
       val df = SparkEntry.queries(name)(spark, dir)
       val got = "ResolvedHint".r
         .findAllIn(df.queryExecution.analyzed.toString).size
       assert(got == n, s"$name: $got explicit join hints, pinned $n")
-      graft.util.Caches.drain()
-    }
+    } finally graft.util.Caches.drain()
   }
 
   test("multi-summary page fetch broadcasts the bounded page") {

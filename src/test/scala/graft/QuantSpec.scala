@@ -15,12 +15,25 @@ class QuantSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private val K = 10
 
-  test("codes are uint8-range ints") {
-    val c = Quant.sq8Codes(Catalog.embeddings(spark, dir))
-      .select(explode(col("codes")).as("c"))
-      .agg(min("c"), max("c")).head
-    assert(c.getInt(0) >= 0 && c.getInt(1) <= 255,
-      s"codes outside uint8: ${c.getInt(0)}..${c.getInt(1)}")
+  test("the store is genuinely byte-wide") {
+    // the 4x claim rests on the element TYPE: array<tinyint> is 1 byte per
+    // element in Tungsten rows and bit-packed in parquet — an int32 array
+    // wearing a uint8 name would be the same width as the float32 it
+    // replaces
+    val store = Quant.sq8Store(Catalog.embeddings(spark, dir))
+    val et = store.schema("codes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    assert(et == org.apache.spark.sql.types.ByteType, s"element type $et")
+    assert(store.columns.toSeq == Seq("vec_id", "codes", "mn", "scale"))
+  }
+
+  test("the entry's lookup plan reads the materialized store, not embeddings") {
+    val p = SparkEntry.queries("emb_topk_sq8")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("sq8_codes"), s"plan does not scan sq8_codes:\n$p")
+    assert(!p.toLowerCase.contains("embeddings.parquet"),
+      s"sq8 lookup re-reads raw embeddings:\n$p")
+    graft.util.Caches.drain()
   }
 
   test("dequantized top-10 overlaps the exact top-10") {
@@ -43,12 +56,12 @@ class QuantSpec extends AnyFunSuite {
     assert(overlap >= 0.7, f"sq8 overlap $overlap%.2f below bound")
   }
 
-  test("constant corpus quantizes to code 0, no division by zero") {
+  test("constant corpus quantizes to code 0 (stored -128), no division by zero") {
     import spark.implicits._
     val const = Seq((0L, Array.fill(4)(0.5f)), (1L, Array.fill(4)(0.5f)))
       .toDF("vec_id", "embedding")
-    val codes = Quant.sq8Codes(const).select(explode(col("codes")).as("c"))
-      .agg(max(abs(col("c")))).head.getInt(0)
-    assert(codes == 0)
+    val r = Quant.sq8Store(const).select(explode(col("codes")).as("c"))
+      .agg(min("c"), max("c")).head
+    assert(r.getByte(0) == -128 && r.getByte(1) == -128)
   }
 }
