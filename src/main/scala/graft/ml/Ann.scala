@@ -167,24 +167,33 @@ object Ann {
       .select(col("vec_id"), (-col("m.neg")).as("cell"))
   }
 
+  /** The query's `Probes` nearest cell ids — a 1×Cells ranking on the
+    * broadcast centroid matrix, collected eagerly (a BOUNDED list of exactly
+    * `Probes` longs, the same bounded-collect class as the L bucket keys) so
+    * callers can push it into an index scan as a static In filter. Shared by
+    * the IVF-flat lookup below and the SQ8-over-IVF lookup (Quant). */
+  def probedCells(e: DataFrame, qVecId: Long,
+      cents: Option[DataFrame] = None): Seq[Long] = {
+    val cn = broadcast(cents.getOrElse(centroids(e)))
+    e.filter(col("vec_id") === qVecId).crossJoin(cn)
+      .select(col("cent_id"), cosine(col("emb"), col("cemb")).as("csim"))
+      .orderBy(desc("csim"), asc("cent_id")).limit(Probes)
+      .collect().map(_.getLong(0)).toSeq
+  }
+
   /** IVF-flat top-k against a PERSISTED cell assignment (Catalog.ivfCells):
     * the query probes its `Probes` nearest centroids (a 1×Cells ranking on
     * the broadcast centroid matrix) and exact-re-ranks only those cells'
     * members — the lookup plan prunes the assignment table to the probed
     * cells instead of re-quantizing the corpus per query (VERDICT r4 #1).
-    * The probed cell ids are collected eagerly (a bounded list of exactly
-    * `Probes` longs) and pushed as a static In filter, giving STATIC
-    * partition pruning on the cell-partitioned table — at 100 TB the cell id
-    * is the partition key and a lookup touches |probed cells| partitions.
-    * Returns (vec_id, sim). */
+    * The probed cell ids are collected eagerly (probedCells above) and
+    * pushed as a static In filter, giving STATIC partition pruning on the
+    * cell-partitioned table — at 100 TB the cell id is the partition key
+    * and a lookup touches |probed cells| partitions. Returns (vec_id, sim). */
   def ivfTopK(emb: DataFrame, cells: DataFrame, qVecId: Long, k: Int,
       cents: Option[DataFrame] = None): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").as("emb"))
-    val cn = broadcast(cents.getOrElse(centroids(emb)))
-    val qCells = e.filter(col("vec_id") === qVecId).crossJoin(cn)
-      .select(col("cent_id"), cosine(col("emb"), col("cemb")).as("csim"))
-      .orderBy(desc("csim"), asc("cent_id")).limit(Probes)
-      .collect().map(_.getLong(0)).toSeq
+    val qCells = probedCells(e, qVecId, cents)
     val q = broadcast(e.filter(col("vec_id") === qVecId)
       .select(col("emb").as("qemb")))
     cells.filter(col("cell").isin(qCells: _*)).filter(col("vec_id") =!= qVecId)
@@ -436,7 +445,7 @@ object Ann {
     * coarse quantizer (centroid VALUES + cosine assignment + per-vector
     * argmax) used by BOTH ivfOracleSql and cellsOracleSql, so the two
     * entries pinning the same quantizer cannot drift. */
-  private def cellCtesSql(srcSql: String): String = {
+  private[ml] def cellCtesSql(srcSql: String): String = {
     val cRows = TrainedCentroids.matrix.zipWithIndex
       .map { case (c, i) => s"(${i + 1}, ${planeSql(c)})" }.mkString(", ")
     s"""e AS ($srcSql),
