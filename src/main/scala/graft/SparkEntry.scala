@@ -554,6 +554,13 @@ object SparkEntry {
     "winnow_stream_df" -> ((s, dir) =>
       graft.streaming.DocumentsIngest.dfOnce(s, dir,
         Catalog.scratch(dir, "winnow_df_stream"))),
+    // always-on override refresh: new summary overrides stream through the
+    // SAME derivation the batch table uses (Catalog.overrideRows) — the
+    // reference's no-reindex result-refresh mechanism (README.md:38-49) as
+    // a stateless append sink; completes streamed ingest across all three
+    // logical table types (index, summaries, overrides)
+    "ovr_stream" -> ((s, dir) =>
+      graft.streaming.OverridesIngest.overridesOnce(s, dir)),
     // generation compaction: the streamed parquet sketch sink's small
     // per-batch files rewritten into one sorted fp-keyed generation
     // (Compact.compactIndex == reference merge.cc:120-184); content must
@@ -656,6 +663,16 @@ object SparkEntry {
     // array_max) — new vectors assign themselves on the way in
     "ivf_stream_index" -> ((s, dir) =>
       graft.streaming.EmbeddingsIngest.cellsOnce(s, dir)),
+    // generation compaction of the streamed EMBEDDING indexes (the
+    // winnow_compact twins — merge.cc folds ALL table types): small
+    // per-batch files rewritten into one sorted generation, read back
+    // through the flipped MANIFEST; content must equal the batch build
+    "ann_compact" -> ((s, dir) =>
+      graft.streaming.EmbeddingsIngest.compactedBucketsOnce(s, dir,
+        Catalog.scratch(dir, "ann_compact"))),
+    "ivf_compact" -> ((s, dir) =>
+      graft.streaming.EmbeddingsIngest.compactedCellsOnce(s, dir,
+        Catalog.scratch(dir, "ivf_compact"))),
     "emb_topk_ivf" -> ((s, dir) =>
       Ann.ivfTopK(Catalog.embeddings(s, dir), Catalog.ivfCells(s, dir), 0, 10)),
     // scalar int8 quantization COMPOSED with the coarse quantizer: the 4x-
@@ -1119,6 +1136,7 @@ object SparkEntry {
       minShared = 2, maxDf = 50),
     "winnow_stream_index" -> NearDup.sketchOracleSql(),
     "winnow_stream_df" -> NearDup.dfOracleSql(),
+    "ovr_stream" -> s"WITH ${Catalog.overridesSql} SELECT key, json FROM ovr",
     "winnow_compact" -> NearDup.sketchOracleSql(),
     "dedup_clusters" -> graft.ml.Clusters.oracleSql(0.6),
     "dedup_removal" -> graft.ml.Clusters.removalOracleSql(0.6),
@@ -1179,6 +1197,8 @@ object SparkEntry {
     "ann_recall_planted" -> Ann.recallOracleSql(0, 10,
       Ann.plantedClusterSrcSql(0L, 10)),
     "ivf_stream_index" -> Ann.cellsOracleSql,
+    "ann_compact" -> Ann.bucketsOracleSql,
+    "ivf_compact" -> Ann.cellsOracleSql,
     "emb_topk_sq8" -> graft.ml.Quant.sq8IvfOracleSql(0, 10),
     "mm_framesample" -> Multimodal.frameSampleOracleSql(),
     "mm_resize" -> Multimodal.resizeOracleSql,

@@ -16,6 +16,32 @@ final case class Compiled(postings: DataFrame, extra: Option[DataFrame]) {
   def map(f: DataFrame => DataFrame): Compiled = Compiled(f(postings), extra)
 }
 
+/** The leaf token families (query.cc:222-356) — ONE classifier shared by
+  * the compiler's leaf dispatch and SelectExec's single-scan collapse, so
+  * the two cannot drift (ADVICE r10): a token family added or changed here
+  * changes both consumers, or fails their match exhaustively. */
+object QueryCompiler {
+  sealed trait TokenKind
+  object TokenKind {
+    /** `FIELD-in:KEY` → CAS expansion (S4). */
+    final case class Cas(field: String, blobKey: String) extends TokenKind
+    /** `in-FIELD:PARAM` → prefix+contains scan (S3). */
+    final case class PrefixScan(field: String, param: String) extends TokenKind
+    /** Everything else → plain index lookup (S1, incl. the band family). */
+    final case class Plain(token: String) extends TokenKind
+  }
+
+  /** Classify an already-URI-decoded leaf token. */
+  def tokenKind(token: String): TokenKind = {
+    val colonAt = token.indexOf(':')
+    if (colonAt > 3 && token.regionMatches(colonAt - 3, "-in", 0, 3))
+      TokenKind.Cas(token.substring(0, colonAt - 3), token.substring(colonAt + 1))
+    else if (token.startsWith("in-") && colonAt >= 0)
+      TokenKind.PrefixScan(token.substring(3, colonAt), token.substring(colonAt + 1))
+    else TokenKind.Plain(token)
+  }
+}
+
 /** Compiles a cantera `Query` AST onto posting DataFrames (off, score) —
   * the Spark replacement for the reference's vector-materializing interpreter
   * ProcessSubQuery (/root/reference/src/query.cc:394-622). Every node becomes
@@ -23,6 +49,7 @@ final case class Compiled(postings: DataFrame, extra: Option[DataFrame]) {
   * (pushdown, join selection, AQE) instead of executing node-by-node.
   */
 final class QueryCompiler(spark: SparkSession, tables: Tables) {
+  import QueryCompiler.TokenKind
 
   private def index = tables.index
   private def summaries = tables.summaries
@@ -68,29 +95,28 @@ final class QueryCompiler(spark: SparkSession, tables: Tables) {
       .agg(min(struct(col("_header_key"), col("_header"))).as("h"))
       .select(col("off"), col("h._header"), col("h._header_key"))
 
-  /** Leaf dispatch (query.cc:222-356): `FIELD-in:KEY` → CAS expansion (S4),
-    * `in-FIELD:PARAM` → prefix+contains scan (S3), else plain lookup (S1). */
-  private def leaf(token: String): Compiled = {
-    val colonAt = token.indexOf(':')
-    if (colonAt > 3 && token.regionMatches(colonAt - 3, "-in", 0, 3))
-      casExpansion(token.substring(0, colonAt - 3), token.substring(colonAt + 1))
-    else if (token.startsWith("in-") && colonAt >= 0) {
-      val field = token.substring(3, colonAt)
-      val param = token.substring(colonAt + 1)
-      pure(index.filter(col("key").startsWith(field) &&
-          lower(col("key")).contains(param.toLowerCase))
-        .select(col("off")).distinct()
-        .withColumn("score", lit(0.0)))
-    } else if (Keywords.hasPctBands(token) &&
-        graft.operators.PostingAlgebra.pctCols(index).nonEmpty)
-      // band-carrying family (ca-table.h:102-105): the leaf's posting schema
-      // includes the four pct columns, carried through the algebra to output
-      pure(index.filter(col("key") === token)
-        .select(Seq("off", "score").map(col) ++
-          graft.operators.PostingAlgebra.pctCols(index).map(col): _*))
-    else
-      pure(index.filter(col("key") === token).select("off", "score"))
-  }
+  /** Leaf dispatch (query.cc:222-356), driven by the shared classifier:
+    * `FIELD-in:KEY` → CAS expansion (S4), `in-FIELD:PARAM` →
+    * prefix+contains scan (S3), else plain lookup (S1). */
+  private def leaf(token: String): Compiled =
+    QueryCompiler.tokenKind(token) match {
+      case TokenKind.Cas(field, blobKey) => casExpansion(field, blobKey)
+      case TokenKind.PrefixScan(field, param) =>
+        pure(index.filter(col("key").startsWith(field) &&
+            lower(col("key")).contains(param.toLowerCase))
+          .select(col("off")).distinct()
+          .withColumn("score", lit(0.0)))
+      case TokenKind.Plain(t) if Keywords.hasPctBands(t) &&
+          graft.operators.PostingAlgebra.pctCols(index).nonEmpty =>
+        // band-carrying family (ca-table.h:102-105): the leaf's posting
+        // schema includes the four pct columns, carried through the algebra
+        // to output
+        pure(index.filter(col("key") === t)
+          .select(Seq("off", "score").map(col) ++
+            graft.operators.PostingAlgebra.pctCols(index).map(col): _*))
+      case TokenKind.Plain(t) =>
+        pure(index.filter(col("key") === t).select("off", "score"))
+    }
 
   /** S4 — `FIELD-in:KEY`: fetch the blob stored under KEY, extract DNS-ish
     * names and {header} markers, look each name up as `FIELD:name`, union the

@@ -26,14 +26,16 @@ object SelectExec {
     * band-carrying family — same `key === token` filter, SELECT ignores the
     * band columns): these collapse into one shared scan. CAS expansion,
     * prefix scans, doc-key lookups, and compound queries keep the per-field
-    * path. Mirrors QueryCompiler.leaf's dispatch on the decoded token. */
+    * path. Dispatch comes from QueryCompiler.tokenKind — the SAME
+    * classifier leaf() uses — so the collapse cannot silently reclassify a
+    * token family the compiler treats differently (ADVICE r10). */
   private def plainLeafToken(q: graft.ast.Query): Option[String] = q match {
     case graft.ast.Leaf(id) =>
-      val token = graft.functions.Funcs.decodeUriComponent(id)
-      val colonAt = token.indexOf(':')
-      val isCas = colonAt > 3 && token.regionMatches(colonAt - 3, "-in", 0, 3)
-      val isScan = token.startsWith("in-") && colonAt >= 0
-      if (isCas || isScan) None else Some(token)
+      QueryCompiler.tokenKind(
+          graft.functions.Funcs.decodeUriComponent(id)) match {
+        case QueryCompiler.TokenKind.Plain(token) => Some(token)
+        case _ => None
+      }
     case _ => None
   }
 

@@ -1,5 +1,7 @@
 package graft.ingest
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,29 +18,50 @@ import org.apache.spark.sql.functions._
   * (CompactionSpec pins this).
   *
   * Output goes to a NEW generation directory — never in place (Spark cannot
-  * safely overwrite a directory it is reading, and the swap must be atomic
-  * for concurrent readers). A deployment points readers at the new
-  * generation and deletes the old, exactly like the reference's
-  * `ca-table merge` output table.
+  * safely overwrite a directory it is reading). The reader swap is the
+  * MANIFEST pointer file below: compaction writes the next `gen-NNNNNN`
+  * directory, then atomically renames a fresh manifest over the old one, so
+  * a reader resolves either the old or the new generation, never a
+  * half-written one — the Spark analogue of the reference's schema file,
+  * whose table paths ARE its generation pointer
+  * (/root/reference/src/schema.cc:60-118). Stale generations are deleted by
+  * a SEPARATE cleanup pass, deferred until in-flight readers of the old
+  * generation drain (a reader opened before the flip keeps answering from
+  * the old directory until then).
+  *
+  * All path operations go through the Hadoop FileSystem API, so the same
+  * code runs against file://, hdfs:// and s3a:// index locations.
   */
 object Compact {
 
-  /** Delete a scratch directory tree (idempotent). */
-  def rmTree(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-      }
-      f.delete(); ()
-    }
-    rm(new java.io.File(path))
+  private def hconf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fsFor(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(hconf), p)
   }
 
-  /** Parquet data files under an index directory (what compaction shrinks). */
+  /** Delete a scratch/stale directory tree (idempotent). */
+  def rmTree(path: String): Unit = {
+    val (fs, p) = fsFor(path)
+    fs.delete(p, true)
+    ()
+  }
+
+  /** Parquet data files under an index directory, recursively — counts
+    * hive-partitioned layouts too (what compaction shrinks). */
   def dataFileCount(path: String): Int = {
-    val fs = new java.io.File(path).listFiles()
-    if (fs == null) 0 else fs.count(f => f.getName.endsWith(".parquet"))
+    val (fs, p) = fsFor(path)
+    if (!fs.exists(p)) 0
+    else {
+      var n = 0
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
   }
 
   /** Rewrite a streamed append-only index directory (many per-micro-batch
@@ -76,5 +99,78 @@ object Compact {
       .sortWithinPartitions("fp")
       .write.mode("overwrite").parquet(outPath)
     spark.read.parquet(outPath)
+  }
+
+  // ---- generation manifest: the atomic reader swap ----
+
+  val ManifestFile = "MANIFEST"
+
+  private def genName(n: Int): String = f"gen-$n%06d"
+
+  /** The current generation's path under `base`, resolved through the
+    * manifest (None until the first flip). */
+  def currentGeneration(base: String): Option[String] = {
+    val (fs, p) = fsFor(s"$base/$ManifestFile")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val name =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some(s"$base/$name")
+    }
+  }
+
+  /** Atomically point readers at generation `name`: write the new pointer
+    * to MANIFEST.tmp, then rename-with-OVERWRITE onto MANIFEST — atomic on
+    * HDFS and POSIX (FileSystem.rename refuses an existing destination,
+    * hence FileContext). Only called AFTER the generation wrote
+    * successfully; a failed compaction leaves the pointer untouched. */
+  def flipGeneration(base: String, name: String): Unit = {
+    val conf = hconf
+    val tmp = new Path(s"$base/$ManifestFile.tmp")
+    val fs = tmp.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(name.getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(tmp.toUri, conf)
+      .rename(tmp, new Path(s"$base/$ManifestFile"), Options.Rename.OVERWRITE)
+  }
+
+  /** Read the generation the manifest points at (loud if absent — an index
+    * base without a manifest has never completed a compaction). */
+  def readCurrent(spark: SparkSession, base: String): DataFrame =
+    spark.read.parquet(currentGeneration(base).getOrElse(
+      sys.error(s"no $ManifestFile under $base")))
+
+  /** Delete generation directories the manifest no longer points at.
+    * Deliberately NOT part of compactAndFlip: a deployment defers this
+    * until readers opened against the previous generation have drained.
+    * Returns the deleted generation names. */
+  def cleanupStale(base: String): Seq[String] = {
+    val cur = currentGeneration(base).map(new Path(_).getName).toSet
+    val (fs, p) = fsFor(base)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val stale = fs.listStatus(p).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("gen-") && !cur(s.getPath.getName))
+      stale.foreach(s => fs.delete(s.getPath, true))
+      stale.map(_.getPath.getName).toSeq
+    }
+  }
+
+  /** One full compaction cycle with the atomic swap: write the NEXT
+    * generation from `inPath`, flip the manifest onto it, return the new
+    * generation's rows. Stale-generation deletion stays a separate,
+    * deferred `cleanupStale` call (see above). */
+  def compactAndFlip(spark: SparkSession, inPath: String, base: String,
+      keyCol: String, sortCols: Seq[String],
+      partitions: Option[Int] = None): DataFrame = {
+    val next = currentGeneration(base)
+      .map(g => new Path(g).getName.stripPrefix("gen-").toInt + 1)
+      .getOrElse(1)
+    val name = genName(next)
+    compactIndex(spark, inPath, s"$base/$name", keyCol, sortCols, partitions)
+    flipGeneration(base, name)
+    readCurrent(spark, base)
   }
 }

@@ -306,14 +306,18 @@ object Catalog {
     * to overlay updated fields without rebuilding indexes
     * (/root/reference/README.md:38-49, src/query.cc:877-890). Derived: every
     * 7th order is "archived" with its customer id attached. */
-  def overrides(spark: SparkSession, dir: String): DataFrame = {
-    val o = table(spark, dir, "orders")
-    o.filter(col("o_orderkey") % 7 === 0)
+  def overrides(spark: SparkSession, dir: String): DataFrame =
+    overrideRows(table(spark, dir, "orders"))
+
+  /** The override derivation as a pure projection over an orders relation —
+    * shared by the batch table above and the streamed override ingest
+    * (streaming.OverridesIngest), so the two paths cannot drift. */
+  def overrideRows(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderkey") % 7 === 0)
       .select(
         concat(lit("order:"), col("o_orderkey")).as("key"),
         to_json(struct(lit(true).as("archived"),
           col("o_custkey").as("cust"))).as("json"))
-  }
 
   val overridesSql: String =
     """ovr AS (

@@ -105,14 +105,19 @@ object DocumentsIngest {
   /** One-shot streamed-then-compacted sketch — the CORRECTNESS entry point
     * for compaction: run the parquet sketch sink (the deployment appender,
     * small files per micro-batch), compact the accumulated files into one
-    * sorted fp-keyed generation (Compact.compactIndex), and return the new
-    * generation's rows — which must equal the batch-built sketch exactly. */
+    * sorted fp-keyed generation, flip the MANIFEST pointer onto it
+    * (Compact.compactAndFlip — the atomic reader swap), and return the rows
+    * read back THROUGH the manifest — which must equal the batch-built
+    * sketch exactly. The explicit partition count keeps the generation a
+    * genuinely smaller file set than the raw streamed sink (a deployment
+    * derives it from input bytes / target file size). */
   def compactedSketchOnce(spark: SparkSession, dir: String,
       scratchBase: String): DataFrame =
     graft.util.Caches.memoize(s"stream:winnowcompact:$dir") {
       graft.ingest.Compact.rmTree(scratchBase)
       runSketchSink(spark, dir, s"$scratchBase/raw", s"$scratchBase/ck")
-      graft.ingest.Compact.compactIndex(spark, s"$scratchBase/raw",
-        s"$scratchBase/gen1", "fp", Seq("fp", "doc_id"))
+      graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/raw",
+        s"$scratchBase/idx", "fp", Seq("fp", "doc_id"),
+        partitions = Some(4))
     }
 }

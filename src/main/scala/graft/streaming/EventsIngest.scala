@@ -32,8 +32,11 @@ object EventsIngest {
     * starting the query and never pays bring-up again. */
   private def withStatePartitions[T](spark: SparkSession, n: Int)(
       f: SparkSession => T): T = {
-    // a CLONED session (same SparkContext/SharedState/extensions, fresh
-    // SQLConf) carries the bounded partition count, so the parent session's
+    // a FRESH session (same SparkContext/SharedState/extensions, SQLConf
+    // rebuilt from build-time options — newSession does NOT copy the
+    // parent's runtime conf; every conf these streams rely on is set at
+    // session build in GraftSession, ADVICE r10) carries the bounded
+    // partition count, so the parent session's
     // spark.sql.shuffle.partitions is never mutated — a query running
     // concurrently on the parent keeps its own setting (ADVICE r9)
     val s = spark.newSession()

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streamed maintenance of the summary-override table — the reference's
+  * result-refresh mechanism (/root/reference/README.md:38-49,
+  * src/query.cc:877-890): overrides are keyed JSON overlays consulted per
+  * result so summary fields update WITHOUT rebuilding the indexes. Batch
+  * loading covers the initial table (S6); this sink is its always-on twin:
+  * new source rows stream through the SAME derivation the batch table uses
+  * (Catalog.overrideRows — a pure per-row projection, no state store, no
+  * shuffle) and append to the stored `summary_overrides` table. With the
+  * postings/sketch/ANN sinks this completes always-on ingest across all
+  * three logical table types (index, summaries, overrides).
+  */
+object OverridesIngest {
+
+  /** The override derivation's source columns (a projection of the orders
+    * relation — parquet column pruning reads nothing else). */
+  val schema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType)))
+
+  private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def stream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(s"$dir/{orders.parquet}")
+
+  /** Stream-derived override rows (key, json) — identical projection to the
+    * batch table. */
+  def overrideRows(orders: DataFrame): DataFrame =
+    graft.model.Catalog.overrideRows(orders)
+
+  /** Append the streamed override rows to a parquet table directory (the
+    * deployment shape: the overlay join reads this table per statement). */
+  def runOverrideSink(spark: SparkSession, dir: String, outPath: String,
+      checkpoint: String): Unit = {
+    val q = overrideRows(stream(spark, dir))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .start(outPath)
+    q.awaitTermination()
+  }
+
+  /** One-shot streamed override build over all available input (memory
+    * sink) — the CORRECTNESS entry point; must equal the batch-derived
+    * override table exactly. Memoized per statement window. */
+  def overridesOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:overrides:$dir") {
+      val name = s"graft_stream_ovr_${runId.incrementAndGet()}"
+      val q = overrideRows(stream(spark, dir))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.util.Caches.trackSinkTable(spark, name)
+      spark.table(name)
+    }
+}

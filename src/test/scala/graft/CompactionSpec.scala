@@ -39,6 +39,40 @@ class CompactionSpec extends AnyFunSuite {
     Compact.rmTree(base)
   }
 
+  test("atomic generation swap: flip is all-or-nothing for readers, stale gens cleaned") {
+    val base = java.nio.file.Files.createTempDirectory("graft_swap").toString
+    val raw = s"$base/raw"
+    val idx = s"$base/idx"
+    val half = sketch.filter(col("doc_id") % 2 === 0)
+    half.repartition(3).write.mode("append").parquet(raw)
+    // no manifest yet — an index base that never compacted reads loudly
+    assert(Compact.currentGeneration(idx).isEmpty)
+    intercept[RuntimeException](Compact.readCurrent(spark, idx))
+    // cycle 1: compact → flip; readers resolve gen-000001 via the manifest
+    val g1 = Compact.compactAndFlip(spark, raw, idx, "fp",
+      Seq("fp", "doc_id"), partitions = Some(2))
+    assert(Compact.currentGeneration(idx).contains(s"$idx/gen-000001"))
+    assert(g1.count() == half.count())
+    val openedBeforeFlip = Compact.readCurrent(spark, idx)
+    // cycle 2: more data arrives, compact again → gen-000002, flip
+    sketch.filter(col("doc_id") % 2 === 1)
+      .repartition(3).write.mode("append").parquet(raw)
+    val g2 = Compact.compactAndFlip(spark, raw, idx, "fp",
+      Seq("fp", "doc_id"), partitions = Some(2))
+    assert(Compact.currentGeneration(idx).contains(s"$idx/gen-000002"))
+    // a reader opened BEFORE the flip still answers from the old
+    // generation (its files are untouched until cleanup) ...
+    assert(openedBeforeFlip.count() == half.count())
+    // ... while a reader resolving AFTER the flip sees the new one, equal
+    // to the full batch sketch
+    assert(g2.count() == sketch.count())
+    assert(g2.exceptAll(sketch).count() == 0)
+    // deferred cleanup drops exactly the unpointed generation
+    assert(Compact.cleanupStale(idx) == Seq("gen-000001"))
+    assert(Compact.readCurrent(spark, idx).count() == sketch.count())
+    Compact.rmTree(base)
+  }
+
   test("df generation fold equals a direct document-frequency count") {
     val base = java.nio.file.Files.createTempDirectory("graft_dfgen").toString
     val deltas = s"$base/deltas"

@@ -256,6 +256,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streamed summary overrides == batch override table (refresh upkeep)") {
+    // the reference's no-reindex result-refresh path (README.md:38-49) as
+    // an always-on sink: the streamed derivation must equal the batch
+    // table row-for-row so the overlay join is oblivious to which path
+    // populated summary_overrides
+    val streamed = graft.streaming.OverridesIngest.overridesOnce(spark, dir)
+    val batch = Catalog.overrides(spark, dir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("shuffled enrich variant: streamed == batch and the plan has NO broadcast join") {
     // the big-dim variant must actually exercise the shuffle shape — with
     // the testdata dimension under the broadcast threshold the planner
