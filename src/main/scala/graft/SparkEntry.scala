@@ -663,6 +663,17 @@ object SparkEntry {
     // array_max) — new vectors assign themselves on the way in
     "ivf_stream_index" -> ((s, dir) =>
       graft.streaming.EmbeddingsIngest.cellsOnce(s, dir)),
+    // SQ8 composed-store upkeep: new embeddings encode through the FROZEN
+    // quantizer (the store's shipped mn/scale constants) AND assign their
+    // IVF cell in one stateless projection — the streamed twin of
+    // Catalog.sq8IvfStore; exploded to scalar (vec_id, cell, pos, code)
+    // so the oracle pins the byte codes element-wise
+    "sq8_stream_index" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, posexplode}
+      graft.streaming.EmbeddingsIngest.sq8Once(s, dir)
+        .select(col("vec_id"), col("cell"), posexplode(col("codes")))
+        .toDF("vec_id", "cell", "pos", "code")
+    }),
     // generation compaction of the streamed EMBEDDING indexes (the
     // winnow_compact twins — merge.cc folds ALL table types): small
     // per-batch files rewritten into one sorted generation, read back
@@ -1197,6 +1208,7 @@ object SparkEntry {
     "ann_recall_planted" -> Ann.recallOracleSql(0, 10,
       Ann.plantedClusterSrcSql(0L, 10)),
     "ivf_stream_index" -> Ann.cellsOracleSql,
+    "sq8_stream_index" -> graft.ml.Quant.sq8StreamOracleSql,
     "ann_compact" -> Ann.bucketsOracleSql,
     "ivf_compact" -> Ann.cellsOracleSql,
     "emb_topk_sq8" -> graft.ml.Quant.sq8IvfOracleSql(0, 10),

@@ -47,6 +47,14 @@ object Quant {
         when(col("mx") === col("mn"), lit(1.0))
           .otherwise((col("mx") - col("mn")) / 255.0).as("scale"))
 
+  /** The ONE encode expression (code = round((x − mn)/scale) − 128, byte-
+    * wide) — shared by the batch store build (column-valued mn/scale from
+    * the stats aggregate) and the frozen-quantizer streamed encode
+    * (literal mn/scale), so the two paths cannot drift. */
+  private def codeExpr(emb: Column, mn: Column, scale: Column): Column =
+    transform(emb, x =>
+      (round((x - mn) / scale, 0).cast("int") - lit(128)).cast("byte"))
+
   /** (vec_id, codes array<tinyint>, mn, scale) — the PERSISTABLE 4×-smaller
     * store (Catalog.sq8Store materializes it; Catalog.sq8IvfStore lays it
     * out under the coarse quantizer for serving). */
@@ -54,11 +62,19 @@ object Quant {
     val e = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
     e.crossJoin(broadcast(stats(e)))
-      .select(col("vec_id"), expr(
-        "transform(emb, x -> CAST(CAST(round((x - mn) / scale, 0) AS INT) - 128 AS TINYINT))")
-        .as("codes"),
+      .select(col("vec_id"),
+        codeExpr(col("emb"), col("mn"), col("scale")).as("codes"),
         col("mn"), col("scale"))
   }
+
+  /** Encode through a FROZEN quantizer — the streamed-upkeep shape: the
+    * affine map is trained once with the store (its mn/scale constant
+    * columns ARE the shipped quantizer) and new vectors encode as a pure
+    * per-row projection, so ingest needs no aggregation and existing codes
+    * never change. Re-deriving stats per batch would silently re-scale the
+    * whole index. */
+  def codesFrozen(emb: Column, mn: Double, scale: Double): Column =
+    codeExpr(emb, lit(mn), lit(scale))
 
   /** Per-row dequantization of a codes row (xq = mn + (code+128)·scale) —
     * an inline projection in the probe path, never a corpus-wide
@@ -103,6 +119,26 @@ object Quant {
       sq8Store(emb).join(Ann.cellAssignment(emb), Seq("vec_id")).cache())
     sq8IvfTopKFrom(store, emb, qVecId, k)
   }
+
+  /** DuckDB mirror of the streamed composed-store upkeep
+    * (EmbeddingsIngest.sq8Rows): the same coarse-quantizer CTE chain, the
+    * same global (mn, scale) aggregate (the frozen quantizer the stream
+    * ships), the same round-to-int-minus-128 byte code; rows exploded to
+    * (vec_id, cell, pos, code) so the store equality is pinned element-wise
+    * on scalar columns. */
+  def sq8StreamOracleSql: String =
+    s"""WITH ${Ann.cellCtesSql(Ann.BaseSrcSql)},
+       |st AS (SELECT mn, CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END AS scale
+       |       FROM (SELECT min(u) AS mn, max(u) AS mx
+       |             FROM (SELECT unnest(emb) AS u FROM e))),
+       |cx AS (SELECT vec_id,
+       |         list_transform(emb, x -> CAST(round((x - mn) / scale) AS INT) - 128) AS codes
+       |       FROM e, st)
+       |SELECT vec_id, cell, u.pos AS pos, u.code AS code FROM (
+       |  SELECT cx.vec_id AS vec_id, cell.cell AS cell,
+       |    unnest(list_transform(codes, (c, i) -> {'pos': i - 1, 'code': c})) AS u
+       |  FROM cx JOIN cell USING (vec_id))
+       |""".stripMargin.replaceAll("\\s+", " ")
 
   /** DuckDB mirror of sq8IvfTopKFrom ∘ sq8IvfStore: the shared coarse-
     * quantizer CTE chain (Ann.cellCtesSql — the SAME rendering ivfOracleSql

@@ -71,21 +71,60 @@ object EmbeddingsIngest {
     * stays stateless append like the bucket sink — no aggregation, no
     * state store. At 100 TB new vectors assign themselves on the way in
     * and append to the cell-partitioned index. */
-  def cellRows(emb: DataFrame): DataFrame = {
+  private def cellExpr(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val e = emb.select(col("vec_id"), col("embedding").as("emb"))
     val entries = graft.ml.TrainedCentroids.matrix.zipWithIndex.map {
       case (cvec, i) =>
         val cemb = array(cvec.map(lit): _*)
-        val d = call_function("graft_dot", col("emb"), cemb)
-        val na = call_function("graft_dot", col("emb"), col("emb"))
+        val d = call_function("graft_dot", emb, cemb)
+        val na = call_function("graft_dot", emb, emb)
         val nb = call_function("graft_dot", cemb, cemb)
         struct((d / sqrt(na * nb)).as("csim"),
           lit(-(i + 1).toLong).as("neg"))
     }
-    e.select(col("vec_id"),
-      (-array_max(array(entries: _*)).getField("neg")).as("cell"))
+    -array_max(array(entries: _*)).getField("neg")
   }
+
+  def cellRows(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    emb.select(col("vec_id"), cellExpr(col("embedding")).as("cell"))
+  }
+
+  /** Stream-derived COMPOSED SQ8×IVF rows (vec_id, cell, codes) — the
+    * upkeep of Catalog.sq8IvfStore as ONE stateless per-row projection:
+    * the coarse-quantizer argmax (cellExpr, as in cellRows) and the frozen
+    * affine encode (Quant.codesFrozen — mn/scale are the constants the
+    * trained store ships; re-deriving them per batch would re-scale the
+    * index) computed side by side. No aggregation, no state store, no
+    * stream-stream join: at 100 TB new vectors quantize themselves on the
+    * way in and append to the cell-partitioned codes index. */
+  def sq8Rows(emb: DataFrame, mn: Double, scale: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    emb.select(col("vec_id"), cellExpr(col("embedding")).as("cell"),
+      graft.ml.Quant.codesFrozen(
+        col("embedding").cast("array<double>"), mn, scale).as("codes"))
+  }
+
+  /** One-shot streamed composed-store build — the CORRECTNESS entry point
+    * for SQ8 upkeep. The frozen quantizer is read from the batch store's
+    * constant (mn, scale) columns (a one-row bounded lookup — the shipped
+    * quantizer, exactly what a deployment distributes to its encoders). */
+  def sq8Once(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:sq8:$dir") {
+      val st = graft.model.Catalog.sq8Store(spark, dir)
+        .select("mn", "scale").head()
+      val name = s"graft_stream_sq8_${runId.incrementAndGet()}"
+      val q = sq8Rows(stream(spark, dir), st.getDouble(0), st.getDouble(1))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.util.Caches.trackSinkTable(spark, name)
+      spark.table(name)
+    }
 
   /** Append the streamed cell rows to a parquet index directory (the
     * deployment shape of IVF upkeep — small files per micro-batch, folded

@@ -121,6 +121,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streamed SQ8 composed rows == materialized sq8IvfStore (quantized upkeep)") {
+    // the frozen-quantizer encode + cell argmax (one stateless projection)
+    // must reproduce the batch-built composed store exactly — byte codes
+    // and cell assignment both
+    val streamed = graft.streaming.EmbeddingsIngest.sq8Once(spark, dir)
+      .select("vec_id", "cell", "codes")
+    val batch = Catalog.sq8IvfStore(spark, dir)
+      .select("vec_id", "cell", "codes")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stream-stream interval join == batch interval join") {
     val streamed = EventsIngest.intervalJoinOnce(spark, dir)
     val ev = Catalog.events(spark, dir)
