@@ -34,8 +34,13 @@ import org.apache.spark.sql.functions._
   */
 object Compact {
 
+  /** Active session's Hadoop conf; getActiveSession is THREAD-LOCAL, so a
+    * background maintenance thread (the deferred-cleanup shape) falls back
+    * to the JVM-global default session before a bare Configuration — or
+    * spark.hadoop.* settings (s3a credentials, default FS) would silently
+    * drop on exactly the threads cleanup runs from. */
   private def hconf: Configuration =
-    SparkSession.getActiveSession
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
@@ -122,18 +127,33 @@ object Compact {
   }
 
   /** Atomically point readers at generation `name`: write the new pointer
-    * to MANIFEST.tmp, then rename-with-OVERWRITE onto MANIFEST — atomic on
-    * HDFS and POSIX (FileSystem.rename refuses an existing destination,
-    * hence FileContext). Only called AFTER the generation wrote
-    * successfully; a failed compaction leaves the pointer untouched. */
+    * to MANIFEST.tmp, then rename it onto MANIFEST with no
+    * missing-manifest window. On file:// the rename is java.nio
+    * ATOMIC_MOVE (Hadoop's local FileContext implements overwrite as
+    * delete-then-rename — a reader could observe no MANIFEST at all mid-
+    * flip, and a crash in that window would lose the pointer); everywhere
+    * else it is FileContext rename-with-OVERWRITE, which IS a single
+    * atomic namenode op on HDFS (plain FileSystem.rename refuses an
+    * existing destination, hence FileContext). Only called AFTER the
+    * generation wrote successfully; a failed compaction leaves the
+    * pointer untouched. */
   def flipGeneration(base: String, name: String): Unit = {
     val conf = hconf
     val tmp = new Path(s"$base/$ManifestFile.tmp")
+    val dst = new Path(s"$base/$ManifestFile")
     val fs = tmp.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try out.write(name.getBytes("UTF-8")) finally out.close()
-    FileContext.getFileContext(tmp.toUri, conf)
-      .rename(tmp, new Path(s"$base/$ManifestFile"), Options.Rename.OVERWRITE)
+    val scheme = fs.getUri.getScheme
+    if (scheme == null || scheme == "file")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else
+      FileContext.getFileContext(tmp.toUri, conf)
+        .rename(tmp, dst, Options.Rename.OVERWRITE)
   }
 
   /** Read the generation the manifest points at (loud if absent — an index
@@ -142,17 +162,27 @@ object Compact {
     spark.read.parquet(currentGeneration(base).getOrElse(
       sys.error(s"no $ManifestFile under $base")))
 
-  /** Delete generation directories the manifest no longer points at.
-    * Deliberately NOT part of compactAndFlip: a deployment defers this
-    * until readers opened against the previous generation have drained.
-    * Returns the deleted generation names. */
+  private def genNumber(name: String): Option[Int] =
+    scala.util.Try(name.stripPrefix("gen-").toInt).toOption
+
+  /** Delete generation directories STRICTLY OLDER than the one the
+    * manifest points at. Older-than, not merely unpointed: the NEXT
+    * generation an in-flight compactAndFlip is writing is also unpointed
+    * until its flip, and deferred cleanup (see below) is exactly the call
+    * likely to overlap that write — deleting it under the writer would
+    * fail the compaction or, worse, let the flip publish a partial
+    * directory. Deliberately NOT part of compactAndFlip: a deployment
+    * defers this until readers opened against the previous generation have
+    * drained. No-op until the first flip (no manifest → nothing is
+    * provably stale). Returns the deleted generation names. */
   def cleanupStale(base: String): Seq[String] = {
-    val cur = currentGeneration(base).map(new Path(_).getName).toSet
+    val cur = currentGeneration(base)
+      .flatMap(g => genNumber(new Path(g).getName))
     val (fs, p) = fsFor(base)
-    if (!fs.exists(p)) Seq.empty
+    if (cur.isEmpty || !fs.exists(p)) Seq.empty
     else {
       val stale = fs.listStatus(p).filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith("gen-") && !cur(s.getPath.getName))
+        genNumber(s.getPath.getName).exists(_ < cur.get))
       stale.foreach(s => fs.delete(s.getPath, true))
       stale.map(_.getPath.getName).toSeq
     }

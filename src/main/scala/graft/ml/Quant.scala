@@ -47,13 +47,20 @@ object Quant {
         when(col("mx") === col("mn"), lit(1.0))
           .otherwise((col("mx") - col("mn")) / 255.0).as("scale"))
 
-  /** The ONE encode expression (code = round((x − mn)/scale) − 128, byte-
-    * wide) — shared by the batch store build (column-valued mn/scale from
-    * the stats aggregate) and the frozen-quantizer streamed encode
-    * (literal mn/scale), so the two paths cannot drift. */
+  /** The ONE encode expression (code = clamp(round((x − mn)/scale), 0,
+    * 255) − 128, byte-wide) — shared by the batch store build
+    * (column-valued mn/scale from the stats aggregate) and the
+    * frozen-quantizer streamed encode (literal mn/scale), so the two paths
+    * cannot drift. The clamp SATURATES out-of-range inputs at the byte
+    * extremes, the way every real SQ encoder does: on the batch path it is
+    * a no-op (mn/mx are corpus aggregates), but a streamed vector outside
+    * the frozen training range would otherwise WRAP modulo 256 — a
+    * component at mn + 1.25·(mx−mn) would encode as if it pointed the
+    * opposite direction. */
   private def codeExpr(emb: Column, mn: Column, scale: Column): Column =
     transform(emb, x =>
-      (round((x - mn) / scale, 0).cast("int") - lit(128)).cast("byte"))
+      (greatest(lit(0), least(lit(255),
+        round((x - mn) / scale, 0).cast("int"))) - lit(128)).cast("byte"))
 
   /** (vec_id, codes array<tinyint>, mn, scale) — the PERSISTABLE 4×-smaller
     * store (Catalog.sq8Store materializes it; Catalog.sq8IvfStore lays it
@@ -123,7 +130,7 @@ object Quant {
   /** DuckDB mirror of the streamed composed-store upkeep
     * (EmbeddingsIngest.sq8Rows): the same coarse-quantizer CTE chain, the
     * same global (mn, scale) aggregate (the frozen quantizer the stream
-    * ships), the same round-to-int-minus-128 byte code; rows exploded to
+    * ships), the same clamp-round-to-int-minus-128 byte code; rows exploded to
     * (vec_id, cell, pos, code) so the store equality is pinned element-wise
     * on scalar columns. */
   def sq8StreamOracleSql: String =
@@ -132,9 +139,11 @@ object Quant {
        |       FROM (SELECT min(u) AS mn, max(u) AS mx
        |             FROM (SELECT unnest(emb) AS u FROM e))),
        |cx AS (SELECT vec_id,
-       |         list_transform(emb, x -> CAST(round((x - mn) / scale) AS INT) - 128) AS codes
+       |         list_transform(emb, x ->
+       |           least(greatest(CAST(round((x - mn) / scale) AS INT), 0), 255) - 128) AS codes
        |       FROM e, st)
-       |SELECT vec_id, cell, u.pos AS pos, u.code AS code FROM (
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(u.pos AS INT) AS pos,
+       |  CAST(u.code AS TINYINT) AS code FROM (
        |  SELECT cx.vec_id AS vec_id, cell.cell AS cell,
        |    unnest(list_transform(codes, (c, i) -> {'pos': i - 1, 'code': c})) AS u
        |  FROM cx JOIN cell USING (vec_id))
@@ -151,7 +160,8 @@ object Quant {
        |       FROM (SELECT min(u) AS mn, max(u) AS mx
        |             FROM (SELECT unnest(emb) AS u FROM e))),
        |dq AS (SELECT vec_id,
-       |         list_transform(emb, x -> mn + CAST(round((x - mn) / scale) AS INT) * scale) AS emb
+       |         list_transform(emb, x ->
+       |           mn + least(greatest(CAST(round((x - mn) / scale) AS INT), 0), 255) * scale) AS emb
        |       FROM e, st),
        |qc AS (SELECT cent_id AS cell FROM asg WHERE vec_id = $qVecId
        |       ORDER BY csim DESC, cent_id ASC LIMIT ${Ann.Probes}),

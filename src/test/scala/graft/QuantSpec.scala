@@ -67,6 +67,25 @@ class QuantSpec extends AnyFunSuite {
     assert(overlap >= 0.7, f"sq8 overlap $overlap%.2f below bound")
   }
 
+  test("frozen encode saturates out-of-range inputs instead of wrapping") {
+    // the streamed-upkeep hazard: a new vector OUTSIDE the frozen training
+    // range [mn, mx] must clamp to the byte extremes (codes -128/127), the
+    // way every real SQ encoder saturates — an unclamped cast would wrap
+    // modulo 256 and a too-large component would encode as if it pointed
+    // the opposite direction
+    import spark.implicits._
+    val out = Seq((0L, Array(2.0f, -2.0f, 1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    // frozen map trained on [-1, 1]: scale = 2/255
+    val codes = out.select(Quant.codesFrozen(
+        col("embedding").cast("array<double>"), -1.0, 2.0 / 255.0).as("codes"))
+      .head.getSeq[Byte](0)
+    assert(codes(0) == 127, s"x>mx must saturate at 127, got ${codes(0)}")
+    assert(codes(1) == -128, s"x<mn must saturate at -128, got ${codes(1)}")
+    assert(codes(2) == 127 && codes(3) == -128,
+      s"range endpoints must hit the extremes exactly, got $codes")
+  }
+
   test("constant corpus quantizes to code 0 (stored -128), no division by zero") {
     import spark.implicits._
     val const = Seq((0L, Array.fill(4)(0.5f)), (1L, Array.fill(4)(0.5f)))

@@ -281,6 +281,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("override parquet sink (deployment shape) == batch override table") {
+    // the appending sink a deployment actually runs — same derivation as
+    // the memory-sink entry, pinned separately so the two cannot drift
+    val base = java.nio.file.Files.createTempDirectory("graft_ovr_sink").toString
+    graft.streaming.OverridesIngest.runOverrideSink(spark, dir,
+      s"$base/out", s"$base/ck")
+    val sunk = spark.read.parquet(s"$base/out")
+    val batch = Catalog.overrides(spark, dir)
+    assert(sunk.count() == batch.count())
+    assert(sunk.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(sunk).count() == 0)
+    graft.ingest.Compact.rmTree(base)
+  }
+
   test("shuffled enrich variant: streamed == batch and the plan has NO broadcast join") {
     // the big-dim variant must actually exercise the shuffle shape — with
     // the testdata dimension under the broadcast threshold the planner
