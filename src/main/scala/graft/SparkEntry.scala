@@ -686,6 +686,15 @@ object SparkEntry {
         Catalog.scratch(dir, "ivf_compact"))),
     "emb_topk_ivf" -> ((s, dir) =>
       Ann.ivfTopK(Catalog.embeddings(s, dir), Catalog.ivfCells(s, dir), 0, 10)),
+    // BATCHED IVF serving: a whole query table answered in ONE plan —
+    // probe assignment, candidate join and per-query top-k all declarative,
+    // zero per-query driver round-trips (the 100 TB serving shape; the
+    // single-query entries above are the point-lookup shape)
+    "emb_topk_ivf_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Ann.ivfTopKBatch(Catalog.embeddings(s, dir), Catalog.ivfCells(s, dir),
+        Catalog.embeddings(s, dir).filter(col("vec_id") < 8), 10)
+    }),
     // scalar int8 quantization COMPOSED with the coarse quantizer: the 4x-
     // smaller byte codes live inside the MATERIALIZED cell-partitioned
     // store; a lookup probes its nearest cells, dequantizes only those
@@ -1209,6 +1218,7 @@ object SparkEntry {
       Ann.plantedClusterSrcSql(0L, 10)),
     "ivf_stream_index" -> Ann.cellsOracleSql,
     "sq8_stream_index" -> graft.ml.Quant.sq8StreamOracleSql,
+    "emb_topk_ivf_batch" -> Ann.ivfBatchOracleSql(8, 10),
     "ann_compact" -> Ann.bucketsOracleSql,
     "ivf_compact" -> Ann.cellsOracleSql,
     "emb_topk_sq8" -> graft.ml.Quant.sq8IvfOracleSql(0, 10),

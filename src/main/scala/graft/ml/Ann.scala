@@ -222,6 +222,69 @@ object Ann {
        |""".stripMargin.replaceAll("\\s+", " ")
 
 
+  /** BATCHED IVF top-k: serve a whole query TABLE in one declarative plan —
+    * the realistic 100 TB serving shape (queries arrive in batches, not one
+    * at a time), and the scale answer to the single-query path's per-query
+    * driver round-trip: probedCells' bounded collect disappears entirely.
+    * Three stages, all in-plan: (1) probe assignment — each query row ranks
+    * the broadcast centroid matrix and keeps its `Probes` nearest cells (a
+    * |Q|×Cells projection + per-query WindowGroupLimit, no aggregation);
+    * (2) candidates — the probed (qid, cell) rows equi-join the
+    * cell-partitioned assignment table, so each query touches only its
+    * probed cells' members (the join key IS the partition key; a vector
+    * lives in exactly one cell, so no candidate dedup is needed);
+    * (3) ranking — exact cosine + per-query row_number ≤ k (the rank rides
+    * Spark's WindowGroupLimit pushdown: partial top-k map-side, never a
+    * global sort). Nothing is collected; |Q| can itself be data-scale.
+    * Returns (qid, vec_id, sim), k rows per query. */
+  def ivfTopKBatch(emb: DataFrame, cells: DataFrame, queries: DataFrame,
+      k: Int, cents: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id"), col("embedding").as("emb"))
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qemb"))
+    val probed = q.crossJoin(broadcast(cents.getOrElse(centroids(emb))))
+      .select(col("qid"), col("qemb"), col("cent_id").as("cell"),
+        cosine(col("qemb"), col("cemb")).as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("csim"), asc("cell"))))
+      .filter(col("rk") <= Probes)
+      .select(col("qid"), col("qemb"), col("cell"))
+    probed.join(cells, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(e, Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("emb"), col("qemb")), 6).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("sim"))
+  }
+
+  /** DuckDB mirror of ivfTopKBatch for the query batch vec_id < maxQid:
+    * same probe ranking (csim DESC, cent_id ASC per query), same candidate
+    * join, same rounded-cosine rank with the identical tie-break. */
+  def ivfBatchOracleSql(maxQid: Long, k: Int,
+      srcSql: String = BaseSrcSql): String =
+    s"""WITH ${cellCtesSql(srcSql)},
+       |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < $maxQid),
+       |probed AS (SELECT qid, qemb, cell FROM (
+       |    SELECT q.qid, q.qemb, asg.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY asg.csim DESC, asg.cent_id ASC) AS rk
+       |    FROM q JOIN asg ON asg.vec_id = q.qid)
+       |  WHERE rk <= $Probes),
+       |cand AS (SELECT p.qid AS qid, cell.vec_id AS vec_id,
+       |    round(list_dot_product(e.emb, p.qemb) /
+       |      sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(p.qemb, p.qemb)), 6) AS sim
+       |  FROM probed p JOIN cell USING (cell) JOIN e ON e.vec_id = cell.vec_id
+       |  WHERE cell.vec_id <> p.qid)
+       |SELECT qid, vec_id, sim FROM (
+       |  SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, vec_id ASC) AS rk FROM cand)
+       |WHERE rk <= $k
+       |""".stripMargin.replaceAll("\\s+", " ")
+
   /** Embedding-cosine near-duplicate pairs against a PERSISTED bucket index:
     * candidates share an LSH bucket (any of the L tables), survivors
     * re-ranked by exact cosine ≥ minCos. Returns (vec_a, vec_b, cos). Same

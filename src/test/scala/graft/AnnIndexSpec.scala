@@ -83,6 +83,37 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("vec_a", "vec_b", "cos"))
   }
 
+  test("batched IVF serving == per-query single lookups, fully in-plan") {
+    // the batch path must answer each query EXACTLY as the single-query
+    // path does (same probes, same candidates, same rounded-cosine
+    // tie-break) while keeping everything declarative: no per-query
+    // driver round-trip, no nested-loop join anywhere in the plan
+    val emb = Catalog.embeddings(spark, dir)
+    val cells = Catalog.ivfCells(spark, dir)
+    val df = SparkEntry.queries("emb_topk_ivf_batch")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("ivf_cells"), s"batch plan does not scan ivf_cells:\n$p")
+    // the only allowed cross shape is the probe stage's |Q|×Cells expansion
+    // against the BROADCAST 16-row constant centroid matrix; candidates
+    // must arrive through a HASH join on the cell key, never a cartesian
+    // product between data-scaled sides
+    assert(!p.contains("CartesianProduct"),
+      s"batch plan has a cartesian product:\n$p")
+    assert(p.contains("HashJoin [cell#") || p.contains("HashJoin [cast(cell#")
+      || p.contains("hashpartitioning(cell#"),
+      s"candidate join is not a hash join on cell:\n$p")
+    // per-query top-k rides the rank pushdown, never a global sort
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query rank not pushed as WindowGroupLimit:\n$p")
+    val batch = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val singles = (0L until 8L).flatMap { qid =>
+      Ann.ivfTopK(emb, cells, qid, 10).collect()
+        .map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch == singles)
+  }
+
   test("persisted-index lookup matches the ad-hoc derivation") {
     val emb = Catalog.embeddings(spark, dir)
     val stored = Ann.topK(emb, Catalog.annBuckets(spark, dir), 0, 10)
