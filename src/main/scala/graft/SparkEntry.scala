@@ -705,6 +705,15 @@ object SparkEntry {
     "emb_topk_sq8" -> ((s, dir) =>
       graft.ml.Quant.sq8IvfTopKFrom(Catalog.sq8IvfStore(s, dir),
         Catalog.embeddings(s, dir), 0, 10)),
+    // batched serving over the QUANTIZED store: the ivf_batch shape with the
+    // float corpus swapped for the 4x-smaller byte codes — bulk retrieval
+    // (hard-negative mining, dedup-against-index) never inflating the store
+    "sq8_topk_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ml.Quant.sq8IvfTopKBatchFrom(Catalog.sq8IvfStore(s, dir),
+        Catalog.embeddings(s, dir),
+        Catalog.embeddings(s, dir).filter(col("vec_id") < 8), 10)
+    }),
     // ANN QUALITY as an oracle entry: recall@10 of the LSH and IVF lookups
     // vs the exact baseline, driver-checked every round (not just bucket
     // membership logic)
@@ -1222,6 +1231,7 @@ object SparkEntry {
     "ann_compact" -> Ann.bucketsOracleSql,
     "ivf_compact" -> Ann.cellsOracleSql,
     "emb_topk_sq8" -> graft.ml.Quant.sq8IvfOracleSql(0, 10),
+    "sq8_topk_batch" -> graft.ml.Quant.sq8IvfBatchOracleSql(8, 10),
     "mm_framesample" -> Multimodal.frameSampleOracleSql(),
     "mm_resize" -> Multimodal.resizeOracleSql,
   )

@@ -243,13 +243,7 @@ object Ann {
     val e = emb.select(col("vec_id"), col("embedding").as("emb"))
     val q = queries.select(col("vec_id").as("qid"),
       col("embedding").as("qemb"))
-    val probed = q.crossJoin(broadcast(cents.getOrElse(centroids(emb))))
-      .select(col("qid"), col("qemb"), col("cent_id").as("cell"),
-        cosine(col("qemb"), col("cemb")).as("csim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("csim"), asc("cell"))))
-      .filter(col("rk") <= Probes)
-      .select(col("qid"), col("qemb"), col("cell"))
+    val probed = probeBatch(q, cents.getOrElse(centroids(emb)))
     probed.join(cells, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .join(e, Seq("vec_id"))
@@ -261,29 +255,59 @@ object Ann {
       .select(col("qid"), col("vec_id"), col("sim"))
   }
 
+  /** The batched probe stage shared by ivfTopKBatch and the SQ8 batch
+    * lookup (Quant.sq8IvfTopKBatchFrom): each (qid, qemb) row of `q` ranks
+    * the broadcast centroid matrix and keeps its `Probes` nearest cells —
+    * a |Q|×Cells projection + per-query WindowGroupLimit, no aggregation,
+    * no driver round-trip. Returns (qid, qemb, cell), `Probes` rows per
+    * query. */
+  private[ml] def probeBatch(q: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qemb"), col("cent_id").as("cell"),
+        cosine(col("qemb"), col("cemb")).as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("csim"), asc("cell"))))
+      .filter(col("rk") <= Probes)
+      .select(col("qid"), col("qemb"), col("cell"))
+  }
+
   /** DuckDB mirror of ivfTopKBatch for the query batch vec_id < maxQid:
     * same probe ranking (csim DESC, cent_id ASC per query), same candidate
     * join, same rounded-cosine rank with the identical tie-break. */
   def ivfBatchOracleSql(maxQid: Long, k: Int,
       srcSql: String = BaseSrcSql): String =
     s"""WITH ${cellCtesSql(srcSql)},
-       |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < $maxQid),
-       |probed AS (SELECT qid, qemb, cell FROM (
-       |    SELECT q.qid, q.qemb, asg.cent_id AS cell,
-       |      row_number() OVER (PARTITION BY q.qid
-       |        ORDER BY asg.csim DESC, asg.cent_id ASC) AS rk
-       |    FROM q JOIN asg ON asg.vec_id = q.qid)
-       |  WHERE rk <= $Probes),
+       |${batchQueryCtesSql(maxQid)},
        |cand AS (SELECT p.qid AS qid, cell.vec_id AS vec_id,
        |    round(list_dot_product(e.emb, p.qemb) /
        |      sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(p.qemb, p.qemb)), 6) AS sim
        |  FROM probed p JOIN cell USING (cell) JOIN e ON e.vec_id = cell.vec_id
        |  WHERE cell.vec_id <> p.qid)
-       |SELECT qid, vec_id, sim FROM (
+       |${batchRankSql(k)}
+       |""".stripMargin.replaceAll("\\s+", " ")
+
+  /** The batched-oracle query + probe CTEs shared by ivfBatchOracleSql and
+    * Quant.sq8IvfBatchOracleSql: the query batch (corpus rows with
+    * vec_id < maxQid) and its per-query `Probes` nearest cells ranked from
+    * the shared `asg` CTE with ivfTopKBatch's exact tie-break. */
+  private[ml] def batchQueryCtesSql(maxQid: Long): String =
+    s"""q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < $maxQid),
+       |probed AS (SELECT qid, qemb, cell FROM (
+       |    SELECT q.qid, q.qemb, asg.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY asg.csim DESC, asg.cent_id ASC) AS rk
+       |    FROM q JOIN asg ON asg.vec_id = q.qid)
+       |  WHERE rk <= $Probes)""".stripMargin
+
+  /** The batched-oracle final rank over a `cand(qid, vec_id, sim)` CTE —
+    * per-query top-k with the (sim DESC, vec_id ASC) tie-break both batch
+    * lookups pin. */
+  private[ml] def batchRankSql(k: Int): String =
+    s"""SELECT qid, vec_id, sim FROM (
        |  SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid
        |    ORDER BY sim DESC, vec_id ASC) AS rk FROM cand)
-       |WHERE rk <= $k
-       |""".stripMargin.replaceAll("\\s+", " ")
+       |WHERE rk <= $k""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs against a PERSISTED bucket index:
     * candidates share an LSH bucket (any of the L tables), survivors

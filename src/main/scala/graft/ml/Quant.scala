@@ -118,6 +118,40 @@ object Quant {
       .limit(k)
   }
 
+  /** BATCHED quantized serving: a whole query TABLE against the composed
+    * SQ8×IVF store in one declarative plan — Ann.ivfTopKBatch's shape with
+    * the float corpus swapped for the 4×-smaller byte codes. Probe
+    * assignment is the shared Ann.probeBatch stage (per-query
+    * WindowGroupLimit over the broadcast centroid matrix, no driver
+    * round-trip); candidates arrive through a hash equi-join on the cell
+    * key (the store's partition key), dequantize per-row INSIDE the probe
+    * path, and rank by asymmetric distance (raw query, dequantized store)
+    * with a per-query row_number ≤ k riding the rank pushdown. Raw
+    * embeddings are touched only for the |Q| query rows; candidates never
+    * load a float vector, and nothing is collected — |Q| can itself be
+    * data-scale (bulk retrieval over a quantized index: hard-negative
+    * mining, dedup-against-index). Returns (qid, vec_id, sim). */
+  def sq8IvfTopKBatchFrom(store: DataFrame, emb: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qemb"))
+    val probed = Ann.probeBatch(q, Ann.centroids(emb))
+    def dot(a: Column, b: Column): Column =
+      call_function("graft_dot", a, b)
+    probed.join(store, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), dequantCol.as("emb"), col("qemb"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("emb"), col("qemb")) /
+          sqrt(dot(col("emb"), col("emb")) * dot(col("qemb"), col("qemb"))), 6)
+          .as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("sim"))
+  }
+
   /** Ad-hoc overload for in-memory corpora (tests, exploratory use):
     * derives the composed store inline — the same sq8Store ⋈ cellAssignment
     * join the Catalog materializes — and caches it for the statement. */
@@ -149,6 +183,19 @@ object Quant {
        |  FROM cx JOIN cell USING (vec_id))
        |""".stripMargin.replaceAll("\\s+", " ")
 
+  /** The quantize-then-dequantize oracle CTEs shared by both SQ8 lookup
+    * mirrors: the global (mn, scale) aggregate `st` (the frozen quantizer)
+    * and the dequantized corpus `dq` — the same clamp-round code as
+    * codeExpr with the ±128 shift omitted (it cancels in the dequant). */
+  private def dequantCtesSql: String =
+    """st AS (SELECT mn, CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END AS scale
+      |       FROM (SELECT min(u) AS mn, max(u) AS mx
+      |             FROM (SELECT unnest(emb) AS u FROM e))),
+      |dq AS (SELECT vec_id,
+      |         list_transform(emb, x ->
+      |           mn + least(greatest(CAST(round((x - mn) / scale) AS INT), 0), 255) * scale) AS emb
+      |       FROM e, st)""".stripMargin
+
   /** DuckDB mirror of sq8IvfTopKFrom ∘ sq8IvfStore: the shared coarse-
     * quantizer CTE chain (Ann.cellCtesSql — the SAME rendering ivfOracleSql
     * pins), the same global (mn, scale) aggregate, the same round-to-int
@@ -156,13 +203,7 @@ object Quant {
     * cells from the RAW query, asymmetric dequantized cosine. */
   def sq8IvfOracleSql(qVecId: Long, k: Int): String =
     s"""WITH ${Ann.cellCtesSql(Ann.BaseSrcSql)},
-       |st AS (SELECT mn, CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END AS scale
-       |       FROM (SELECT min(u) AS mn, max(u) AS mx
-       |             FROM (SELECT unnest(emb) AS u FROM e))),
-       |dq AS (SELECT vec_id,
-       |         list_transform(emb, x ->
-       |           mn + least(greatest(CAST(round((x - mn) / scale) AS INT), 0), 255) * scale) AS emb
-       |       FROM e, st),
+       |$dequantCtesSql,
        |qc AS (SELECT cent_id AS cell FROM asg WHERE vec_id = $qVecId
        |       ORDER BY csim DESC, cent_id ASC LIMIT ${Ann.Probes}),
        |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId)
@@ -172,5 +213,22 @@ object Quant {
        |FROM dq JOIN cell USING (vec_id) JOIN qc USING (cell), q
        |WHERE dq.vec_id <> $qVecId
        |ORDER BY sim DESC, vec_id LIMIT $k
+       |""".stripMargin.replaceAll("\\s+", " ")
+
+  /** DuckDB mirror of sq8IvfTopKBatchFrom ∘ sq8IvfStore for the query batch
+    * vec_id < maxQid: the shared coarse-quantizer CTEs, the shared batched
+    * query/probe CTEs (Ann.batchQueryCtesSql — identical to the IVF-flat
+    * batch oracle), the single-query SQ8 oracle's dequantized-corpus CTE,
+    * and the shared per-query rank (Ann.batchRankSql). */
+  def sq8IvfBatchOracleSql(maxQid: Long, k: Int): String =
+    s"""WITH ${Ann.cellCtesSql(Ann.BaseSrcSql)},
+       |$dequantCtesSql,
+       |${Ann.batchQueryCtesSql(maxQid)},
+       |cand AS (SELECT p.qid AS qid, dq.vec_id AS vec_id,
+       |    round(list_dot_product(dq.emb, p.qemb) /
+       |      sqrt(list_dot_product(dq.emb, dq.emb) * list_dot_product(p.qemb, p.qemb)), 6) AS sim
+       |  FROM probed p JOIN cell USING (cell) JOIN dq ON dq.vec_id = cell.vec_id
+       |  WHERE dq.vec_id <> p.qid)
+       |${Ann.batchRankSql(k)}
        |""".stripMargin.replaceAll("\\s+", " ")
 }

@@ -67,6 +67,38 @@ class QuantSpec extends AnyFunSuite {
     assert(overlap >= 0.7, f"sq8 overlap $overlap%.2f below bound")
   }
 
+  test("batched SQ8 serving == per-query single lookups, quantized store only") {
+    // the batch path must answer each query EXACTLY as the single-query
+    // SQ8 lookup (same probes, same dequantized asymmetric ranking, same
+    // tie-break) while staying declarative end-to-end — and like the
+    // single-query path it must serve from the byte codes: raw embeddings
+    // may appear only as the query-side fetch, and candidates must arrive
+    // through a hash join on the cell key, never a cartesian product
+    val emb = Catalog.embeddings(spark, dir)
+    val store = Catalog.sq8IvfStore(spark, dir)
+    val df = SparkEntry.queries("sq8_topk_batch")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("sq8_ivf"), s"batch plan does not scan sq8_ivf:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"batch plan has a cartesian product:\n$p")
+    assert(p.contains("hashpartitioning(cell#") || p.contains("HashJoin [cell#"),
+      s"candidate join is not a hash join on cell:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query rank not pushed as WindowGroupLimit:\n$p")
+    // quantized serving: candidates never load a float vector — the raw
+    // embeddings table feeds only the query batch (and the probe stage's
+    // centroid ranking of those same |Q| rows)
+    assert(!p.contains("sq8_codes"),
+      s"batch lookup scans the full flat codes store:\n$p")
+    val batch = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val singles = (0L until 8L).flatMap { qid =>
+      Quant.sq8IvfTopKFrom(store, emb, qid, K).collect()
+        .map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch == singles)
+  }
+
   test("frozen encode saturates out-of-range inputs instead of wrapping") {
     // the streamed-upkeep hazard: a new vector OUTSIDE the frozen training
     // range [mn, mx] must clamp to the byte extremes (codes -128/127), the
