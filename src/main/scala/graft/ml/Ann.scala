@@ -38,8 +38,9 @@ object Ann {
 
   /** graft_dot — the codegen'd native Expression (expressions.DotProduct),
     * replacing the interpreted aggregate(zip_with(...)) chain in the hot
-    * loop. */
-  private def dot(a: Column, b: Column): Column =
+    * loop. Shared with Quant so the quantized paths rank with the
+    * identical expression. */
+  private[ml] def dot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
   private def dot(emb: Column, plane: Seq[Double]): Column =
@@ -122,8 +123,28 @@ object Ann {
 
   /** Raw cosine between two embedding columns (no rounding — used where both
     * engines COMPARE the value; IEEE doubles with the same op order agree). */
-  private def cosine(a: Column, b: Column): Column =
+  private[ml] def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** The batch paths' per-candidate ranking sim: cosine with the query-side
+    * norm `qn` = dot(qemb, qemb) precomputed once per probed row (probeBatch
+    * carries it through the candidate shuffle) instead of re-derived per
+    * candidate. Bit-identical to round(cosine(a, b), 6): same values, same
+    * multiply order under sqrt. */
+  private[ml] def asymSim(emb: Column, qemb: Column, qn: Column): Column =
+    round(dot(emb, qemb) / sqrt(dot(emb, emb) * qn), 6)
+
+  /** The batch paths' shared per-query top-k tail over (qid, vec_id, sim)
+    * candidates: row_number ≤ k with the (sim DESC, vec_id ASC) tie-break —
+    * rides Spark's WindowGroupLimit pushdown (partial top-k map-side, never
+    * a global sort). The oracle twin is batchRankSql. */
+  private[ml] def topKPerQuery(cand: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cand.withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("sim"))
+  }
 
   /** IVF-flat top-k: the inverted-file ANN shape — a coarse quantizer assigns
     * every vector to its nearest of `Cells` centroids; a query probes its
@@ -236,31 +257,38 @@ object Ann {
     * (3) ranking — exact cosine + per-query row_number ≤ k (the rank rides
     * Spark's WindowGroupLimit pushdown: partial top-k map-side, never a
     * global sort). Nothing is collected; |Q| can itself be data-scale.
+    *
+    * Query-table contract: qids must be DISTINCT (both per-query windows
+    * key on qid — a duplicated qid merges two queries' probe rankings).
+    * `excludeSelf` (default true, matching the single-query lookups)
+    * assumes qids are corpus vec_ids and drops each query's own row from
+    * its candidates; an EXTERNAL query table whose ids live in a different
+    * id space must pass excludeSelf = false, or each query silently loses
+    * the unrelated corpus vector that happens to share its id.
     * Returns (qid, vec_id, sim), k rows per query. */
   def ivfTopKBatch(emb: DataFrame, cells: DataFrame, queries: DataFrame,
-      k: Int, cents: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      k: Int, cents: Option[DataFrame] = None,
+      excludeSelf: Boolean = true): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").as("emb"))
     val q = queries.select(col("vec_id").as("qid"),
       col("embedding").as("qemb"))
-    val probed = probeBatch(q, cents.getOrElse(centroids(emb)))
-    probed.join(cells, Seq("cell"))
-      .filter(col("vec_id") =!= col("qid"))
-      .join(e, Seq("vec_id"))
+    val joined = probeBatch(q, cents.getOrElse(centroids(emb)))
+      .join(cells, Seq("cell"))
+    val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("qid"))
+               else joined
+    topKPerQuery(cand.join(e, Seq("vec_id"))
       .select(col("qid"), col("vec_id"),
-        round(cosine(col("emb"), col("qemb")), 6).as("sim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("vec_id"), col("sim"))
+        asymSim(col("emb"), col("qemb"), col("qn")).as("sim")), k)
   }
 
   /** The batched probe stage shared by ivfTopKBatch and the SQ8 batch
     * lookup (Quant.sq8IvfTopKBatchFrom): each (qid, qemb) row of `q` ranks
     * the broadcast centroid matrix and keeps its `Probes` nearest cells —
     * a |Q|×Cells projection + per-query WindowGroupLimit, no aggregation,
-    * no driver round-trip. Returns (qid, qemb, cell), `Probes` rows per
-    * query. */
+    * no driver round-trip. Also carries the query self-dot `qn` so the
+    * downstream ranking pays the query norm once per probed row (it
+    * materializes at the candidate shuffle), not once per candidate.
+    * Returns (qid, qemb, qn, cell), `Probes` rows per query. */
   private[ml] def probeBatch(q: DataFrame, cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     q.crossJoin(broadcast(cents))
@@ -269,7 +297,8 @@ object Ann {
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(desc("csim"), asc("cell"))))
       .filter(col("rk") <= Probes)
-      .select(col("qid"), col("qemb"), col("cell"))
+      .select(col("qid"), col("qemb"),
+        dot(col("qemb"), col("qemb")).as("qn"), col("cell"))
   }
 
   /** DuckDB mirror of ivfTopKBatch for the query batch vec_id < maxQid:

@@ -104,16 +104,12 @@ object Quant {
     val qCells = Ann.probedCells(e, qVecId)
     val q = broadcast(e.filter(col("vec_id") === qVecId)
       .select(col("emb").as("qemb")))
-    def dot(a: Column, b: Column): Column =
-      call_function("graft_dot", a, b)
     store.filter(col("cell").isin(qCells: _*))
       .filter(col("vec_id") =!= qVecId)
       .select(col("vec_id"), dequantCol.as("emb"))
       .crossJoin(q)
       .select(col("vec_id"),
-        round(dot(col("emb"), col("qemb")) /
-          sqrt(dot(col("emb"), col("emb")) * dot(col("qemb"), col("qemb"))), 6)
-          .as("sim"))
+        round(Ann.cosine(col("emb"), col("qemb")), 6).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
   }
@@ -130,26 +126,22 @@ object Quant {
     * embeddings are touched only for the |Q| query rows; candidates never
     * load a float vector, and nothing is collected — |Q| can itself be
     * data-scale (bulk retrieval over a quantized index: hard-negative
-    * mining, dedup-against-index). Returns (qid, vec_id, sim). */
+    * mining, dedup-against-index). Same query-table contract as
+    * ivfTopKBatch: distinct qids; excludeSelf = false for an external id
+    * space. Returns (qid, vec_id, sim). */
   def sq8IvfTopKBatchFrom(store: DataFrame, emb: DataFrame,
-      queries: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      queries: DataFrame, k: Int, excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"),
       col("embedding").cast("array<double>").as("qemb"))
-    val probed = Ann.probeBatch(q, Ann.centroids(emb))
-    def dot(a: Column, b: Column): Column =
-      call_function("graft_dot", a, b)
-    probed.join(store, Seq("cell"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), dequantCol.as("emb"), col("qemb"))
+    val joined = Ann.probeBatch(q, Ann.centroids(emb))
+      .join(store, Seq("cell"))
+    val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("qid"))
+               else joined
+    Ann.topKPerQuery(cand
+      .select(col("qid"), col("vec_id"), dequantCol.as("emb"),
+        col("qemb"), col("qn"))
       .select(col("qid"), col("vec_id"),
-        round(dot(col("emb"), col("qemb")) /
-          sqrt(dot(col("emb"), col("emb")) * dot(col("qemb"), col("qemb"))), 6)
-          .as("sim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("vec_id"), col("sim"))
+        Ann.asymSim(col("emb"), col("qemb"), col("qn")).as("sim")), k)
   }
 
   /** Ad-hoc overload for in-memory corpora (tests, exploratory use):

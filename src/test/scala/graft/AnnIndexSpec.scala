@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.ml.Ann
 import graft.model.Catalog
 
@@ -102,9 +103,13 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(p.contains("HashJoin [cell#") || p.contains("HashJoin [cast(cell#")
       || p.contains("hashpartitioning(cell#"),
       s"candidate join is not a hash join on cell:\n$p")
-    // per-query top-k rides the rank pushdown, never a global sort
-    assert(p.contains("WindowGroupLimit"),
-      s"per-query rank not pushed as WindowGroupLimit:\n$p")
+    // BOTH per-query ranks ride the pushdown — the probe stage's
+    // row_number <= Probes AND the final top-k's row_number <= k; a single
+    // occurrence means one of them degraded to a full Window materializing
+    // every candidate
+    val wgl = "WindowGroupLimit".r.findAllIn(p).size
+    assert(wgl >= 2,
+      s"expected both per-query ranks as WindowGroupLimit, found $wgl:\n$p")
     val batch = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val singles = (0L until 8L).flatMap { qid =>
@@ -112,6 +117,13 @@ class AnnIndexSpec extends AnyFunSuite {
         .map(r => (qid, r.getLong(0), r.getDouble(1)))
     }.toSet
     assert(batch == singles)
+    // the external-id-space escape hatch: with excludeSelf = false a
+    // corpus-drawn query keeps its own row, which must rank first (sim 1.0)
+    val self = Ann.ivfTopKBatch(emb, cells,
+        emb.filter(col("vec_id") < 4), 1, excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(self.length == 4 && self.forall(r => r._1 == r._2 && r._3 == 1.0),
+      s"excludeSelf=false must rank each query's own row first: ${self.toSeq}")
   }
 
   test("persisted-index lookup matches the ad-hoc derivation") {
