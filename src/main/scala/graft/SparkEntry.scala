@@ -575,6 +575,15 @@ object SparkEntry {
     // the composed removal pass: components -> keep each cluster's minimum
     "dedup_removal" -> ((s, dir) =>
       graft.ml.Clusters.removeNearDups(Catalog.documents(s, dir), 0.6)),
+    // representative SELECTION: keep each cluster's highest-quality member
+    // (ties -> lowest doc_id), not the accident of id order
+    "dedup_keep_best" -> ((s, dir) =>
+      graft.ml.Clusters.removeNearDupsKeepBest(Catalog.documents(s, dir), 0.6)),
+    // span-level exact-substring dedup (Lee et al.): cross-document repeated
+    // W-token spans merged into maximal per-doc islands — the boilerplate/
+    // license/template catch that doc-level near-dup cannot see
+    "span_dedup" -> ((s, dir) =>
+      graft.ml.SpanDedup.sharedSpans(Catalog.documents(s, dir))),
     "sample_stratified" -> ((s, dir) =>
       graft.ml.CorpusOps.stratifiedSample(Catalog.documents(s, dir), "lang", 20)),
     // greedy sequence packing into ~2000-token training batches, 8 hash
@@ -1169,6 +1178,8 @@ object SparkEntry {
     "winnow_compact" -> NearDup.sketchOracleSql(),
     "dedup_clusters" -> graft.ml.Clusters.oracleSql(0.6),
     "dedup_removal" -> graft.ml.Clusters.removalOracleSql(0.6),
+    "dedup_keep_best" -> graft.ml.Clusters.keepBestOracleSql(0.6),
+    "span_dedup" -> graft.ml.SpanDedup.spansOracleSql,
     "sample_stratified" -> graft.ml.CorpusOps.stratifiedOracleSql("lang", 20),
     "pack_batches" -> graft.ml.CorpusOps.packOracleSql(2000L, 8),
     "sample_mixture" -> graft.ml.CorpusOps.mixtureOracleSql(MixtureWeights, MixtureTotal),
@@ -1179,13 +1190,12 @@ object SparkEntry {
     "text_logprob" -> graft.ml.CorpusOps.unigramLogProbOracleSql,
     "vocab_topk" -> graft.ml.CorpusOps.vocabOracleSql(100),
     "decontaminate" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),
-    "text_quality" -> ("""SELECT doc_id,
+    "text_quality" -> (s"""SELECT doc_id,
       len(string_split(text, ' ')) AS n_tokens,
       round((len(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')), 4) AS mean_tok_len,
       round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / len(text), 4) AS punct_ratio,
       round(len(list_filter(string_split(text, ' '), t -> list_contains(['the','and','of','to','a','in','is'], t))) * 1.0 / len(string_split(text, ' ')), 4) AS stop_ratio,
-      round(least(len(string_split(text, ' ')) / 100.0, 1.0) *
-        (1.0 - round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / len(text), 4)), 4) AS quality
+      ${graft.ml.TextAnalysis.qualitySqlExpr} AS quality
       FROM documents""".replaceAll("\\s+", " ")),
     "text_langid" -> ("""WITH h AS (SELECT doc_id,
         len(list_filter(string_split(text, ' '), t -> list_contains(['the','and','of','to','a','in','is'], t))) AS h_en,

@@ -74,6 +74,48 @@ object Clusters {
       Seq("doc_id"), "left_anti")
       .select("doc_id")
 
+  /** Keep-BEST near-dup removal: like removeNearDups, but each cluster's
+    * survivor is its highest-QUALITY member (TextAnalysis composite score;
+    * ties → lowest doc_id) instead of its minimum doc_id — the selection
+    * real cleaning pipelines run, where a near-dup cluster mixes clean and
+    * boilerplate-damaged copies of the same content and the kept copy
+    * should be the best one, not the accident of id order. Same scale
+    * shape as removeNearDups plus ONE extra hash aggregation on
+    * cluster_id (argmax via max(struct(quality, −doc_id))); the loser set
+    * resolves through joins that touch only (doc_id, cluster_id, quality),
+    * never text, and the final anti-join is unchanged. Returns the
+    * surviving doc_id set. */
+  def removeNearDupsKeepBest(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val clusters = graft.util.Caches.track(
+      dedupClusters(docs, minJaccard).cache())
+    val best = clusters
+      .join(TextAnalysis.quality(docs).select(col("doc_id"), col("quality")),
+        Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg"))).as("m"))
+      .select(col("cluster_id"), (-col("m.neg")).as("keep_id"))
+    val losers = clusters.join(best, Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti").select("doc_id")
+  }
+
+  /** DuckDB mirror of removeNearDupsKeepBest: the component closure
+    * (oracleSql) joined to the shared quality rendering
+    * (TextAnalysis.qualitySqlExpr); the per-cluster winner via row_number
+    * (quality DESC, doc_id ASC) — the same argmax tie-break as
+    * max(struct(quality, −doc_id)). */
+  def keepBestOracleSql(minJaccard: Double): String =
+    s"""SELECT doc_id FROM documents WHERE doc_id NOT IN (
+       |  SELECT doc_id FROM (
+       |    SELECT c.doc_id AS doc_id,
+       |      row_number() OVER (PARTITION BY c.cluster_id
+       |        ORDER BY q.quality DESC, c.doc_id ASC) AS rk
+       |    FROM (${oracleSql(minJaccard)}) c
+       |    JOIN (SELECT doc_id, ${TextAnalysis.qualitySqlExpr} AS quality
+       |          FROM documents) q ON q.doc_id = c.doc_id)
+       |  WHERE rk > 1)""".stripMargin.replaceAll("\\s+", " ")
+
   def removalOracleSql(minJaccard: Double): String =
     // composes oracleSql verbatim as a subquery so the closure semantics
     // have exactly one definition to fix

@@ -28,6 +28,15 @@ object TextAnalysis {
   private def qualityCol: Column =
     round(least(size(tokens).cast("double") / 100, lit(1.0)) *
       (lit(1.0) - punctRatioCol), 4)
+
+  /** The composite quality score as a DuckDB expression over a
+    * `documents`-shaped relation — the SQL twin of qualityCol, shared by
+    * the text_quality oracle (SparkEntry) and the keep-best dedup oracle
+    * (Clusters.keepBestOracleSql) so the score has one SQL rendering. */
+  val qualitySqlExpr: String =
+    """round(least(len(string_split(text, ' ')) / 100.0, 1.0) *
+      |  (1.0 - round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / len(text), 4)), 4)"""
+      .stripMargin.replaceAll("\\s+", " ")
   private def langPredCol: Column = {
     val hits = langProfiles.zipWithIndex.map { case ((lang, words), i) =>
       struct(size(filter(tokens, t => t.isin(words: _*))).as("hits"),

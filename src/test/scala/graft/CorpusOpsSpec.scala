@@ -38,6 +38,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!cc.keySet.contains(13L)) // the unrelated doc never enters a pair
   }
 
+  test("removeNearDupsKeepBest keeps the highest-quality member, not the min id") {
+    // a (id 10, 40 tokens) ~ b (id 11, the same 40 tokens + 20 more): one
+    // cluster; quality scales with token count below 100, so b outscores a
+    // and must survive even though a has the smaller id — the exact case
+    // where keep-min-id deletes the better copy
+    val base = (1 to 40).map(i => s"tok$i")
+    val extra = (1 to 20).map(i => s"extra$i")
+    val docs = Seq(
+      (10L, base.mkString(" ")),
+      (11L, (base ++ extra).mkString(" ")),
+      (13L, (1 to 30).map(i => s"zzz$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val best = Clusters.removeNearDupsKeepBest(docs, 0.5).collect()
+      .map(_.getLong(0)).toSet
+    assert(best == Set(11L, 13L), s"keep-best survivors: $best")
+    // contrast: the min-id policy keeps 10 — the two entries really differ
+    val minId = Clusters.removeNearDups(docs, 0.5).collect()
+      .map(_.getLong(0)).toSet
+    assert(minId == Set(10L, 13L), s"min-id survivors: $minId")
+    graft.util.Caches.drain()
+  }
+
   test("stratifiedSample takes exactly min(n, |stratum|) per stratum, deterministically") {
     val docs = ((1L to 9L).map(i => (i, "en")) ++ (20L to 22L).map(i => (i, "de")))
       .toDF("doc_id", "lang")

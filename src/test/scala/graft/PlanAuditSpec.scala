@@ -69,7 +69,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus-size aggregate (policy-clean); anything above the pin means a
     // data-scaled side got re-hinted.
     val allowed = Map("tfidf_topterms" -> 1, "text_logprob" -> 1,
-      "dedup_ngram" -> 0, "correlate_leakage" -> 0, "dedup_incremental" -> 0)
+      "dedup_ngram" -> 0, "correlate_leakage" -> 0, "dedup_incremental" -> 0,
+      // the shared-shingle set and the per-cluster winner table are both
+      // data-scaled (boilerplate/cluster counts grow with the corpus) —
+      // their joins must stay unhinted too
+      "span_dedup" -> 0, "dedup_keep_best" -> 0)
     for ((name, n) <- allowed) try {
       val df = SparkEntry.queries(name)(spark, dir)
       val got = "ResolvedHint".r

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.SpanDedup
+
+/** Planted-fixture laws for the span-level exact-substring dedup: the
+  * reported spans must be exactly the cross-document shared runs (merged,
+  * inclusive token offsets), intra-document repetition alone must not
+  * trigger (df counts DISTINCT docs), disjoint shared runs must stay
+  * separate islands, and short docs must contribute nothing. */
+class SpanDedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val W = SpanDedup.W
+
+  private def spans(docs: Seq[(Long, String)]): Set[(Long, Int, Int)] =
+    SpanDedup.sharedSpans(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+
+  test("a shared run is recovered exactly, merged across overlapping shingles") {
+    // doc 1 = A(20) ++ X(10), doc 2 = B(20) ++ X(10) with A, B, X disjoint:
+    // only shingles fully inside X are shared (boundary shingles mix A/B
+    // tails), so each doc reports exactly the X region [20, 29]
+    val a = (1 to 20).map(i => s"a$i")
+    val b = (1 to 20).map(i => s"b$i")
+    val x = (1 to 10).map(i => s"x$i")
+    val got = spans(Seq((1L, (a ++ x).mkString(" ")), (2L, (b ++ x).mkString(" "))))
+    assert(got == Set((1L, 20, 29), (2L, 20, 29)), s"got $got")
+  }
+
+  test("intra-document repetition alone is not a shared span (df is per doc)") {
+    val x = (1 to 10).map(i => s"x$i")
+    val mid = (1 to 12).map(i => s"m$i")
+    val solo = (x ++ mid ++ x).mkString(" ")
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    assert(spans(Seq((1L, solo), (2L, other))).isEmpty)
+  }
+
+  test("disjoint shared runs stay separate islands") {
+    // X and Y shared between the docs, separated by >W unshared tokens
+    val x = (1 to 10).map(i => s"x$i")
+    val y = (1 to 10).map(i => s"y$i")
+    val m1 = (1 to 20).map(i => s"m$i")
+    val m2 = (1 to 20).map(i => s"n$i")
+    val got = spans(Seq(
+      (1L, (x ++ m1 ++ y).mkString(" ")),
+      (2L, (x ++ m2 ++ y).mkString(" "))))
+    assert(got == Set((1L, 0, 9), (1L, 30, 39), (2L, 0, 9), (2L, 30, 39)),
+      s"got $got")
+  }
+
+  test("docs shorter than the shingle width contribute nothing") {
+    val x = (1 to W - 1).map(i => s"x$i").mkString(" ")
+    assert(spans(Seq((1L, x), (2L, x))).isEmpty)
+  }
+
+  test("identical docs report one full-length span each") {
+    val x = (1 to 25).map(i => s"x$i").mkString(" ")
+    val got = spans(Seq((1L, x), (2L, x)))
+    assert(got == Set((1L, 0, 24), (2L, 0, 24)), s"got $got")
+  }
+}
