@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * Output goes to a NEW generation directory — never in place (Spark cannot
   * safely overwrite a directory it is reading). The reader swap is the
   * MANIFEST pointer file below: compaction writes the next `gen-NNNNNN`
-  * directory, then atomically renames a fresh manifest over the old one, so
-  * a reader resolves either the old or the new generation, never a
-  * half-written one — the Spark analogue of the reference's schema file,
+  * directory, then atomically flips a fresh manifest over the old one
+  * (with the atomic primitive chosen per filesystem class — see
+  * flipGeneration), so a reader resolves either the old or the new
+  * generation, never a half-written one — the Spark analogue of the
+  * reference's schema file,
   * whose table paths ARE its generation pointer
   * (/root/reference/src/schema.cc:60-118). Stale generations are deleted by
   * a SEPARATE cleanup pass, deferred until in-flight readers of the old
@@ -126,34 +128,53 @@ object Compact {
     }
   }
 
-  /** Atomically point readers at generation `name`: write the new pointer
-    * to MANIFEST.tmp, then rename it onto MANIFEST with no
-    * missing-manifest window. On file:// the rename is java.nio
-    * ATOMIC_MOVE (Hadoop's local FileContext implements overwrite as
-    * delete-then-rename — a reader could observe no MANIFEST at all mid-
-    * flip, and a crash in that window would lose the pointer); everywhere
-    * else it is FileContext rename-with-OVERWRITE, which IS a single
-    * atomic namenode op on HDFS (plain FileSystem.rename refuses an
-    * existing destination, hence FileContext). Only called AFTER the
-    * generation wrote successfully; a failed compaction leaves the
-    * pointer untouched. */
+  /** Filesystems where a file is an OBJECT that materializes atomically at
+    * close (PUT semantics) and where rename is a non-atomic copy+delete —
+    * the inverse of the HDFS trade-off. */
+  private val ObjectStoreSchemes =
+    Set("s3a", "s3", "s3n", "gs", "oss", "cos", "wasb", "wasbs")
+
+  /** Atomically point readers at generation `name`, with the atomic
+    * primitive chosen PER FILESYSTEM CLASS — one rename strategy cannot be
+    * atomic everywhere:
+    *  - file:// — write MANIFEST.tmp, java.nio ATOMIC_MOVE onto MANIFEST
+    *    (Hadoop's local FileContext implements overwrite as delete-then-
+    *    rename: a reader could observe no MANIFEST mid-flip, and a crash in
+    *    that window would lose the pointer);
+    *  - object stores (s3a etc.) — create MANIFEST DIRECTLY with overwrite:
+    *    a PUT replaces the object atomically at close (readers see the old
+    *    or the new pointer, never a torn or missing one), while a rename
+    *    there is delete-then-copy — the tmp dance would OPEN the torn
+    *    window it exists to close;
+    *  - everything else (hdfs://, viewfs://…) — write MANIFEST.tmp, then
+    *    FileContext rename-with-OVERWRITE, a single atomic namenode op
+    *    (plain FileSystem.rename refuses an existing destination, hence
+    *    FileContext); direct create is NOT safe there because HDFS readers
+    *    can observe a partially written file before close.
+    * Only called AFTER the generation wrote successfully; a failed
+    * compaction leaves the pointer untouched. */
   def flipGeneration(base: String, name: String): Unit = {
     val conf = hconf
-    val tmp = new Path(s"$base/$ManifestFile.tmp")
     val dst = new Path(s"$base/$ManifestFile")
-    val fs = tmp.getFileSystem(conf)
-    val out = fs.create(tmp, true)
-    try out.write(name.getBytes("UTF-8")) finally out.close()
+    val fs = dst.getFileSystem(conf)
     val scheme = fs.getUri.getScheme
-    if (scheme == null || scheme == "file")
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(tmp.toUri.getPath),
-        java.nio.file.Paths.get(dst.toUri.getPath),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    else
-      FileContext.getFileContext(tmp.toUri, conf)
-        .rename(tmp, dst, Options.Rename.OVERWRITE)
+    if (scheme != null && ObjectStoreSchemes.contains(scheme)) {
+      val out = fs.create(dst, true)
+      try out.write(name.getBytes("UTF-8")) finally out.close()
+    } else {
+      val tmp = new Path(s"$base/$ManifestFile.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(name.getBytes("UTF-8")) finally out.close()
+      if (scheme == null || scheme == "file")
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else
+        FileContext.getFileContext(tmp.toUri, conf)
+          .rename(tmp, dst, Options.Rename.OVERWRITE)
+    }
   }
 
   /** Read the generation the manifest points at (loud if absent — an index
@@ -188,19 +209,48 @@ object Compact {
     }
   }
 
+  val LockFile = "COMPACTION.lock"
+
   /** One full compaction cycle with the atomic swap: write the NEXT
     * generation from `inPath`, flip the manifest onto it, return the new
     * generation's rows. Stale-generation deletion stays a separate,
-    * deferred `cleanupStale` call (see above). */
+    * deferred `cleanupStale` call (see above).
+    *
+    * SINGLE-COMPACTOR guard: two concurrent compactions of one base would
+    * both compute the same `next`, race their overwrites into the SAME
+    * gen directory, and publish an interleaved mix of the two writes. An
+    * exclusive-create lock file (create with overwrite=false throws if it
+    * exists — atomic on file:// and HDFS; on object stores it narrows the
+    * race to the store's create-consistency, so a deployment there should
+    * ALSO schedule one compactor per base) makes the loser fail loudly
+    * before writing anything. A crash while holding the lock leaves it
+    * behind; the next attempt fails with the lock's timestamp in the
+    * message and the operator (or a staleness policy in the scheduler)
+    * removes it — the conservative default, since auto-breaking a lock
+    * cannot distinguish a crash from a slow live compactor. */
   def compactAndFlip(spark: SparkSession, inPath: String, base: String,
       keyCol: String, sortCols: Seq[String],
       partitions: Option[Int] = None): DataFrame = {
-    val next = currentGeneration(base)
-      .map(g => new Path(g).getName.stripPrefix("gen-").toInt + 1)
-      .getOrElse(1)
-    val name = genName(next)
-    compactIndex(spark, inPath, s"$base/$name", keyCol, sortCols, partitions)
-    flipGeneration(base, name)
-    readCurrent(spark, base)
+    val (fs, lock) = fsFor(s"$base/$LockFile")
+    fs.mkdirs(lock.getParent)
+    val out =
+      try fs.create(lock, false)
+      catch { case e: java.io.IOException => sys.error(
+        s"$base is being compacted by another job (remove $LockFile if it " +
+          s"is stale): $e") }
+    try {
+      try out.write(java.time.Instant.now().toString.getBytes("UTF-8"))
+      finally out.close()
+      val next = currentGeneration(base)
+        .map(g => new Path(g).getName.stripPrefix("gen-").toInt + 1)
+        .getOrElse(1)
+      val name = genName(next)
+      compactIndex(spark, inPath, s"$base/$name", keyCol, sortCols, partitions)
+      flipGeneration(base, name)
+      readCurrent(spark, base)
+    } finally {
+      fs.delete(lock, false)
+      ()
+    }
   }
 }

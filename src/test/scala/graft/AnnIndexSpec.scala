@@ -71,8 +71,13 @@ class AnnIndexSpec extends AnyFunSuite {
     val p = plan(df)
     assert(p.contains("ivf_cells"), s"plan does not scan ivf_cells:\n$p")
     // probed cells are a static filter on the partition column → the scan
-    // touches |Probes| hive partitions (static partition pruning)
-    assert(p.contains("cell#") && df.count() == 10)
+    // touches |Probes| hive partitions; pin the scan's PartitionFilters
+    // clause itself (a bare "cell#" matches any scan of the store, pruned
+    // or not — the column sits in the scan's output schema either way)
+    assert("""PartitionFilters: \[[^\]]*cell#\d+[^\]]* IN """.r
+        .findFirstIn(p).isDefined,
+      s"no probed-cell partition filter on the ivf_cells scan:\n$p")
+    assert(df.count() == 10)
   }
 
   test("dedup_embcos reads the materialized bucket index on both join sides") {

@@ -73,6 +73,35 @@ class CompactionSpec extends AnyFunSuite {
     Compact.rmTree(base)
   }
 
+  test("a held compaction lock makes a second compactor fail loudly, before writing") {
+    val base = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    val raw = s"$base/raw"
+    val idx = s"$base/idx"
+    sketch.repartition(2).write.mode("append").parquet(raw)
+    // another job holds the lock: the exclusive create must refuse, the
+    // message must say how to recover, and NO generation may be written
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idx))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idx/${Compact.LockFile}"), "held")
+    val e = intercept[RuntimeException](
+      Compact.compactAndFlip(spark, raw, idx, "fp", Seq("fp", "doc_id"),
+        partitions = Some(2)))
+    assert(e.getMessage.contains(Compact.LockFile), e.getMessage)
+    assert(Compact.currentGeneration(idx).isEmpty)
+    assert(Compact.dataFileCount(s"$idx/gen-000001") == 0)
+    // the loser must not have deleted the winner's lock on its way out
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx/${Compact.LockFile}")))
+    // lock released → compaction proceeds and cleans its lock up after
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$idx/${Compact.LockFile}"))
+    val g = Compact.compactAndFlip(spark, raw, idx, "fp", Seq("fp", "doc_id"),
+      partitions = Some(2))
+    assert(g.count() == sketch.count())
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx/${Compact.LockFile}")))
+    Compact.rmTree(base)
+  }
+
   test("df generation fold equals a direct document-frequency count") {
     val base = java.nio.file.Files.createTempDirectory("graft_dfgen").toString
     val deltas = s"$base/deltas"

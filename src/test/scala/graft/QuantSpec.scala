@@ -36,7 +36,13 @@ class QuantSpec extends AnyFunSuite {
     // static partition filter on the probed cells — never the flat codes
     // table, whose only role is as the base generation at build time
     assert(p.contains("sq8_ivf"), s"plan does not scan sq8_ivf:\n$p")
-    assert(p.contains("cell#"), s"no cell partition filter in plan:\n$p")
+    // the pin must match the scan's actual PartitionFilters clause: a bare
+    // "cell#" appears in ANY plan that scans the cell-partitioned store
+    // (the column is in the scan's output schema), pruned or not, so it
+    // would survive exactly the full-store-scan regression it exists to bar
+    assert("""PartitionFilters: \[[^\]]*cell#\d+[^\]]* IN """.r
+        .findFirstIn(p).isDefined,
+      s"no probed-cell partition filter on the sq8_ivf scan:\n$p")
     assert(!p.contains("sq8_codes"),
       s"lookup scans the full flat codes store:\n$p")
     // no per-query corpus-wide dequant cache (the r10 weak mark): ranking
