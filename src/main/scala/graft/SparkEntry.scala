@@ -584,6 +584,13 @@ object SparkEntry {
     // license/template catch that doc-level near-dup cannot see
     "span_dedup" -> ((s, dir) =>
       graft.ml.SpanDedup.sharedSpans(Catalog.documents(s, dir))),
+    // span SURGERY: the cut that consumes span_dedup's output — excise
+    // every shared span, pass untouched docs through verbatim
+    "span_cut" -> ((s, dir) =>
+      graft.ml.SpanDedup.cutSharedSpans(Catalog.documents(s, dir))),
+    // boilerplate coverage as a per-doc quality signal on the same shuffle
+    "span_coverage" -> ((s, dir) =>
+      graft.ml.SpanDedup.spanCoverage(Catalog.documents(s, dir))),
     "sample_stratified" -> ((s, dir) =>
       graft.ml.CorpusOps.stratifiedSample(Catalog.documents(s, dir), "lang", 20)),
     // greedy sequence packing into ~2000-token training batches, 8 hash
@@ -1180,6 +1187,8 @@ object SparkEntry {
     "dedup_removal" -> graft.ml.Clusters.removalOracleSql(0.6),
     "dedup_keep_best" -> graft.ml.Clusters.keepBestOracleSql(0.6),
     "span_dedup" -> graft.ml.SpanDedup.spansOracleSql,
+    "span_cut" -> graft.ml.SpanDedup.cutOracleSql,
+    "span_coverage" -> graft.ml.SpanDedup.coverageOracleSql,
     "sample_stratified" -> graft.ml.CorpusOps.stratifiedOracleSql("lang", 20),
     "pack_batches" -> graft.ml.CorpusOps.packOracleSql(2000L, 8),
     "sample_mixture" -> graft.ml.CorpusOps.mixtureOracleSql(MixtureWeights, MixtureTotal),

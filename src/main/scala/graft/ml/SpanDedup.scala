@@ -27,7 +27,11 @@ import org.apache.spark.sql.functions._
   * 1 partial-aggregates map-side, so a boilerplate shingle present in
   * every document is not a hot key), and the island merge is a per-doc
   * window bounded by document length — no all-pairs stage, no driver
-  * state. At 100 TB the shingle hash is the shuffle key.
+  * state. At 100 TB the shingle hash is the shuffle key, and the one-call
+  * cache below becomes a STORED positional sketch (the winnowSketch
+  * pattern: materialize (doc_id, pos, h) once, maintain it incrementally,
+  * read it for both the df aggregation and the probe) rather than an
+  * executor-memory cache of the corpus fan-out.
   */
 object SpanDedup {
 
@@ -54,7 +58,11 @@ object SpanDedup {
     * (next.pos ≤ prev.pos + W). Returns (doc_id, span_start, span_end),
     * token offsets inclusive. */
   def sharedSpans(docs: DataFrame): DataFrame = {
-    val sh = shingleHashes(docs)
+    // the shingle fan-out feeds BOTH sides of the df self-join through
+    // different exchanges (an aggregation and a probe), so ReuseExchange
+    // cannot dedup them — without the cache the corpus-wide split/slice/md5
+    // projection would execute twice per call
+    val sh = graft.util.Caches.track(shingleHashes(docs).cache())
     val shared = sh.groupBy("h")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") > 1)
@@ -71,6 +79,45 @@ object SpanDedup {
       .agg(min("pos").as("span_start"),
         (max("pos") + lit(W) - 1).as("span_end"))
       .select("doc_id", "span_start", "span_end")
+  }
+
+  /** Span SURGERY — apply sharedSpans to the corpus: excise every
+    * cross-document shared span from every document and re-join the
+    * surviving tokens (the aggressive boilerplate-removal policy: shared
+    * template/license runs are noise wherever they appear, so no canonical
+    * copy is kept — contrast dedup_keep_best, where whole-document
+    * survivors ARE kept). Docs with no shared span pass through verbatim
+    * without paying the token round-trip. The cut itself is a per-row array
+    * expression (filter-with-index against the doc's own bounded span
+    * list), so beyond sharedSpans' shuffle the only added cost is one
+    * doc-keyed join — codegen'd, no UDF. */
+  def cutSharedSpans(docs: DataFrame): DataFrame = {
+    val spans = sharedSpans(docs)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("spans"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("spans").isNull, col("text")).otherwise(
+          concat_ws(" ", filter(toks, (_, i) =>
+            !exists(col("spans"), sp => i >= sp("s") && i <= sp("e")))))
+          .as("clean_text"))
+  }
+
+  /** Per-document boilerplate COVERAGE: the fraction of a doc's tokens
+    * inside a cross-document shared span — a quality signal (a
+    * high-coverage doc is mostly template) that rides the same sharedSpans
+    * shuffle; merged islands never overlap, so a straight length sum is
+    * exact. */
+  def spanCoverage(docs: DataFrame): DataFrame = {
+    val cov = sharedSpans(docs).groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start") + 1).as("shared_tokens"))
+    docs.select(col("doc_id"), size(toks).as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("shared_tokens"), lit(0L)).as("shared_tokens"),
+        round(coalesce(col("shared_tokens"), lit(0L)) / col("n_tokens"), 4)
+          .as("coverage"))
   }
 
   /** DuckDB mirror of sharedSpans: the same positional shingle hash (list
@@ -97,5 +144,40 @@ object SpanDedup {
        |SELECT doc_id, min(pos) AS span_start,
        |  CAST(max(pos) + $W - 1 AS INT) AS span_end
        |FROM isl GROUP BY doc_id, island
+       |""".stripMargin.replaceAll("\\s+", " ")
+
+  /** DuckDB mirror of cutSharedSpans: spansOracleSql's islands folded into
+    * a per-doc span list, then the same filter-by-position cut — range(0,
+    * n) is the 0-based position domain, tok[i+1] the 1-based list read, and
+    * a spanless doc passes its text through the same CASE branch Spark
+    * takes. A FULLY cut doc must render as '' on both sides: DuckDB's
+    * array_to_string over an empty list is NULL (string_agg semantics),
+    * hence the COALESCE — Spark's concat_ws is already ''. */
+  def cutOracleSql: String =
+    s"""WITH spans AS ($spansOracleSql),
+       |agg AS (SELECT doc_id, list({'s': span_start, 'e': span_end}) AS spans
+       |        FROM spans GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN a.spans IS NULL THEN d.text
+       |  ELSE COALESCE(array_to_string(list_transform(
+       |    list_filter(range(0, len(string_split(d.text, ' '))),
+       |      i -> len(list_filter(a.spans, sp -> i >= sp.s AND i <= sp.e)) = 0),
+       |    i -> string_split(d.text, ' ')[i + 1]), ' '), '') END AS clean_text
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |""".stripMargin.replaceAll("\\s+", " ")
+
+  /** DuckDB mirror of spanCoverage: the same non-overlapping-island length
+    * sum (BIGINT to match Spark's sum), n_tokens cast to INT (DuckDB len is
+    * BIGINT, Spark size is INT), and the same 4-dp rounded ratio. */
+  def coverageOracleSql: String =
+    s"""WITH spans AS ($spansOracleSql),
+       |c AS (SELECT doc_id,
+       |        CAST(sum(span_end - span_start + 1) AS BIGINT) AS shared_tokens
+       |      FROM spans GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+       |  COALESCE(c.shared_tokens, 0) AS shared_tokens,
+       |  round(COALESCE(c.shared_tokens, 0) * 1.0
+       |    / len(string_split(d.text, ' ')), 4) AS coverage
+       |FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
        |""".stripMargin.replaceAll("\\s+", " ")
 }

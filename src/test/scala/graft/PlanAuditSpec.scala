@@ -73,7 +73,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // the shared-shingle set and the per-cluster winner table are both
       // data-scaled (boilerplate/cluster counts grow with the corpus) —
       // their joins must stay unhinted too
-      "span_dedup" -> 0, "dedup_keep_best" -> 0)
+      "span_dedup" -> 0, "dedup_keep_best" -> 0,
+      "span_cut" -> 0, "span_coverage" -> 0)
     for ((name, n) <- allowed) try {
       val df = SparkEntry.queries(name)(spark, dir)
       val got = "ResolvedHint".r

@@ -60,4 +60,42 @@ class SpanDedupSpec extends AnyFunSuite {
     val got = spans(Seq((1L, x), (2L, x)))
     assert(got == Set((1L, 0, 24), (2L, 0, 24)), s"got $got")
   }
+
+  test("cutSharedSpans excises exactly the shared run, order preserved; untouched docs verbatim") {
+    // doc 1 = A(20) ++ X(10) ++ C(12), doc 2 = B(20) ++ X(10): the shared
+    // X region is cut from both; doc 1 keeps A then C in order, doc 2
+    // keeps B; doc 3 shares nothing and must come back verbatim
+    val a = (1 to 20).map(i => s"a$i")
+    val b = (1 to 20).map(i => s"b$i")
+    val c = (1 to 12).map(i => s"c$i")
+    val x = (1 to 10).map(i => s"x$i")
+    val solo = (1 to 30).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, (a ++ x ++ c).mkString(" ")),
+      (2L, (b ++ x).mkString(" ")),
+      (3L, solo)).toDF("doc_id", "text")
+    val got = SpanDedup.cutSharedSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == (a ++ c).mkString(" "), s"doc 1: ${got(1L)}")
+    assert(got(2L) == b.mkString(" "), s"doc 2: ${got(2L)}")
+    assert(got(3L) == solo)
+    graft.util.Caches.drain()
+  }
+
+  test("spanCoverage is the merged-island token fraction, 0 for untouched docs") {
+    val a = (1 to 20).map(i => s"a$i")
+    val b = (1 to 20).map(i => s"b$i")
+    val x = (1 to 10).map(i => s"x$i")
+    val docs = Seq(
+      (1L, (a ++ x).mkString(" ")),   // 10 of 30 tokens shared
+      (2L, (b ++ x).mkString(" ")),
+      (3L, (1 to 25).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val got = SpanDedup.spanCoverage(docs).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((30, 10L, 0.3333)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((30, 10L, 0.3333)), s"doc 2: ${got(2L)}")
+    assert(got(3L) == ((25, 0L, 0.0)), s"doc 3: ${got(3L)}")
+    graft.util.Caches.drain()
+  }
 }
