@@ -15,8 +15,9 @@ class SpanDedupSpec extends AnyFunSuite {
   private val W = SpanDedup.W
 
   private def spans(docs: Seq[(Long, String)]): Set[(Long, Int, Int)] =
-    SpanDedup.sharedSpans(docs.toDF("doc_id", "text")).collect()
+    try SpanDedup.sharedSpans(docs.toDF("doc_id", "text")).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    finally graft.util.Caches.drain()
 
   test("a shared run is recovered exactly, merged across overlapping shingles") {
     // doc 1 = A(20) ++ X(10), doc 2 = B(20) ++ X(10) with A, B, X disjoint:
@@ -74,12 +75,13 @@ class SpanDedupSpec extends AnyFunSuite {
       (1L, (a ++ x ++ c).mkString(" ")),
       (2L, (b ++ x).mkString(" ")),
       (3L, solo)).toDF("doc_id", "text")
-    val got = SpanDedup.cutSharedSpans(docs).collect()
-      .map(r => (r.getLong(0), r.getString(1))).toMap
-    assert(got(1L) == (a ++ c).mkString(" "), s"doc 1: ${got(1L)}")
-    assert(got(2L) == b.mkString(" "), s"doc 2: ${got(2L)}")
-    assert(got(3L) == solo)
-    graft.util.Caches.drain()
+    try {
+      val got = SpanDedup.cutSharedSpans(docs).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got(1L) == (a ++ c).mkString(" "), s"doc 1: ${got(1L)}")
+      assert(got(2L) == b.mkString(" "), s"doc 2: ${got(2L)}")
+      assert(got(3L) == solo)
+    } finally graft.util.Caches.drain()
   }
 
   test("spanCoverage is the merged-island token fraction, 0 for untouched docs") {
@@ -90,12 +92,13 @@ class SpanDedupSpec extends AnyFunSuite {
       (1L, (a ++ x).mkString(" ")),   // 10 of 30 tokens shared
       (2L, (b ++ x).mkString(" ")),
       (3L, (1 to 25).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
-    val got = SpanDedup.spanCoverage(docs).collect()
-      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getDouble(3))))
-      .toMap
-    assert(got(1L) == ((30, 10L, 0.3333)), s"doc 1: ${got(1L)}")
-    assert(got(2L) == ((30, 10L, 0.3333)), s"doc 2: ${got(2L)}")
-    assert(got(3L) == ((25, 0L, 0.0)), s"doc 3: ${got(3L)}")
-    graft.util.Caches.drain()
+    try {
+      val got = SpanDedup.spanCoverage(docs).collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(got(1L) == ((30, 10L, 0.3333)), s"doc 1: ${got(1L)}")
+      assert(got(2L) == ((30, 10L, 0.3333)), s"doc 2: ${got(2L)}")
+      assert(got(3L) == ((25, 0L, 0.0)), s"doc 3: ${got(3L)}")
+    } finally graft.util.Caches.drain()
   }
 }
