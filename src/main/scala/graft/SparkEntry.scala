@@ -584,6 +584,22 @@ object SparkEntry {
     // license/template catch that doc-level near-dup cannot see
     "span_dedup" -> ((s, dir) =>
       graft.ml.SpanDedup.sharedSpans(Catalog.documents(s, dir))),
+    // the same analysis over the STORED positional sketch: df gate and
+    // probe both scan Catalog.spanSketch — the corpus text is tokenized
+    // once at build time, never per analysis pass (the winnowSketch
+    // pattern applied to the span family)
+    "span_dedup_stored" -> ((s, dir) =>
+      graft.ml.SpanDedup.sharedSpansFrom(Catalog.spanSketch(s, dir))),
+    // incremental sketch maintenance: new documents stream through the
+    // SAME shingle projection the batch build uses — stateless
+    "span_stream_index" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.spanSketchOnce(s, dir)),
+    // generation compaction of the streamed span sketch (winnow_compact
+    // twin): small per-batch files folded into one sorted h-keyed
+    // generation behind the flipped manifest
+    "span_compact" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.compactedSpanSketchOnce(s, dir,
+        Catalog.scratch(dir, "span_compact"))),
     // span SURGERY: the cut that consumes span_dedup's output — excise
     // every shared span, pass untouched docs through verbatim
     "span_cut" -> ((s, dir) =>
@@ -1187,6 +1203,9 @@ object SparkEntry {
     "dedup_removal" -> graft.ml.Clusters.removalOracleSql(0.6),
     "dedup_keep_best" -> graft.ml.Clusters.keepBestOracleSql(0.6),
     "span_dedup" -> graft.ml.SpanDedup.spansOracleSql,
+    "span_dedup_stored" -> graft.ml.SpanDedup.spansOracleSql,
+    "span_stream_index" -> graft.ml.SpanDedup.sketchOracleSql,
+    "span_compact" -> graft.ml.SpanDedup.sketchOracleSql,
     "span_cut" -> graft.ml.SpanDedup.cutOracleSql,
     "span_coverage" -> graft.ml.SpanDedup.coverageOracleSql,
     "sample_stratified" -> graft.ml.CorpusOps.stratifiedOracleSql("lang", 20),

@@ -27,11 +27,13 @@ import org.apache.spark.sql.functions._
   * 1 partial-aggregates map-side, so a boilerplate shingle present in
   * every document is not a hot key), and the island merge is a per-doc
   * window bounded by document length — no all-pairs stage, no driver
-  * state. At 100 TB the shingle hash is the shuffle key, and the one-call
-  * cache below becomes a STORED positional sketch (the winnowSketch
-  * pattern: materialize (doc_id, pos, h) once, maintain it incrementally,
-  * read it for both the df aggregation and the probe) rather than an
-  * executor-memory cache of the corpus fan-out.
+  * state. At 100 TB the one-call cache below becomes the STORED positional
+  * sketch (the winnowSketch pattern): Catalog.spanSketch materializes
+  * (doc_id, pos, h) once, DocumentsIngest.spanSketchOnce maintains it
+  * incrementally, Compact folds the streamed generations, and
+  * sharedSpansFrom reads the stored table for both the df aggregation and
+  * the probe — the corpus text is tokenized exactly once, at build time,
+  * never per analysis pass.
   */
 object SpanDedup {
 
@@ -42,8 +44,12 @@ object SpanDedup {
   /** (doc_id, pos, h): the md5 of the W-token shingle at every 0-based
     * position; docs shorter than W contribute nothing. The position list is
     * guarded BEFORE sequence() — sequence(0, n−W) with n<W would generate a
-    * DESCENDING range, not an empty one. */
-  private def shingleHashes(docs: DataFrame): DataFrame = {
+    * DESCENDING range, not an empty one. This projection IS the stored
+    * positional sketch's row shape (Catalog.spanSketch materializes it;
+    * the streamed upkeep appends it per micro-batch), and it is a pure
+    * stateless per-row transform, so the batch build and the streamed
+    * ingest share it verbatim. */
+  def spanShingles(docs: DataFrame): DataFrame = {
     val n = size(toks)
     docs.select(col("doc_id"), toks.as("tok"),
         when(n >= W, sequence(lit(0), n - W))
@@ -62,12 +68,24 @@ object SpanDedup {
     // different exchanges (an aggregation and a probe), so ReuseExchange
     // cannot dedup them — without the cache the corpus-wide split/slice/md5
     // projection would execute twice per call
-    val sh = graft.util.Caches.track(shingleHashes(docs).cache())
-    val shared = sh.groupBy("h")
+    val sh = graft.util.Caches.track(spanShingles(docs).cache())
+    sharedSpansFrom(sh)
+  }
+
+  /** sharedSpans over a STORED positional sketch (Catalog.spanSketch): the
+    * df gate and the probe each scan the stored (doc_id, pos, h) table —
+    * column-pruned parquet reads, (h, doc_id) for the aggregation and the
+    * full row for the probe — so an analysis pass at 100 TB never
+    * re-tokenizes the corpus and needs no executor-memory cache of the
+    * fan-out. Same result as the inline path by construction (it IS the
+    * inline path's tail; SpanDedupSpec pins the equivalence through a
+    * parquet round-trip). */
+  def sharedSpansFrom(sketch: DataFrame): DataFrame = {
+    val shared = sketch.groupBy("h")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") > 1)
       .select("h")
-    val pos = sh.join(shared, Seq("h")).select("doc_id", "pos")
+    val pos = sketch.join(shared, Seq("h")).select("doc_id", "pos")
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     pos
       .withColumn("brk",
@@ -144,6 +162,22 @@ object SpanDedup {
        |SELECT doc_id, min(pos) AS span_start,
        |  CAST(max(pos) + $W - 1 AS INT) AS span_end
        |FROM isl GROUP BY doc_id, island
+       |""".stripMargin.replaceAll("\\s+", " ")
+
+  /** DuckDB mirror of spanShingles — the stored positional sketch's row
+    * shape (doc_id, pos, h): the same 1-based list slice for the W-token
+    * window at 0-based pos, the same md5 over the space-joined shingle,
+    * positions cast to INT to match Spark's sequence element type. Pins
+    * the streamed sketch upkeep and its compacted generation (both must
+    * reproduce the batch projection row-for-row). */
+  def sketchOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $W)
+       |SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+       |  SELECT doc_id, unnest(list_transform(range(0, len(tok) - $W + 1),
+       |    i -> {'pos': CAST(i AS INT),
+       |          'h': md5(array_to_string(tok[i + 1 : i + $W], ' '))})) AS u
+       |  FROM t)
        |""".stripMargin.replaceAll("\\s+", " ")
 
   /** DuckDB mirror of cutSharedSpans: spansOracleSql's islands folded into

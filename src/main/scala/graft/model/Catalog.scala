@@ -409,6 +409,24 @@ object Catalog {
     spark.read.parquet(path).select("fp", "df")
   }
 
+  /** The MATERIALIZED positional span sketch over `documents` — (doc_id,
+    * pos, h), the md5 of the W-token shingle at every position
+    * (SpanDedup.spanShingles), repartitioned by h so the span analysis's
+    * df aggregation and probe co-locate on the hash key and pushed h
+    * filters skip files via min/max stats. This is what span-level dedup
+    * reads at 100 TB: the corpus text is tokenized ONCE at build time;
+    * every subsequent boilerplate pass scans this table, never the text.
+    * Same stored-index role as winnowSketch. */
+  def spanSketch(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "span_sketch")
+    materialize(path) {
+      graft.ml.SpanDedup.spanShingles(documents(spark, dir))
+        .repartition(col("h"))
+        .sortWithinPartitions("h", "doc_id", "pos")
+    }
+    spark.read.parquet(path).select("doc_id", "pos", "h")
+  }
+
   /** The MATERIALIZED IVF coarse-quantizer assignment over `embeddings` —
     * (vec_id, cell), partitioned by cell: an IVF lookup reads only the
     * probed cells' partitions. Centroids stay derived (a Cells-row

@@ -120,4 +120,45 @@ object DocumentsIngest {
         s"$scratchBase/idx", "fp", Seq("fp", "doc_id"),
         partitions = Some(4))
     }
+
+  /** Incremental maintenance of the positional span sketch
+    * (Catalog.spanSketch): new documents stream through the SAME shingle
+    * projection the batch build uses (SpanDedup.spanShingles — stateless
+    * per-row, no shuffle) and append. One-shot memory-sink entry point;
+    * the parquet deployment shape is compactedSpanSketchOnce below. */
+  def spanSketchOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:spansketch:$dir") {
+      val name = s"graft_stream_ssk_${runId.incrementAndGet()}"
+      val q = graft.ml.SpanDedup.spanShingles(stream(spark, dir))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.util.Caches.trackSinkTable(spark, name)
+      spark.table(name)
+    }
+
+  /** Streamed-then-compacted span sketch — the winnow_compact twin for the
+    * positional sketch: parquet appender per micro-batch, fold the small
+    * files into one sorted h-keyed generation, flip the MANIFEST, read back
+    * through it; must equal the batch-built projection row-for-row. */
+  def compactedSpanSketchOnce(spark: SparkSession, dir: String,
+      scratchBase: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:spancompact:$dir") {
+      graft.ingest.Compact.rmTree(scratchBase)
+      val q = graft.ml.SpanDedup.spanShingles(stream(spark, dir))
+        .writeStream
+        .option("checkpointLocation", s"$scratchBase/ck")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .start(s"$scratchBase/raw")
+      q.awaitTermination()
+      graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/raw",
+        s"$scratchBase/idx", "h", Seq("h", "doc_id", "pos"),
+        partitions = Some(4))
+    }
 }

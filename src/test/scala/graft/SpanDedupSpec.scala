@@ -62,6 +62,30 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 0, 24), (2L, 0, 24)), s"got $got")
   }
 
+  test("sharedSpansFrom over a stored parquet sketch equals the inline path and never re-tokenizes") {
+    val a = (1 to 20).map(i => s"a$i")
+    val b = (1 to 20).map(i => s"b$i")
+    val x = (1 to 10).map(i => s"x$i")
+    val docSeq = Seq((1L, (a ++ x).mkString(" ")), (2L, (b ++ x).mkString(" ")))
+    val docs = docSeq.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("span_sketch").toString
+    try {
+      SpanDedup.spanShingles(docs).write.mode("overwrite").parquet(tmp)
+      val stored = SpanDedup.sharedSpansFrom(spark.read.parquet(tmp))
+      // the whole point of the stored sketch: an analysis pass reads the
+      // materialized (doc_id, pos, h) rows and never recomputes them
+      val plan = stored.queryExecution.executedPlan.toString
+      assert(!plan.contains("md5"), s"stored path recomputes shingle hashes:\n$plan")
+      assert(!plan.contains("split("), s"stored path re-tokenizes text:\n$plan")
+      val got = stored.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got == spans(docSeq), s"got $got")
+    } finally {
+      graft.ingest.Compact.rmTree(tmp)
+      graft.util.Caches.drain()
+    }
+  }
+
   test("cutSharedSpans excises exactly the shared run, order preserved; untouched docs verbatim") {
     // doc 1 = A(20) ++ X(10) ++ C(12), doc 2 = B(20) ++ X(10): the shared
     // X region is cut from both; doc 1 keeps A then C in order, doc 2
