@@ -145,13 +145,7 @@ object SpanDedup {
     * inclusive span arithmetic; positions cast to INT to match Spark's
     * sequence element type. */
   def spansOracleSql: String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok
-       |  FROM documents WHERE len(string_split(text, ' ')) >= $W),
-       |p AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM (
-       |  SELECT doc_id, unnest(list_transform(range(0, len(tok) - $W + 1),
-       |    i -> {'pos': CAST(i AS INT),
-       |          'h': md5(array_to_string(tok[i + 1 : i + $W], ' '))})) AS u
-       |  FROM t)),
+    s"""WITH $shingleCtesSql,
        |shared AS (SELECT h FROM p GROUP BY h HAVING count(DISTINCT doc_id) > 1),
        |sp AS (SELECT doc_id, pos FROM p JOIN shared USING (h)),
        |brk AS (SELECT doc_id, pos,
@@ -164,20 +158,27 @@ object SpanDedup {
        |FROM isl GROUP BY doc_id, island
        |""".stripMargin.replaceAll("\\s+", " ")
 
-  /** DuckDB mirror of spanShingles — the stored positional sketch's row
-    * shape (doc_id, pos, h): the same 1-based list slice for the W-token
-    * window at 0-based pos, the same md5 over the space-joined shingle,
-    * positions cast to INT to match Spark's sequence element type. Pins
-    * the streamed sketch upkeep and its compacted generation (both must
-    * reproduce the batch projection row-for-row). */
-  def sketchOracleSql: String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok
-       |  FROM documents WHERE len(string_split(text, ' ')) >= $W)
-       |SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+  /** The ONE DuckDB rendering of spanShingles, as CTEs `t` (tokenized
+    * corpus, short docs dropped) and `p` (doc_id, pos, h): the same
+    * 1-based list slice for the W-token window at 0-based pos, the same
+    * md5 over the space-joined shingle, positions cast to INT to match
+    * Spark's sequence element type. Shared by every span oracle, so the
+    * shingle definition cannot drift between the analysis mirrors and the
+    * stored/streamed sketch mirrors. */
+  private def shingleCtesSql: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tok
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $W),
+       |p AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM (
        |  SELECT doc_id, unnest(list_transform(range(0, len(tok) - $W + 1),
        |    i -> {'pos': CAST(i AS INT),
        |          'h': md5(array_to_string(tok[i + 1 : i + $W], ' '))})) AS u
-       |  FROM t)
+       |  FROM t))""".stripMargin
+
+  /** DuckDB mirror of spanShingles — the stored positional sketch's row
+    * shape. Pins the streamed sketch upkeep and its compacted generation
+    * (both must reproduce the batch projection row-for-row). */
+  def sketchOracleSql: String =
+    s"""WITH $shingleCtesSql SELECT doc_id, pos, h FROM p
        |""".stripMargin.replaceAll("\\s+", " ")
 
   /** DuckDB mirror of cutSharedSpans: spansOracleSql's islands folded into

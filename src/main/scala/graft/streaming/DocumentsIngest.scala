@@ -32,12 +32,12 @@ object DocumentsIngest {
   def sketchRows(docs: DataFrame): DataFrame =
     graft.ml.NearDup.winnowFingerprints(docs)
 
-  /** Append the streamed sketch rows to a parquet index directory (the
-    * deployment shape: same layout the batch materialization writes). */
-  def runSketchSink(spark: SparkSession, dir: String, outPath: String,
+  /** The ONE parquet append sink (deployment shape: same layout the batch
+    * materialization writes) — both sketch families run their projection
+    * through this block, so sink setup cannot drift between them. */
+  private def parquetSinkOnce(rows: DataFrame, outPath: String,
       checkpoint: String): Unit = {
-    val q = sketchRows(stream(spark, dir))
-      .writeStream
+    val q = rows.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -46,21 +46,33 @@ object DocumentsIngest {
     q.awaitTermination()
   }
 
+  /** The ONE memory-sink one-shot (the CORRECTNESS entry-point shape):
+    * drain all available input into a tracked sink table and return it. */
+  private def memorySinkOnce(spark: SparkSession, prefix: String,
+      rows: DataFrame): DataFrame = {
+    val name = s"${prefix}_${runId.incrementAndGet()}"
+    val q = rows.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.util.Caches.trackSinkTable(spark, name)
+    spark.table(name)
+  }
+
+  /** Append the streamed sketch rows to a parquet index directory. */
+  def runSketchSink(spark: SparkSession, dir: String, outPath: String,
+      checkpoint: String): Unit =
+    parquetSinkOnce(sketchRows(stream(spark, dir)), outPath, checkpoint)
+
   /** One-shot streamed sketch build over all available input (memory sink)
     * — the CORRECTNESS entry point. Memoized per statement window. */
   def sketchOnce(spark: SparkSession, dir: String): DataFrame =
     graft.util.Caches.memoize(s"stream:winnowsketch:$dir") {
-      val name = s"graft_stream_wsk_${runId.incrementAndGet()}"
-      val q = sketchRows(stream(spark, dir))
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      graft.util.Caches.trackSinkTable(spark, name)
-      spark.table(name)
+      memorySinkOnce(spark, "graft_stream_wsk",
+        sketchRows(stream(spark, dir)))
     }
 
   /** Incremental maintenance of the (fp, df) document-frequency sibling
@@ -128,17 +140,8 @@ object DocumentsIngest {
     * the parquet deployment shape is compactedSpanSketchOnce below. */
   def spanSketchOnce(spark: SparkSession, dir: String): DataFrame =
     graft.util.Caches.memoize(s"stream:spansketch:$dir") {
-      val name = s"graft_stream_ssk_${runId.incrementAndGet()}"
-      val q = graft.ml.SpanDedup.spanShingles(stream(spark, dir))
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      graft.util.Caches.trackSinkTable(spark, name)
-      spark.table(name)
+      memorySinkOnce(spark, "graft_stream_ssk",
+        graft.ml.SpanDedup.spanShingles(stream(spark, dir)))
     }
 
   /** Streamed-then-compacted span sketch — the winnow_compact twin for the
@@ -149,14 +152,8 @@ object DocumentsIngest {
       scratchBase: String): DataFrame =
     graft.util.Caches.memoize(s"stream:spancompact:$dir") {
       graft.ingest.Compact.rmTree(scratchBase)
-      val q = graft.ml.SpanDedup.spanShingles(stream(spark, dir))
-        .writeStream
-        .option("checkpointLocation", s"$scratchBase/ck")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .format("parquet")
-        .start(s"$scratchBase/raw")
-      q.awaitTermination()
+      parquetSinkOnce(graft.ml.SpanDedup.spanShingles(stream(spark, dir)),
+        s"$scratchBase/raw", s"$scratchBase/ck")
       graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/raw",
         s"$scratchBase/idx", "h", Seq("h", "doc_id", "pos"),
         partitions = Some(4))
