@@ -716,6 +716,17 @@ object SparkEntry {
     "ivf_compact" -> ((s, dir) =>
       graft.streaming.EmbeddingsIngest.compactedCellsOnce(s, dir,
         Catalog.scratch(dir, "ivf_compact"))),
+    // ...and of the QUANTIZED store (the last streamed index to get the
+    // fold): streamed byte codes + cell assignments rewritten into one
+    // (cell, vec_id)-sorted generation behind the MANIFEST; exploded to
+    // scalar like sq8_stream_index so the oracle pins codes element-wise
+    "sq8_compact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, posexplode}
+      graft.streaming.EmbeddingsIngest.compactedSq8Once(s, dir,
+          Catalog.scratch(dir, "sq8_compact"))
+        .select(col("vec_id"), col("cell"), posexplode(col("codes")))
+        .toDF("vec_id", "cell", "pos", "code")
+    }),
     "emb_topk_ivf" -> ((s, dir) =>
       Ann.ivfTopK(Catalog.embeddings(s, dir), Catalog.ivfCells(s, dir), 0, 10)),
     // BATCHED IVF serving: a whole query table answered in ONE plan —
@@ -1268,6 +1279,7 @@ object SparkEntry {
     "emb_topk_ivf_batch" -> Ann.ivfBatchOracleSql(8, 10),
     "ann_compact" -> Ann.bucketsOracleSql,
     "ivf_compact" -> Ann.cellsOracleSql,
+    "sq8_compact" -> graft.ml.Quant.sq8StreamOracleSql,
     "emb_topk_sq8" -> graft.ml.Quant.sq8IvfOracleSql(0, 10),
     "sq8_topk_batch" -> graft.ml.Quant.sq8IvfBatchOracleSql(8, 10),
     "mm_framesample" -> Multimodal.frameSampleOracleSql(),

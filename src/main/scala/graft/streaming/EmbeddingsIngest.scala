@@ -30,12 +30,12 @@ object EmbeddingsIngest {
     * the batch index build. */
   def bucketRows(emb: DataFrame): DataFrame = Ann.bucketIds(emb)
 
-  /** Append the streamed bucket rows to a parquet index directory (the
-    * deployment shape: same layout the batch materialization writes). */
-  def runBucketSink(spark: SparkSession, dir: String, outPath: String,
+  /** The ONE parquet append sink (deployment shape: same layout the batch
+    * materialization writes) — every index family runs its projection
+    * through this block, so sink setup cannot drift between them. */
+  private def parquetSinkOnce(rows: DataFrame, outPath: String,
       checkpoint: String): Unit = {
-    val q = bucketRows(stream(spark, dir))
-      .writeStream
+    val q = rows.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -44,23 +44,35 @@ object EmbeddingsIngest {
     q.awaitTermination()
   }
 
+  /** The ONE memory-sink one-shot (the CORRECTNESS entry-point shape):
+    * drain all available input into a tracked sink table and return it. */
+  private def memorySinkOnce(spark: SparkSession, prefix: String,
+      rows: DataFrame): DataFrame = {
+    val name = s"${prefix}_${runId.incrementAndGet()}"
+    val q = rows.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.util.Caches.trackSinkTable(spark, name)
+    spark.table(name)
+  }
+
+  /** Append the streamed bucket rows to a parquet index directory. */
+  def runBucketSink(spark: SparkSession, dir: String, outPath: String,
+      checkpoint: String): Unit =
+    parquetSinkOnce(bucketRows(stream(spark, dir)), outPath, checkpoint)
+
   /** One-shot streamed index build over all available input (memory sink) —
     * the CORRECTNESS entry point. Memoized per statement window (see
     * Caches.memoize): repeated evaluation reuses the first run's sink
     * instead of bootstrapping a fresh stream. */
   def bucketsOnce(spark: SparkSession, dir: String): DataFrame =
     graft.util.Caches.memoize(s"stream:annbuckets:$dir") {
-      val name = s"graft_stream_ann_${runId.incrementAndGet()}"
-      val q = bucketRows(stream(spark, dir))
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      graft.util.Caches.trackSinkTable(spark, name)
-      spark.table(name)
+      memorySinkOnce(spark, "graft_stream_ann",
+        bucketRows(stream(spark, dir)))
     }
 
   /** Stream-derived IVF cell rows (vec_id, cell) — the coarse-quantizer
@@ -105,40 +117,39 @@ object EmbeddingsIngest {
         col("embedding").cast("array<double>"), mn, scale).as("codes"))
   }
 
+  /** The frozen quantizer: the batch store's constant (mn, scale) columns
+    * (a one-row bounded lookup — the shipped quantizer, exactly what a
+    * deployment distributes to its encoders). */
+  private def frozenQuantizer(spark: SparkSession, dir: String): (Double, Double) = {
+    val st = graft.model.Catalog.sq8Store(spark, dir)
+      .select("mn", "scale").head()
+    (st.getDouble(0), st.getDouble(1))
+  }
+
   /** One-shot streamed composed-store build — the CORRECTNESS entry point
-    * for SQ8 upkeep. The frozen quantizer is read from the batch store's
-    * constant (mn, scale) columns (a one-row bounded lookup — the shipped
-    * quantizer, exactly what a deployment distributes to its encoders). */
+    * for SQ8 upkeep. */
   def sq8Once(spark: SparkSession, dir: String): DataFrame =
     graft.util.Caches.memoize(s"stream:sq8:$dir") {
-      val st = graft.model.Catalog.sq8Store(spark, dir)
-        .select("mn", "scale").head()
-      val name = s"graft_stream_sq8_${runId.incrementAndGet()}"
-      val q = sq8Rows(stream(spark, dir), st.getDouble(0), st.getDouble(1))
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      graft.util.Caches.trackSinkTable(spark, name)
-      spark.table(name)
+      val (mn, scale) = frozenQuantizer(spark, dir)
+      memorySinkOnce(spark, "graft_stream_sq8",
+        sq8Rows(stream(spark, dir), mn, scale))
     }
 
   /** Append the streamed cell rows to a parquet index directory (the
     * deployment shape of IVF upkeep — small files per micro-batch, folded
     * by generation compaction below). */
   def runCellSink(spark: SparkSession, dir: String, outPath: String,
+      checkpoint: String): Unit =
+    parquetSinkOnce(cellRows(stream(spark, dir)), outPath, checkpoint)
+
+  /** Append the streamed composed SQ8 rows (frozen-quantizer encode +
+    * cell argmax) to a parquet index directory — the deployment shape of
+    * quantized-store upkeep, folded by generation compaction below. */
+  def runSq8Sink(spark: SparkSession, dir: String, outPath: String,
       checkpoint: String): Unit = {
-    val q = cellRows(stream(spark, dir))
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .format("parquet")
-      .start(outPath)
-    q.awaitTermination()
+    val (mn, scale) = frozenQuantizer(spark, dir)
+    parquetSinkOnce(sq8Rows(stream(spark, dir), mn, scale), outPath,
+      checkpoint)
   }
 
   /** One-shot streamed-then-compacted bucket index — the embedding twin of
@@ -170,20 +181,28 @@ object EmbeddingsIngest {
         partitions = Some(4))
     }
 
+  /** The quantized-store twin — the LAST streamed index without a
+    * generation fold: streamed SQ8 sink (frozen-quantizer byte codes +
+    * cell assignment) → compacted cell-keyed generation → manifest
+    * read-back. Sorting by (cell, vec_id) reproduces the hive layout's
+    * locality in one sorted generation: a probed-cell lookup over the
+    * compacted store row-group-prunes on the cell min/max exactly as the
+    * partitioned batch store directory-prunes. */
+  def compactedSq8Once(spark: SparkSession, dir: String,
+      scratchBase: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:sq8compact:$dir") {
+      graft.ingest.Compact.rmTree(scratchBase)
+      runSq8Sink(spark, dir, s"$scratchBase/raw", s"$scratchBase/ck")
+      graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/raw",
+        s"$scratchBase/idx", "cell", Seq("cell", "vec_id"),
+        partitions = Some(4))
+    }
+
   /** One-shot streamed cell-assignment build — the CORRECTNESS entry point
     * for IVF index upkeep (the cell twin of bucketsOnce). */
   def cellsOnce(spark: SparkSession, dir: String): DataFrame =
     graft.util.Caches.memoize(s"stream:ivfcells:$dir") {
-      val name = s"graft_stream_ivf_${runId.incrementAndGet()}"
-      val q = cellRows(stream(spark, dir))
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      graft.util.Caches.trackSinkTable(spark, name)
-      spark.table(name)
+      memorySinkOnce(spark, "graft_stream_ivf",
+        cellRows(stream(spark, dir)))
     }
 }

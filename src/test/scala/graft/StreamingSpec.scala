@@ -134,6 +134,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("compacted SQ8 generation == materialized sq8IvfStore (quantized fold)") {
+    // streamed parquet sink → compactAndFlip → manifest read-back: the
+    // sorted (cell, vec_id) generation must carry the identical byte codes
+    // and cell assignments as the hive-partitioned batch store
+    val base = java.nio.file.Files.createTempDirectory("graft_sq8_compact").toString
+    try {
+      val compacted = graft.streaming.EmbeddingsIngest
+        .compactedSq8Once(spark, dir, base)
+        .select("vec_id", "cell", "codes")
+      val batch = Catalog.sq8IvfStore(spark, dir)
+        .select("vec_id", "cell", "codes")
+      assert(compacted.count() == batch.count())
+      assert(compacted.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(compacted).count() == 0)
+    } finally graft.ingest.Compact.rmTree(base)
+  }
+
   test("stream-stream interval join == batch interval join") {
     val streamed = EventsIngest.intervalJoinOnce(spark, dir)
     val ev = Catalog.events(spark, dir)
