@@ -45,6 +45,16 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String): Tables = Catalog.tables(s, dir)
 
+  /** The ONE scalar rendering of an SQ8 store (vec_id, cell, pos, code):
+    * byte codes exploded element-wise so sq8StreamOracleSql can pin them —
+    * shared by the streamed-upkeep and compacted-generation entries, which
+    * must compare the SAME shape against the same oracle. */
+  private def explodeCodes(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    df.select(col("vec_id"), col("cell"), posexplode(col("codes")))
+      .toDF("vec_id", "cell", "pos", "code")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- S: scans / sources (SURVEY §2.1) ----
     "s1_keyword_leaf" -> ((s, dir) => idxKey(s, dir, "price")),
@@ -700,12 +710,8 @@ object SparkEntry {
     // IVF cell in one stateless projection — the streamed twin of
     // Catalog.sq8IvfStore; exploded to scalar (vec_id, cell, pos, code)
     // so the oracle pins the byte codes element-wise
-    "sq8_stream_index" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.{col, posexplode}
-      graft.streaming.EmbeddingsIngest.sq8Once(s, dir)
-        .select(col("vec_id"), col("cell"), posexplode(col("codes")))
-        .toDF("vec_id", "cell", "pos", "code")
-    }),
+    "sq8_stream_index" -> ((s, dir) =>
+      explodeCodes(graft.streaming.EmbeddingsIngest.sq8Once(s, dir))),
     // generation compaction of the streamed EMBEDDING indexes (the
     // winnow_compact twins — merge.cc folds ALL table types): small
     // per-batch files rewritten into one sorted generation, read back
@@ -720,13 +726,9 @@ object SparkEntry {
     // fold): streamed byte codes + cell assignments rewritten into one
     // (cell, vec_id)-sorted generation behind the MANIFEST; exploded to
     // scalar like sq8_stream_index so the oracle pins codes element-wise
-    "sq8_compact" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.{col, posexplode}
-      graft.streaming.EmbeddingsIngest.compactedSq8Once(s, dir,
-          Catalog.scratch(dir, "sq8_compact"))
-        .select(col("vec_id"), col("cell"), posexplode(col("codes")))
-        .toDF("vec_id", "cell", "pos", "code")
-    }),
+    "sq8_compact" -> ((s, dir) =>
+      explodeCodes(graft.streaming.EmbeddingsIngest.compactedSq8Once(s, dir,
+        Catalog.scratch(dir, "sq8_compact")))),
     "emb_topk_ivf" -> ((s, dir) =>
       Ann.ivfTopK(Catalog.embeddings(s, dir), Catalog.ivfCells(s, dir), 0, 10)),
     // BATCHED IVF serving: a whole query table answered in ONE plan —

@@ -22,7 +22,6 @@ object DocumentsIngest {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def stream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(schema).parquet(s"$dir/{documents.parquet}")
@@ -32,46 +31,17 @@ object DocumentsIngest {
   def sketchRows(docs: DataFrame): DataFrame =
     graft.ml.NearDup.winnowFingerprints(docs)
 
-  /** The ONE parquet append sink (deployment shape: same layout the batch
-    * materialization writes) — both sketch families run their projection
-    * through this block, so sink setup cannot drift between them. */
-  private def parquetSinkOnce(rows: DataFrame, outPath: String,
-      checkpoint: String): Unit = {
-    val q = rows.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .format("parquet")
-      .start(outPath)
-    q.awaitTermination()
-  }
-
-  /** The ONE memory-sink one-shot (the CORRECTNESS entry-point shape):
-    * drain all available input into a tracked sink table and return it. */
-  private def memorySinkOnce(spark: SparkSession, prefix: String,
-      rows: DataFrame): DataFrame = {
-    val name = s"${prefix}_${runId.incrementAndGet()}"
-    val q = rows.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    graft.util.Caches.trackSinkTable(spark, name)
-    spark.table(name)
-  }
-
-  /** Append the streamed sketch rows to a parquet index directory. */
+  /** Append the streamed sketch rows to a parquet index directory (the
+    * deployment shape — shared sink protocol, see Sinks). */
   def runSketchSink(spark: SparkSession, dir: String, outPath: String,
       checkpoint: String): Unit =
-    parquetSinkOnce(sketchRows(stream(spark, dir)), outPath, checkpoint)
+    Sinks.parquetOnce(sketchRows(stream(spark, dir)), outPath, checkpoint)
 
   /** One-shot streamed sketch build over all available input (memory sink)
     * — the CORRECTNESS entry point. Memoized per statement window. */
   def sketchOnce(spark: SparkSession, dir: String): DataFrame =
     graft.util.Caches.memoize(s"stream:winnowsketch:$dir") {
-      memorySinkOnce(spark, "graft_stream_wsk",
+      Sinks.memoryOnce(spark, "graft_stream_wsk",
         sketchRows(stream(spark, dir)))
     }
 
@@ -106,7 +76,7 @@ object DocumentsIngest {
     * scratch dir is cleared first so re-runs across statement windows never
     * double-append. */
   def dfOnce(spark: SparkSession, dir: String, scratchBase: String): DataFrame =
-    graft.util.Caches.memoize(s"stream:winnowdf:$dir") {
+    graft.util.Caches.memoize(s"stream:winnowdf:$dir:$scratchBase") {
       graft.ingest.Compact.rmTree(scratchBase)
       runDfDeltaSink(spark, dir, s"$scratchBase/deltas", s"$scratchBase/ck")
       spark.read.parquet(s"$scratchBase/deltas")
@@ -125,7 +95,7 @@ object DocumentsIngest {
     * derives it from input bytes / target file size). */
   def compactedSketchOnce(spark: SparkSession, dir: String,
       scratchBase: String): DataFrame =
-    graft.util.Caches.memoize(s"stream:winnowcompact:$dir") {
+    graft.util.Caches.memoize(s"stream:winnowcompact:$dir:$scratchBase") {
       graft.ingest.Compact.rmTree(scratchBase)
       runSketchSink(spark, dir, s"$scratchBase/raw", s"$scratchBase/ck")
       graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/raw",
@@ -140,7 +110,7 @@ object DocumentsIngest {
     * the parquet deployment shape is compactedSpanSketchOnce below. */
   def spanSketchOnce(spark: SparkSession, dir: String): DataFrame =
     graft.util.Caches.memoize(s"stream:spansketch:$dir") {
-      memorySinkOnce(spark, "graft_stream_ssk",
+      Sinks.memoryOnce(spark, "graft_stream_ssk",
         graft.ml.SpanDedup.spanShingles(stream(spark, dir)))
     }
 
@@ -150,9 +120,9 @@ object DocumentsIngest {
     * through it; must equal the batch-built projection row-for-row. */
   def compactedSpanSketchOnce(spark: SparkSession, dir: String,
       scratchBase: String): DataFrame =
-    graft.util.Caches.memoize(s"stream:spancompact:$dir") {
+    graft.util.Caches.memoize(s"stream:spancompact:$dir:$scratchBase") {
       graft.ingest.Compact.rmTree(scratchBase)
-      parquetSinkOnce(graft.ml.SpanDedup.spanShingles(stream(spark, dir)),
+      Sinks.parquetOnce(graft.ml.SpanDedup.spanShingles(stream(spark, dir)),
         s"$scratchBase/raw", s"$scratchBase/ck")
       graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/raw",
         s"$scratchBase/idx", "h", Seq("h", "doc_id", "pos"),

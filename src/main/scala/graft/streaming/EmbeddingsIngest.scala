@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 import graft.ml.Ann
 
@@ -21,7 +20,6 @@ object EmbeddingsIngest {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
-  private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def stream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(schema).parquet(s"$dir/{embeddings.parquet}")
@@ -30,40 +28,11 @@ object EmbeddingsIngest {
     * the batch index build. */
   def bucketRows(emb: DataFrame): DataFrame = Ann.bucketIds(emb)
 
-  /** The ONE parquet append sink (deployment shape: same layout the batch
-    * materialization writes) — every index family runs its projection
-    * through this block, so sink setup cannot drift between them. */
-  private def parquetSinkOnce(rows: DataFrame, outPath: String,
-      checkpoint: String): Unit = {
-    val q = rows.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .format("parquet")
-      .start(outPath)
-    q.awaitTermination()
-  }
-
-  /** The ONE memory-sink one-shot (the CORRECTNESS entry-point shape):
-    * drain all available input into a tracked sink table and return it. */
-  private def memorySinkOnce(spark: SparkSession, prefix: String,
-      rows: DataFrame): DataFrame = {
-    val name = s"${prefix}_${runId.incrementAndGet()}"
-    val q = rows.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    graft.util.Caches.trackSinkTable(spark, name)
-    spark.table(name)
-  }
-
-  /** Append the streamed bucket rows to a parquet index directory. */
+  /** Append the streamed bucket rows to a parquet index directory (the
+    * deployment shape — shared sink protocol, see Sinks). */
   def runBucketSink(spark: SparkSession, dir: String, outPath: String,
       checkpoint: String): Unit =
-    parquetSinkOnce(bucketRows(stream(spark, dir)), outPath, checkpoint)
+    Sinks.parquetOnce(bucketRows(stream(spark, dir)), outPath, checkpoint)
 
   /** One-shot streamed index build over all available input (memory sink) —
     * the CORRECTNESS entry point. Memoized per statement window (see
@@ -71,7 +40,7 @@ object EmbeddingsIngest {
     * instead of bootstrapping a fresh stream. */
   def bucketsOnce(spark: SparkSession, dir: String): DataFrame =
     graft.util.Caches.memoize(s"stream:annbuckets:$dir") {
-      memorySinkOnce(spark, "graft_stream_ann",
+      Sinks.memoryOnce(spark, "graft_stream_ann",
         bucketRows(stream(spark, dir)))
     }
 
@@ -131,7 +100,7 @@ object EmbeddingsIngest {
   def sq8Once(spark: SparkSession, dir: String): DataFrame =
     graft.util.Caches.memoize(s"stream:sq8:$dir") {
       val (mn, scale) = frozenQuantizer(spark, dir)
-      memorySinkOnce(spark, "graft_stream_sq8",
+      Sinks.memoryOnce(spark, "graft_stream_sq8",
         sq8Rows(stream(spark, dir), mn, scale))
     }
 
@@ -140,7 +109,7 @@ object EmbeddingsIngest {
     * by generation compaction below). */
   def runCellSink(spark: SparkSession, dir: String, outPath: String,
       checkpoint: String): Unit =
-    parquetSinkOnce(cellRows(stream(spark, dir)), outPath, checkpoint)
+    Sinks.parquetOnce(cellRows(stream(spark, dir)), outPath, checkpoint)
 
   /** Append the streamed composed SQ8 rows (frozen-quantizer encode +
     * cell argmax) to a parquet index directory — the deployment shape of
@@ -148,7 +117,7 @@ object EmbeddingsIngest {
   def runSq8Sink(spark: SparkSession, dir: String, outPath: String,
       checkpoint: String): Unit = {
     val (mn, scale) = frozenQuantizer(spark, dir)
-    parquetSinkOnce(sq8Rows(stream(spark, dir), mn, scale), outPath,
+    Sinks.parquetOnce(sq8Rows(stream(spark, dir), mn, scale), outPath,
       checkpoint)
   }
 
@@ -161,7 +130,7 @@ object EmbeddingsIngest {
     * must equal the batch-built bucket index exactly. */
   def compactedBucketsOnce(spark: SparkSession, dir: String,
       scratchBase: String): DataFrame =
-    graft.util.Caches.memoize(s"stream:anncompact:$dir") {
+    graft.util.Caches.memoize(s"stream:anncompact:$dir:$scratchBase") {
       graft.ingest.Compact.rmTree(scratchBase)
       runBucketSink(spark, dir, s"$scratchBase/raw", s"$scratchBase/ck")
       graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/raw",
@@ -173,7 +142,7 @@ object EmbeddingsIngest {
     * generation → manifest read-back == batch cell assignment. */
   def compactedCellsOnce(spark: SparkSession, dir: String,
       scratchBase: String): DataFrame =
-    graft.util.Caches.memoize(s"stream:ivfcompact:$dir") {
+    graft.util.Caches.memoize(s"stream:ivfcompact:$dir:$scratchBase") {
       graft.ingest.Compact.rmTree(scratchBase)
       runCellSink(spark, dir, s"$scratchBase/raw", s"$scratchBase/ck")
       graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/raw",
@@ -190,7 +159,7 @@ object EmbeddingsIngest {
     * partitioned batch store directory-prunes. */
   def compactedSq8Once(spark: SparkSession, dir: String,
       scratchBase: String): DataFrame =
-    graft.util.Caches.memoize(s"stream:sq8compact:$dir") {
+    graft.util.Caches.memoize(s"stream:sq8compact:$dir:$scratchBase") {
       graft.ingest.Compact.rmTree(scratchBase)
       runSq8Sink(spark, dir, s"$scratchBase/raw", s"$scratchBase/ck")
       graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/raw",
@@ -202,7 +171,7 @@ object EmbeddingsIngest {
     * for IVF index upkeep (the cell twin of bucketsOnce). */
   def cellsOnce(spark: SparkSession, dir: String): DataFrame =
     graft.util.Caches.memoize(s"stream:ivfcells:$dir") {
-      memorySinkOnce(spark, "graft_stream_ivf",
+      Sinks.memoryOnce(spark, "graft_stream_ivf",
         cellRows(stream(spark, dir)))
     }
 }

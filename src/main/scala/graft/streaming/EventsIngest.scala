@@ -86,16 +86,8 @@ object EventsIngest {
     * input is processed (Trigger.AvailableNow — the batch-of-the-stream mode;
     * a deployment would run the same query continuously). */
   def runPostingsSink(spark: SparkSession, dir: String, outPath: String,
-      checkpoint: String): Unit = {
-    val q = postings(stream(spark, dir))
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .format("parquet")
-      .start(outPath)
-    q.awaitTermination()
-  }
+      checkpoint: String): Unit =
+    Sinks.parquetOnce(postings(stream(spark, dir)), outPath, checkpoint)
 
   /** Watermarked daily tumbling-window counts per event type. */
   def dailyCounts(events: DataFrame): DataFrame =

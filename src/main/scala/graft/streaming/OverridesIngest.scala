@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 /** Streamed maintenance of the summary-override table — the reference's
@@ -23,8 +22,6 @@ object OverridesIngest {
     StructField("o_orderkey", LongType),
     StructField("o_custkey", LongType)))
 
-  private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
-
   def stream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(schema).parquet(s"$dir/{orders.parquet}")
 
@@ -36,32 +33,15 @@ object OverridesIngest {
   /** Append the streamed override rows to a parquet table directory (the
     * deployment shape: the overlay join reads this table per statement). */
   def runOverrideSink(spark: SparkSession, dir: String, outPath: String,
-      checkpoint: String): Unit = {
-    val q = overrideRows(stream(spark, dir))
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .format("parquet")
-      .start(outPath)
-    q.awaitTermination()
-  }
+      checkpoint: String): Unit =
+    Sinks.parquetOnce(overrideRows(stream(spark, dir)), outPath, checkpoint)
 
   /** One-shot streamed override build over all available input (memory
     * sink) — the CORRECTNESS entry point; must equal the batch-derived
     * override table exactly. Memoized per statement window. */
   def overridesOnce(spark: SparkSession, dir: String): DataFrame =
     graft.util.Caches.memoize(s"stream:overrides:$dir") {
-      val name = s"graft_stream_ovr_${runId.incrementAndGet()}"
-      val q = overrideRows(stream(spark, dir))
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      graft.util.Caches.trackSinkTable(spark, name)
-      spark.table(name)
+      Sinks.memoryOnce(spark, "graft_stream_ovr",
+        overrideRows(stream(spark, dir)))
     }
 }
