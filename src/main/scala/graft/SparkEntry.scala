@@ -729,6 +729,21 @@ object SparkEntry {
     "sq8_compact" -> ((s, dir) =>
       explodeCodes(graft.streaming.EmbeddingsIngest.compactedSq8Once(s, dir,
         Catalog.scratch(dir, "sq8_compact")))),
+    // serving CONTINUITY across the generation swap: the same quantized
+    // top-k answered from the COMPACTED streamed generation (read through
+    // the MANIFEST, quantizer constants re-attached from index metadata)
+    // instead of the hive store — must equal emb_topk_sq8 exactly; the
+    // probe's cell isin prunes the sorted generation's row groups the way
+    // the hive layout prunes directories (QuantSpec pins the pushed filter)
+    "sq8_topk_gen" -> ((s, dir) => {
+      val gen = graft.streaming.EmbeddingsIngest.compactedSq8Once(s, dir,
+        Catalog.scratch(dir, "sq8_compact"))
+      val (mn, scale) =
+        graft.streaming.EmbeddingsIngest.frozenQuantizer(s, dir)
+      graft.ml.Quant.sq8IvfTopKFrom(
+        graft.ml.Quant.attachQuantizer(gen, mn, scale),
+        Catalog.embeddings(s, dir), 0, 10)
+    }),
     "emb_topk_ivf" -> ((s, dir) =>
       Ann.ivfTopK(Catalog.embeddings(s, dir), Catalog.ivfCells(s, dir), 0, 10)),
     // BATCHED IVF serving: a whole query table answered in ONE plan —
@@ -1282,6 +1297,7 @@ object SparkEntry {
     "ann_compact" -> Ann.bucketsOracleSql,
     "ivf_compact" -> Ann.cellsOracleSql,
     "sq8_compact" -> graft.ml.Quant.sq8StreamOracleSql,
+    "sq8_topk_gen" -> graft.ml.Quant.sq8IvfOracleSql(0, 10),
     "emb_topk_sq8" -> graft.ml.Quant.sq8IvfOracleSql(0, 10),
     "sq8_topk_batch" -> graft.ml.Quant.sq8IvfBatchOracleSql(8, 10),
     "mm_framesample" -> Multimodal.frameSampleOracleSql(),

@@ -89,6 +89,16 @@ object Quant {
   private def dequantCol: Column =
     expr("transform(codes, c -> mn + (CAST(c AS INT) + 128) * scale)")
 
+  /** Attach the shipped quantizer constants to a compacted generation's
+    * (vec_id, cell, codes) rows: generation files store ONLY the byte
+    * codes — the affine (mn, scale) pair is index METADATA a deployment
+    * distributes alongside the MANIFEST, not a per-row payload. Literal
+    * columns make the probe path's dequant expression identical over the
+    * hive store and a compacted generation, so the serving code is
+    * oblivious to which layout answered. */
+  def attachQuantizer(gen: DataFrame, mn: Double, scale: Double): DataFrame =
+    gen.withColumn("mn", lit(mn)).withColumn("scale", lit(scale))
+
   /** Top-k by cosine against the COMPOSED SQ8×IVF store
     * (Catalog.sq8IvfStore): probe the query's `Ann.Probes` nearest cells (a
     * bounded eager collect pushed as a static In filter → static partition

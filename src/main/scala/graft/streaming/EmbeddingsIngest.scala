@@ -89,7 +89,7 @@ object EmbeddingsIngest {
   /** The frozen quantizer: the batch store's constant (mn, scale) columns
     * (a one-row bounded lookup — the shipped quantizer, exactly what a
     * deployment distributes to its encoders). */
-  private def frozenQuantizer(spark: SparkSession, dir: String): (Double, Double) = {
+  def frozenQuantizer(spark: SparkSession, dir: String): (Double, Double) = {
     val st = graft.model.Catalog.sq8Store(spark, dir)
       .select("mn", "scale").head()
     (st.getDouble(0), st.getDouble(1))

@@ -106,6 +106,36 @@ class QuantSpec extends AnyFunSuite {
     assert(batch == singles)
   }
 
+  test("serving over a compacted generation == hive store, cell filter pushed") {
+    // serving CONTINUITY across the generation swap: a reader pointed at
+    // the compacted streamed generation (manifest read-back + the
+    // quantizer constants re-attached from index metadata) must answer the
+    // quantized top-k EXACTLY as the hive-partitioned batch store — and
+    // the probe's cell isin must reach the generation scan as a pushed In
+    // filter, so the (cell, vec_id)-sorted row groups prune the way the
+    // hive layout's directories do
+    val base = java.nio.file.Files.createTempDirectory("graft_sq8_gen").toString
+    try {
+      val emb = Catalog.embeddings(spark, dir)
+      val gen = graft.streaming.EmbeddingsIngest.compactedSq8Once(spark, dir, base)
+      val (mn, scale) =
+        graft.streaming.EmbeddingsIngest.frozenQuantizer(spark, dir)
+      val served = Quant.sq8IvfTopKFrom(
+        Quant.attachQuantizer(gen, mn, scale), emb, 0, K)
+      val store = Quant.sq8IvfTopKFrom(Catalog.sq8IvfStore(spark, dir), emb, 0, K)
+      assert(served.collect().toSeq == store.collect().toSeq)
+      // "In(cell, [" is the parquet PUSHED-filter rendering (the catalyst
+      // DataFilter prints as "cell#NN IN ("), so this pins source-level
+      // pushdown specifically, not just the post-scan filter
+      val p = served.queryExecution.executedPlan.toString
+      assert(p.contains("In(cell, ["),
+        s"cell probe not pushed to the generation scan:\n$p")
+    } finally {
+      graft.util.Caches.drain()
+      graft.ingest.Compact.rmTree(base)
+    }
+  }
+
   test("frozen encode saturates out-of-range inputs instead of wrapping") {
     // the streamed-upkeep hazard: a new vector OUTSIDE the frozen training
     // range [mn, mx] must clamp to the byte extremes (codes -128/127), the
