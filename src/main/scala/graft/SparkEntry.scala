@@ -734,16 +734,15 @@ object SparkEntry {
     // the MANIFEST, quantizer constants re-attached from index metadata)
     // instead of the hive store — must equal emb_topk_sq8 exactly; the
     // probe's cell isin prunes the sorted generation's row groups the way
-    // the hive layout prunes directories (QuantSpec pins the pushed filter)
-    "sq8_topk_gen" -> ((s, dir) => {
-      val gen = graft.streaming.EmbeddingsIngest.compactedSq8Once(s, dir,
-        Catalog.scratch(dir, "sq8_compact"))
-      val (mn, scale) =
-        graft.streaming.EmbeddingsIngest.frozenQuantizer(s, dir)
+    // the hive layout prunes directories (QuantSpec pins the pushed
+    // filter). Its bench cost is dominated by the per-window generation
+    // BUILD (like every *_compact entry); the lookup itself is the pinned
+    // cell-pruned plan.
+    "sq8_topk_gen" -> ((s, dir) =>
       graft.ml.Quant.sq8IvfTopKFrom(
-        graft.ml.Quant.attachQuantizer(gen, mn, scale),
-        Catalog.embeddings(s, dir), 0, 10)
-    }),
+        graft.streaming.EmbeddingsIngest.sq8GenServing(s, dir,
+          Catalog.scratch(dir, "sq8_topk_gen")),
+        Catalog.embeddings(s, dir), 0, 10)),
     "emb_topk_ivf" -> ((s, dir) =>
       Ann.ivfTopK(Catalog.embeddings(s, dir), Catalog.ivfCells(s, dir), 0, 10)),
     // BATCHED IVF serving: a whole query table answered in ONE plan —

@@ -150,6 +150,21 @@ object EmbeddingsIngest {
         partitions = Some(4))
     }
 
+  /** One full streamed-SQ8 generation build, returning the quantizer pair
+    * it read alongside the manifest read-back — the single quantizer
+    * lookup serves both the sink's encode and any caller that needs to
+    * re-attach the constants for serving. */
+  private def buildSq8Generation(spark: SparkSession, dir: String,
+      scratchBase: String): (DataFrame, Double, Double) = {
+    val (mn, scale) = frozenQuantizer(spark, dir)
+    graft.ingest.Compact.rmTree(scratchBase)
+    Sinks.parquetOnce(sq8Rows(stream(spark, dir), mn, scale),
+      s"$scratchBase/raw", s"$scratchBase/ck")
+    (graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/raw",
+      s"$scratchBase/idx", "cell", Seq("cell", "vec_id"),
+      partitions = Some(4)), mn, scale)
+  }
+
   /** The quantized-store twin — the LAST streamed index without a
     * generation fold: streamed SQ8 sink (frozen-quantizer byte codes +
     * cell assignment) → compacted cell-keyed generation → manifest
@@ -160,11 +175,20 @@ object EmbeddingsIngest {
   def compactedSq8Once(spark: SparkSession, dir: String,
       scratchBase: String): DataFrame =
     graft.util.Caches.memoize(s"stream:sq8compact:$dir:$scratchBase") {
-      graft.ingest.Compact.rmTree(scratchBase)
-      runSq8Sink(spark, dir, s"$scratchBase/raw", s"$scratchBase/ck")
-      graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/raw",
-        s"$scratchBase/idx", "cell", Seq("cell", "vec_id"),
-        partitions = Some(4))
+      buildSq8Generation(spark, dir, scratchBase)._1
+    }
+
+  /** The generation-SERVING store — sq8_topk_gen's source, shared with
+    * its QuantSpec pin so the entry and the spec cannot drift: the
+    * compacted generation read back through the MANIFEST with the shipped
+    * (mn, scale) re-attached from the SINGLE quantizer read the build
+    * performed (generations store only the byte codes; the affine pair is
+    * index metadata distributed with the manifest). */
+  def sq8GenServing(spark: SparkSession, dir: String,
+      scratchBase: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:sq8gen:$dir:$scratchBase") {
+      val (gen, mn, scale) = buildSq8Generation(spark, dir, scratchBase)
+      graft.ml.Quant.attachQuantizer(gen, mn, scale)
     }
 
   /** One-shot streamed cell-assignment build — the CORRECTNESS entry point

@@ -117,11 +117,9 @@ class QuantSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("graft_sq8_gen").toString
     try {
       val emb = Catalog.embeddings(spark, dir)
-      val gen = graft.streaming.EmbeddingsIngest.compactedSq8Once(spark, dir, base)
-      val (mn, scale) =
-        graft.streaming.EmbeddingsIngest.frozenQuantizer(spark, dir)
       val served = Quant.sq8IvfTopKFrom(
-        Quant.attachQuantizer(gen, mn, scale), emb, 0, K)
+        graft.streaming.EmbeddingsIngest.sq8GenServing(spark, dir, base),
+        emb, 0, K)
       val store = Quant.sq8IvfTopKFrom(Catalog.sq8IvfStore(spark, dir), emb, 0, K)
       assert(served.collect().toSeq == store.collect().toSeq)
       // "In(cell, [" is the parquet PUSHED-filter rendering (the catalyst
