@@ -272,14 +272,29 @@ object Ann {
     val e = emb.select(col("vec_id"), col("embedding").as("emb"))
     val q = queries.select(col("vec_id").as("qid"),
       col("embedding").as("qemb"))
-    val joined = probeBatch(q, cents.getOrElse(centroids(emb)))
-      .join(cells, Seq("cell"))
+    val probed = probeBatch(q, cents.getOrElse(centroids(emb)))
+    val joined = probed.join(prunedByProbedCells(cells, probed), Seq("cell"))
     val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("qid"))
                else joined
     topKPerQuery(cand.join(e, Seq("vec_id"))
       .select(col("qid"), col("vec_id"),
         asymSim(col("emb"), col("qemb"), col("qn")).as("sim")), k)
   }
+
+  /** Partition-skip the cell-keyed store down to the batch's probed cells
+    * BEFORE the candidate join: a broadcast left-semi on the store's
+    * partition column hands Spark a dynamic partition-pruning filter, so
+    * unprobed store partitions are never read — the single-query path's
+    * static `isin` pruning, recovered for batches without any driver
+    * round-trip (VERDICT r11 #1). The broadcast side is bounded by the
+    * CELL COUNT, not |Q|: distinct(probed cells) ≤ Cells regardless of how
+    * many queries the batch carries, so this is always a safe broadcast —
+    * at data-scale |Q| the filter approaches a no-op and the plan degrades
+    * gracefully to the full-store join it was before. */
+  private[ml] def prunedByProbedCells(store: DataFrame,
+      probed: DataFrame): DataFrame =
+    store.join(broadcast(probed.select("cell").distinct()),
+      Seq("cell"), "left_semi")
 
   /** The batched probe stage shared by ivfTopKBatch and the SQ8 batch
     * lookup (Quant.sq8IvfTopKBatchFrom): each (qid, qemb) row of `q` ranks

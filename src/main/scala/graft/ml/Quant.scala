@@ -143,8 +143,9 @@ object Quant {
       queries: DataFrame, k: Int, excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"),
       col("embedding").cast("array<double>").as("qemb"))
-    val joined = Ann.probeBatch(q, Ann.centroids(emb))
-      .join(store, Seq("cell"))
+    val probed = Ann.probeBatch(q, Ann.centroids(emb))
+    val joined = probed.join(Ann.prunedByProbedCells(store, probed),
+      Seq("cell"))
     val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("qid"))
                else joined
     Ann.topKPerQuery(cand

@@ -43,13 +43,42 @@ object Catalog {
 
   /** Materialization cache. Versioned so a derivation change invalidates old
     * caches; lives inside the repo (the only writable area) and is gitignored. */
-  private val cacheVersion = "v10"
+  private val cacheVersion = "v11"
   /** Exposed for specs that assert the materialization landed on disk. */
   def cacheVersionTag: String = cacheVersion
   private def cacheRoot: String =
     sys.env.getOrElse("GRAFT_CACHE", "/root/repo/.graft-cache")
+
+  /** Short content fingerprint of a source directory: name+size+mtime of
+    * every parquet entry (one level of recursion for directory-shaped
+    * tables). Folded into the cache key so a regenerated testdata tree
+    * invalidates its derived materializations automatically — a path-only
+    * key silently served stale derivations when the driver rewrote
+    * /root/testdata between rounds (round-12 incident: 4 hash mismatches). */
+  private val fpMemo = new scala.collection.concurrent.TrieMap[String, String]
+  private def sourceFingerprint(dir: String): String =
+    fpMemo.getOrElseUpdate(dir, {
+      def entries(f: java.io.File): Seq[String] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .sortBy(_.getName).toSeq
+            .flatMap(c => entries(c).map(e => s"${f.getName}/$e"))
+        else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+      val names = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+      val sig = names.flatMap(entries).mkString("|")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sig.getBytes("UTF-8"))
+        .take(6).map(b => f"$b%02x").mkString
+    })
+
+  /** Key segment = source basename + content fingerprint (NOT the full
+    * path — the fingerprint already disambiguates same-named dirs, and a
+    * long segment pushes the store name past explain()'s path truncation,
+    * which the plan-pin specs match on). */
   private def cacheDir(dir: String, name: String): String =
-    s"$cacheRoot/$cacheVersion/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+    s"$cacheRoot/$cacheVersion/${new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")}-${sourceFingerprint(dir)}/$name"
 
   private def materialize(path: String)(build: => DataFrame): Unit =
     synchronized {
@@ -469,14 +498,26 @@ object Catalog {
     spark.read.parquet(path)
   }
 
-  /** `events` stores TIMESTAMP(NANOS) which Spark's parquet reader rejects;
-    * read nanos as Long and convert (integer DIV — a double round-trip would
-    * lose precision above 2^53 ns). Requires
-    * spark.sql.legacy.parquet.nanosAsLong=true, set once at session build
-    * (GraftSession.builder) — NOT mutated here, so reads stay order-independent. */
+  /** Normalize the events `ts` column to session-zoned TimestampType.
+    * Testdata generations have shipped three physical encodings:
+    * TIMESTAMP(NANOS) — read as Long via
+    * spark.sql.legacy.parquet.nanosAsLong=true (integer DIV; a double
+    * round-trip would lose precision above 2^53 ns) — TIMESTAMP_NTZ
+    * (micros, naive; the UTC session makes the cast epoch-preserving), and
+    * an already-zoned timestamp. Dispatching on the actual column type keeps
+    * every reader working across testdata regenerations. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeTs(table(spark, dir, "events"))
 
   /** Raw events with nanosecond `ts` kept as Long (for streaming file source
     * which needs an explicit schema). */

@@ -66,13 +66,18 @@ object EventsIngest {
       s.table(name)
     }
 
-  /** The raw event stream (nanos → timestamp, same as the batch reader). */
-  def stream(spark: SparkSession, dir: String): DataFrame =
+  /** The raw event stream, normalized like the batch reader. The file
+    * source needs an explicit schema; deriving it from the parquet footer
+    * (one driver-side read) instead of hard-coding keeps the stream working
+    * when the testdata's physical ts encoding changes (nanos-as-Long vs
+    * TIMESTAMP_NTZ — see Catalog.normalizeTs). */
+  def stream(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // The glob braces make the file-stream source treat `dir` as basePath
     // (a bare file path is rejected — basePath must be a directory).
-    spark.readStream.schema(Catalog.eventsSchema)
-      .parquet(s"$dir/{events.parquet}")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    Catalog.normalizeTs(
+      spark.readStream.schema(fileSchema).parquet(s"$dir/{events.parquet}"))
+  }
 
   /** Index-shaped postings from the stream (stateless — no shuffle,
     * no state store). */
