@@ -614,6 +614,10 @@ object SparkEntry {
     // every shared span, pass untouched docs through verbatim
     "span_cut" -> ((s, dir) =>
       graft.ml.SpanDedup.cutSharedSpans(Catalog.documents(s, dir))),
+    // keep-first policy: one canonical occurrence of every shared run
+    // survives (lowest (doc_id, pos)); only the other copies are excised
+    "span_cut_keep_first" -> ((s, dir) =>
+      graft.ml.SpanDedup.cutSharedSpansKeepFirst(Catalog.documents(s, dir))),
     // boilerplate coverage as a per-doc quality signal on the same shuffle
     "span_coverage" -> ((s, dir) =>
       graft.ml.SpanDedup.spanCoverage(Catalog.documents(s, dir))),
@@ -695,6 +699,15 @@ object SparkEntry {
     // cell parquet (AnnIndexSpec asserts the plan reads it)
     "emb_topk_lsh" -> ((s, dir) =>
       Ann.topK(Catalog.embeddings(s, dir), Catalog.annBuckets(s, dir), 0, 10)),
+    // BATCHED LSH serving: each query row hashes itself into its L bucket
+    // keys in-plan; candidates arrive through the bucket equi-join against
+    // the stored index — zero per-query driver round-trips, the bulk
+    // lookup twin of emb_topk_lsh (as emb_topk_ivf_batch is to emb_topk_ivf)
+    "emb_topk_lsh_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Ann.topKBatch(Catalog.embeddings(s, dir), Catalog.annBuckets(s, dir),
+        Catalog.embeddings(s, dir).filter(col("vec_id") < 8), 10)
+    }),
     // incremental index maintenance: new embeddings stream through the SAME
     // signature pipeline the batch build uses and append to the stored
     // bucket index — stateless, no shuffle
@@ -1234,6 +1247,7 @@ object SparkEntry {
     "span_stream_index" -> graft.ml.SpanDedup.sketchOracleSql,
     "span_compact" -> graft.ml.SpanDedup.sketchOracleSql,
     "span_cut" -> graft.ml.SpanDedup.cutOracleSql,
+    "span_cut_keep_first" -> graft.ml.SpanDedup.cutKeepFirstOracleSql,
     "span_coverage" -> graft.ml.SpanDedup.coverageOracleSql,
     "sample_stratified" -> graft.ml.CorpusOps.stratifiedOracleSql("lang", 20),
     "pack_batches" -> graft.ml.CorpusOps.packOracleSql(2000L, 8),
@@ -1285,6 +1299,7 @@ object SparkEntry {
       FROM e, q WHERE e.vec_id <> 0
       ORDER BY sim DESC, e.vec_id LIMIT 10""".replaceAll("\\s+", " ")),
     "emb_topk_lsh" -> Ann.oracleSql(0, 10),
+    "emb_topk_lsh_batch" -> Ann.lshBatchOracleSql(8, 10),
     "ann_stream_index" -> Ann.bucketsOracleSql,
     "emb_topk_ivf" -> Ann.ivfOracleSql(0, 10),
     "ann_recall" -> Ann.recallOracleSql(0, 10),

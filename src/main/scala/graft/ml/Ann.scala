@@ -116,6 +116,41 @@ object Ann {
   def topK(emb: DataFrame, qVecId: Long, k: Int): DataFrame =
     topK(emb, graft.util.Caches.track(bucketIds(emb).cache()), qVecId, k)
 
+  /** BATCHED LSH serving: a whole query TABLE against the persisted bucket
+    * index in one declarative plan — topK's candidate semantics (distinct
+    * vec_ids sharing ANY of the query's L buckets, exact-cosine re-rank,
+    * same tie-break) with the per-query bounded bucket collect replaced by
+    * an in-plan projection: each (qid, qemb) row hashes ITSELF into its L
+    * bucket keys (the same signature expressions the index build uses — a
+    * |Q|×L explode, no corpus scan), candidates arrive through the bucket
+    * equi-join against the stored index, (qid, vec_id) pairs dedup once (a
+    * pair can collide in several tables), and the per-query top-k rides
+    * the WindowGroupLimit pushdown. Nothing is collected; |Q| can itself
+    * be data-scale — bulk lookup against a bucketed corpus is the
+    * dedup-against-index-at-ingest shape (NearDup.incrementalDupesFrom's
+    * embedding analogue). Same query-table contract as ivfTopKBatch:
+    * distinct qids; excludeSelf = false for an external id space.
+    * Returns (qid, vec_id, sim), ≤ k rows per query. */
+  def topKBatch(emb: DataFrame, bk: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").as("emb"))
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qemb"))
+    val qb = q.select(col("qid"),
+      explode(array((0 until Tables).map { t =>
+        concat(lit(s"$t:"), signature(col("qemb"), t))
+      }: _*)).as("bucket"))
+    val hits = qb.join(bk, Seq("bucket")).select("qid", "vec_id")
+    val pairs = (if (excludeSelf) hits.filter(col("vec_id") =!= col("qid"))
+                 else hits).distinct()
+    topKPerQuery(pairs
+      .join(e, Seq("vec_id"))
+      .join(q.select(col("qid"), col("qemb"),
+        dot(col("qemb"), col("qemb")).as("qn")), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        asymSim(col("emb"), col("qemb"), col("qn")).as("sim")), k)
+  }
+
   // ---- IVF variant: coarse-quantize into cells, probe nearest cells ----
 
   val Cells = 16  // coarse centroids (vec_ids 1..Cells as deterministic seeds)
@@ -619,18 +654,22 @@ object Ann {
   private def planeSql(plane: Seq[Double]): String =
     plane.mkString("[", ",", "]")
 
+  /** The L per-table signature expressions over a source embedding column —
+    * the ONE SQL rendering of `signature`, shared by the single-query and
+    * batched LSH oracles so the plane literals cannot drift. */
+  private def lshSigExprs(src: String): Seq[String] =
+    (0 until Tables).map { t =>
+      (0 until Bits).map { b =>
+        s"(CASE WHEN list_dot_product($src, ${planeSql(planes(t * Bits + b))}) >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+    }
+
   /** DuckDB mirror of topK over the `embeddings` view. */
   def oracleSql(qVecId: Long, k: Int,
       srcSql: String = BaseSrcSql): String = {
-    def sigExpr(src: String): Seq[String] = (0 until Tables).map { t =>
-      val bits = (0 until Bits).map { b =>
-        s"(CASE WHEN list_dot_product($src, ${planeSql(planes(t * Bits + b))}) >= 0 THEN '1' ELSE '0' END)"
-      }
-      bits.mkString(" || ")
-    }
-    val eSigs = sigExpr("e.emb").zipWithIndex
+    val eSigs = lshSigExprs("e.emb").zipWithIndex
       .map { case (s, t) => s"$s AS sig$t" }.mkString(", ")
-    val qSigs = sigExpr("q.qemb").zipWithIndex
+    val qSigs = lshSigExprs("q.qemb").zipWithIndex
       .map { case (s, t) => s"$s AS qsig$t" }.mkString(", ")
     val matchCond = (0 until Tables).map(t => s"es.sig$t = qs.qsig$t").mkString(" OR ")
     s"""WITH e AS ($srcSql),
@@ -643,6 +682,31 @@ object Ann {
        |  round(list_dot_product(emb, qemb) /
        |        sqrt(list_dot_product(emb, emb) * list_dot_product(qemb, qemb)), 6) AS sim
        |FROM cand ORDER BY sim DESC, vec_id LIMIT $k
+       |""".stripMargin.replaceAll("\\s+", " ")
+  }
+
+  /** DuckDB mirror of topKBatch for the query batch vec_id < maxQid: the
+    * same any-table bucket match per (query, vector) pair, the same
+    * distinct-pair dedup, and the shared batchRankSql top-k tail with
+    * topKBatch's exact tie-break. */
+  def lshBatchOracleSql(maxQid: Long, k: Int,
+      srcSql: String = BaseSrcSql): String = {
+    val eSigs = lshSigExprs("e.emb").zipWithIndex
+      .map { case (s, t) => s"$s AS sig$t" }.mkString(", ")
+    val qSigs = lshSigExprs("q.qemb").zipWithIndex
+      .map { case (s, t) => s"$s AS qsig$t" }.mkString(", ")
+    val matchCond = (0 until Tables).map(t => s"es.sig$t = qs.qsig$t").mkString(" OR ")
+    s"""WITH e AS ($srcSql),
+       |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < $maxQid),
+       |es AS (SELECT e.vec_id, e.emb, $eSigs FROM e),
+       |qs AS (SELECT q.qid, $qSigs FROM q),
+       |pairs AS (SELECT DISTINCT qs.qid, es.vec_id FROM es, qs
+       |          WHERE ($matchCond) AND es.vec_id <> qs.qid),
+       |cand AS (SELECT p.qid, p.vec_id,
+       |    round(list_dot_product(e.emb, q.qemb) /
+       |          sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
+       |  FROM pairs p JOIN e ON e.vec_id = p.vec_id JOIN q ON q.qid = p.qid)
+       |${batchRankSql(k)}
        |""".stripMargin.replaceAll("\\s+", " ")
   }
 }

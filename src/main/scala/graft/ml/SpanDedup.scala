@@ -80,12 +80,18 @@ object SpanDedup {
     * fan-out. Same result as the inline path by construction (it IS the
     * inline path's tail; SpanDedupSpec pins the equivalence through a
     * parquet round-trip). */
-  def sharedSpansFrom(sketch: DataFrame): DataFrame = {
-    val shared = sketch.groupBy("h")
-      .agg(countDistinct("doc_id").as("df"))
-      .filter(col("df") > 1)
-      .select("h")
-    val pos = sketch.join(shared, Seq("h")).select("doc_id", "pos")
+  def sharedSpansFrom(sketch: DataFrame): DataFrame =
+    mergeIslands(sketch.join(
+        sketch.groupBy("h").agg(countDistinct("doc_id").as("df"))
+          .filter(col("df") > 1).select("h"),
+        Seq("h"))
+      .select("doc_id", "pos"))
+
+  /** The gaps-and-islands merge shared by both span policies: consecutive
+    * marked positions closer than a shingle width fold into one maximal
+    * (doc_id, span_start, span_end) token span — a per-doc window bounded
+    * by document length. */
+  private def mergeIslands(pos: DataFrame): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     pos
       .withColumn("brk",
@@ -99,6 +105,36 @@ object SpanDedup {
       .select("doc_id", "span_start", "span_end")
   }
 
+  /** KEEP-FIRST spans: like sharedSpans, but each shared shingle's single
+    * CANONICAL occurrence — the lexicographically lowest (doc_id, pos) —
+    * is exempt from cutting, so exactly one copy of every shared run
+    * survives (Lee et al. 2022's dedup policy: remove the duplicate, keep
+    * the text; contrast cutSharedSpans, which treats shared runs as
+    * boilerplate and excises every occurrence). Within-document repeats
+    * are duplicates too: the second occurrence of a shingle inside the
+    * canonical document still marks for cutting. Cost over sharedSpans is
+    * ONE extra min(struct(doc_id, pos)) riding the same df aggregation —
+    * both partial-aggregate map-side, so a boilerplate shingle in every
+    * document is still not a hot key. */
+  def keepFirstSpans(docs: DataFrame): DataFrame = {
+    val sh = graft.util.Caches.track(spanShingles(docs).cache())
+    keepFirstSpansFrom(sh)
+  }
+
+  /** keepFirstSpans over a STORED positional sketch (Catalog.spanSketch) —
+    * the same two-scan shape as sharedSpansFrom. */
+  def keepFirstSpansFrom(sketch: DataFrame): DataFrame = {
+    val shared = sketch.groupBy("h")
+      .agg(countDistinct("doc_id").as("df"),
+        min(struct(col("doc_id"), col("pos"))).as("canon"))
+      .filter(col("df") > 1)
+      .select(col("h"), col("canon.doc_id").as("cdoc"),
+        col("canon.pos").as("cpos"))
+    mergeIslands(sketch.join(shared, Seq("h"))
+      .filter(!(col("doc_id") === col("cdoc") && col("pos") === col("cpos")))
+      .select("doc_id", "pos"))
+  }
+
   /** Span SURGERY — apply sharedSpans to the corpus: excise every
     * cross-document shared span from every document and re-join the
     * surviving tokens (the aggressive boilerplate-removal policy: shared
@@ -109,8 +145,23 @@ object SpanDedup {
     * expression (filter-with-index against the doc's own bounded span
     * list), so beyond sharedSpans' shuffle the only added cost is one
     * doc-keyed join — codegen'd, no UDF. */
-  def cutSharedSpans(docs: DataFrame): DataFrame = {
-    val spans = sharedSpans(docs)
+  def cutSharedSpans(docs: DataFrame): DataFrame =
+    cutBySpans(docs, sharedSpans(docs))
+
+  /** Span surgery under the KEEP-FIRST policy: cut every shared run
+    * except its canonical occurrence — the lowest (doc_id, pos) copy of
+    * each shared shingle survives verbatim, so deduplicated text is
+    * removed from the corpus exactly once instead of everywhere. */
+  def cutSharedSpansKeepFirst(docs: DataFrame): DataFrame =
+    cutBySpans(docs, keepFirstSpans(docs))
+
+  /** The shared surgery tail: fold a policy's (doc_id, span_start,
+    * span_end) rows into a per-doc span list and excise those token
+    * ranges. The cut is a per-row array expression (filter-with-index
+    * against the doc's own bounded span list) — codegen'd, no UDF; docs
+    * with no span pass through verbatim without the token round-trip. */
+  private def cutBySpans(docs: DataFrame, spanRows: DataFrame): DataFrame = {
+    val spans = spanRows
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("spans"))
@@ -144,10 +195,27 @@ object SpanDedup {
     * lag-based island break with NULL-first-row → new island, and the same
     * inclusive span arithmetic; positions cast to INT to match Spark's
     * sequence element type. */
-  def spansOracleSql: String =
+  def spansOracleSql: String = islandsSqlOver(
+    s"""shared AS (SELECT h FROM p GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+       |sp AS (SELECT doc_id, pos FROM p JOIN shared USING (h))""".stripMargin)
+
+  /** DuckDB mirror of keepFirstSpans: the same df > 1 gate, with each
+    * shared shingle's lexicographically-first (doc_id, pos) row exempted —
+    * row_number over (doc_id, pos) is the window rendering of Spark's
+    * min(struct(doc_id, pos)) argmin — then the identical island merge. */
+  def keepFirstSpansSql: String = islandsSqlOver(
+    s"""shared AS (SELECT h FROM p GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+       |sp AS (SELECT doc_id, pos FROM (
+       |  SELECT doc_id, pos, row_number() OVER (PARTITION BY h
+       |      ORDER BY doc_id, pos) AS rn
+       |  FROM p JOIN shared USING (h)) WHERE rn > 1)""".stripMargin)
+
+  /** The ONE DuckDB rendering of the gaps-and-islands merge over a policy's
+    * marked-position CTE `sp` — shared by both span policies so the island
+    * arithmetic cannot drift between their oracles. */
+  private def islandsSqlOver(spCtes: String): String =
     s"""WITH $shingleCtesSql,
-       |shared AS (SELECT h FROM p GROUP BY h HAVING count(DISTINCT doc_id) > 1),
-       |sp AS (SELECT doc_id, pos FROM p JOIN shared USING (h)),
+       |$spCtes,
        |brk AS (SELECT doc_id, pos,
        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $W
        |         THEN 0 ELSE 1 END AS brk FROM sp),
@@ -188,8 +256,14 @@ object SpanDedup {
     * takes. A FULLY cut doc must render as '' on both sides: DuckDB's
     * array_to_string over an empty list is NULL (string_agg semantics),
     * hence the COALESCE — Spark's concat_ws is already ''. */
-  def cutOracleSql: String =
-    s"""WITH spans AS ($spansOracleSql),
+  def cutOracleSql: String = cutSqlOver(spansOracleSql)
+
+  /** DuckDB mirror of cutSharedSpansKeepFirst: the keep-first span set
+    * through the same surgery template. */
+  def cutKeepFirstOracleSql: String = cutSqlOver(keepFirstSpansSql)
+
+  private def cutSqlOver(spansSql: String): String =
+    s"""WITH spans AS ($spansSql),
        |agg AS (SELECT doc_id, list({'s': span_start, 'e': span_end}) AS spans
        |        FROM spans GROUP BY doc_id)
        |SELECT d.doc_id,

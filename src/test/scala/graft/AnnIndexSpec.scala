@@ -138,6 +138,38 @@ class AnnIndexSpec extends AnyFunSuite {
       s"excludeSelf=false must rank each query's own row first: ${self.toSeq}")
   }
 
+  test("batched LSH serving == per-query single lookups, bucket equi-join") {
+    // the LSH twin of the batched IVF test: each query row hashes ITSELF
+    // into its L bucket keys in-plan (no per-query driver collect), and
+    // candidates arrive through the bucket equi-join against the STORED
+    // index — never a cartesian product between data-scaled sides (the
+    // only cross shape anywhere is none: even the probe stage is a
+    // projection here, unlike IVF's broadcast centroid ranking)
+    val emb = Catalog.embeddings(spark, dir)
+    val bk = Catalog.annBuckets(spark, dir)
+    val df = SparkEntry.queries("emb_topk_lsh_batch")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("ann_buckets"), s"batch plan does not scan ann_buckets:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"batch plan has a cartesian product:\n$p")
+    assert(p.contains("HashJoin [bucket#") || p.contains("hashpartitioning(bucket#"),
+      s"candidate join is not a hash join on bucket:\n$p")
+    assert("WindowGroupLimit".r.findAllIn(p).nonEmpty,
+      s"per-query top-k does not ride the WindowGroupLimit pushdown:\n$p")
+    val batch = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val singles = (0L until 8L).flatMap { qid =>
+      Ann.topK(emb, bk, qid, 10).collect()
+        .map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch == singles)
+    val self = Ann.topKBatch(emb, bk,
+        emb.filter(col("vec_id") < 4), 1, excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(self.length == 4 && self.forall(r => r._1 == r._2 && r._3 == 1.0),
+      s"excludeSelf=false must rank each query's own row first: ${self.toSeq}")
+  }
+
   test("persisted-index lookup matches the ad-hoc derivation") {
     val emb = Catalog.embeddings(spark, dir)
     val stored = Ann.topK(emb, Catalog.annBuckets(spark, dir), 0, 10)

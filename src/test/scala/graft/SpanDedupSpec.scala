@@ -108,6 +108,41 @@ class SpanDedupSpec extends AnyFunSuite {
     } finally graft.util.Caches.drain()
   }
 
+  test("keep-first cut: the canonical copy survives verbatim, later copies are excised") {
+    // identical docs 1 and 2: every shared shingle's canonical occurrence
+    // is in doc 1 (lowest doc_id), so doc 1 must pass through UNTOUCHED and
+    // doc 2 must lose the whole run — the Lee et al. dedup policy, vs
+    // cutSharedSpans which would empty both
+    val x = (1 to 25).map(i => s"x$i").mkString(" ")
+    val solo = (1 to 30).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, x), (2L, x), (3L, solo)).toDF("doc_id", "text")
+    try {
+      val got = SpanDedup.cutSharedSpansKeepFirst(docs).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got(1L) == x, s"canonical copy was cut: ${got(1L)}")
+      assert(got(2L) == "", s"duplicate copy survived: ${got(2L)}")
+      assert(got(3L) == solo)
+    } finally graft.util.Caches.drain()
+  }
+
+  test("keep-first cut marks within-document repeats beyond the first") {
+    // doc 1 = X ++ M ++ X with M long enough to separate islands, doc 2 = X:
+    // X is cross-document shared; its canonical occurrences are doc 1's
+    // FIRST copy (pos < all others), so doc 1 keeps copy one, loses copy
+    // two, and doc 2 (higher doc_id) loses its copy
+    val x = (1 to 10).map(i => s"x$i")
+    val m = (1 to 20).map(i => s"m$i")
+    val docs = Seq(
+      (1L, (x ++ m ++ x).mkString(" ")),
+      (2L, x.mkString(" "))).toDF("doc_id", "text")
+    try {
+      val got = SpanDedup.cutSharedSpansKeepFirst(docs).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got(1L) == (x ++ m).mkString(" "), s"doc 1: ${got(1L)}")
+      assert(got(2L) == "", s"doc 2: ${got(2L)}")
+    } finally graft.util.Caches.drain()
+  }
+
   test("spanCoverage is the merged-island token fraction, 0 for untouched docs") {
     val a = (1 to 20).map(i => s"a$i")
     val b = (1 to 20).map(i => s"b$i")
