@@ -777,6 +777,28 @@ object SparkEntry {
     "emb_topk_sq8" -> ((s, dir) =>
       graft.ml.Quant.sq8IvfTopKFrom(Catalog.sq8IvfStore(s, dir),
         Catalog.embeddings(s, dir), 0, 10)),
+    // PRODUCT quantization composed with the coarse quantizer: one byte
+    // per subspace (32x smaller than the floats, vs SQ8's 4x); the lookup
+    // probes its nearest cells and ranks through the PqSim ADC kernel —
+    // candidates contribute only their M code bytes, every reconstructed
+    // float comes from the committed codebook constants
+    "emb_topk_pq" -> ((s, dir) =>
+      graft.ml.Pq.pqIvfTopKFrom(Catalog.pqIvfStore(s, dir),
+        Catalog.embeddings(s, dir), 0, 10)),
+    // batched PQ serving — the sq8_topk_batch shape over the 32x store
+    "pq_topk_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ml.Pq.pqIvfTopKBatchFrom(Catalog.pqIvfStore(s, dir),
+        Catalog.embeddings(s, dir),
+        Catalog.embeddings(s, dir).filter(col("vec_id") < 8), 10)
+    }),
+    // the PQ store's content, exploded to scalar so codes pin element-wise
+    "pq_store_codes" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, posexplode}
+      Catalog.pqIvfStore(s, dir)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("pos", "code")))
+        .select(col("vec_id"), col("pos"), col("code"))
+    }),
     // batched serving over the QUANTIZED store: the ivf_batch shape with the
     // float corpus swapped for the 4x-smaller byte codes — bulk retrieval
     // (hard-negative mining, dedup-against-index) never inflating the store
@@ -1314,6 +1336,9 @@ object SparkEntry {
     "sq8_topk_gen" -> graft.ml.Quant.sq8IvfOracleSql(0, 10),
     "emb_topk_sq8" -> graft.ml.Quant.sq8IvfOracleSql(0, 10),
     "sq8_topk_batch" -> graft.ml.Quant.sq8IvfBatchOracleSql(8, 10),
+    "emb_topk_pq" -> graft.ml.Pq.pqIvfOracleSql(0, 10),
+    "pq_topk_batch" -> graft.ml.Pq.pqIvfBatchOracleSql(8, 10),
+    "pq_store_codes" -> graft.ml.Pq.codesOracleSql,
     "mm_framesample" -> Multimodal.frameSampleOracleSql(),
     "mm_resize" -> Multimodal.resizeOracleSql,
   )

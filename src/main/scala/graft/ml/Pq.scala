@@ -1,0 +1,187 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) of the embedding corpus — the far end of the
+  * scalar-quantization family Quant opens (SQ8's own scaladoc names it):
+  * each vector splits into `M` disjoint subspaces and stores ONE BYTE per
+  * subspace — the index of its nearest codebook centroid — so a
+  * 64-dim float32 row shrinks 256 B → 8 B (32×, vs SQ8's 4×). Ranking is
+  * asymmetric ADC (asymmetric distance computation): the raw query against
+  * the candidate's reconstructed centroids, where every reconstructed
+  * float comes from the committed codebook CONSTANTS — candidates
+  * themselves contribute only their M code bytes (expressions.PqSim, the
+  * codegen'd kernel).
+  *
+  * Like SQ8, PQ composes with the IVF coarse quantizer
+  * (Catalog.pqIvfStore: codes hive-partitioned by cell); a lookup probes
+  * its nearest cells and ranks only those partitions' codes — O(probed
+  * cells) serving over a store 32× smaller than the floats. Codebooks are
+  * trained offline on a corpus sample (TrainPq → TrainedPqCodebooks, the
+  * TrainedCentroids pattern), so both engines embed the same literal
+  * matrices and the DuckDB oracle can mirror encode + rank exactly.
+  *
+  * Quality sits below SQ8 (16 centroids replace a whole 8-dim subspace —
+  * quantization error is per-REGION, not per-component); PqSpec measures
+  * the probed-cell overlap against IVF-flat and pins a floor. The
+  * reference engine stores float scores only; this is
+  * pipeline-beyond-reference surface like the rest of ml/.
+  */
+object Pq {
+
+  val M = 8                    // subspaces per vector
+  val Ksub = 16                // centroids per subspace codebook
+  val SubDim = Ann.Dims / M    // dimensions per subspace
+
+  /** Squared distance from the j-th subspace of `emb` to codebook centroid
+    * (j, k) — unrolled left-to-right over the SubDim components, the same
+    * IEEE sequence as the oracle's unrolled SQL, so the argmins agree. */
+  private def distExpr(emb: Column, j: Int, k: Int): Column = {
+    val c = TrainedPqCodebooks.books(j)(k)
+    (0 until SubDim).map { d =>
+      val x = element_at(emb, j * SubDim + d + 1)
+      (x - lit(c(d))) * (x - lit(c(d)))
+    }.reduceLeft(_ + _)
+  }
+
+  /** (vec_id, codes array<tinyint> of length M): each byte is the 0-based
+    * index of the subspace's nearest centroid (ties → lowest index, via
+    * first-occurrence array_position on the same computed distances both
+    * engines share). A pure per-row projection — encoding streams. */
+  def pqCodes(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val codeCols = (0 until M).map { j =>
+      val dists = array((0 until Ksub).map(k => distExpr(col("emb"), j, k)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("byte")
+    }
+    e.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** The ADC ranking sim (expressions.PqSim kernel), rounded like every
+    * other similarity the engine serves. */
+  private def pqSim(codes: Column, qemb: Column, qn: Column): Column =
+    round(call_function("graft_pq_sim", codes, qemb, qn), 6)
+
+  /** Top-k by asymmetric PQ cosine against the COMPOSED PQ×IVF store
+    * (Catalog.pqIvfStore) — the sq8IvfTopKFrom shape over the 32×-smaller
+    * codes: probe the query's nearest cells (bounded collect → static
+    * partition pruning), rank the probed rows through the PqSim kernel.
+    * Returns (vec_id, sim). */
+  def pqIvfTopKFrom(store: DataFrame, emb: DataFrame, qVecId: Long,
+      k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val qCells = Ann.probedCells(e, qVecId)
+    val q = broadcast(e.filter(col("vec_id") === qVecId)
+      .select(col("emb").as("qemb"),
+        Ann.dot(col("emb"), col("emb")).as("qn")))
+    store.filter(col("cell").isin(qCells: _*))
+      .filter(col("vec_id") =!= qVecId)
+      .crossJoin(q)
+      .select(col("vec_id"),
+        pqSim(col("codes"), col("qemb"), col("qn")).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** BATCHED PQ serving — the sq8IvfTopKBatchFrom shape: shared probe
+    * stage (Ann.probeBatch), broadcast probed-cell semi-join for dynamic
+    * partition pruning, candidates ranked through the PqSim kernel,
+    * per-query top-k riding the rank pushdown. Same query-table contract
+    * as the other batch lookups. Returns (qid, vec_id, sim). */
+  def pqIvfTopKBatchFrom(store: DataFrame, emb: DataFrame,
+      queries: DataFrame, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qemb"))
+    val probed = Ann.probeBatch(q, Ann.centroids(emb))
+    val joined = probed.join(Ann.prunedByProbedCells(store, probed),
+      Seq("cell"))
+    val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("qid"))
+               else joined
+    Ann.topKPerQuery(cand
+      .select(col("qid"), col("vec_id"),
+        pqSim(col("codes"), col("qemb"), col("qn")).as("sim")), k)
+  }
+
+  // ---- DuckDB mirrors ----
+
+  private def cbListSql(j: Int): String =
+    TrainedPqCodebooks.books(j)
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** The (j, k) squared distance, unrolled in the same left-to-right
+    * component order as distExpr. */
+  private def distSql(j: Int, k: Int): String = {
+    val c = TrainedPqCodebooks.books(j)(k)
+    (0 until SubDim).map { d =>
+      val x = s"emb[${j * SubDim + d + 1}]"
+      s"($x - ${c(d)}) * ($x - ${c(d)})"
+    }.mkString(" + ")
+  }
+
+  /** The reconstructed vector: per subspace, the first-minimum centroid
+    * (list_position ≡ Spark's array_position on identically computed
+    * distances), flattened in subspace order — so list_dot_product over it
+    * accumulates the exact dimension-ordered IEEE sequence the PqSim
+    * kernel produces. */
+  private def xqSql: String = {
+    val subs = (0 until M).map { j =>
+      val dists = (0 until Ksub).map(k => s"(${distSql(j, k)})")
+        .mkString("[", ",", "]")
+      s"(${cbListSql(j)})[list_position($dists, list_min($dists))]"
+    }
+    s"flatten([${subs.mkString(",")}])"
+  }
+
+  /** The reconstructed-corpus CTE `pxq` both PQ oracles share. */
+  private def pxqCteSql: String =
+    s"pxq AS (SELECT vec_id, $xqSql AS xq FROM e)"
+
+  /** DuckDB mirror of pqCodes (the store's content, exploded to scalar
+    * (vec_id, pos, code) so codes pin element-wise). */
+  def codesOracleSql: String = {
+    val codes = (0 until M).map { j =>
+      val dists = (0 until Ksub).map(k => s"(${distSql(j, k)})")
+        .mkString("[", ",", "]")
+      s"(list_position($dists, list_min($dists)) - 1)"
+    }.mkString("[", ",", "]")
+    s"""WITH e AS (${Ann.BaseSrcSql}),
+       |cx AS (SELECT vec_id, $codes AS codes FROM e)
+       |SELECT vec_id, CAST(u.pos AS INT) AS pos, CAST(u.code AS TINYINT) AS code
+       |FROM (SELECT vec_id,
+       |  unnest(list_transform(range(1, $M + 1),
+       |    i -> {'pos': i - 1, 'code': codes[i]})) AS u FROM cx)
+       |""".stripMargin.replaceAll("\\s+", " ")
+  }
+
+  /** DuckDB mirror of pqIvfTopKFrom ∘ pqIvfStore. */
+  def pqIvfOracleSql(qVecId: Long, k: Int): String =
+    s"""WITH ${Ann.cellCtesSql(Ann.BaseSrcSql)},
+       |$pxqCteSql,
+       |qc AS (SELECT cent_id AS cell FROM asg WHERE vec_id = $qVecId
+       |       ORDER BY csim DESC, cent_id ASC LIMIT ${Ann.Probes}),
+       |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId)
+       |SELECT pxq.vec_id AS vec_id,
+       |  round(list_dot_product(pxq.xq, q.qemb) /
+       |    sqrt(list_dot_product(pxq.xq, pxq.xq) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
+       |FROM pxq JOIN cell USING (vec_id) JOIN qc USING (cell), q
+       |WHERE pxq.vec_id <> $qVecId
+       |ORDER BY sim DESC, vec_id LIMIT $k
+       |""".stripMargin.replaceAll("\\s+", " ")
+
+  /** DuckDB mirror of pqIvfTopKBatchFrom for the query batch
+    * vec_id < maxQid — the shared batch CTEs and rank tail. */
+  def pqIvfBatchOracleSql(maxQid: Long, k: Int): String =
+    s"""WITH ${Ann.cellCtesSql(Ann.BaseSrcSql)},
+       |$pxqCteSql,
+       |${Ann.batchQueryCtesSql(maxQid)},
+       |cand AS (SELECT p.qid AS qid, pxq.vec_id AS vec_id,
+       |    round(list_dot_product(pxq.xq, p.qemb) /
+       |      sqrt(list_dot_product(pxq.xq, pxq.xq) * list_dot_product(p.qemb, p.qemb)), 6) AS sim
+       |  FROM probed p JOIN cell USING (cell) JOIN pxq ON pxq.vec_id = cell.vec_id
+       |  WHERE pxq.vec_id <> p.qid)
+       |${Ann.batchRankSql(k)}
+       |""".stripMargin.replaceAll("\\s+", " ")
+}

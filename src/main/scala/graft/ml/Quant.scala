@@ -83,11 +83,13 @@ object Quant {
   def codesFrozen(emb: Column, mn: Double, scale: Double): Column =
     codeExpr(emb, lit(mn), lit(scale))
 
-  /** Per-row dequantization of a codes row (xq = mn + (code+128)·scale) —
-    * an inline projection in the probe path, never a corpus-wide
-    * materialization. */
-  private def dequantCol: Column =
-    expr("transform(codes, c -> mn + (CAST(c AS INT) + 128) * scale)")
+  /** The int8 ranking kernel (expressions.Sq8Sim): asymmetric cosine
+    * computed directly over the RAW byte codes in one codegen'd pass —
+    * the affine correction applied once per row, no per-candidate
+    * dequantized array<double> allocation (VERDICT r11 #5). */
+  private def sq8Sim(codes: Column, qemb: Column, mn: Column, scale: Column,
+      qn: Column): Column =
+    round(call_function("graft_sq8_sim", codes, qemb, mn, scale, qn), 6)
 
   /** Attach the shipped quantizer constants to a compacted generation's
     * (vec_id, cell, codes) rows: generation files store ONLY the byte
@@ -102,24 +104,26 @@ object Quant {
   /** Top-k by cosine against the COMPOSED SQ8×IVF store
     * (Catalog.sq8IvfStore): probe the query's `Ann.Probes` nearest cells (a
     * bounded eager collect pushed as a static In filter → static partition
-    * pruning on the cell-partitioned codes), dequantize only the probed
-    * rows, rank by asymmetric distance (raw query, dequantized store).
-    * The raw embeddings table is touched ONLY for the single query row
-    * (pushed EqualTo filter); candidates never load a float vector.
-    * Returns (vec_id, sim). */
+    * pruning on the cell-partitioned codes), rank the probed rows by
+    * asymmetric distance DIRECTLY on the byte codes (the Sq8Sim kernel —
+    * the affine correction applied once per row; candidates are never
+    * dequantized to a per-row double array). The raw embeddings table is
+    * touched ONLY for the single query row (pushed EqualTo filter);
+    * candidates never load a float vector. Returns (vec_id, sim). */
   def sq8IvfTopKFrom(store: DataFrame, emb: DataFrame, qVecId: Long,
       k: Int): DataFrame = {
     val e = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
     val qCells = Ann.probedCells(e, qVecId)
     val q = broadcast(e.filter(col("vec_id") === qVecId)
-      .select(col("emb").as("qemb")))
+      .select(col("emb").as("qemb"),
+        Ann.dot(col("emb"), col("emb")).as("qn")))
     store.filter(col("cell").isin(qCells: _*))
       .filter(col("vec_id") =!= qVecId)
-      .select(col("vec_id"), dequantCol.as("emb"))
       .crossJoin(q)
       .select(col("vec_id"),
-        round(Ann.cosine(col("emb"), col("qemb")), 6).as("sim"))
+        sq8Sim(col("codes"), col("qemb"), col("mn"), col("scale"),
+          col("qn")).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
   }
@@ -130,9 +134,10 @@ object Quant {
     * assignment is the shared Ann.probeBatch stage (per-query
     * WindowGroupLimit over the broadcast centroid matrix, no driver
     * round-trip); candidates arrive through a hash equi-join on the cell
-    * key (the store's partition key), dequantize per-row INSIDE the probe
-    * path, and rank by asymmetric distance (raw query, dequantized store)
-    * with a per-query row_number ≤ k riding the rank pushdown. Raw
+    * key (the store's partition key) and rank by asymmetric distance
+    * DIRECTLY on the byte codes (the Sq8Sim kernel — no per-candidate
+    * dequantized array) with a per-query row_number ≤ k riding the rank
+    * pushdown. Raw
     * embeddings are touched only for the |Q| query rows; candidates never
     * load a float vector, and nothing is collected — |Q| can itself be
     * data-scale (bulk retrieval over a quantized index: hard-negative
@@ -149,10 +154,9 @@ object Quant {
     val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("qid"))
                else joined
     Ann.topKPerQuery(cand
-      .select(col("qid"), col("vec_id"), dequantCol.as("emb"),
-        col("qemb"), col("qn"))
       .select(col("qid"), col("vec_id"),
-        Ann.asymSim(col("emb"), col("qemb"), col("qn")).as("sim")), k)
+        sq8Sim(col("codes"), col("qemb"), col("mn"), col("scale"),
+          col("qn")).as("sim")), k)
   }
 
   /** Ad-hoc overload for in-memory corpora (tests, exploratory use):
@@ -186,52 +190,68 @@ object Quant {
        |  FROM cx JOIN cell USING (vec_id))
        |""".stripMargin.replaceAll("\\s+", " ")
 
-  /** The quantize-then-dequantize oracle CTEs shared by both SQ8 lookup
-    * mirrors: the global (mn, scale) aggregate `st` (the frozen quantizer)
-    * and the dequantized corpus `dq` — the same clamp-round code as
-    * codeExpr with the ±128 shift omitted (it cancels in the dequant). */
-  private def dequantCtesSql: String =
+  /** The integer-domain oracle CTEs shared by both SQ8 lookup mirrors: the
+    * global (mn, scale) aggregate `st` (the frozen quantizer), the coded
+    * corpus `cx` (the same clamp-round-minus-128 byte codes the store
+    * holds), and `cq` carrying the per-row code sums the ranking kernel
+    * accumulates — Σc and Σc² (exact integers on both engines) plus the
+    * dimension count. */
+  private def intRankCtesSql: String =
     """st AS (SELECT mn, CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END AS scale
       |       FROM (SELECT min(u) AS mn, max(u) AS mx
       |             FROM (SELECT unnest(emb) AS u FROM e))),
-      |dq AS (SELECT vec_id,
+      |cx AS (SELECT vec_id, mn, scale,
       |         list_transform(emb, x ->
-      |           mn + least(greatest(CAST(round((x - mn) / scale) AS INT), 0), 255) * scale) AS emb
-      |       FROM e, st)""".stripMargin
+      |           least(greatest(CAST(round((x - mn) / scale) AS INT), 0), 255) - 128) AS codes
+      |       FROM e, st),
+      |cq AS (SELECT vec_id, mn, scale, codes,
+      |         CAST(list_sum(codes) AS DOUBLE) AS s1,
+      |         CAST(list_sum(list_transform(codes, c -> c * c)) AS DOUBLE) AS s2,
+      |         len(codes) AS nd
+      |       FROM cx)""".stripMargin
+
+  /** The ONE SQL rendering of the Sq8Sim kernel's arithmetic over a `cq`
+    * candidate row and a query embedding expression: with
+    * mp = mn + 128·scale, num = mp·Σq + scale·(c·q) and
+    * nrm = mp²·n + 2·mp·scale·Σc + scale²·Σc² — every term the same IEEE
+    * double op in the same order as the generated loop, so hashes match. */
+  private def intSimSql(q: String): String =
+    s"""round(((mn + 128 * scale) * list_sum($q)
+       |    + scale * list_dot_product(CAST(cq.codes AS DOUBLE[]), $q)) /
+       |  sqrt(((mn + 128 * scale) * (mn + 128 * scale) * cq.nd
+       |    + 2 * (mn + 128 * scale) * scale * cq.s1
+       |    + scale * scale * cq.s2) * list_dot_product($q, $q)), 6)""".stripMargin
 
   /** DuckDB mirror of sq8IvfTopKFrom ∘ sq8IvfStore: the shared coarse-
     * quantizer CTE chain (Ann.cellCtesSql — the SAME rendering ivfOracleSql
-    * pins), the same global (mn, scale) aggregate, the same round-to-int
-    * code (the ±128 shift cancels in the dequant and is omitted), probed
-    * cells from the RAW query, asymmetric dequantized cosine. */
+    * pins), the same global (mn, scale) aggregate, the same
+    * clamp-round-minus-128 byte codes, probed cells from the RAW query,
+    * and the kernel's integer-domain asymmetric cosine (intSimSql). */
   def sq8IvfOracleSql(qVecId: Long, k: Int): String =
     s"""WITH ${Ann.cellCtesSql(Ann.BaseSrcSql)},
-       |$dequantCtesSql,
+       |$intRankCtesSql,
        |qc AS (SELECT cent_id AS cell FROM asg WHERE vec_id = $qVecId
        |       ORDER BY csim DESC, cent_id ASC LIMIT ${Ann.Probes}),
        |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId)
-       |SELECT dq.vec_id AS vec_id,
-       |  round(list_dot_product(dq.emb, q.qemb) /
-       |    sqrt(list_dot_product(dq.emb, dq.emb) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
-       |FROM dq JOIN cell USING (vec_id) JOIN qc USING (cell), q
-       |WHERE dq.vec_id <> $qVecId
+       |SELECT cq.vec_id AS vec_id, ${intSimSql("q.qemb")} AS sim
+       |FROM cq JOIN cell USING (vec_id) JOIN qc USING (cell), q
+       |WHERE cq.vec_id <> $qVecId
        |ORDER BY sim DESC, vec_id LIMIT $k
        |""".stripMargin.replaceAll("\\s+", " ")
 
   /** DuckDB mirror of sq8IvfTopKBatchFrom ∘ sq8IvfStore for the query batch
     * vec_id < maxQid: the shared coarse-quantizer CTEs, the shared batched
     * query/probe CTEs (Ann.batchQueryCtesSql — identical to the IVF-flat
-    * batch oracle), the single-query SQ8 oracle's dequantized-corpus CTE,
+    * batch oracle), the single-query SQ8 oracle's integer-domain ranking,
     * and the shared per-query rank (Ann.batchRankSql). */
   def sq8IvfBatchOracleSql(maxQid: Long, k: Int): String =
     s"""WITH ${Ann.cellCtesSql(Ann.BaseSrcSql)},
-       |$dequantCtesSql,
+       |$intRankCtesSql,
        |${Ann.batchQueryCtesSql(maxQid)},
-       |cand AS (SELECT p.qid AS qid, dq.vec_id AS vec_id,
-       |    round(list_dot_product(dq.emb, p.qemb) /
-       |      sqrt(list_dot_product(dq.emb, dq.emb) * list_dot_product(p.qemb, p.qemb)), 6) AS sim
-       |  FROM probed p JOIN cell USING (cell) JOIN dq ON dq.vec_id = cell.vec_id
-       |  WHERE dq.vec_id <> p.qid)
+       |cand AS (SELECT p.qid AS qid, cq.vec_id AS vec_id,
+       |    ${intSimSql("p.qemb")} AS sim
+       |  FROM probed p JOIN cell USING (cell) JOIN cq ON cq.vec_id = cell.vec_id
+       |  WHERE cq.vec_id <> p.qid)
        |${Ann.batchRankSql(k)}
        |""".stripMargin.replaceAll("\\s+", " ")
 }

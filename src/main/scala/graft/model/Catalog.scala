@@ -498,6 +498,23 @@ object Catalog {
     spark.read.parquet(path)
   }
 
+  /** The MATERIALIZED composed PQ×IVF index — the M-byte product-quantized
+    * codes stored INSIDE the coarse-quantizer layout (vec_id, codes;
+    * hive-partitioned by cell), the sq8IvfStore pattern at 32× compression:
+    * built by joining the per-row PQ encoding (a pure projection over the
+    * committed codebooks) with the stored cell assignment. A PQ lookup
+    * (Pq.pqIvfTopKFrom) probes its nearest cells and ranks only those
+    * partitions' codes through the PqSim kernel. */
+  def pqIvfStore(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "pq_ivf")
+    materializeBy(path, Seq("cell")) {
+      graft.ml.Pq.pqCodes(embeddings(spark, dir))
+        .join(ivfCells(spark, dir).select(col("vec_id"), col("cell")),
+          Seq("vec_id"))
+    }
+    spark.read.parquet(path)
+  }
+
   /** Normalize the events `ts` column to session-zoned TimestampType.
     * Testdata generations have shipped three physical encodings:
     * TIMESTAMP(NANOS) — read as Long via

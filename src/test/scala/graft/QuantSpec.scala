@@ -49,6 +49,13 @@ class QuantSpec extends AnyFunSuite {
     // dequantizes per-row inside the probe projection
     assert(!p.contains("InMemoryTableScan"),
       s"lookup caches a dequantized corpus:\n$p")
+    // the ranking runs in the INTEGER domain (VERDICT r11 #5): the Sq8Sim
+    // kernel reads the byte codes directly — no per-candidate dequantized
+    // array<double> materializes anywhere in the probe path
+    assert(p.contains("graft_sq8_sim"),
+      s"probe path does not rank through the int8 kernel:\n$p")
+    assert(!p.contains("transform(codes"),
+      s"probe path dequantizes candidates to double arrays:\n$p")
     // raw embeddings appear ONLY as the single query-row fetch (asymmetric
     // distance needs the raw query vector), with the row filter pushed
     val embScans = p.sliding("embeddings.parquet".length)
@@ -105,6 +112,11 @@ class QuantSpec extends AnyFunSuite {
     assert("""PartitionFilters: \[[^\]]*(dynamicpruning|cell#\d+[^\]]* IN )""".r
         .findFirstIn(p).isDefined,
       s"no probed-cell partition filter on the batch sq8_ivf scan:\n$p")
+    // batch ranking also runs on the byte codes through the int8 kernel
+    assert(p.contains("graft_sq8_sim"),
+      s"batch path does not rank through the int8 kernel:\n$p")
+    assert(!p.contains("transform(codes"),
+      s"batch path dequantizes candidates to double arrays:\n$p")
     val batch = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val singles = (0L until 8L).flatMap { qid =>
