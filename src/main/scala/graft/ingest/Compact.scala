@@ -209,6 +209,19 @@ object Compact {
     }
   }
 
+  /** Compaction-cadence policy as code (VERDICT r11 #6): compact when the
+    * number of data files a reader must open — the streamed append tail at
+    * `inPath` plus the current published generation under `base` — exceeds
+    * `maxFiles`. This is the small-files trigger a deployment's scheduler
+    * polls (`if (shouldCompact(...)) compactAndFlip(...)`) instead of
+    * re-deriving the policy: every micro-batch appends a few files, read
+    * amplification grows linearly with them, and one rewritten generation
+    * resets the count to its partition count. Pure metadata listing — no
+    * data is read; safe to poll at scheduler cadence. */
+  def shouldCompact(inPath: String, base: String, maxFiles: Int): Boolean =
+    dataFileCount(inPath) +
+      currentGeneration(base).map(dataFileCount).getOrElse(0) > maxFiles
+
   val LockFile = "COMPACTION.lock"
 
   /** One full compaction cycle with the atomic swap: write the NEXT

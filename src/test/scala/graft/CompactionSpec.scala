@@ -118,6 +118,30 @@ class CompactionSpec extends AnyFunSuite {
     Compact.rmTree(base)
   }
 
+  test("shouldCompact trips on the streamed tail and resets after a compaction") {
+    // the scheduler's poll: a growing append tail pushes the live file
+    // count past the budget; one compactAndFlip folds it into a single
+    // generation and the predicate clears (the tail would be truncated /
+    // re-pointed by the deployment's sink after the fold)
+    val base = java.nio.file.Files.createTempDirectory("graft_policy").toString
+    val raw = s"$base/raw"
+    val idx = sketch.select(col("fp").as("key"), col("doc_id").as("off"))
+    assert(!Compact.shouldCompact(raw, s"$base/idx", 4),
+      "empty tail must not trigger")
+    (0 until 3).foreach { _ =>
+      idx.repartition(2).write.mode("append").parquet(raw) }
+    assert(Compact.dataFileCount(raw) == 6)
+    assert(Compact.shouldCompact(raw, s"$base/idx", 4),
+      "6-file tail over a 4-file budget must trigger")
+    Compact.compactAndFlip(spark, raw, s"$base/idx",
+      "key", Seq("key", "off"), partitions = Some(2))
+    Compact.rmTree(raw)
+    assert(!Compact.shouldCompact(raw, s"$base/idx", 4),
+      s"compacted generation holds ${Compact.dataFileCount(s"$base/idx")} " +
+        "files; the predicate must clear after the fold")
+    Compact.rmTree(base)
+  }
+
   test("admission check over compacted generations matches the stored sketch") {
     // end-to-end: incremental dedup reading (compacted streamed sketch +
     // folded df) equals the same check over the batch-materialized tables
