@@ -799,6 +799,21 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(col("codes")).as(Seq("pos", "code")))
         .select(col("vec_id"), col("pos"), col("code"))
     }),
+    // PQ upkeep: new embeddings encode through the COMMITTED codebooks and
+    // assign their IVF cell in one stateless projection (no quantizer to
+    // freeze — the codebooks are constants); exploded like sq8_stream_index
+    "pq_stream_index" -> ((s, dir) =>
+      explodeCodes(graft.streaming.EmbeddingsIngest.pqOnce(s, dir))),
+    // ...and its generation fold behind the MANIFEST (the sq8_compact twin)
+    "pq_compact" -> ((s, dir) =>
+      explodeCodes(graft.streaming.EmbeddingsIngest.compactedPqOnce(s, dir,
+        Catalog.scratch(dir, "pq_compact")))),
+    // the multi-stage retrieval LADDER: PQ shortlist (code bytes only) ->
+    // exact float re-rank of the survivors — exact fidelity at O(kCoarse)
+    // float reads per query instead of O(corpus)
+    "pq_rerank" -> ((s, dir) =>
+      graft.ml.Pq.pqRerank(Catalog.pqIvfStore(s, dir),
+        Catalog.embeddings(s, dir), 0, 50, 10)),
     // batched serving over the QUANTIZED store: the ivf_batch shape with the
     // float corpus swapped for the 4x-smaller byte codes — bulk retrieval
     // (hard-negative mining, dedup-against-index) never inflating the store
@@ -1339,6 +1354,9 @@ object SparkEntry {
     "emb_topk_pq" -> graft.ml.Pq.pqIvfOracleSql(0, 10),
     "pq_topk_batch" -> graft.ml.Pq.pqIvfBatchOracleSql(8, 10),
     "pq_store_codes" -> graft.ml.Pq.codesOracleSql,
+    "pq_stream_index" -> graft.ml.Pq.pqStreamOracleSql,
+    "pq_compact" -> graft.ml.Pq.pqStreamOracleSql,
+    "pq_rerank" -> graft.ml.Pq.pqRerankOracleSql(0, 50, 10),
     "mm_framesample" -> Multimodal.frameSampleOracleSql(),
     "mm_resize" -> Multimodal.resizeOracleSql,
   )

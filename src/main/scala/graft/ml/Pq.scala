@@ -45,19 +45,25 @@ object Pq {
     }.reduceLeft(_ + _)
   }
 
-  /** (vec_id, codes array<tinyint> of length M): each byte is the 0-based
-    * index of the subspace's nearest centroid (ties → lowest index, via
-    * first-occurrence array_position on the same computed distances both
-    * engines share). A pure per-row projection — encoding streams. */
-  def pqCodes(emb: DataFrame): DataFrame = {
-    val e = emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("emb"))
-    val codeCols = (0 until M).map { j =>
-      val dists = array((0 until Ksub).map(k => distExpr(col("emb"), j, k)): _*)
+  /** The M-byte code row for a double-array embedding column: each byte
+    * is the 0-based index of the subspace's nearest centroid (ties →
+    * lowest index, via first-occurrence array_position on the same
+    * computed distances both engines share). A pure per-row expression —
+    * the batch store build and the streamed upkeep share it verbatim
+    * (there is no quantizer to freeze: the codebooks ARE committed
+    * constants). */
+  private[graft] def codesExpr(emb: Column): Column =
+    array((0 until M).map { j =>
+      val dists = array((0 until Ksub).map(k => distExpr(emb, j, k)): _*)
       (array_position(dists, array_min(dists)) - 1).cast("byte")
-    }
-    e.select(col("vec_id"), array(codeCols: _*).as("codes"))
-  }
+    }: _*)
+
+  /** (vec_id, codes array<tinyint> of length M) — the PERSISTABLE store
+    * content (Catalog.pqIvfStore lays it out under the coarse quantizer). */
+  def pqCodes(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), codesExpr(col("emb")).as("codes"))
 
   /** The ADC ranking sim (expressions.PqSim kernel), rounded like every
     * other similarity the engine serves. */
@@ -103,6 +109,28 @@ object Pq {
     Ann.topKPerQuery(cand
       .select(col("qid"), col("vec_id"),
         pqSim(col("codes"), col("qemb"), col("qn")).as("sim")), k)
+  }
+
+  /** The multi-stage retrieval LADDER: a cheap PQ shortlist (kCoarse
+    * candidates ranked on code bytes alone) re-ranked EXACTLY against the
+    * float embeddings — the standard deployment shape for coarse
+    * quantizers (SCALE.md): the 32× store screens, the float tier
+    * decides. Only the |shortlist| surviving rows ever load a float
+    * vector, so exact fidelity costs O(kCoarse) float reads per query
+    * instead of O(corpus). Returns (vec_id, sim) — exact cosines. */
+  def pqRerank(store: DataFrame, emb: DataFrame, qVecId: Long,
+      kCoarse: Int, k: Int): DataFrame = {
+    val shortlist = pqIvfTopKFrom(store, emb, qVecId, kCoarse)
+      .select("vec_id")
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val q = broadcast(e.filter(col("vec_id") === qVecId)
+      .select(col("emb").as("qemb")))
+    shortlist.join(e, Seq("vec_id")).crossJoin(q)
+      .select(col("vec_id"),
+        round(Ann.cosine(col("emb"), col("qemb")), 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
   }
 
   // ---- DuckDB mirrors ----
@@ -155,6 +183,51 @@ object Pq {
        |    i -> {'pos': i - 1, 'code': codes[i]})) AS u FROM cx)
        |""".stripMargin.replaceAll("\\s+", " ")
   }
+
+  /** DuckDB mirror of the STREAMED composed-store upkeep
+    * (EmbeddingsIngest.pqRows): the shared coarse-quantizer CTE chain and
+    * the same argmin codes, exploded to scalar (vec_id, cell, pos, code)
+    * so the stored/streamed/compacted content pins element-wise — the
+    * sq8StreamOracleSql shape for the PQ family. */
+  def pqStreamOracleSql: String = {
+    val codes = (0 until M).map { j =>
+      val dists = (0 until Ksub).map(k => s"(${distSql(j, k)})")
+        .mkString("[", ",", "]")
+      s"(list_position($dists, list_min($dists)) - 1)"
+    }.mkString("[", ",", "]")
+    s"""WITH ${Ann.cellCtesSql(Ann.BaseSrcSql)},
+       |cx AS (SELECT vec_id, $codes AS codes FROM e)
+       |SELECT ux.vec_id AS vec_id, CAST(cell.cell AS BIGINT) AS cell,
+       |  CAST(u.pos AS INT) AS pos, CAST(u.code AS TINYINT) AS code
+       |FROM (SELECT vec_id,
+       |  unnest(list_transform(range(1, $M + 1),
+       |    i -> {'pos': i - 1, 'code': codes[i]})) AS u FROM cx) AS ux
+       |JOIN cell ON cell.vec_id = ux.vec_id
+       |""".stripMargin.replaceAll("\\s+", " ")
+  }
+
+  /** DuckDB mirror of pqRerank: the single-query PQ oracle's ranking as a
+    * kCoarse-deep shortlist CTE, then the exact float cosine over ONLY the
+    * shortlist — ivfOracleSql's ranking expression, so the re-rank tier
+    * and the IVF-flat oracle cannot drift. */
+  def pqRerankOracleSql(qVecId: Long, kCoarse: Int, k: Int): String =
+    s"""WITH ${Ann.cellCtesSql(Ann.BaseSrcSql)},
+       |$pxqCteSql,
+       |qc AS (SELECT cent_id AS cell FROM asg WHERE vec_id = $qVecId
+       |       ORDER BY csim DESC, cent_id ASC LIMIT ${Ann.Probes}),
+       |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId),
+       |short AS (SELECT pxq.vec_id AS vec_id,
+       |    round(list_dot_product(pxq.xq, q.qemb) /
+       |      sqrt(list_dot_product(pxq.xq, pxq.xq) * list_dot_product(q.qemb, q.qemb)), 6) AS psim
+       |  FROM pxq JOIN cell USING (vec_id) JOIN qc USING (cell), q
+       |  WHERE pxq.vec_id <> $qVecId
+       |  ORDER BY psim DESC, vec_id LIMIT $kCoarse)
+       |SELECT s.vec_id AS vec_id,
+       |  round(list_dot_product(e.emb, q.qemb) /
+       |    sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
+       |FROM short s JOIN e ON e.vec_id = s.vec_id, q
+       |ORDER BY sim DESC, vec_id LIMIT $k
+       |""".stripMargin.replaceAll("\\s+", " ")
 
   /** DuckDB mirror of pqIvfTopKFrom ∘ pqIvfStore. */
   def pqIvfOracleSql(qVecId: Long, k: Int): String =

@@ -86,6 +86,42 @@ object EmbeddingsIngest {
         col("embedding").cast("array<double>"), mn, scale).as("codes"))
   }
 
+  /** Stream-derived COMPOSED PQ×IVF rows (vec_id, cell, codes) — the
+    * upkeep of Catalog.pqIvfStore as one stateless per-row projection:
+    * the coarse argmax (cellExpr) and the committed-codebook PQ encode
+    * (Pq.codesExpr — the codebooks ARE constants, so unlike SQ8 there is
+    * no quantizer to freeze/ship) computed side by side. New vectors
+    * quantize themselves on the way in and append to the cell-partitioned
+    * codes index. */
+  def pqRows(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    emb.select(col("vec_id"), cellExpr(col("embedding")).as("cell"),
+      graft.ml.Pq.codesExpr(
+        col("embedding").cast("array<double>")).as("codes"))
+  }
+
+  /** One-shot streamed PQ-store build — the CORRECTNESS entry point for
+    * PQ upkeep. */
+  def pqOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:pq:$dir") {
+      Sinks.memoryOnce(spark, "graft_stream_pq", pqRows(stream(spark, dir)))
+    }
+
+  /** The PQ generation fold — streamed PQ sink → compacted (cell, vec_id)-
+    * sorted generation → manifest read-back; the compactedSq8Once shape
+    * (probed-cell lookups row-group-prune the sorted generation the way
+    * the hive layout directory-prunes). */
+  def compactedPqOnce(spark: SparkSession, dir: String,
+      scratchBase: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:pqcompact:$dir:$scratchBase") {
+      graft.ingest.Compact.rmTree(scratchBase)
+      Sinks.parquetOnce(pqRows(stream(spark, dir)),
+        s"$scratchBase/raw", s"$scratchBase/ck")
+      graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/raw",
+        s"$scratchBase/idx", "cell", Seq("cell", "vec_id"),
+        partitions = Some(4))
+    }
+
   /** The frozen quantizer: the batch store's constant (mn, scale) columns
     * (a one-row bounded lookup — the shipped quantizer, exactly what a
     * deployment distributes to its encoders). */

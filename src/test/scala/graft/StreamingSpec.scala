@@ -151,6 +151,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally graft.ingest.Compact.rmTree(base)
   }
 
+  test("streamed PQ composed rows == materialized pqIvfStore (PQ upkeep)") {
+    // the committed-codebook encode + cell argmax (one stateless
+    // projection — no quantizer to freeze) must reproduce the batch-built
+    // composed PQ store exactly, code bytes and cell assignment both
+    val streamed = graft.streaming.EmbeddingsIngest.pqOnce(spark, dir)
+      .select("vec_id", "cell", "codes")
+    val batch = Catalog.pqIvfStore(spark, dir)
+      .select("vec_id", "cell", "codes")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("compacted PQ generation == materialized pqIvfStore (PQ fold)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pq_compact").toString
+    try {
+      val compacted = graft.streaming.EmbeddingsIngest
+        .compactedPqOnce(spark, dir, base)
+        .select("vec_id", "cell", "codes")
+      val batch = Catalog.pqIvfStore(spark, dir)
+        .select("vec_id", "cell", "codes")
+      assert(compacted.count() == batch.count())
+      assert(compacted.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(compacted).count() == 0)
+    } finally graft.ingest.Compact.rmTree(base)
+  }
+
   test("stream-stream interval join == batch interval join") {
     val streamed = EventsIngest.intervalJoinOnce(spark, dir)
     val ev = Catalog.events(spark, dir)
