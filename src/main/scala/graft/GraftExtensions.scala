@@ -10,21 +10,37 @@ import graft.expressions.{DotProduct, PqSim, Sq8Sim}
   * GraftSession.builder — the idiomatic injection point, so any session
   * built from our builder, incl. spark-submit'ed cluster jobs, gets them). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  /** Registered SQL functions face arbitrary user SQL: check arity up
+    * front so a mis-call surfaces as an analysis-time error naming the
+    * signature, not an IndexOutOfBoundsException from the builder. */
+  private def arity(name: String, n: Int,
+      children: Seq[Expression]): Seq[Expression] = {
+    if (children.length != n) throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map("functionName" -> name,
+        "expectedNum" -> n.toString,
+        "actualNum" -> children.length.toString,
+        "docroot" -> ""))
+    children
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        val c = arity("graft_dot", 2, children); DotProduct(c(0), c(1)) }))
     e.injectFunction((
       FunctionIdentifier("graft_sq8_sim"),
       new ExpressionInfo(classOf[Sq8Sim].getName, "graft_sq8_sim"),
-      (children: Seq[Expression]) => Sq8Sim(children(0), children(1),
-        children(2), children(3), children(4))))
+      (children: Seq[Expression]) => {
+        val c = arity("graft_sq8_sim", 5, children)
+        Sq8Sim(c(0), c(1), c(2), c(3), c(4)) }))
     e.injectFunction((
       FunctionIdentifier("graft_pq_sim"),
       new ExpressionInfo(classOf[PqSim].getName, "graft_pq_sim"),
-      (children: Seq[Expression]) => PqSim(children(0), children(1),
-        children(2))))
+      (children: Seq[Expression]) => {
+        val c = arity("graft_pq_sim", 3, children); PqSim(c(0), c(1), c(2)) }))
     // anchored-regex filters gain a pushable StartsWith conjunct (the
     // reference's RE2::PossibleMatchRange seek, Spark-shaped)
     e.injectOptimizerRule(_ => graft.plans.RegexPrefixPushdown)

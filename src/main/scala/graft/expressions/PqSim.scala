@@ -38,16 +38,25 @@ case class PqSim(codes: Expression, qemb: Expression, qn: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(codesV: Any, qembV: Any, qnV: Any): Any = {
     val c = codesV.asInstanceOf[ArrayData]
     val q = qembV.asInstanceOf[ArrayData]
     val qnD = qnV.asInstanceOf[Double]
     val cb = PqSim.flat
     val m = math.min(c.numElements(), PqSim.M)
+    // a registered SQL function must not trust its inputs: a query array
+    // shorter than the codebook geometry or a code byte outside the
+    // codebook yields NULL, never an out-of-bounds read (the engine's own
+    // plans always satisfy both — bounds cost nothing on the hot path)
+    if (q.numElements() < m * PqSim.SubDim) return null
     var num = 0.0; var nrm = 0.0
     var j = 0
     while (j < m) {
-      val base = (j * PqSim.K + c.getByte(j)) * PqSim.SubDim
+      val code = c.getByte(j)
+      if (code < 0 || code >= PqSim.K) return null
+      val base = (j * PqSim.K + code) * PqSim.SubDim
       var d = 0
       while (d < PqSim.SubDim) {
         val cv = cb(base + d)
@@ -67,19 +76,25 @@ case class PqSim(codes: Expression, qemb: Expression, qn: Expression)
       val num = ctx.freshName("num"); val nrm = ctx.freshName("nrm")
       val j = ctx.freshName("j"); val d = ctx.freshName("d")
       val base = ctx.freshName("base"); val cv = ctx.freshName("cv")
-      val m = ctx.freshName("m")
+      val m = ctx.freshName("m"); val code = ctx.freshName("code")
       s"""
          |double $num = 0.0; double $nrm = 0.0;
          |int $m = java.lang.Math.min($c.numElements(), ${PqSim.M});
-         |for (int $j = 0; $j < $m; $j++) {
-         |  int $base = ($j * ${PqSim.K} + $c.getByte($j)) * ${PqSim.SubDim};
-         |  for (int $d = 0; $d < ${PqSim.SubDim}; $d++) {
-         |    double $cv = $cb[$base + $d];
-         |    $num += $cv * $q.getDouble($j * ${PqSim.SubDim} + $d);
-         |    $nrm += $cv * $cv;
+         |if ($q.numElements() < $m * ${PqSim.SubDim}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
+         |    byte $code = $c.getByte($j);
+         |    if ($code < 0 || $code >= ${PqSim.K}) { ${ev.isNull} = true; break; }
+         |    int $base = ($j * ${PqSim.K} + $code) * ${PqSim.SubDim};
+         |    for (int $d = 0; $d < ${PqSim.SubDim}; $d++) {
+         |      double $cv = $cb[$base + $d];
+         |      $num += $cv * $q.getDouble($j * ${PqSim.SubDim} + $d);
+         |      $nrm += $cv * $cv;
+         |    }
          |  }
+         |  ${ev.value} = $num / java.lang.Math.sqrt($nrm * $qnV);
          |}
-         |${ev.value} = $num / java.lang.Math.sqrt($nrm * $qnV);
        """.stripMargin
     })
   }
@@ -92,15 +107,21 @@ case class PqSim(codes: Expression, qemb: Expression, qn: Expression)
 }
 
 object PqSim {
-  /** Codebook geometry mirrored from graft.ml.Pq (duplicated as plain ints
-    * here so the expression has no initialization-order dependence on the
-    * ml package object graph). */
-  val M = 8; val K = 16; val SubDim = 8
+  /** Codebook geometry DERIVED from the committed codebooks' actual shape
+    * (not duplicated constants — a regenerated TrainedPqCodebooks with a
+    * different geometry would otherwise silently truncate the flattening
+    * and rank with wrong centroids). The ragged-shape require fails loudly
+    * at first use instead. */
+  val M: Int = graft.ml.TrainedPqCodebooks.books.length
+  val K: Int = graft.ml.TrainedPqCodebooks.books.head.length
+  val SubDim: Int = graft.ml.TrainedPqCodebooks.books.head.head.length
 
   /** TrainedPqCodebooks flattened to (j·K + k)·SubDim + d — one shared
     * immutable array referenced by every generated loop. */
   lazy val flat: Array[Double] = {
     val books = graft.ml.TrainedPqCodebooks.books
+    require(books.forall(b => b.length == K && b.forall(_.length == SubDim)),
+      s"ragged PQ codebooks: expected ${M}x${K}x$SubDim")
     val out = new Array[Double](M * K * SubDim)
     for (j <- 0 until M; k <- 0 until K; d <- 0 until SubDim)
       out((j * K + k) * SubDim + d) = books(j)(k)(d)

@@ -33,6 +33,14 @@ object Pq {
   val M = 8                    // subspaces per vector
   val Ksub = 16                // centroids per subspace codebook
   val SubDim = Ann.Dims / M    // dimensions per subspace
+  // fail loudly if the committed codebooks' shape ever drifts from the
+  // geometry the encode/rank expressions are generated with (TrainPq
+  // writes M×Ksub×SubDim; a partial regeneration would otherwise
+  // mis-index silently)
+  require(TrainedPqCodebooks.books.length == M &&
+    TrainedPqCodebooks.books.forall(b =>
+      b.length == Ksub && b.forall(_.length == SubDim)),
+    s"TrainedPqCodebooks shape != ${M}x${Ksub}x$SubDim")
 
   /** Squared distance from the j-th subspace of `emb` to codebook centroid
     * (j, k) — unrolled left-to-right over the SubDim components, the same
@@ -115,18 +123,21 @@ object Pq {
     * candidates ranked on code bytes alone) re-ranked EXACTLY against the
     * float embeddings — the standard deployment shape for coarse
     * quantizers (SCALE.md): the 32× store screens, the float tier
-    * decides. Only the |shortlist| surviving rows ever load a float
-    * vector, so exact fidelity costs O(kCoarse) float reads per query
-    * instead of O(corpus). Returns (vec_id, sim) — exact cosines. */
+    * decides. The shortlist ids are collected eagerly — a BOUNDED list of
+    * exactly kCoarse longs, the same bounded-collect class as the probe
+    * lists — and pushed into the embeddings scan as a static In filter,
+    * so the exact tier READS only the kCoarse survivors' float rows
+    * (file/row-group skipping at planning time), never the corpus.
+    * Returns (vec_id, sim) — exact cosines. */
   def pqRerank(store: DataFrame, emb: DataFrame, qVecId: Long,
       kCoarse: Int, k: Int): DataFrame = {
     val shortlist = pqIvfTopKFrom(store, emb, qVecId, kCoarse)
-      .select("vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
     val e = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
     val q = broadcast(e.filter(col("vec_id") === qVecId)
       .select(col("emb").as("qemb")))
-    shortlist.join(e, Seq("vec_id")).crossJoin(q)
+    e.filter(col("vec_id").isin(shortlist: _*)).crossJoin(q)
       .select(col("vec_id"),
         round(Ann.cosine(col("emb"), col("qemb")), 6).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
@@ -167,36 +178,35 @@ object Pq {
   private def pxqCteSql: String =
     s"pxq AS (SELECT vec_id, $xqSql AS xq FROM e)"
 
-  /** DuckDB mirror of pqCodes (the store's content, exploded to scalar
-    * (vec_id, pos, code) so codes pin element-wise). */
-  def codesOracleSql: String = {
-    val codes = (0 until M).map { j =>
+  /** The ONE SQL rendering of the M-code list (argmin per subspace, tie →
+    * first occurrence) — shared by every PQ store-content oracle so the
+    * encode mirroring cannot drift between them. */
+  private def codesListSql: String =
+    (0 until M).map { j =>
       val dists = (0 until Ksub).map(k => s"(${distSql(j, k)})")
         .mkString("[", ",", "]")
       s"(list_position($dists, list_min($dists)) - 1)"
     }.mkString("[", ",", "]")
+
+  /** DuckDB mirror of pqCodes (the store's content, exploded to scalar
+    * (vec_id, pos, code) so codes pin element-wise). */
+  def codesOracleSql: String =
     s"""WITH e AS (${Ann.BaseSrcSql}),
-       |cx AS (SELECT vec_id, $codes AS codes FROM e)
+       |cx AS (SELECT vec_id, $codesListSql AS codes FROM e)
        |SELECT vec_id, CAST(u.pos AS INT) AS pos, CAST(u.code AS TINYINT) AS code
        |FROM (SELECT vec_id,
        |  unnest(list_transform(range(1, $M + 1),
        |    i -> {'pos': i - 1, 'code': codes[i]})) AS u FROM cx)
        |""".stripMargin.replaceAll("\\s+", " ")
-  }
 
   /** DuckDB mirror of the STREAMED composed-store upkeep
     * (EmbeddingsIngest.pqRows): the shared coarse-quantizer CTE chain and
     * the same argmin codes, exploded to scalar (vec_id, cell, pos, code)
     * so the stored/streamed/compacted content pins element-wise — the
     * sq8StreamOracleSql shape for the PQ family. */
-  def pqStreamOracleSql: String = {
-    val codes = (0 until M).map { j =>
-      val dists = (0 until Ksub).map(k => s"(${distSql(j, k)})")
-        .mkString("[", ",", "]")
-      s"(list_position($dists, list_min($dists)) - 1)"
-    }.mkString("[", ",", "]")
+  def pqStreamOracleSql: String =
     s"""WITH ${Ann.cellCtesSql(Ann.BaseSrcSql)},
-       |cx AS (SELECT vec_id, $codes AS codes FROM e)
+       |cx AS (SELECT vec_id, $codesListSql AS codes FROM e)
        |SELECT ux.vec_id AS vec_id, CAST(cell.cell AS BIGINT) AS cell,
        |  CAST(u.pos AS INT) AS pos, CAST(u.code AS TINYINT) AS code
        |FROM (SELECT vec_id,
@@ -204,7 +214,6 @@ object Pq {
        |    i -> {'pos': i - 1, 'code': codes[i]})) AS u FROM cx) AS ux
        |JOIN cell ON cell.vec_id = ux.vec_id
        |""".stripMargin.replaceAll("\\s+", " ")
-  }
 
   /** DuckDB mirror of pqRerank: the single-query PQ oracle's ranking as a
     * kCoarse-deep shortlist CTE, then the exact float cosine over ONLY the

@@ -54,24 +54,26 @@ object Catalog {
     * tables). Folded into the cache key so a regenerated testdata tree
     * invalidates its derived materializations automatically — a path-only
     * key silently served stale derivations when the driver rewrote
-    * /root/testdata between rounds (round-12 incident: 4 hash mismatches). */
-  private val fpMemo = new scala.collection.concurrent.TrieMap[String, String]
-  private def sourceFingerprint(dir: String): String =
-    fpMemo.getOrElseUpdate(dir, {
-      def entries(f: java.io.File): Seq[String] =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .sortBy(_.getName).toSeq
-            .flatMap(c => entries(c).map(e => s"${f.getName}/$e"))
-        else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
-      val names = Option(new java.io.File(dir).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
-      val sig = names.flatMap(entries).mkString("|")
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(sig.getBytes("UTF-8"))
-        .take(6).map(b => f"$b%02x").mkString
-    })
+    * /root/testdata between rounds (round-12 incident: 4 hash mismatches).
+    * Deliberately NOT memoized: a per-JVM memo would re-open the same
+    * staleness window for a MID-SESSION regeneration, and the computation
+    * is a pure metadata listing of a handful of entries — microseconds,
+    * no data read. */
+  private def sourceFingerprint(dir: String): String = {
+    def entries(f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).toSeq
+          .flatMap(c => entries(c).map(e => s"${f.getName}/$e"))
+      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+    val names = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+    val sig = names.flatMap(entries).mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+  }
 
   /** Key segment = source basename + content fingerprint (NOT the full
     * path — the fingerprint already disambiguates same-named dirs, and a

@@ -97,6 +97,30 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"pq planted recall $recall%.2f below bound")
   }
 
+  test("graft_pq_sim is input-safe: bad code bytes or short queries yield NULL") {
+    // a registered SQL function faces arbitrary user SQL — out-of-codebook
+    // codes and under-length query arrays must produce NULL, never an
+    // out-of-bounds read (review finding, round 13)
+    import spark.implicits._
+    val ok = Seq.fill[Byte](Pq.M)(0)
+    val bad = Seq[Byte](20, 0, 0, 0, 0, 0, 0, 0)
+    val full = Seq.fill(64)(0.1)
+    val short = Seq.fill(8)(0.1)
+    val rows = Seq((bad, full, 1.0), (ok, short, 1.0), (ok, full, 1.0))
+      .toDF("codes", "qemb", "qn")
+      .selectExpr("graft_pq_sim(codes, qemb, qn) AS s").collect()
+    assert(rows(0).isNullAt(0), "out-of-range code must yield NULL")
+    assert(rows(1).isNullAt(0), "short query must yield NULL")
+    assert(!rows(2).isNullAt(0), "well-formed inputs must rank")
+  }
+
+  test("registered kernels reject wrong arity with an analysis error") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_pq_sim(array(0Y), array(0.1))").collect()
+    }
+    assert(e.getMessage.contains("graft_pq_sim"), e.getMessage)
+  }
+
   test("ADC ranking retrieves a measured fraction of IVF-flat within probed cells") {
     // same probed cells on both sides, so the overlap isolates pure PQ
     // reconstruction loss (16 centroids replace a whole 8-dim subspace)
