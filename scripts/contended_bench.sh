@@ -1,0 +1,47 @@
+#!/usr/bin/env bash
+# Contended-mode re-measure (VERDICT r13 #6): run a bench subset WHILE a
+# background scan load occupies the machine, instead of quiet isolation.
+# Three driver rounds showed the multi-action CC/CORRELATE family inflating
+# 5-20x under the driver's load while quiet reps=5 isolation kept
+# "confirming" values the driver never reproduced — so ambient-vs-structural
+# claims must come from a loaded-machine measurement. Default subset = that
+# family; artifact = bench_contended.json (commit it beside bench_last.json).
+#
+# Usage: scripts/contended_bench.sh [sfDir]
+#   LOAD=8      background scanner processes (default 8)
+#   FAMILY=a,b  bench subset (default: the r13 weak family)
+#   OUT=path    bench json artifact (default bench_contended.json)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF="${1:-/root/testdata/sf0.1}"
+LOAD="${LOAD:-8}"
+FAMILY="${FAMILY:-dedup_clusters,dedup_removal,dedup_keep_best,correlate_full,correlate_leakage,correlate_logodds}"
+OUT="${OUT:-bench_contended.json}"
+
+# Background load: LOAD python workers repeatedly full-reading every parquet
+# table in the sf dir (pandas materializes all columns -> genuine IO + CPU +
+# allocator pressure, the driver-environment shape quiet isolation lacks).
+PIDS=()
+for _ in $(seq 1 "$LOAD"); do
+  python3 - "$SF" <<'EOF' &
+import sys, time, glob
+import pandas as pd
+deadline = time.time() + 3600
+while time.time() < deadline:
+    for f in sorted(glob.glob(sys.argv[1] + "/*.parquet")):
+        try:
+            df = pd.read_parquet(f)
+            _ = int(df.memory_usage(deep=False).sum())
+            del df
+        except Exception:
+            pass
+EOF
+  PIDS+=("$!")
+done
+trap 'kill "${PIDS[@]}" 2>/dev/null || true; wait 2>/dev/null || true' EXIT
+
+echo "[contended] load=$LOAD workers over $SF; benching: $FAMILY" >&2
+GRAFT_BENCH_ONLY="$FAMILY" GRAFT_BENCH_OUT="$OUT" SPARK_GRAFT_SF_DIR="$SF" \
+  sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' | tail -1
+echo "[contended] full-precision artifact: $OUT" >&2

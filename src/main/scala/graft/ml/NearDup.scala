@@ -56,7 +56,7 @@ object NearDup {
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs over the
     * full shingle sets; keeps pairs with jaccard ≥ minJaccard. Shared by the
     * MinHash and n-gram candidate generators. */
-  private def verifyJaccard(pairs: DataFrame, sh: DataFrame,
+  private[graft] def verifyJaccard(pairs: DataFrame, sh: DataFrame,
       minJaccard: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs

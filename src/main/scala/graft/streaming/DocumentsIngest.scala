@@ -128,4 +128,87 @@ object DocumentsIngest {
         s"$scratchBase/idx", "h", Seq("h", "doc_id", "pos"),
         partitions = Some(4))
     }
+
+  // ---- streamed admission of the near-dup PAIR GRAPH (Catalog.dupPairs) --
+
+  /** Incremental maintenance of the stored near-dup pair graph: each
+    * micro-batch appends its shingles and LSH band keys to their stores,
+    * joins its OWN bands against the accumulated band store (batch
+    * included) for candidate pairs, verifies exact Jaccard against the
+    * shingle store, and appends the verified pairs. Every pair is
+    * discovered exactly once — in the micro-batch its later-arriving
+    * member lands in: the earlier member is already in the band store, and
+    * a batch whose docs contain neither member can't emit the pair (the
+    * probe side is batch-only). After AvailableNow the pair store equals
+    * the batch `NearDup.nearDuplicates` output row-for-row, which is what
+    * lets the cluster table build once and stay valid under streamed
+    * admission. At 100 TB both stores are the fp/band-partitioned stored
+    * indexes the batch probes — corpus text is never re-read. */
+  def runPairSink(docsStream: DataFrame, scratchBase: String,
+      minJaccard: Double): Unit = {
+    val shinglePath = s"$scratchBase/shingles"
+    val bandPath = s"$scratchBase/bands"
+    val pairPath = s"$scratchBase/pairs"
+    val writeBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val spark = batch.sparkSession
+      // batch-local projections, cached across the two appends + the join
+      val batchSh = graft.ml.NearDup.shingles(batch).cache()
+      val batchBands = graft.ml.NearDup.bands(
+        graft.ml.NearDup.signatures(batchSh)).cache()
+      batchSh.write.mode("append").parquet(shinglePath)
+      batchBands.write.mode("append").parquet(bandPath)
+      // candidates: accumulated store (batch included) × batch bands; the
+      // least/greatest normalization + distinct folds the two orderings a
+      // same-batch pair produces into one row
+      val store = spark.read.parquet(bandPath)
+      val cand = store.as("x").join(batchBands.as("y"),
+          org.apache.spark.sql.functions.expr(
+            "x.band = y.band AND x.bkey = y.bkey AND x.doc_id <> y.doc_id"))
+        .selectExpr("least(x.doc_id, y.doc_id) AS doc_a",
+          "greatest(x.doc_id, y.doc_id) AS doc_b")
+        .distinct()
+      graft.ml.NearDup.verifyJaccard(cand,
+          spark.read.parquet(shinglePath), minJaccard)
+        .write.mode("append").parquet(pairPath)
+      batchSh.unpersist(false)
+      batchBands.unpersist(false)
+      ()
+    }
+    val q = docsStream.writeStream
+      .option("checkpointLocation", s"$scratchBase/ck")
+      .foreachBatch(writeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One-shot streamed pair-graph admission — the CORRECTNESS entry point:
+    * stream the docs through the pair sink into a fresh scratch store and
+    * read the accumulated verified pairs back; must equal the batch
+    * pipeline exactly. The empty-schema pre-write makes a pair-free corpus
+    * read back as an empty table instead of a missing path. */
+  def pairsOnce(spark: SparkSession, dir: String, scratchBase: String,
+      minJaccard: Double): DataFrame =
+    graft.util.Caches.memoize(s"stream:duppairs:$dir:$scratchBase") {
+      graft.ingest.Compact.rmTree(scratchBase)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("doc_a", LongType),
+            StructField("doc_b", LongType),
+            StructField("jaccard", DoubleType))))
+        .write.mode("overwrite").parquet(s"$scratchBase/pairs")
+      runPairSink(stream(spark, dir), scratchBase, minJaccard)
+      spark.read.parquet(s"$scratchBase/pairs")
+    }
+
+  /** Streamed-then-compacted pair graph — fold the per-batch appended pair
+    * files into one sorted doc_a-keyed generation, flip the MANIFEST, read
+    * back through it; must equal the batch pipeline row-for-row. */
+  def compactedPairsOnce(spark: SparkSession, dir: String,
+      scratchBase: String, minJaccard: Double): DataFrame =
+    graft.util.Caches.memoize(s"stream:dupcompact:$dir:$scratchBase") {
+      pairsOnce(spark, dir, scratchBase, minJaccard)
+      graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/pairs",
+        s"$scratchBase/idx", "doc_a", Seq("doc_a", "doc_b"),
+        partitions = Some(4))
+    }
 }
