@@ -42,10 +42,12 @@ object Bench {
   /** ONE renderer for both record forms (stdout compact line and the
     * full-precision bench_last.json): totals/errors always come from ALL
     * results, the per-query map from the (possibly guarded) kept subset —
-    * structurally shared so the two renderings can't drift. */
+    * structurally shared so the two renderings can't drift. `extra` is a
+    * pre-rendered JSON fragment (leading comma included) appended before
+    * the closing brace — the per-entry scheduler counters ride here. */
   private[graft] def record(kept: Iterable[(String, (Double, Boolean))],
       all: ListMap[String, (Double, Boolean)], reps: Int, sfDir: String,
-      fmt: Double => String): String = {
+      fmt: Double => String, extra: String = ""): String = {
     val qs = kept.map { case (k, (sec, ok)) =>
       jstr(k) + ":" + (if (ok) fmt(sec) else s"""{"sec":${fmt(sec)},"err":true}""")
     }.mkString("{", ",", "}")
@@ -53,7 +55,21 @@ object Bench {
     val nErr = all.count(!_._2._2)
     val omitted = all.size - kept.size
     val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"errors":$nErr,"reps":$reps,"sf":${jstr(sfDir)}}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"errors":$nErr,"reps":$reps,"sf":${jstr(sfDir)}$extra}"""
+  }
+
+  /** The per-entry scheduler-counter fragment for the SLOWEST `take`
+    * queries (the ones perf grading reads): steady-state job counts, so a
+    * many-short-waves entry is distinguishable from a data-volume entry
+    * straight from the bench line (VERDICT r13 #4). Leading comma so it
+    * splices into record()'s tail; empty when no counters were captured. */
+  private[graft] def jobsFragment(results: ListMap[String, (Double, Boolean)],
+      counters: Map[String, graft.util.BenchCounters.Snap],
+      take: Int = 15): String = {
+    val slowest = results.toSeq.filter(_._2._2)
+      .sortBy { case (_, (sec, _)) => -sec }.take(take)
+      .flatMap { case (n, _) => counters.get(n).map(c => jstr(n) + ":" + c.jobs) }
+    if (slowest.isEmpty) "" else slowest.mkString(""","jobs":{""", ",", "}")
   }
 
   /** The stdout bench line with the length guard applied: the driver
@@ -64,15 +80,16 @@ object Bench {
     * contract whose silent regression produced BENCH_r05/r06's
     * "parsed": null. */
   def guardedLine(results: ListMap[String, (Double, Boolean)], reps: Int,
-      sfDir: String, maxLen: Int = 1700): String = {
-    val fullLine = record(results, results, reps, sfDir, compact)
+      sfDir: String, maxLen: Int = 1700, extra: String = ""): String = {
+    val fullLine = record(results, results, reps, sfDir, compact, extra)
     if (fullLine.length <= maxLen) fullLine
     else {
       val bySlowest = results.toSeq.sortBy { case (_, (sec, ok)) => (ok, -sec) }
       Iterator.range(bySlowest.size, 0, -1).map { n =>
-        record(bySlowest.take(n).sortBy(_._1), results, reps, sfDir, compact)
+        record(bySlowest.take(n).sortBy(_._1), results, reps, sfDir, compact,
+          extra)
       }.find(_.length <= maxLen)
-        .getOrElse(record(Nil, results, reps, sfDir, compact))
+        .getOrElse(record(Nil, results, reps, sfDir, compact, extra))
     }
   }
 
@@ -84,6 +101,14 @@ object Bench {
     // child shares the driver's capture window, so even stray stderr WARNs
     // (interleaved if the driver merges streams) must be minimized.
     spark.sparkContext.setLogLevel("ERROR")
+    // scheduler counters: per-entry {jobs, stages, shuffle, task-time}
+    // deltas, bus-drained around each rep so they attribute exactly
+    val counters = new graft.util.BenchCounters
+    spark.sparkContext.addSparkListener(counters)
+    def snap(): graft.util.BenchCounters.Snap = {
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      counters.snapshot
+    }
 
     // Warmup: touch the hot paths once (ignore result + errors).
     for (w <- Seq("q1_pricing", "j2_and", "s1_keyword_leaf"))
@@ -94,48 +119,59 @@ object Bench {
     val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val measured = ordered.map { case (name, fn) =>
+      // per-QUERY cache isolation: operators that cache() internally must
+      // not inherit (or evict) another query's cached data — otherwise
+      // late queries measure memory pressure, not the query (observed 2x
+      // swings on the heavy entries; VERDICT r5: 8 phantom >2× full-run
+      // regressions, all exonerated by isolation). Within a query, reps
+      // share the tracked caches — rep 1 pays population, the median
+      // reports steady-state statement cost — and the drain AFTER the rep
+      // loop releases them so nothing carries into the next query.
+      spark.catalog.clearCache()
+      val times = (1 to reps).map { _ =>
+        val c0 = snap()
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok, snap() - c0)
+      }
+      graft.util.Caches.drain()
+      // settle the heap between queries: without an explicit collection,
+      // a heavy query's garbage is collected DURING the next query's reps,
+      // billing its GC pauses to an innocent neighbor (observed 1.5-2.5×
+      // full-run swings on simhash/correlate that isolation can't
+      // reproduce)
+      System.gc()
+      val okAll = times.forall(_._2)
+      val median = times.map(_._1).sorted.apply(reps / 2)
+      // the LAST rep's counter delta is the steady-state job shape (rep 1
+      // additionally pays cache population / one-shot sink bring-up)
+      (name, (median, okAll), times.last._3)
+    }
     val results: ListMap[String, (Double, Boolean)] =
-      ListMap.from(ordered.map { case (name, fn) =>
-        // per-QUERY cache isolation: operators that cache() internally must
-        // not inherit (or evict) another query's cached data — otherwise
-        // late queries measure memory pressure, not the query (observed 2x
-        // swings on the heavy entries; VERDICT r5: 8 phantom >2× full-run
-        // regressions, all exonerated by isolation). Within a query, reps
-        // share the tracked caches — rep 1 pays population, the median
-        // reports steady-state statement cost — and the drain AFTER the rep
-        // loop releases them so nothing carries into the next query.
-        spark.catalog.clearCache()
-        val times = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).count(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-            }
-          ((System.nanoTime() - t0) / 1e9, ok)
-        }
-        graft.util.Caches.drain()
-        // settle the heap between queries: without an explicit collection,
-        // a heavy query's garbage is collected DURING the next query's reps,
-        // billing its GC pauses to an innocent neighbor (observed 1.5-2.5×
-        // full-run swings on simhash/correlate that isolation can't
-        // reproduce)
-        System.gc()
-        val okAll = times.forall(_._2)
-        val median = times.map(_._1).sorted.apply(reps / 2)
-        name -> (median, okAll)
-      })
-    // stdout gets the guarded COMPACT line (see guardedLine);
-    // bench_last.json below keeps full precision for offline analysis.
-    val line: String = guardedLine(results, reps, sfDir)
+      ListMap.from(measured.map { case (n, r, _) => n -> r })
+    val perQuery: Map[String, graft.util.BenchCounters.Snap] =
+      measured.map { case (n, _, c) => n -> c }.toMap
+    // stdout gets the guarded COMPACT line (see guardedLine) + steady-state
+    // job counts for the slowest entries; bench_last.json below keeps full
+    // precision and the complete counter set for offline analysis.
+    val line: String = guardedLine(results, reps, sfDir,
+      extra = jobsFragment(results, perQuery))
     println(line)
     System.out.flush()
     // Persist full precision: the driver captures stdout tails, and r4's
     // BENCH json lost its "metric":"total" prefix to truncation — a file
     // copy makes the full record recoverable (VERDICT r4 #3/wrong-5).
+    val countersJson = perQuery.toSeq.sortBy(_._1).map { case (n, c) =>
+      jstr(n) + s""":{"jobs":${c.jobs},"stages":${c.stages},"shuffle_bytes":${c.shuffleBytes},"task_ms":${c.taskMs}}"""
+    }.mkString(""","counters":{""", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_last.json")),
-      record(results, results, reps, sfDir, _.toString) + "\n")
+      record(results, results, reps, sfDir, _.toString, countersJson) + "\n")
     catch { case _: Throwable => () }
     try spark.stop() catch { case _: Throwable => () }
     // Re-print as the ABSOLUTE last stdout line: if anything (a shutdown

@@ -852,6 +852,11 @@ object SparkEntry {
     // regression now moves a non-trivial number on both engines
     "ann_recall_planted" -> ((s, dir) =>
       Ann.recallAtKPlanted(Catalog.embeddings(s, dir), 0L, 10, 10)),
+    // the PQ tier's driver-checked recall gate in the same planted regime
+    // (VERDICT r13 #7) — completes the quality ladder: LSH/IVF via
+    // ann_recall_planted, PQ here, floors pinned in PqSpec
+    "pq_recall_planted" -> ((s, dir) =>
+      graft.ml.Pq.recallAtKPlanted(Catalog.embeddings(s, dir), 0L, 10, 10)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1362,6 +1367,8 @@ object SparkEntry {
     "emb_topk_ivf" -> Ann.ivfOracleSql(0, 10),
     "ann_recall" -> Ann.recallOracleSql(0, 10),
     "ann_recall_planted" -> Ann.recallOracleSql(0, 10,
+      Ann.plantedClusterSrcSql(0L, 10)),
+    "pq_recall_planted" -> graft.ml.Pq.pqRecallOracleSql(0L, 10,
       Ann.plantedClusterSrcSql(0L, 10)),
     "ivf_stream_index" -> Ann.cellsOracleSql,
     "sq8_stream_index" -> graft.ml.Quant.sq8StreamOracleSql,

@@ -212,10 +212,19 @@ object CorrelateExec {
     * set are dropped. This discards information that was unavailable at
     * event time (SURVEY §2.9). */
   def leakageFilter(keys: DataFrame, aPost: DataFrame, bPost: DataFrame): DataFrame = {
-    val aMin = aPost.groupBy("off").agg(min("score").as("amin"))
-    val bMin = bPost.groupBy("off").agg(min("score").as("bmin"))
-    keys.join(aMin, Seq("off"), "left_outer")
-      .join(bMin, Seq("off"), "left_outer")
+    // ONE aggregation over the tagged union instead of two separate
+    // groupBy("off") subplans, and ONE left join instead of two: per
+    // offset, amin/bmin fall out of the same shuffle as conditional mins —
+    // identical nulls (an offset absent from a side has no isa rows, so
+    // its conditional min is NULL, exactly the former left-join miss).
+    // Halves the exchanges/joins of the entry (VERDICT r13 #5:
+    // correlate_leakage's driver swing — fewer stages, fewer waves).
+    val mins = aPost.select(col("off"), col("score"), lit(1).as("isa"))
+      .unionByName(bPost.select(col("off"), col("score"), lit(0).as("isa")))
+      .groupBy("off").agg(
+        min(when(col("isa") === 1, col("score"))).as("amin"),
+        min(when(col("isa") === 0, col("score"))).as("bmin"))
+    keys.join(mins, Seq("off"), "left_outer")
       .withColumn("evt", coalesce(col("amin"), col("bmin")))
       .filter(col("evt").isNotNull && col("score") < col("evt"))
       .select(col("key"), col("off"), (col("evt") - col("score")).as("score"))

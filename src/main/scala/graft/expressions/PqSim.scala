@@ -45,11 +45,14 @@ case class PqSim(codes: Expression, qemb: Expression, qn: Expression)
     val q = qembV.asInstanceOf[ArrayData]
     val qnD = qnV.asInstanceOf[Double]
     val cb = PqSim.flat
-    val m = math.min(c.numElements(), PqSim.M)
-    // a registered SQL function must not trust its inputs: a query array
-    // shorter than the codebook geometry or a code byte outside the
-    // codebook yields NULL, never an out-of-bounds read (the engine's own
-    // plans always satisfy both — bounds cost nothing on the hot path)
+    val m = PqSim.M
+    // a registered SQL function must not trust its inputs: a codes array
+    // whose length differs from the codebook geometry, a query array
+    // shorter than the geometry, or a code byte outside the codebook all
+    // yield NULL — never a truncated partial-subspace similarity (ADVICE
+    // r13) and never an out-of-bounds read (the engine's own plans always
+    // satisfy all three — bounds cost nothing on the hot path)
+    if (c.numElements() != m) return null
     if (q.numElements() < m * PqSim.SubDim) return null
     var num = 0.0; var nrm = 0.0
     var j = 0
@@ -79,8 +82,9 @@ case class PqSim(codes: Expression, qemb: Expression, qn: Expression)
       val m = ctx.freshName("m"); val code = ctx.freshName("code")
       s"""
          |double $num = 0.0; double $nrm = 0.0;
-         |int $m = java.lang.Math.min($c.numElements(), ${PqSim.M});
-         |if ($q.numElements() < $m * ${PqSim.SubDim}) {
+         |int $m = ${PqSim.M};
+         |if ($c.numElements() != $m ||
+         |    $q.numElements() < $m * ${PqSim.SubDim}) {
          |  ${ev.isNull} = true;
          |} else {
          |  for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {

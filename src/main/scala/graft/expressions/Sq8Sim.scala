@@ -50,6 +50,8 @@ case class Sq8Sim(codes: Expression, qemb: Expression, mn: Expression,
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(codesV: Any, qembV: Any, mnV: Any, scaleV: Any,
       qnV: Any): Any = {
     val c = codesV.asInstanceOf[ArrayData]
@@ -57,7 +59,12 @@ case class Sq8Sim(codes: Expression, qemb: Expression, mn: Expression,
     val mnD = mnV.asInstanceOf[Double]
     val scaleD = scaleV.asInstanceOf[Double]
     val qnD = qnV.asInstanceOf[Double]
-    val n = math.min(c.numElements(), q.numElements())
+    // a registered SQL function must not trust its inputs: mismatched code
+    // and query lengths yield NULL, never a silent partial-vector
+    // similarity (ADVICE r13 — same safety policy as graft_pq_sim; the
+    // engine's plans always pass equal lengths)
+    if (c.numElements() != q.numElements()) return null
+    val n = c.numElements()
     var t = 0.0; var sq = 0.0; var s1 = 0L; var s2 = 0L
     var i = 0
     while (i < n) {
@@ -84,20 +91,24 @@ case class Sq8Sim(codes: Expression, qemb: Expression, mn: Expression,
       val cv = ctx.freshName("cv"); val qv = ctx.freshName("qv")
       val mp = ctx.freshName("mp")
       s"""
-         |double $t = 0.0; double $sq = 0.0; long $s1 = 0L; long $s2 = 0L;
-         |int $n = java.lang.Math.min($c.numElements(), $q.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  byte $cv = $c.getByte($i);
-         |  double $qv = $q.getDouble($i);
-         |  $t += (double)$cv * $qv;
-         |  $sq += $qv;
-         |  $s1 += $cv;
-         |  $s2 += (long)$cv * $cv;
+         |if ($c.numElements() != $q.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $t = 0.0; double $sq = 0.0; long $s1 = 0L; long $s2 = 0L;
+         |  int $n = $c.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    byte $cv = $c.getByte($i);
+         |    double $qv = $q.getDouble($i);
+         |    $t += (double)$cv * $qv;
+         |    $sq += $qv;
+         |    $s1 += $cv;
+         |    $s2 += (long)$cv * $cv;
+         |  }
+         |  double $mp = $mnV + 128.0 * $scaleV;
+         |  ${ev.value} = ($mp * $sq + $scaleV * $t) /
+         |    java.lang.Math.sqrt(($mp * $mp * $n + 2.0 * $mp * $scaleV * $s1
+         |      + $scaleV * $scaleV * $s2) * $qnV);
          |}
-         |double $mp = $mnV + 128.0 * $scaleV;
-         |${ev.value} = ($mp * $sq + $scaleV * $t) /
-         |  java.lang.Math.sqrt(($mp * $mp * $n + 2.0 * $mp * $scaleV * $s1
-         |    + $scaleV * $scaleV * $s2) * $qnV);
        """.stripMargin
     })
 

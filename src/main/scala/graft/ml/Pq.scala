@@ -119,6 +119,37 @@ object Pq {
         pqSim(col("codes"), col("qemb"), col("qn")).as("sim")), k)
   }
 
+  /** Recall@k of the PQ×IVF lookup against the exact brute-force top-k in
+    * the PLANTED regime — the quantized tier's driver-checked quality gate
+    * (VERDICT r13 #7), completing the recall ladder ann_recall_planted
+    * pins for LSH/IVF: the planted clones are provably reachable (they
+    * concentrate in the query's probed cells), so a codebook / encode /
+    * ADC-kernel regression moves this number on BOTH engines instead of
+    * only in a spec. The ad-hoc store is built from the planted corpus
+    * with the same pqCodes ∘ cellAssignment composition as
+    * Catalog.pqIvfStore. Returns (method, hits, recall). */
+  def recallAtKPlanted(emb: DataFrame, qVecId: Long, m: Int,
+      k: Int): DataFrame = {
+    val e = graft.util.Caches.track(
+      Ann.plantedCluster(emb, qVecId, m).cache())
+    val store = pqCodes(e)
+      .join(Ann.cellAssignment(e).select(col("vec_id"), col("cell")),
+        Seq("vec_id"))
+    val ee = e.select(col("vec_id"), col("embedding").as("emb"))
+    val q = broadcast(ee.filter(col("vec_id") === qVecId)
+      .select(col("emb").as("qemb")))
+    val exact = ee.filter(col("vec_id") =!= qVecId).crossJoin(q)
+      .select(col("vec_id"),
+        round(Ann.cosine(col("emb"), col("qemb")), 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id")).limit(k)
+      .select("vec_id")
+    pqIvfTopKFrom(store, e, qVecId, k).select("vec_id")
+      .join(exact, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit("pq").as("method"), col("hits"),
+        round(col("hits") * lit(1.0) / k, 4).as("recall"))
+  }
+
   /** The multi-stage retrieval LADDER: a cheap PQ shortlist (kCoarse
     * candidates ranked on code bytes alone) re-ranked EXACTLY against the
     * float embeddings — the standard deployment shape for coarse
@@ -238,9 +269,11 @@ object Pq {
        |ORDER BY sim DESC, vec_id LIMIT $k
        |""".stripMargin.replaceAll("\\s+", " ")
 
-  /** DuckDB mirror of pqIvfTopKFrom ∘ pqIvfStore. */
-  def pqIvfOracleSql(qVecId: Long, k: Int): String =
-    s"""WITH ${Ann.cellCtesSql(Ann.BaseSrcSql)},
+  /** DuckDB mirror of pqIvfTopKFrom ∘ pqIvfStore (srcSql parameterized so
+    * the planted-regime recall gate reuses the exact same rendering). */
+  def pqIvfOracleSql(qVecId: Long, k: Int,
+      srcSql: String = Ann.BaseSrcSql): String =
+    s"""WITH ${Ann.cellCtesSql(srcSql)},
        |$pxqCteSql,
        |qc AS (SELECT cent_id AS cell FROM asg WHERE vec_id = $qVecId
        |       ORDER BY csim DESC, cent_id ASC LIMIT ${Ann.Probes}),
@@ -252,6 +285,26 @@ object Pq {
        |WHERE pxq.vec_id <> $qVecId
        |ORDER BY sim DESC, vec_id LIMIT $k
        |""".stripMargin.replaceAll("\\s+", " ")
+
+  /** DuckDB mirror of recallAtKPlanted: the exact top-k and the PQ lookup
+    * oracle composed over the same planted source — the
+    * Ann.recallOracleSql shape for the PQ tier. */
+  def pqRecallOracleSql(qVecId: Long, k: Int, srcSql: String): String = {
+    val exact =
+      s"""WITH e AS ($srcSql),
+         |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId)
+         |SELECT e.vec_id AS vec_id,
+         |  round(list_dot_product(e.emb, q.qemb) /
+         |    sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
+         |FROM e, q WHERE e.vec_id <> $qVecId
+         |ORDER BY sim DESC, e.vec_id LIMIT $k""".stripMargin
+    s"""WITH exact AS (($exact)),
+       |pqr AS ((${pqIvfOracleSql(qVecId, k, srcSql)}))
+       |SELECT 'pq' AS method, count(*) AS hits,
+       |  round(count(*) * 1.0 / $k, 4) AS recall
+       |FROM pqr WHERE vec_id IN (SELECT vec_id FROM exact)
+       |""".stripMargin.replaceAll("\\s+", " ")
+  }
 
   /** DuckDB mirror of pqIvfTopKBatchFrom for the query batch
     * vec_id < maxQid — the shared batch CTEs and rank tail. */

@@ -49,23 +49,36 @@ object Catalog {
   private def cacheRoot: String =
     sys.env.getOrElse("GRAFT_CACHE", "/root/repo/.graft-cache")
 
-  /** Short content fingerprint of a source directory: name+size+mtime of
-    * every parquet entry (one level of recursion for directory-shaped
-    * tables). Folded into the cache key so a regenerated testdata tree
-    * invalidates its derived materializations automatically — a path-only
-    * key silently served stale derivations when the driver rewrote
-    * /root/testdata between rounds (round-12 incident: 4 hash mismatches).
-    * Deliberately NOT memoized: a per-JVM memo would re-open the same
-    * staleness window for a MID-SESSION regeneration, and the computation
-    * is a pure metadata listing of a handful of entries — microseconds,
-    * no data read. */
+  /** Short content fingerprint of a source directory: name+size+mtime+tail
+    * bytes of every parquet entry (one level of recursion for
+    * directory-shaped tables). Folded into the cache key so a regenerated
+    * testdata tree invalidates its derived materializations automatically —
+    * a path-only key silently served stale derivations when the driver
+    * rewrote /root/testdata between rounds (round-12 incident: 4 hash
+    * mismatches). The 64-byte tail read covers the parquet footer
+    * (metadata length, row counts, column stats), so a regeneration that
+    * happens to reproduce identical sizes within the same lastModified
+    * millisecond still flips the fingerprint (ADVICE r13: the
+    * mtime-granularity residual). Deliberately NOT memoized: a per-JVM
+    * memo would re-open the same staleness window for a MID-SESSION
+    * regeneration, and the computation is a metadata listing plus one
+    * 64-byte pread per file — still microseconds for a table directory. */
   private def sourceFingerprint(dir: String): String = {
+    def tailSig(f: java.io.File): String = {
+      val len = f.length
+      if (len <= 0) return "0"
+      val n = math.min(64L, len).toInt
+      val buf = new Array[Byte](n)
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try { raf.seek(len - n); raf.readFully(buf) } finally raf.close()
+      java.util.Base64.getEncoder.encodeToString(buf)
+    }
     def entries(f: java.io.File): Seq[String] =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
           .sortBy(_.getName).toSeq
           .flatMap(c => entries(c).map(e => s"${f.getName}/$e"))
-      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+      else Seq(s"${f.getName}:${f.length}:${f.lastModified}:${tailSig(f)}")
     val names = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
@@ -75,12 +88,34 @@ object Catalog {
       .take(6).map(b => f"$b%02x").mkString
   }
 
+  /** Fail-loud guard against a MID-SESSION source regeneration
+    * (VERDICT r13 #8): the fingerprinted cache keys make a regeneration
+    * rebuild cleanly across sessions, but WITHIN one session a flip would
+    * quietly mix derived-store generations between entries that already
+    * ran and entries still to run — half a bench against the old corpus,
+    * half against the new. First sight of a source dir pins its
+    * fingerprint; any later deviation throws instead of rebuilding
+    * silently. */
+  private val pinnedFingerprints =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def assertStableSource(dir: String, fp: String): Unit = {
+    val prev = pinnedFingerprints.putIfAbsent(dir, fp)
+    if (prev != null && prev != fp)
+      throw new IllegalStateException(
+        s"source dir $dir regenerated mid-session (fingerprint $prev -> " +
+          s"$fp): refusing to mix derived-store generations — restart the " +
+          "session so every entry serves one corpus generation")
+  }
+
   /** Key segment = source basename + content fingerprint (NOT the full
     * path — the fingerprint already disambiguates same-named dirs, and a
     * long segment pushes the store name past explain()'s path truncation,
     * which the plan-pin specs match on). */
-  private def cacheDir(dir: String, name: String): String =
-    s"$cacheRoot/$cacheVersion/${new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")}-${sourceFingerprint(dir)}/$name"
+  private def cacheDir(dir: String, name: String): String = {
+    val fp = sourceFingerprint(dir)
+    assertStableSource(dir, fp)
+    s"$cacheRoot/$cacheVersion/${new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")}-$fp/$name"
+  }
 
   private def materialize(path: String)(build: => DataFrame): Unit =
     synchronized {

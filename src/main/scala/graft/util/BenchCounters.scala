@@ -1,0 +1,49 @@
+package graft.util
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+
+/** Monotonic job/stage/shuffle/task-time totals for the whole application,
+  * fed by the (public, DeveloperApi) SparkListener events; Bench snapshots
+  * the totals around each query rep and reports the deltas. Wall-time alone
+  * could not decide three rounds of ambient-vs-structural bench disputes
+  * (VERDICT r13 #4) — job counts can: a query whose driver-environment
+  * inflation comes from many short driver-scheduled waves shows it directly
+  * in `jobs`, while a data-volume problem shows in `shuffleBytes`/`taskMs`.
+  * Snapshot exactness requires draining the async listener bus first —
+  * org.apache.spark.graft.ListenerBridge.waitUntilEmpty. */
+final class BenchCounters extends SparkListener {
+  private val jobs = new AtomicLong
+  private val stages = new AtomicLong
+  private val shuffleBytes = new AtomicLong
+  private val taskMs = new AtomicLong
+
+  override def onJobStart(e: SparkListenerJobStart): Unit = {
+    jobs.incrementAndGet()
+    ()
+  }
+
+  override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+    stages.incrementAndGet()
+    val m = e.stageInfo.taskMetrics
+    if (m != null) {
+      shuffleBytes.addAndGet(
+        m.shuffleReadMetrics.totalBytesRead + m.shuffleWriteMetrics.bytesWritten)
+      taskMs.addAndGet(m.executorRunTime)
+      ()
+    }
+  }
+
+  /** (jobs, stages, shuffleBytes, taskMs) — running totals. */
+  def snapshot: BenchCounters.Snap =
+    BenchCounters.Snap(jobs.get, stages.get, shuffleBytes.get, taskMs.get)
+}
+
+object BenchCounters {
+  final case class Snap(jobs: Long, stages: Long, shuffleBytes: Long,
+      taskMs: Long) {
+    def -(o: Snap): Snap = Snap(jobs - o.jobs, stages - o.stages,
+      shuffleBytes - o.shuffleBytes, taskMs - o.taskMs)
+  }
+}

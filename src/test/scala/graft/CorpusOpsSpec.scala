@@ -23,6 +23,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(cc.size == 7 && cc.values.forall(_ == 1L))
   }
 
+  test("connectedComponents runs ONE job per round (fused convergence check)") {
+    // VERDICT r13 #2: the moved-row count must ride the round's checkpoint
+    // materialization (accumulator), not a second count() action — two
+    // driver-scheduled waves per round amplified 5-20x under load. With AQE
+    // off AND broadcast joins disabled (a BroadcastExchange collects via
+    // its own scheduler job) one action == one scheduler job, so the count
+    // is exact: seed checkpoint + 1 verify round (a clique converges at
+    // the seed) = 2 jobs inside the call, + 1 for the result collect.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val abj = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val counters = new graft.util.BenchCounters
+    spark.sparkContext.addSparkListener(counters)
+    try {
+      val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      val before = counters.snapshot
+      val cc = Clusters.connectedComponents(pairs)
+      val rows = cc.collect()
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      val delta = counters.snapshot - before
+      assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+      assert(delta.jobs == 3,
+        s"expected seed + 1 round + collect = 3 jobs, got ${delta.jobs}")
+    } finally {
+      spark.sparkContext.removeSparkListener(counters)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abj)
+    }
+  }
+
   test("dedupClusters resolves the planted A~B~C chain to one cluster") {
     val base = (1 to 30).map(i => s"tok$i")
     val a = base.mkString(" ")

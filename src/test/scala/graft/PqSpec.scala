@@ -129,6 +129,31 @@ class PqSpec extends AnyFunSuite {
     assert(!rows(2).isNullAt(0), "well-formed inputs must rank")
   }
 
+  test("graft_pq_sim NULLs on codes-length mismatch instead of truncating") {
+    // ADVICE r13: min(|codes|, M) silently ranked over a partial subspace
+    // set for user SQL with, say, 2 code bytes — contradicting the
+    // malformed-input->NULL contract the other paths follow
+    import spark.implicits._
+    val tooShort = Seq[Byte](0, 0)
+    val tooLong = Seq.fill[Byte](Pq.M + 1)(0)
+    val full = Seq.fill(64)(0.1)
+    val rows = Seq((tooShort, full, 1.0), (tooLong, full, 1.0))
+      .toDF("codes", "qemb", "qn")
+      .selectExpr("graft_pq_sim(codes, qemb, qn) AS s").collect()
+    assert(rows.forall(_.isNullAt(0)),
+      s"codes length != M must yield NULL: ${rows.mkString(",")}")
+  }
+
+  test("pq planted recall gate: >= 0.8 (the quantized tier's quality floor)") {
+    // pq_recall_planted's regime, pinned numerically like AnnRecallSpec's
+    // lsh/ivf floors: the planted clones concentrate in the probed cells,
+    // so a codebook/encode/ADC regression moves this number
+    val rows = Pq.recallAtKPlanted(Catalog.embeddings(spark, dir), 0L, 10, 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rows("pq") >= 0.8, s"pq planted recall ${rows("pq")} < 0.8")
+    graft.util.Caches.drain()
+  }
+
   test("registered kernels reject wrong arity with an analysis error") {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_pq_sim(array(0Y), array(0.1))").collect()

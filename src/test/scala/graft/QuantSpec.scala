@@ -17,6 +17,23 @@ class QuantSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private val K = 10
 
+  test("graft_sq8_sim NULLs on codes/query length mismatch instead of truncating") {
+    // ADVICE r13: min(|codes|, |qemb|) silently produced a partial-vector
+    // similarity for arbitrary user SQL; the registered function now
+    // follows graft_pq_sim's malformed-input->NULL policy (the engine's
+    // own plans always pass equal lengths)
+    import spark.implicits._
+    val codes = Seq.fill[Byte](8)(1)
+    val shortQ = Seq.fill(4)(0.1)
+    val okQ = Seq.fill(8)(0.1)
+    val rows = Seq((codes, shortQ), (codes, okQ))
+      .toDF("codes", "qemb")
+      .selectExpr("graft_sq8_sim(codes, qemb, CAST(0.0 AS DOUBLE), " +
+        "CAST(0.01 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS s").collect()
+    assert(rows(0).isNullAt(0), "length mismatch must yield NULL")
+    assert(!rows(1).isNullAt(0), "equal lengths must rank")
+  }
+
   test("the store is genuinely byte-wide") {
     // the 4x claim rests on the element TYPE: array<tinyint> is 1 byte per
     // element in Tungsten rows and bit-packed in parquet — an int32 array

@@ -376,4 +376,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).count() == 0)
   }
+
+  test("streamed pair-graph admission == batch nearDuplicates across micro-batches") {
+    import spark.implicits._
+    // The stored-cluster lifecycle (Catalog.dupPairs) is only valid if
+    // streamed admission reproduces the batch pair set EXACTLY. Three
+    // separate parquet files + maxFilesPerTrigger=1 force >=3 micro-batches,
+    // so cross-batch discovery (new doc vs the accumulated band store) is
+    // genuinely exercised: a~b land in different batches, b~c likewise.
+    val base = Files.createTempDirectory("graft_pairs_stream").toString
+    val tok = (1 to 30).map(i => s"tok$i")
+    val a = tok.mkString(" ")
+    val b = (tok.dropRight(1) :+ "CHANGED").mkString(" ") // ~ a
+    val c = (tok.dropRight(2) ++ Seq("CHANGED", "MORE")).mkString(" ") // ~ b
+    val other1 = (1 to 30).map(i => s"zzz$i").mkString(" ")
+    val other2 = (1 to 30).map(i => s"yyy$i").mkString(" ")
+    val chunks = Seq(
+      Seq((10L, a), (13L, other1)),
+      Seq((11L, b)),
+      Seq((12L, c), (14L, other2)))
+    chunks.foreach(ch => ch.toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(s"$base/in"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    graft.streaming.DocumentsIngest.runPairSink(src, s"$base/store", 0.5)
+    val streamed = spark.read.parquet(s"$base/store/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ml.NearDup.nearDuplicates(
+        chunks.flatten.toDF("doc_id", "text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture must produce verified pairs")
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    graft.util.Caches.drain()
+  }
 }
