@@ -33,12 +33,17 @@ import graft.operators.PostingAlgebra._
   */
 object CorrelateExec {
 
-  /** Distinct membership sets: A, and B with A's offsets removed. */
+  /** Distinct membership sets: A, and B with A's offsets removed. Cached
+    * (tracked): every consumer layer (counts, logOdds, the sizes frame)
+    * joins each set at least twice — uncached, the compile pipelines
+    * re-evaluate per join site (bench counters: correlate_logodds ran 21
+    * jobs vs correlate_full's 12, purely from re-derived set subplans). */
   def sets(spark: SparkSession, t: Tables, a: Query, b: Query): (DataFrame, DataFrame) = {
     val c = new QueryCompiler(spark, t)
     val pa = dedupMin(c.compile(a).postings)
     val pb = subtract(dedupMin(c.compile(b).postings), pa)
-    (pa.select("off"), pb.select("off"))
+    (graft.util.Caches.track(pa.select("off").cache()),
+      graft.util.Caches.track(pb.select("off").cache()))
   }
 
   /** A9 counting layer: per index key, the number of distinct key-offsets
