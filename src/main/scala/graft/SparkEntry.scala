@@ -606,6 +606,12 @@ object SparkEntry {
     "dedup_pairs_compact" -> ((s, dir) =>
       graft.streaming.DocumentsIngest.compactedPairsOnce(s, dir,
         Catalog.scratch(dir, "dup_pairs_compact"), 0.6)),
+    // end-to-end lifecycle pin: components over the STREAM-admitted pair
+    // store == the batch cluster table — streamed admission keeps the
+    // stored clusters valid
+    "dedup_clusters_stream" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.clustersOnce(s, dir,
+        Catalog.scratch(dir, "dup_clusters_stream"), 0.6)),
     // span-level exact-substring dedup (Lee et al.): cross-document repeated
     // W-token spans merged into maximal per-doc islands — the boilerplate/
     // license/template catch that doc-level near-dup cannot see
@@ -1305,6 +1311,7 @@ object SparkEntry {
     // same oracle as dedup_minhash (the stream==batch pin)
     "dedup_pairs_stream" -> NearDup.oracleSql(0.6),
     "dedup_pairs_compact" -> NearDup.oracleSql(0.6),
+    "dedup_clusters_stream" -> graft.ml.Clusters.oracleSql(0.6),
     "span_dedup" -> graft.ml.SpanDedup.spansOracleSql,
     "span_dedup_stored" -> graft.ml.SpanDedup.spansOracleSql,
     "span_stream_index" -> graft.ml.SpanDedup.sketchOracleSql,

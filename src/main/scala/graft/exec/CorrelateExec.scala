@@ -451,11 +451,17 @@ object CorrelateExec {
 
     // Support gate on RAW posting counts (checked before the filter,
     // correlate.cc:541-542); continuity likewise from the raw scores.
-    val keyMeta = t.index.groupBy("key").agg(
+    // Cached (tracked): TWO consumers (the continuity join on the index
+    // and the boolean full-range arm) would otherwise each re-run the
+    // full-index aggregation inside the one action. One row per surviving
+    // key — vocabulary-sized, and MEMORY_AND_DISK spills rather than
+    // capping the key count.
+    val keyMeta = graft.util.Caches.track(t.index.groupBy("key").agg(
       count(lit(1)).as("key_n"),
       max(when(col("score") =!= 0.0, 1).otherwise(0)).as("continuous"))
       .crossJoin(broadcast(sizes.select("limit_a", "limit_b")))
       .filter(col("key_n") >= least(col("limit_a"), col("limit_b")))
+      .cache())
 
     // keyMeta is VOCABULARY-sized — one row per distinct key, unbounded at
     // corpus scale — so it must not carry a broadcast hint (the same class

@@ -211,4 +211,15 @@ object DocumentsIngest {
         s"$scratchBase/idx", "doc_a", Seq("doc_a", "doc_b"),
         partitions = Some(4))
     }
+
+  /** Cluster resolution over the STREAM-ADMITTED pair store — the
+    * end-to-end lifecycle pin: components of the streamed pairs must equal
+    * the batch-built cluster table (Catalog.dupClusters), which is what
+    * entitles the stored table to keep serving while admission streams. */
+  def clustersOnce(spark: SparkSession, dir: String, scratchBase: String,
+      minJaccard: Double): DataFrame =
+    graft.util.Caches.memoize(s"stream:dupclusters:$dir:$scratchBase") {
+      graft.ml.Clusters.connectedComponents(
+        pairsOnce(spark, dir, scratchBase, minJaccard))
+    }
 }

@@ -59,6 +59,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("dedup cluster family serves from the materialized store, not the pipeline") {
+    // the r14 lead fix: the MinHash pipeline + CC label loop run ONCE at
+    // store build — a statement plan that re-tokenizes text (split/md5 of
+    // the shingle pipeline) or re-runs the label loop has regressed to the
+    // per-entry rebuild that inflated 5-20x in driver rounds 11-13
+    val pc = planOf(SparkEntry.queries("dedup_clusters")(spark, dir))
+    assert(pc.contains("dup_clusters"), s"not reading the cluster store:\n$pc")
+    assert(!pc.contains("split(") && !pc.contains("md5"),
+      s"dedup_clusters re-derives the pair pipeline in-statement:\n$pc")
+    val pr = planOf(SparkEntry.queries("dedup_removal")(spark, dir))
+    assert(pr.contains("dup_clusters"), s"removal not joining the store:\n$pr")
+    assert(pr.contains("LeftAnti"), s"removal is not one anti-join:\n$pr")
+    assert(!pr.contains("md5"),
+      s"dedup_removal re-derives the pair pipeline in-statement:\n$pr")
+  }
+
   test("vocabulary joins carry NO explicit broadcast hint (r9 de-broadcast pins)") {
     // the r9 scale fix: df/unigram vocabularies and CORRELATE membership
     // sets are data-scaled, so their joins must reach the planner unhinted
