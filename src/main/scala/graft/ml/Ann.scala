@@ -584,16 +584,22 @@ object Ann {
 
   /** DuckDB mirror of recallAtK: the exact, LSH, and IVF top-k oracles
     * (each already verified stand-alone) composed as CTE subqueries. */
+  /** ONE rendering of the exact brute-force top-k subquery — shared by the
+    * LSH/IVF recall oracle below AND the PQ recall oracle
+    * (Pq.pqRecallOracleSql), so the exact tier every recall gate compares
+    * against cannot drift between them (the cellCtesSql convention). */
+  private[ml] def exactTopKSql(qVecId: Long, k: Int, srcSql: String): String =
+    s"""WITH e AS ($srcSql),
+       |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId)
+       |SELECT e.vec_id AS vec_id,
+       |  round(list_dot_product(e.emb, q.qemb) /
+       |    sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
+       |FROM e, q WHERE e.vec_id <> $qVecId
+       |ORDER BY sim DESC, e.vec_id LIMIT $k""".stripMargin
+
   def recallOracleSql(qVecId: Long, k: Int,
       srcSql: String = BaseSrcSql): String = {
-    val exact =
-      s"""WITH e AS ($srcSql),
-         |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId)
-         |SELECT e.vec_id AS vec_id,
-         |  round(list_dot_product(e.emb, q.qemb) /
-         |    sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
-         |FROM e, q WHERE e.vec_id <> $qVecId
-         |ORDER BY sim DESC, e.vec_id LIMIT $k""".stripMargin
+    val exact = exactTopKSql(qVecId, k, srcSql)
     s"""WITH exact AS ((${exact})),
        |lshr AS ((${oracleSql(qVecId, k, srcSql)})),
        |ivfr AS ((${ivfOracleSql(qVecId, k, srcSql)}))

@@ -294,14 +294,9 @@ object Pq {
     * oracle composed over the same planted source — the
     * Ann.recallOracleSql shape for the PQ tier. */
   def pqRecallOracleSql(qVecId: Long, k: Int, srcSql: String): String = {
-    val exact =
-      s"""WITH e AS ($srcSql),
-         |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId)
-         |SELECT e.vec_id AS vec_id,
-         |  round(list_dot_product(e.emb, q.qemb) /
-         |    sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
-         |FROM e, q WHERE e.vec_id <> $qVecId
-         |ORDER BY sim DESC, e.vec_id LIMIT $k""".stripMargin
+    // the exact tier is Ann's ONE rendering — the PQ gate must compare
+    // against the same brute-force baseline as the LSH/IVF gate
+    val exact = Ann.exactTopKSql(qVecId, k, srcSql)
     s"""WITH exact AS (($exact)),
        |pqr AS ((${pqIvfOracleSql(qVecId, k, srcSql)}))
        |SELECT 'pq' AS method, count(*) AS hits,

@@ -65,13 +65,22 @@ object Catalog {
     * 64-byte pread per file — still microseconds for a table directory. */
   private def sourceFingerprint(dir: String): String = {
     def tailSig(f: java.io.File): String = {
-      val len = f.length
-      if (len <= 0) return "0"
-      val n = math.min(64L, len).toInt
-      val buf = new Array[Byte](n)
-      val raf = new java.io.RandomAccessFile(f, "r")
-      try { raf.seek(len - n); raf.readFully(buf) } finally raf.close()
-      java.util.Base64.getEncoder.encodeToString(buf)
+      // a file replaced/truncated BETWEEN the length probe and the read is
+      // a regeneration in progress: return a changing sentinel instead of
+      // leaking a raw EOF/FileNotFound out of the fingerprint, so the
+      // failure surfaces as assertStableSource's designed mid-session
+      // diagnostic on the next stable listing (review finding, r14)
+      try {
+        val len = f.length
+        if (len <= 0) return "0"
+        val n = math.min(64L, len).toInt
+        val buf = new Array[Byte](n)
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try { raf.seek(len - n); raf.readFully(buf) } finally raf.close()
+        java.util.Base64.getEncoder.encodeToString(buf)
+      } catch {
+        case _: java.io.IOException => s"unreadable:${System.nanoTime()}"
+      }
     }
     def entries(f: java.io.File): Seq[String] =
       if (f.isDirectory)

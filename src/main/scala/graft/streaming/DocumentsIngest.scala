@@ -149,18 +149,28 @@ object DocumentsIngest {
     val shinglePath = s"$scratchBase/shingles"
     val bandPath = s"$scratchBase/bands"
     val pairPath = s"$scratchBase/pairs"
-    val writeBatch: (DataFrame, Long) => Unit = (batch, _) => {
+    val writeBatch: (DataFrame, Long) => Unit = (batch, id) => {
       val spark = batch.sparkSession
-      // batch-local projections, cached across the two appends + the join
+      // IDEMPOTENT per-batch writes (review finding, r14): foreachBatch is
+      // at-least-once, and a blind append replayed after a partial failure
+      // would double this batch's shingle/band rows — inflating the
+      // Jaccard denominators and corrupting the pair store the cluster
+      // lifecycle serves from. Each batch OVERWRITES its own hive-style
+      // b=<batchId> subdirectory instead, so a retry rewrites the same
+      // partition and the store converges to exactly-once content; the
+      // derived pair set is a pure function of the (deterministic) store
+      // state at batch id, so its rewrite is idempotent too. Readers
+      // select explicit columns, dropping the `b` partition key.
       val batchSh = graft.ml.NearDup.shingles(batch).cache()
       val batchBands = graft.ml.NearDup.bands(
         graft.ml.NearDup.signatures(batchSh)).cache()
-      batchSh.write.mode("append").parquet(shinglePath)
-      batchBands.write.mode("append").parquet(bandPath)
+      batchSh.write.mode("overwrite").parquet(s"$shinglePath/b=$id")
+      batchBands.write.mode("overwrite").parquet(s"$bandPath/b=$id")
       // candidates: accumulated store (batch included) × batch bands; the
       // least/greatest normalization + distinct folds the two orderings a
       // same-batch pair produces into one row
       val store = spark.read.parquet(bandPath)
+        .select("doc_id", "band", "bkey")
       val cand = store.as("x").join(batchBands.as("y"),
           org.apache.spark.sql.functions.expr(
             "x.band = y.band AND x.bkey = y.bkey AND x.doc_id <> y.doc_id"))
@@ -168,8 +178,9 @@ object DocumentsIngest {
           "greatest(x.doc_id, y.doc_id) AS doc_b")
         .distinct()
       graft.ml.NearDup.verifyJaccard(cand,
-          spark.read.parquet(shinglePath), minJaccard)
-        .write.mode("append").parquet(pairPath)
+          spark.read.parquet(shinglePath).select("doc_id", "shingle"),
+          minJaccard)
+        .write.mode("overwrite").parquet(s"$pairPath/b=$id")
       batchSh.unpersist(false)
       batchBands.unpersist(false)
       ()
@@ -182,22 +193,25 @@ object DocumentsIngest {
     q.awaitTermination()
   }
 
+  /** The (doc_a, doc_b, jaccard) schema of the pair store — the read-side
+    * fallback for a corpus whose stream produced no batches. */
+  private val pairSchema = StructType(Seq(StructField("doc_a", LongType),
+    StructField("doc_b", LongType), StructField("jaccard", DoubleType)))
+
   /** One-shot streamed pair-graph admission — the CORRECTNESS entry point:
     * stream the docs through the pair sink into a fresh scratch store and
     * read the accumulated verified pairs back; must equal the batch
-    * pipeline exactly. The empty-schema pre-write makes a pair-free corpus
-    * read back as an empty table instead of a missing path. */
+    * pipeline exactly. */
   def pairsOnce(spark: SparkSession, dir: String, scratchBase: String,
       minJaccard: Double): DataFrame =
-    graft.util.Caches.memoize(s"stream:duppairs:$dir:$scratchBase") {
+    graft.util.Caches.memoize(s"stream:duppairs:$dir:$scratchBase:$minJaccard") {
       graft.ingest.Compact.rmTree(scratchBase)
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          StructType(Seq(StructField("doc_a", LongType),
-            StructField("doc_b", LongType),
-            StructField("jaccard", DoubleType))))
-        .write.mode("overwrite").parquet(s"$scratchBase/pairs")
       runPairSink(stream(spark, dir), scratchBase, minJaccard)
-      spark.read.parquet(s"$scratchBase/pairs")
+      if (new java.io.File(s"$scratchBase/pairs").exists())
+        spark.read.parquet(s"$scratchBase/pairs")
+          .select("doc_a", "doc_b", "jaccard")
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), pairSchema)
     }
 
   /** Streamed-then-compacted pair graph — fold the per-batch appended pair
@@ -205,11 +219,15 @@ object DocumentsIngest {
     * back through it; must equal the batch pipeline row-for-row. */
   def compactedPairsOnce(spark: SparkSession, dir: String,
       scratchBase: String, minJaccard: Double): DataFrame =
-    graft.util.Caches.memoize(s"stream:dupcompact:$dir:$scratchBase") {
+    graft.util.Caches.memoize(
+        s"stream:dupcompact:$dir:$scratchBase:$minJaccard") {
       pairsOnce(spark, dir, scratchBase, minJaccard)
+      // the compacted generation carries the per-batch b partition key
+      // through; the read-back projection drops it
       graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/pairs",
         s"$scratchBase/idx", "doc_a", Seq("doc_a", "doc_b"),
         partitions = Some(4))
+        .select("doc_a", "doc_b", "jaccard")
     }
 
   /** Cluster resolution over the STREAM-ADMITTED pair store — the
@@ -218,7 +236,8 @@ object DocumentsIngest {
     * entitles the stored table to keep serving while admission streams. */
   def clustersOnce(spark: SparkSession, dir: String, scratchBase: String,
       minJaccard: Double): DataFrame =
-    graft.util.Caches.memoize(s"stream:dupclusters:$dir:$scratchBase") {
+    graft.util.Caches.memoize(
+        s"stream:dupclusters:$dir:$scratchBase:$minJaccard") {
       graft.ml.Clusters.connectedComponents(
         pairsOnce(spark, dir, scratchBase, minJaccard))
     }

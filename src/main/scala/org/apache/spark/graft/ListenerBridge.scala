@@ -12,5 +12,11 @@ import org.apache.spark.SparkContext
   * package-private accessor; no Spark internals are modified.
   */
 object ListenerBridge {
-  def waitUntilEmpty(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+  /** Best-effort drain: the no-arg waitUntilEmpty throws TimeoutException
+    * after ~10 s if the bus is still busy — exactly the loaded-machine
+    * regime the counters exist to measure, so a slow drain must degrade to
+    * a slightly-smeared snapshot, never abort the bench run. */
+  def waitUntilEmpty(sc: SparkContext): Unit =
+    try sc.listenerBus.waitUntilEmpty()
+    catch { case _: java.util.concurrent.TimeoutException => () }
 }
