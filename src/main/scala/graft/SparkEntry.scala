@@ -676,6 +676,22 @@ object SparkEntry {
       graft.ml.CorpusOps.vocabTopK(Catalog.documents(s, dir), 100)),
     "decontaminate" -> ((s, dir) =>
       graft.ml.CorpusOps.decontaminate(Catalog.documents(s, dir), 25L, 3)),
+    // bloom-pruned decontamination: identical result, but the corpus side
+    // is pre-pruned by a KB-size codegen'd bloom probe before any join —
+    // the runtime-row-level-filtering pattern made explicit
+    "decontaminate_bloom" -> ((s, dir) =>
+      graft.ml.CorpusOps.decontaminateBloom(Catalog.documents(s, dir), 25L, 3)),
+    // BM25 keyword top-k — the scored generalization of the reference's
+    // boolean keyword lookups; one corpus shuffle, 1-row stats broadcast
+    "bm25_topk" -> ((s, dir) =>
+      graft.ml.Retrieval.bm25TopK(Catalog.documents(s, dir),
+        Seq("merge", "stream", "window"), 20)),
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 ranking and the
+    // exact embedding-cosine ranking for the same query (id spaces shared)
+    "rrf_fusion" -> ((s, dir) =>
+      graft.ml.Retrieval.rrfFusion(Catalog.documents(s, dir),
+        Catalog.embeddings(s, dir), Seq("merge", "stream", "window"),
+        0L, 20, 10)),
     "text_quality" -> ((s, dir) =>
       graft.ml.TextAnalysis.quality(Catalog.documents(s, dir))),
     "text_langid" -> ((s, dir) =>
@@ -781,6 +797,12 @@ object SparkEntry {
         Catalog.embeddings(s, dir), 0, 10)),
     "emb_topk_ivf" -> ((s, dir) =>
       Ann.ivfTopK(Catalog.embeddings(s, dir), Catalog.ivfCells(s, dir), 0, 10)),
+    // metadata-constrained ANN: nearest neighbours among label = 3 only —
+    // the predicate pre-filters the candidate scan (pushed to parquet),
+    // probe stage identical to the unfiltered lookup
+    "emb_topk_filtered" -> ((s, dir) =>
+      Ann.ivfTopKFiltered(Catalog.embeddings(s, dir),
+        Catalog.ivfCells(s, dir), 0, 3, 10)),
     // BATCHED IVF serving: a whole query table answered in ONE plan —
     // probe assignment, candidate join and per-query top-k all declarative,
     // zero per-query driver round-trips (the 100 TB serving shape; the
@@ -1329,6 +1351,13 @@ object SparkEntry {
     "text_logprob" -> graft.ml.CorpusOps.unigramLogProbOracleSql,
     "vocab_topk" -> graft.ml.CorpusOps.vocabOracleSql(100),
     "decontaminate" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),
+    // same oracle as decontaminate BY DESIGN: the bloom prune is invisible
+    // in the result, only in the plan
+    "decontaminate_bloom" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),
+    "bm25_topk" -> graft.ml.Retrieval.bm25OracleSql(
+      Seq("merge", "stream", "window"), 20),
+    "rrf_fusion" -> graft.ml.Retrieval.rrfOracleSql(
+      Seq("merge", "stream", "window"), 0L, 20, 10),
     "text_quality" -> (s"""SELECT doc_id,
       len(string_split(text, ' ')) AS n_tokens,
       round((len(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')), 4) AS mean_tok_len,
@@ -1372,6 +1401,7 @@ object SparkEntry {
     "emb_topk_lsh_batch" -> Ann.lshBatchOracleSql(8, 10),
     "ann_stream_index" -> Ann.bucketsOracleSql,
     "emb_topk_ivf" -> Ann.ivfOracleSql(0, 10),
+    "emb_topk_filtered" -> Ann.ivfFilteredOracleSql(0, 3, 10),
     "ann_recall" -> Ann.recallOracleSql(0, 10),
     "ann_recall_planted" -> Ann.recallOracleSql(0, 10,
       Ann.plantedClusterSrcSql(0L, 10)),

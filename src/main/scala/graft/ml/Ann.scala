@@ -278,6 +278,51 @@ object Ann {
        |""".stripMargin.replaceAll("\\s+", " ")
 
 
+  /** FILTERED IVF top-k: the metadata-constrained serving shape ("nearest
+    * neighbours among label = L" — the language/source/licence predicate
+    * every production vector store exposes). Post-filtering within the
+    * probed cells: the probe stage is identical to ivfTopK (the quantizer
+    * knows nothing of labels), and the label predicate prunes the CANDIDATE
+    * side before ranking — applied by pre-filtering the embeddings table,
+    * so it reaches the parquet scan as a pushed filter (AnnIndexSpec pins
+    * it) rather than post-filtering ranked rows. Fewer than k survivors in
+    * the probed cells returns fewer than k rows — the standard filtered-ANN
+    * contract (raise Probes for highly selective predicates; the recall
+    * ladder's gates quantify the trade). Returns (vec_id, sim). */
+  def ivfTopKFiltered(emb: DataFrame, cells: DataFrame, qVecId: Long,
+      label: Int, k: Int, cents: Option[DataFrame] = None): DataFrame = {
+    val full = emb.select(col("vec_id"), col("embedding").as("emb"))
+    val el = emb.filter(col("label") === label)
+      .select(col("vec_id"), col("embedding").as("emb"))
+    val qCells = probedCells(full, qVecId, cents)
+    val q = broadcast(full.filter(col("vec_id") === qVecId)
+      .select(col("emb").as("qemb")))
+    cells.filter(col("cell").isin(qCells: _*)).filter(col("vec_id") =!= qVecId)
+      .join(el, Seq("vec_id"))
+      .crossJoin(q)
+      .select(col("vec_id"),
+        round(cosine(col("emb"), col("qemb")), 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of ivfTopKFiltered: ivfOracleSql's CTE chain plus the
+    * label semi-join on the candidate side. */
+  def ivfFilteredOracleSql(qVecId: Long, label: Int, k: Int,
+      srcSql: String = BaseSrcSql): String =
+    s"""WITH ${cellCtesSql(srcSql)},
+       |qc AS (SELECT cent_id AS cell FROM asg WHERE vec_id = $qVecId
+       |       ORDER BY csim DESC, cent_id ASC LIMIT $Probes),
+       |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId),
+       |el AS (SELECT vec_id FROM embeddings WHERE label = $label)
+       |SELECT cell.vec_id AS vec_id,
+       |  round(list_dot_product(e.emb, q.qemb) /
+       |        sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
+       |FROM cell JOIN qc USING (cell) JOIN e USING (vec_id) JOIN el USING (vec_id), q
+       |WHERE cell.vec_id <> $qVecId
+       |ORDER BY sim DESC, vec_id LIMIT $k
+       |""".stripMargin.replaceAll("\\s+", " ")
+
   /** BATCHED IVF top-k: serve a whole query TABLE in one declarative plan —
     * the realistic 100 TB serving shape (queries arrive in batches, not one
     * at a time), and the scale answer to the single-query path's per-query

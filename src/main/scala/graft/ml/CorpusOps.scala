@@ -231,6 +231,42 @@ object CorpusOps {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** decontaminate with a Bloom-filter pre-prune — the same RESULT (the
+    * filter has no false negatives, and every survivor is re-verified by
+    * the exact join, so false positives die there too; the oracle is
+    * literally decontaminate's), but the 100 TB-side work changes shape:
+    *
+    *  - exact `decontaminate` ships the benchmark's full distinct shingle
+    *    SET to every executor (fine for one eval suite; at a few hundred
+    *    suites × thousands of docs the broadcast is GBs);
+    *  - this variant ships a ~KB–MB Bloom filter as a plan literal and
+    *    probes it inside whole-stage codegen (expressions.BloomContains),
+    *    so only true overlaps + ~fpp of the corpus shingles reach the
+    *    verify join at all. The join is left UNHINTED: with the corpus
+    *    side pre-pruned ~100×, AQE picks broadcast when the bench set is
+    *    small and a (tiny) shuffle join when it isn't — either way the
+    *    exchange moves the pruned stream, not the raw corpus.
+    *
+    * This is Spark's own runtime row-level-filtering pattern, applied
+    * deliberately where the optimizer can't infer it (the "benchmark" side
+    * is only known small-ish by domain contract). `expectedItems` bounds
+    * the filter's size/fpp trade at plan time — a benchmark LARGER than
+    * the bound degrades fpp (more survivors to verify), never correctness. */
+  def decontaminateBloom(docs: DataFrame, benchMaxId: Long, minOverlap: Int,
+      expectedItems: Long = 1 << 14, fpp: Double = 0.01): DataFrame = {
+    val sh = NearDup.shingles(docs)
+    val bench = sh.filter(col("doc_id") < benchMaxId).select("shingle").distinct()
+    val bf = bench.stat.bloomFilter("shingle", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    sh.filter(col("doc_id") >= benchMaxId)
+      .filter(call_function("graft_bloom_contains", col("shingle"),
+        lit(bos.toByteArray)))
+      .join(bench, Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   def decontaminateOracleSql(benchMaxId: Long, minOverlap: Int): String =
     s"""WITH sh AS (
        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 3

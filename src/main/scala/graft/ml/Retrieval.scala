@@ -1,0 +1,169 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword and hybrid retrieval over the corpus — the serving-side verbs a
+  * training-data platform runs next to its dedup/quality passes: BM25
+  * keyword ranking (the lexical tier every retrieval stack starts from) and
+  * reciprocal-rank fusion of the lexical and embedding tiers (the standard
+  * hybrid-search combiner). The reference's keyword index answers boolean
+  * key lookups (/root/reference/src/query.cc:307-346); BM25 is the scored
+  * generalization a corpus-scale engine adds on the same inverted shape.
+  *
+  * Scale shape (100 TB): ONE corpus-wide shuffle — the per-doc token
+  * aggregation. Query-term tf counts ride that aggregation as conditional
+  * sums (|terms| extra columns, not |vocab|), corpus statistics (N, avgdl,
+  * per-term df) collapse to a ONE-ROW frame broadcast back, and the final
+  * top-k is a TakeOrdered, never a full sort. Nothing vocabulary-sized is
+  * ever broadcast (cf. tfidfTopTerms' rationale in CorpusOps).
+  */
+object Retrieval {
+
+  val K1 = 1.2
+  val B = 0.75
+  val RrfK = 60
+
+  private def tfc(i: Int) = s"tf$i"
+  private def dfc(i: Int) = s"df$i"
+
+  /** Per-doc (dl, tf per query term) in one aggregation over the exploded
+    * token stream. Every doc survives: split() never returns an empty
+    * array (an empty text yields [""], matching DuckDB's string_split), so
+    * avgdl downstream is a true corpus mean. */
+  private def wideTf(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, 1).otherwise(0)).as(tfc(i))
+    }
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfs: _*)
+  }
+
+  /** Okapi BM25 top-k for a bag-of-terms query.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the non-negative Lucene
+    * form). Docs containing no query term are excluded (their score is
+    * identically 0). Ranking is on the ROUNDED score with doc_id tiebreak —
+    * the same total-order convention the ANN entries pin, so the k-boundary
+    * agrees across engines. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val wide = wideTf(docs, terms)
+    val statCols = count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(tfc(i)) > 0, 1).otherwise(0)).as(dfc(i)))
+    val stats = wide.agg(statCols.head, statCols.tail: _*)
+    val norm = col("dl") / col("avgdl")
+    val score = terms.indices.map { i =>
+      val idf = log((col("n_docs") - col(dfc(i)) + 0.5) / (col(dfc(i)) + 0.5) + 1)
+      idf * (col(tfc(i)) * (K1 + 1)) / (col(tfc(i)) + (norm * B + (1 - B)) * K1)
+    }.reduce(_ + _)
+    wide.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(tfc(i)))
+        .reduceLeft((a, b) => greatest(a, b)) > 0)
+      .select(col("doc_id"), round(score, 4).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of bm25TopK — same wide-aggregation CTEs so tf/df/avgdl
+    * are computed identically. */
+  def bm25OracleSql(terms: Seq[String], k: Int): String = {
+    val tfSel = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS ${tfc(i)}"
+    }.mkString(", ")
+    val dfSel = terms.indices.map(i =>
+      s"sum(CASE WHEN ${tfc(i)} > 0 THEN 1 ELSE 0 END) AS ${dfc(i)}").mkString(", ")
+    // 0.5::DOUBLE etc: DuckDB types bare decimal literals as DECIMAL, whose
+    // division rounds differently from IEEE double at the last digits; the
+    // casts force the whole score chain onto the doubles Spark computes
+    val score = terms.indices.map { i =>
+      s"ln((n_docs - ${dfc(i)} + 0.5::DOUBLE)/(${dfc(i)} + 0.5::DOUBLE) + 1) * " +
+        s"(${tfc(i)} * ($K1::DOUBLE + 1)) / " +
+        s"(${tfc(i)} + $K1::DOUBLE * (1 - $B::DOUBLE + $B::DOUBLE * dl/avgdl))"
+    }.mkString(" + ")
+    val anyTf = if (terms.size == 1) tfc(0)
+      else s"greatest(${terms.indices.map(tfc).mkString(", ")})"
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |wide AS (SELECT doc_id, count(*) AS dl, $tfSel FROM tok GROUP BY doc_id),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, $dfSel FROM wide)
+       |SELECT doc_id, round($score, 4) AS bm25
+       |FROM wide, st WHERE $anyTf > 0
+       |ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
+      .replaceAll("\\s+", " ")
+  }
+
+  /** Exact embedding-cosine ranking for one query vector, as (vec_id, rank)
+    * for the top `n` — the dense tier the fusion consumes. Same rounded-sim
+    * vec_id-tiebreak order as Ann's exact baseline; the rank is assigned by
+    * a window over the LIMITED n-row frame, so no corpus-wide window runs. */
+  private def denseRanks(emb: DataFrame, qVecId: Long, n: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").as("emb"))
+    val q = broadcast(e.filter(col("vec_id") === qVecId)
+      .select(col("emb").as("qemb")))
+    val topn = e.filter(col("vec_id") =!= qVecId).crossJoin(q)
+      .select(col("vec_id"),
+        round(Ann.dot(col("emb"), col("qemb")) /
+          sqrt(Ann.dot(col("emb"), col("emb")) * Ann.dot(col("qemb"), col("qemb"))), 6)
+          .as("sim"))
+      .orderBy(desc("sim"), asc("vec_id")).limit(n)
+    topn.select(col("vec_id"), row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(desc("sim"), asc("vec_id"))).as("rank"))
+  }
+
+  /** Reciprocal-rank fusion of the BM25 and exact-cosine rankings for one
+    * query (terms + its embedding; doc_id and vec_id share the id space):
+    * rrf(d) = Σ_systems 1/(RrfK + rank_s(d)), absent docs contribute
+    * nothing. Integer ranks make the fused score a sum of two fixed
+    * rationals — bit-identical across engines — rounded to 6dp for the
+    * output column. Both inputs are already k-bounded (≤ n rows each), so
+    * the fusion join/sort is driver-trivial no matter the corpus size; the
+    * heavy lifting happened in the two tiers. */
+  def rrfFusion(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      qVecId: Long, n: Int, k: Int): DataFrame = {
+    val lex = bm25TopK(docs, terms, n)
+      .select(col("doc_id"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("bm25"), asc("doc_id"))).as("rank"))
+    val den = denseRanks(emb, qVecId, n).withColumnRenamed("vec_id", "doc_id")
+    def contrib(c: Column) = when(c.isNotNull, lit(1.0) / (lit(RrfK) + c))
+      .otherwise(lit(0.0))
+    lex.select(col("doc_id"), col("rank").as("lex_rank"))
+      .join(den.select(col("doc_id"), col("rank").as("den_rank")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(contrib(col("lex_rank")) + contrib(col("den_rank")), 6).as("rrf"))
+      .orderBy(desc("rrf"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of rrfFusion: the bm25 CTE is the SAME rendering as the
+    * stand-alone oracle (bm25OracleSql) and the dense tier reuses the
+    * exact-cosine form the ANN oracles pin, so the fused entry cannot drift
+    * from the tiers it combines. */
+  def rrfOracleSql(terms: Seq[String], qVecId: Long, n: Int, k: Int): String = {
+    val bm25 = bm25OracleSql(terms, n)
+    s"""WITH lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |  FROM ($bm25)),
+       |e AS (${Ann.BaseSrcSql}),
+       |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId),
+       |topn AS (SELECT e.vec_id,
+       |    round(list_dot_product(e.emb, q.qemb) /
+       |      sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
+       |  FROM e, q WHERE e.vec_id <> $qVecId
+       |  ORDER BY sim DESC, e.vec_id LIMIT $n),
+       |den AS (SELECT vec_id AS doc_id,
+       |    row_number() OVER (ORDER BY sim DESC, vec_id) AS den_rank
+       |  FROM topn)
+       |SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+       |  round(COALESCE(1.0::DOUBLE/($RrfK + lex_rank), 0) +
+       |        COALESCE(1.0::DOUBLE/($RrfK + den_rank), 0), 6) AS rrf
+       |FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT $k""".stripMargin
+      .replaceAll("\\s+", " ")
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ml.{Ann, CorpusOps, Retrieval}
+import graft.model.Catalog
+
+/** BM25 / hybrid-fusion retrieval and the bloom-pruned decontamination —
+  * result correctness against in-memory reference models, plus the plan
+  * properties the scale story depends on (codegen'd bloom probe present,
+  * label filter pushed to the candidate scan).
+  */
+class RetrievalSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- in-memory BM25 reference (same Lucene-style idf) ----
+  private def refBm25(docs: Seq[(Long, String)], terms: Seq[String],
+      k: Int): Seq[(Long, Double)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val n = docs.size
+    val avgdl = toks.map(_._2.size).sum.toDouble / n
+    val dfm = terms.map(t => t -> toks.count(_._2.contains(t))).toMap
+    toks.flatMap { case (id, tk) =>
+      val score = terms.map { t =>
+        val tf = tk.count(_ == t).toDouble
+        val idf = math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1)
+        idf * (tf * (Retrieval.K1 + 1)) /
+          (tf + (tk.size / avgdl * Retrieval.B + (1 - Retrieval.B)) * Retrieval.K1)
+      }.sum
+      if (terms.exists(tk.contains)) Some(id -> BigDecimal(score)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+    }.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  test("bm25TopK matches the in-memory reference on a hand fixture") {
+    val docs = Seq(
+      (0L, "x y x"), (1L, "x z"), (2L, "w w"), (3L, "y y y x"),
+      (4L, "z w"), (5L, "x x x x"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, Seq("x", "y"), 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = refBm25(
+      Seq((0L, "x y x"), (1L, "x z"), (2L, "w w"), (3L, "y y y x"),
+        (4L, "z w"), (5L, "x x x x")), Seq("x", "y"), 4)
+    assert(got == want)
+  }
+
+  test("bm25TopK excludes docs containing no query term") {
+    val docs = Seq((0L, "a b"), (1L, "c d"), (2L, "a a")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, Seq("a"), 10).collect().map(_.getLong(0))
+    assert(got.toSet == Set(0L, 2L))
+  }
+
+  test("rrfFusion fuses both tiers; single-tier docs contribute one term") {
+    val got = Retrieval.rrfFusion(
+      Catalog.documents(spark, dir), Catalog.embeddings(spark, dir),
+      Seq("merge", "stream", "window"), 0L, 20, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 10)
+    // reference: recompute from the two tier rankings independently
+    val lex = Retrieval.bm25TopK(
+      Catalog.documents(spark, dir), Seq("merge", "stream", "window"), 20)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (d, i) => d -> (i + 1) }.toMap
+    val e = Catalog.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val q = e.find(_._1 == 0L).get._2
+    def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val den = e.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        id -> BigDecimal(dot(v, q) / math.sqrt(dot(v, v) * dot(q, q)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+      .zipWithIndex.map { case ((d, _), i) => d -> (i + 1) }.toMap
+    val want = (lex.keySet ++ den.keySet).toSeq
+      .map { d =>
+        val s = lex.get(d).map(r => 1.0 / (Retrieval.RrfK + r)).getOrElse(0.0) +
+          den.get(d).map(r => 1.0 / (Retrieval.RrfK + r)).getOrElse(0.0)
+        d -> BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+      .sortBy { case (d, s) => (-s, d) }.take(10)
+    assert(got.toSeq == want)
+  }
+
+  test("decontaminateBloom == decontaminate, bloom probe in the plan") {
+    val docs = Catalog.documents(spark, dir)
+    val exact = CorpusOps.decontaminate(docs, 25L, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = CorpusOps.decontaminateBloom(docs, 25L, 3)
+    val got = pruned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact)
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("graft_bloom_contains"),
+      s"bloom probe missing from plan:\n$p")
+  }
+
+  test("graft_bloom_contains: no false negatives, null-safe, arity-checked") {
+    val vals = (0 until 500).map(i => s"shingle $i body")
+    val bf = vals.toDF("s").stat.bloomFilter("s", 1000, 0.01)
+    val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+    val probed = vals.toDF("s")
+      .select(call_function("graft_bloom_contains", col("s"),
+        lit(bos.toByteArray)).as("hit"))
+      .collect().map(_.getBoolean(0))
+    assert(probed.forall(identity), "bloom reported a false negative")
+    val onNull = Seq[Option[String]](None).toDF("s")
+      .select(call_function("graft_bloom_contains", col("s"),
+        lit(bos.toByteArray)))
+      .collect().head
+    assert(onNull.isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_bloom_contains('x')").collect()
+    }
+  }
+
+  test("emb_topk_filtered: label predicate pushed, results all carry it") {
+    val df = Ann.ivfTopKFiltered(Catalog.embeddings(spark, dir),
+      Catalog.ivfCells(spark, dir), 0, 3, 10)
+    val labels = Catalog.embeddings(spark, dir)
+      .filter(col("label") === 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val got = df.collect().map(_.getLong(0))
+    assert(got.nonEmpty && got.forall(labels.contains))
+    // the predicate reaches the embeddings parquet scan as a pushed filter
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("EqualTo(label,3)"),
+      s"label filter not pushed to the scan:\n$p")
+  }
+}
