@@ -34,6 +34,13 @@ object SparkEntry {
     Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
   private val MixtureTotal = 80
 
+  /** The bm25_topk_batch query table (same literals in the VALUES oracle):
+    * distinct qids, distinct terms per query — the batch contract. */
+  private val BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("merge", "stream", "window"),
+    1L -> Seq("hash", "join"),
+    2L -> Seq("fast", "filter", "sort"))
+
   /** Flagship: the full statement path on sf0.001 — parse, compile, execute,
     * fetch summaries with override overlay. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
@@ -686,6 +693,14 @@ object SparkEntry {
     "bm25_topk" -> ((s, dir) =>
       graft.ml.Retrieval.bm25TopK(Catalog.documents(s, dir),
         Seq("merge", "stream", "window"), 20)),
+    // BATCHED BM25 serving: a whole query table scored in one plan — the
+    // lexical twin of emb_topk_ivf_batch (one corpus pass, dl carried
+    // through the explode, per-query top-k via WindowGroupLimit)
+    "bm25_topk_batch" -> ((s, dir) => {
+      import s.implicits._
+      graft.ml.Retrieval.bm25TopKBatch(Catalog.documents(s, dir),
+        BatchQueries.toDF("qid", "terms"), 5)
+    }),
     // hybrid retrieval: reciprocal-rank fusion of the BM25 ranking and the
     // exact embedding-cosine ranking for the same query (id spaces shared)
     "rrf_fusion" -> ((s, dir) =>
@@ -1356,6 +1371,7 @@ object SparkEntry {
     "decontaminate_bloom" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),
     "bm25_topk" -> graft.ml.Retrieval.bm25OracleSql(
       Seq("merge", "stream", "window"), 20),
+    "bm25_topk_batch" -> graft.ml.Retrieval.bm25BatchOracleSql(BatchQueries, 5),
     "rrf_fusion" -> graft.ml.Retrieval.rrfOracleSql(
       Seq("merge", "stream", "window"), 0L, 20, 10),
     "text_quality" -> (s"""SELECT doc_id,

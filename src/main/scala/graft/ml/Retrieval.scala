@@ -95,6 +95,79 @@ object Retrieval {
       .replaceAll("\\s+", " ")
   }
 
+  /** BATCHED BM25: serve a whole query TABLE (qid, terms array) in one
+    * declarative plan — the lexical twin of Ann.ivfTopKBatch (queries
+    * arrive in batches at serving time; per-query driver round-trips don't
+    * scale). Stages, all in-plan:
+    *  1. tf — ONE corpus pass: dl rides the explode as a carried column
+    *     (functional on doc_id, so it joins the groupBy key for free — no
+    *     second corpus shuffle on doc_id), and the token stream is
+    *     restricted to the batch's distinct term set by an UNHINTED
+    *     equi-join (AQE broadcasts the term dictionary when it's small,
+    *     shuffle-joins when a data-scale batch makes it big);
+    *  2. per-term df and the corpus scalars (N, avgdl) — one tiny
+    *     aggregate each, the scalars broadcast as a 1-row frame;
+    *  3. scoring — (qid, term) joins tf on term, contributions sum per
+    *     (qid, doc), round-4 like the single-query path;
+    *  4. per-query top-k — row_number ≤ k rides Spark's WindowGroupLimit
+    *     (partial top-k map-side), never a global sort.
+    * Query contract: qids distinct, terms within a query distinct (a
+    * duplicated term would double its contribution; the reference model is
+    * a bag-of-DISTINCT-terms query, matching bm25TopK's term list).
+    * Returns (qid, doc_id, bm25), ≤ k rows per query — docs sharing no
+    * term with a query never appear, as in the single-query path. */
+  def bm25TopKBatch(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val qt = queries.select(col("qid"), explode(col("terms")).as("token"))
+    val tset = qt.select("token").distinct()
+    val tf = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
+        explode(split(col("text"), " ")).as("token"))
+      .join(tset, Seq("token"))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(split(col("text"), " "))).as("avgdl"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val contrib = idf * (col("tf") * (K1 + 1)) /
+      (col("tf") + (col("dl") / col("avgdl") * B + (1 - B)) * K1)
+    val scored = qt.join(tf, Seq("token"))
+      .join(dfr, Seq("token"))
+      .crossJoin(broadcast(stats))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum(contrib), 4).as("bm25"))
+    scored.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("bm25"), asc("doc_id"))))
+      .filter(col("rn") <= k)
+      .select("qid", "doc_id", "bm25")
+  }
+
+  /** DuckDB mirror of bm25TopKBatch for an inline query batch. */
+  def bm25BatchOracleSql(queries: Seq[(Long, Seq[String])], k: Int): String = {
+    val qRows = queries.flatMap { case (qid, ts) =>
+      ts.map(t => s"($qid, '$t')") }.mkString(", ")
+    s"""WITH q(qid, token) AS (VALUES $qRows),
+       |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |          unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM tok
+       |       WHERE token IN (SELECT DISTINCT token FROM q)
+       |       GROUP BY doc_id, dl, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |st AS (SELECT count(*) AS n_docs,
+       |         avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+       |sc AS (SELECT q.qid, tf.doc_id,
+       |         round(sum(
+       |           ln((n_docs - df + 0.5::DOUBLE)/(df + 0.5::DOUBLE) + 1) *
+       |           (tf * ($K1::DOUBLE + 1)) /
+       |           (tf + (dl/avgdl * $B::DOUBLE + (1 - $B::DOUBLE)) * $K1::DOUBLE)), 4) AS bm25
+       |       FROM q JOIN tf USING (token) JOIN df USING (token), st
+       |       GROUP BY q.qid, tf.doc_id)
+       |SELECT qid, doc_id, bm25 FROM (
+       |  SELECT qid, doc_id, bm25, row_number() OVER (
+       |    PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rn FROM sc)
+       |WHERE rn <= $k""".stripMargin.replaceAll("\\s+", " ")
+  }
+
   /** Exact embedding-cosine ranking for one query vector, as (vec_id, rank)
     * for the top `n` — the dense tier the fusion consumes. Same rounded-sim
     * vec_id-tiebreak order as Ann's exact baseline; the rank is assigned by

@@ -86,6 +86,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("bm25TopKBatch == per-query single lookups, map-side top-k") {
+    val docs = Catalog.documents(spark, dir)
+    val queries = Seq(0L -> Seq("merge", "stream", "window"),
+      1L -> Seq("hash", "join"), 2L -> Seq("fast", "filter", "sort"))
+    val bdf = Retrieval.bm25TopKBatch(docs, queries.toDF("qid", "terms"), 5)
+    val batch = bdf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val singles = queries.flatMap { case (qid, ts) =>
+      Retrieval.bm25TopK(docs, ts, 5).collect()
+        .map(r => (qid, r.getLong(0), r.getDouble(1))) }.toSet
+    assert(batch == singles)
+    // the per-query rank rides WindowGroupLimit (partial top-k map-side),
+    // not a global sort
+    assert(bdf.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("decontaminateBloom == decontaminate, bloom probe in the plan") {
     val docs = Catalog.documents(spark, dir)
     val exact = CorpusOps.decontaminate(docs, 25L, 3)
