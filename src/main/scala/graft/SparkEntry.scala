@@ -693,6 +693,27 @@ object SparkEntry {
     "bm25_topk" -> ((s, dir) =>
       graft.ml.Retrieval.bm25TopK(Catalog.documents(s, dir),
         Seq("merge", "stream", "window"), 20)),
+    // BM25 served FROM the stored inverted index (Catalog.lexIndex): the
+    // term isin prunes the token-sorted store, stats fold from the
+    // additive generations — corpus text never re-tokenized at query time
+    "bm25_stored" -> ((s, dir) =>
+      graft.ml.Retrieval.bm25StoredTopK(Catalog.lexIndex(s, dir),
+        Catalog.lexStats(s, dir), Seq("hash", "join", "filter"), 15)),
+    // streamed upkeep of the inverted index: new docs through the same
+    // stateless projection, == the batch index (the text twin of
+    // ann_stream_index for the lexical tier)
+    "lex_stream_index" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.lexOnce(s, dir)),
+    // generation fold of the streamed index behind the flipped MANIFEST,
+    // token-sorted so the pushed In(token) skip survives the swap
+    "lex_compact" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.compactedLexOnce(s, dir,
+        Catalog.scratch(dir, "lex_compact"))),
+    // additive stats generations: per-batch (n_docs, sum_dl) deltas folded
+    // == the batch corpus statistics
+    "lex_stats_stream" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.lexStatsOnce(s, dir,
+        Catalog.scratch(dir, "lex_stats_stream"))),
     // BATCHED BM25 serving: a whole query table scored in one plan — the
     // lexical twin of emb_topk_ivf_batch (one corpus pass, dl carried
     // through the explode, per-query top-k via WindowGroupLimit)
@@ -1372,6 +1393,13 @@ object SparkEntry {
     "bm25_topk" -> graft.ml.Retrieval.bm25OracleSql(
       Seq("merge", "stream", "window"), 20),
     "bm25_topk_batch" -> graft.ml.Retrieval.bm25BatchOracleSql(BatchQueries, 5),
+    // the stored path computes the same scores from the index, so it
+    // shares the corpus-side oracle form
+    "bm25_stored" -> graft.ml.Retrieval.bm25OracleSql(
+      Seq("hash", "join", "filter"), 15),
+    "lex_stream_index" -> graft.ml.Retrieval.lexOracleSql,
+    "lex_compact" -> graft.ml.Retrieval.lexOracleSql,
+    "lex_stats_stream" -> graft.ml.Retrieval.lexStatsOracleSql,
     "rrf_fusion" -> graft.ml.Retrieval.rrfOracleSql(
       Seq("merge", "stream", "window"), 0L, 20, 10),
     "text_quality" -> (s"""SELECT doc_id,

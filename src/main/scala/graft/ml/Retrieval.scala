@@ -95,6 +95,71 @@ object Retrieval {
       .replaceAll("\\s+", " ")
   }
 
+  /** The inverted-index rows (token, doc_id, tf, dl) as a STATELESS
+    * per-row projection — tf via a filter-count over the doc's own token
+    * array rather than a corpus aggregation, so the identical expression
+    * builds the batch store AND streams new documents in (the
+    * winnowFingerprints convention: one projection, two paths, no drift;
+    * statelessness is what lets upkeep run in append mode with no state
+    * store). A document is one input row, so its tf rows are complete
+    * within whatever micro-batch carries it. */
+  def lexRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), col("tok"), size(col("tok")).as("dl"),
+        explode(array_distinct(col("tok"))).as("token"))
+      .select(col("token"), col("doc_id"),
+        size(expr("filter(tok, x -> x = token)")).as("tf"), col("dl"))
+
+  /** The additive corpus-statistics row (n_docs, sum_dl) — stored beside
+    * the index because BOTH are pure sums: a streamed batch appends its own
+    * delta row and readers fold generations with one tiny aggregate, so
+    * serving never scans the corpus-sized index for N/avgdl. */
+  def lexStatsRows(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).as("sum_dl"))
+
+  /** DuckDB mirror of the full inverted-index content. */
+  def lexOracleSql: String =
+    """WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |  unnest(string_split(text, ' ')) AS token FROM documents)
+      |SELECT token, doc_id, count(*) AS tf, dl
+      |FROM tok GROUP BY token, doc_id, dl""".stripMargin
+      .replaceAll("\\s+", " ")
+
+  def lexStatsOracleSql: String =
+    // BIGINT cast: DuckDB widens integer sums to HUGEINT, which the
+    // driver's pandas bridge renders as object, not int64
+    """SELECT count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+      |FROM documents""".stripMargin.replaceAll("\\s+", " ")
+
+  /** BM25 served FROM the stored inverted index — what query time looks
+    * like when the engine stops re-tokenizing the corpus per statement:
+    * the term `isin` reaches the token-sorted store as a pushed In filter
+    * (row-group skip via min/max — the postings-seek analogue of the
+    * reference's keyword lookups), per-term df is an aggregate over ONLY
+    * those pruned postings, and N/avgdl fold from the additive stats
+    * generations as a broadcast 1-row frame. Query cost is proportional to
+    * the query terms' posting lists, not the corpus — the inverted-index
+    * serving contract. Same scoring chain and rank convention as
+    * bm25TopK, so the stored path shares its oracle. */
+  def bm25StoredTopK(index: DataFrame, stats: DataFrame,
+      terms: Seq[String], k: Int): DataFrame = {
+    val px = index.filter(col("token").isin(terms: _*))
+    val dfr = px.groupBy("token").agg(count(lit(1)).as("df"))
+    val st = broadcast(stats
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl")))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val contrib = idf * (col("tf") * (K1 + 1)) /
+      (col("tf") + (col("dl") / col("avgdl") * B + (1 - B)) * K1)
+    px.join(dfr, Seq("token"))
+      .crossJoin(st)
+      .groupBy("doc_id").agg(round(sum(contrib), 4).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id")).limit(k)
+  }
+
   /** BATCHED BM25: serve a whole query TABLE (qid, terms array) in one
     * declarative plan — the lexical twin of Ann.ivfTopKBatch (queries
     * arrive in batches at serving time; per-query driver round-trips don't

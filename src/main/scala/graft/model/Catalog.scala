@@ -502,6 +502,36 @@ object Catalog {
     spark.read.parquet(path).select("doc_id", "pos", "h")
   }
 
+  /** The MATERIALIZED inverted index over `documents` — (token, doc_id,
+    * tf, dl), token-sorted so a query's term `isin` skips row groups via
+    * min/max stats (the postings-seek analogue of the reference's sorted
+    * keyword blocks, /root/reference/src/table-backend-writeonce.cc:313-739
+    * — seek semantics reproduced, codec declared a non-goal per SURVEY
+    * §1.4). BM25 serving reads THIS table and the additive stats store
+    * below; the corpus text is never re-tokenized at query time. Built by
+    * the same stateless projection streamed upkeep uses
+    * (Retrieval.lexRows). */
+  def lexIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "lex_index")
+    materialize(path) {
+      graft.ml.Retrieval.lexRows(documents(spark, dir))
+        .repartition(col("token"))
+        .sortWithinPartitions("token", "doc_id")
+    }
+    spark.read.parquet(path).select("token", "doc_id", "tf", "dl")
+  }
+
+  /** The additive corpus-statistics store beside `lexIndex` — (n_docs,
+    * sum_dl) rows, one per generation; readers fold them with a tiny sum,
+    * so N/avgdl never cost a corpus or index scan at serving time. */
+  def lexStats(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "lex_stats")
+    materialize(path) {
+      graft.ml.Retrieval.lexStatsRows(documents(spark, dir))
+    }
+    spark.read.parquet(path).select("n_docs", "sum_dl")
+  }
+
   /** The MATERIALIZED verified near-dup pair graph over `documents` —
     * (doc_a, doc_b, jaccard) at threshold `minJaccard`: the full MinHash
     * LSH pipeline (shingle → signature → band → bucket join → exact-Jaccard

@@ -129,6 +129,70 @@ object DocumentsIngest {
         partitions = Some(4))
     }
 
+  /** Incremental maintenance of the inverted index (Catalog.lexIndex):
+    * new documents stream through the SAME stateless projection the batch
+    * build uses (Retrieval.lexRows — tf is a per-row filter-count over the
+    * doc's own token array, so no streaming aggregation and no state
+    * store; a doc's tf rows are complete within its micro-batch). One-shot
+    * memory-sink entry point. */
+  def lexOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:lexindex:$dir") {
+      Sinks.memoryOnce(spark, "graft_stream_lex",
+        graft.ml.Retrieval.lexRows(stream(spark, dir)))
+    }
+
+  /** Streamed-then-compacted inverted index — the winnow_compact twin for
+    * the lexical store: parquet appender per micro-batch, fold the small
+    * files into one token-sorted generation, flip the MANIFEST, read back
+    * through it; must equal the batch-built index row-for-row. The
+    * token-sorted generation is what keeps bm25_stored's pushed In(token)
+    * row-group skip across the swap. */
+  def compactedLexOnce(spark: SparkSession, dir: String,
+      scratchBase: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:lexcompact:$dir:$scratchBase") {
+      graft.ingest.Compact.rmTree(scratchBase)
+      Sinks.parquetOnce(graft.ml.Retrieval.lexRows(stream(spark, dir)),
+        s"$scratchBase/raw", s"$scratchBase/ck")
+      graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/raw",
+        s"$scratchBase/idx", "token", Seq("token", "doc_id"),
+        partitions = Some(4))
+    }
+
+  /** Incremental maintenance of the additive stats store
+    * (Catalog.lexStats): each micro-batch appends its OWN (n_docs, sum_dl)
+    * delta row — idempotently, via the per-batch b=<id> overwrite dirs the
+    * pair sink uses (foreachBatch is at-least-once; a replayed blind
+    * append would double-count the batch in every avgdl downstream).
+    * Readers fold the generations with one tiny sum. */
+  def runLexStatsSink(docsStream: DataFrame, deltaPath: String,
+      checkpoint: String): Unit = {
+    val writeBatch: (DataFrame, Long) => Unit = (batch, id) => {
+      graft.ml.Retrieval.lexStatsRows(batch)
+        .write.mode("overwrite").parquet(s"$deltaPath/b=$id")
+      ()
+    }
+    val q = docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(writeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One-shot streamed stats maintenance — the CORRECTNESS entry point:
+    * stream the docs through the delta sink, fold the generations; must
+    * equal the batch-computed corpus statistics. */
+  def lexStatsOnce(spark: SparkSession, dir: String,
+      scratchBase: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:lexstats:$dir:$scratchBase") {
+      graft.ingest.Compact.rmTree(scratchBase)
+      runLexStatsSink(stream(spark, dir), s"$scratchBase/deltas",
+        s"$scratchBase/ck")
+      spark.read.parquet(s"$scratchBase/deltas")
+        .agg(org.apache.spark.sql.functions.sum("n_docs").as("n_docs"),
+          org.apache.spark.sql.functions.sum("sum_dl").as("sum_dl"))
+    }
+
   // ---- streamed admission of the near-dup PAIR GRAPH (Catalog.dupPairs) --
 
   /** Incremental maintenance of the stored near-dup pair graph: each

@@ -102,6 +102,59 @@ class RetrievalSpec extends AnyFunSuite {
     assert(bdf.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("bm25StoredTopK == corpus-side bm25TopK; store pruned, text not read") {
+    val terms = Seq("hash", "join", "filter")
+    val docs = Catalog.documents(spark, dir)
+    val stored = graft.ml.Retrieval.bm25StoredTopK(
+      Catalog.lexIndex(spark, dir), Catalog.lexStats(spark, dir), terms, 15)
+    val got = stored.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Retrieval.bm25TopK(docs, terms, 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    val p = stored.queryExecution.executedPlan.toString
+    assert(p.contains("lex_index"), s"plan does not scan the stored index:\n$p")
+    assert(p.contains("In(token"), s"term filter not pushed to the store:\n$p")
+    assert(!p.toLowerCase.contains("documents.parquet"),
+      s"stored serving re-reads corpus text:\n$p")
+  }
+
+  test("streamed lex index + stats == batch across micro-batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft_lex_stream").toString
+    val chunks = Seq(
+      Seq((0L, "a b a c"), (1L, "b b d")),
+      Seq((2L, "c")),
+      Seq((3L, "a d d e"), (4L, "e")))
+    chunks.foreach(ch => ch.toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(s"$base/in"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val all = chunks.flatten.toDF("doc_id", "text")
+    // index rows: streamed projection == batch projection
+    graft.streaming.Sinks.parquetOnce(Retrieval.lexRows(src),
+      s"$base/rows", s"$base/ck1")
+    val streamedRows = spark.read.parquet(s"$base/rows")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val batchRows = Retrieval.lexRows(all)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(streamedRows == batchRows)
+    // stats: per-batch delta generations fold to the batch aggregate
+    graft.streaming.DocumentsIngest.runLexStatsSink(src,
+      s"$base/deltas", s"$base/ck2")
+    assert(spark.read.parquet(s"$base/deltas").count() == 3,
+      "one delta generation per micro-batch")
+    val folded = spark.read.parquet(s"$base/deltas")
+      .agg(sum("n_docs").cast("long"), sum("sum_dl").cast("long"))
+      .collect().head
+    val batchStats = Retrieval.lexStatsRows(all).collect().head
+    assert((folded.getLong(0), folded.getLong(1)) ==
+      (batchStats.getLong(0), batchStats.getLong(1)))
+  }
+
   test("decontaminateBloom == decontaminate, bloom probe in the plan") {
     val docs = Catalog.documents(spark, dir)
     val exact = CorpusOps.decontaminate(docs, 25L, 3)
