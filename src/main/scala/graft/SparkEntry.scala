@@ -728,6 +728,14 @@ object SparkEntry {
       graft.ml.Retrieval.rrfFusion(Catalog.documents(s, dir),
         Catalog.embeddings(s, dir), Seq("merge", "stream", "window"),
         0L, 20, 10)),
+    // the same hybrid query served ENTIRELY from stored indexes (lexIndex
+    // postings + IVF cell probes) — the deployed serving shape: nothing
+    // corpus-sized is touched at query time
+    "rrf_stored" -> ((s, dir) =>
+      graft.ml.Retrieval.rrfStored(Catalog.lexIndex(s, dir),
+        Catalog.lexStats(s, dir), Catalog.embeddings(s, dir),
+        Catalog.ivfCells(s, dir), Seq("merge", "stream", "window"),
+        0L, 20, 10)),
     "text_quality" -> ((s, dir) =>
       graft.ml.TextAnalysis.quality(Catalog.documents(s, dir))),
     "text_langid" -> ((s, dir) =>
@@ -1401,6 +1409,8 @@ object SparkEntry {
     "lex_compact" -> graft.ml.Retrieval.lexOracleSql,
     "lex_stats_stream" -> graft.ml.Retrieval.lexStatsOracleSql,
     "rrf_fusion" -> graft.ml.Retrieval.rrfOracleSql(
+      Seq("merge", "stream", "window"), 0L, 20, 10),
+    "rrf_stored" -> graft.ml.Retrieval.rrfStoredOracleSql(
       Seq("merge", "stream", "window"), 0L, 20, 10),
     "text_quality" -> (s"""SELECT doc_id,
       len(string_split(text, ' ')) AS n_tokens,

@@ -261,12 +261,17 @@ object Retrieval {
     * the fusion join/sort is driver-trivial no matter the corpus size; the
     * heavy lifting happened in the two tiers. */
   def rrfFusion(docs: DataFrame, emb: DataFrame, terms: Seq[String],
-      qVecId: Long, n: Int, k: Int): DataFrame = {
-    val lex = bm25TopK(docs, terms, n)
-      .select(col("doc_id"), row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(desc("bm25"), asc("doc_id"))).as("rank"))
-    val den = denseRanks(emb, qVecId, n).withColumnRenamed("vec_id", "doc_id")
+      qVecId: Long, n: Int, k: Int): DataFrame =
+    fuse(bm25TopK(docs, terms, n)
+        .select(col("doc_id"), row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("bm25"), asc("doc_id"))).as("rank")),
+      denseRanks(emb, qVecId, n).withColumnRenamed("vec_id", "doc_id"), k)
+
+  /** The fusion combinator shared by the corpus-side and stored-index
+    * hybrid entries: full-outer over two (doc_id, rank) tier frames,
+    * absent docs contribute nothing. */
+  private def fuse(lex: DataFrame, den: DataFrame, k: Int): DataFrame = {
     def contrib(c: Column) = when(c.isNotNull, lit(1.0) / (lit(RrfK) + c))
       .otherwise(lit(0.0))
     lex.select(col("doc_id"), col("rank").as("lex_rank"))
@@ -277,6 +282,45 @@ object Retrieval {
       .orderBy(desc("rrf"), asc("doc_id"))
       .limit(k)
   }
+
+  /** Hybrid retrieval served ENTIRELY from stored indexes — the deployed
+    * shape: the lexical tier reads Catalog.lexIndex (pushed In(token),
+    * no re-tokenization), the dense tier reads the IVF cell store (probed
+    * cells only, approximate by construction), and the fusion runs over
+    * the two k-bounded rankings. Neither tier touches anything
+    * corpus-sized at query time. */
+  def rrfStored(index: DataFrame, stats: DataFrame, emb: DataFrame,
+      cells: DataFrame, terms: Seq[String], qVecId: Long, n: Int,
+      k: Int): DataFrame = {
+    val lex = bm25StoredTopK(index, stats, terms, n)
+      .select(col("doc_id"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("bm25"), asc("doc_id"))).as("rank"))
+    val den = Ann.ivfTopK(emb, cells, qVecId, n)
+      .select(col("vec_id").as("doc_id"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("sim"), asc("vec_id"))).as("rank"))
+    fuse(lex, den, k)
+  }
+
+  /** DuckDB mirror of rrfStored: the bm25 CTE is bm25OracleSql's rendering
+    * and the dense tier is Ann.ivfOracleSql's — each already verified
+    * stand-alone — composed with the same fusion tail as rrfOracleSql. */
+  def rrfStoredOracleSql(terms: Seq[String], qVecId: Long, n: Int,
+      k: Int): String =
+    s"""WITH lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |  FROM (${bm25OracleSql(terms, n)})),
+       |den AS (
+       |  SELECT vec_id AS doc_id,
+       |    row_number() OVER (ORDER BY sim DESC, vec_id) AS den_rank
+       |  FROM (${Ann.ivfOracleSql(qVecId, n)}))
+       |SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+       |  round(COALESCE(1.0::DOUBLE/($RrfK + lex_rank), 0) +
+       |        COALESCE(1.0::DOUBLE/($RrfK + den_rank), 0), 6) AS rrf
+       |FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT $k""".stripMargin
+      .replaceAll("\\s+", " ")
 
   /** DuckDB mirror of rrfFusion: the bm25 CTE is the SAME rendering as the
     * stand-alone oracle (bm25OracleSql) and the dense tier reuses the

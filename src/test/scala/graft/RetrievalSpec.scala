@@ -155,6 +155,28 @@ class RetrievalSpec extends AnyFunSuite {
       (batchStats.getLong(0), batchStats.getLong(1)))
   }
 
+  test("rrfStored serves from stored indexes only") {
+    val df = Retrieval.rrfStored(Catalog.lexIndex(spark, dir),
+      Catalog.lexStats(spark, dir), Catalog.embeddings(spark, dir),
+      Catalog.ivfCells(spark, dir), Seq("merge", "stream", "window"),
+      0L, 20, 10)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("lex_index") && p.contains("ivf_cells"),
+      s"stored tiers missing from plan:\n$p")
+    assert(!p.toLowerCase.contains("documents.parquet"),
+      s"stored hybrid re-reads corpus text:\n$p")
+    // fused scores must decompose into the two tier rankings
+    val lexIds = Retrieval.bm25TopK(Catalog.documents(spark, dir),
+      Seq("merge", "stream", "window"), 20).collect().map(_.getLong(0)).toSet
+    val denIds = graft.ml.Ann.ivfTopK(Catalog.embeddings(spark, dir),
+      Catalog.ivfCells(spark, dir), 0L, 20).collect().map(_.getLong(0)).toSet
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty && got.forall { case (id, _) =>
+      lexIds.contains(id) || denIds.contains(id) })
+    // a doc in both tiers outranks the same single-tier contribution
+    assert(got.forall { case (_, s) => s > 0.0 && s <= 2.0 / (Retrieval.RrfK + 1) })
+  }
+
   test("decontaminateBloom == decontaminate, bloom probe in the plan") {
     val docs = Catalog.documents(spark, dir)
     val exact = CorpusOps.decontaminate(docs, 25L, 3)
