@@ -856,6 +856,14 @@ object SparkEntry {
       Ann.ivfTopKBatch(Catalog.embeddings(s, dir), Catalog.ivfCells(s, dir),
         Catalog.embeddings(s, dir).filter(col("vec_id") < 8), 10)
     }),
+    // the serving matrix's fourth corner: batched AND metadata-filtered —
+    // same batch plan, label predicate pushed into the candidate scan
+    "emb_topk_filtered_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Ann.ivfTopKBatchFiltered(Catalog.embeddings(s, dir),
+        Catalog.ivfCells(s, dir),
+        Catalog.embeddings(s, dir).filter(col("vec_id") < 8), 3, 10)
+    }),
     // scalar int8 quantization COMPOSED with the coarse quantizer: the 4x-
     // smaller byte codes live inside the MATERIALIZED cell-partitioned
     // store; a lookup probes its nearest cells, dequantizes only those
@@ -1464,6 +1472,7 @@ object SparkEntry {
     "ivf_stream_index" -> Ann.cellsOracleSql,
     "sq8_stream_index" -> graft.ml.Quant.sq8StreamOracleSql,
     "emb_topk_ivf_batch" -> Ann.ivfBatchOracleSql(8, 10),
+    "emb_topk_filtered_batch" -> Ann.ivfBatchFilteredOracleSql(8, 3, 10),
     "ann_compact" -> Ann.bucketsOracleSql,
     "ivf_compact" -> Ann.cellsOracleSql,
     "sq8_compact" -> graft.ml.Quant.sq8StreamOracleSql,

@@ -361,6 +361,45 @@ object Ann {
         asymSim(col("emb"), col("qemb"), col("qn")).as("sim")), k)
   }
 
+  /** FILTERED batched IVF top-k — the serving matrix's fourth corner
+    * (single/batch × unfiltered/filtered): ivfTopKBatch's plan with the
+    * label predicate pre-filtering the embeddings side of the candidate
+    * re-rank, exactly as in ivfTopKFiltered — pushed to the parquet scan,
+    * applied after the cell join bounds candidates, before any ranking
+    * work. Same query contract and fewer-than-k-survivors semantics. */
+  def ivfTopKBatchFiltered(emb: DataFrame, cells: DataFrame,
+      queries: DataFrame, label: Int, k: Int,
+      cents: Option[DataFrame] = None,
+      excludeSelf: Boolean = true): DataFrame = {
+    val el = emb.filter(col("label") === label)
+      .select(col("vec_id"), col("embedding").as("emb"))
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qemb"))
+    val probed = probeBatch(q, cents.getOrElse(centroids(emb)))
+    val joined = probed.join(prunedByProbedCells(cells, probed), Seq("cell"))
+    val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("qid"))
+               else joined
+    topKPerQuery(cand.join(el, Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        asymSim(col("emb"), col("qemb"), col("qn")).as("sim")), k)
+  }
+
+  /** DuckDB mirror of ivfTopKBatchFiltered: the batch CTE chain with the
+    * label semi-join on the candidate side. */
+  def ivfBatchFilteredOracleSql(maxQid: Long, label: Int, k: Int,
+      srcSql: String = BaseSrcSql): String =
+    s"""WITH ${cellCtesSql(srcSql)},
+       |${batchQueryCtesSql(maxQid)},
+       |el AS (SELECT vec_id FROM embeddings WHERE label = $label),
+       |cand AS (SELECT p.qid AS qid, cell.vec_id AS vec_id,
+       |    round(list_dot_product(e.emb, p.qemb) /
+       |      sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(p.qemb, p.qemb)), 6) AS sim
+       |  FROM probed p JOIN cell USING (cell) JOIN e ON e.vec_id = cell.vec_id
+       |  JOIN el ON el.vec_id = cell.vec_id
+       |  WHERE cell.vec_id <> p.qid)
+       |${batchRankSql(k)}
+       |""".stripMargin.replaceAll("\\s+", " ")
+
   /** Partition-skip the cell-keyed store down to the batch's probed cells
     * BEFORE the candidate join: a broadcast left-semi on the store's
     * partition column hands Spark a dynamic partition-pruning filter, so

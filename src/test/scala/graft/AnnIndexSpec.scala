@@ -170,6 +170,22 @@ class AnnIndexSpec extends AnyFunSuite {
       s"excludeSelf=false must rank each query's own row first: ${self.toSeq}")
   }
 
+  test("filtered batch == per-query filtered singles, label pushed") {
+    val emb = Catalog.embeddings(spark, dir)
+    val cells = Catalog.ivfCells(spark, dir)
+    val bdf = Ann.ivfTopKBatchFiltered(emb, cells,
+      emb.filter(col("vec_id") < 8), 3, 10)
+    val batch = bdf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val singles = (0L until 8L).flatMap { qid =>
+      Ann.ivfTopKFiltered(emb, cells, qid, 3, 10).collect()
+        .map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch == singles)
+    assert(plan(bdf).contains("EqualTo(label,3)"),
+      s"label filter not pushed in the batch plan:\n${plan(bdf)}")
+  }
+
   test("persisted-index lookup matches the ad-hoc derivation") {
     val emb = Catalog.embeddings(spark, dir)
     val stored = Ann.topK(emb, Catalog.annBuckets(spark, dir), 0, 10)
