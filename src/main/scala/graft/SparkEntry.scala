@@ -714,6 +714,15 @@ object SparkEntry {
     "lex_stats_stream" -> ((s, dir) =>
       graft.streaming.DocumentsIngest.lexStatsOnce(s, dir,
         Catalog.scratch(dir, "lex_stats_stream"))),
+    // serving continuity across the generation swap (the sq8_topk_gen twin
+    // for the lexical tier): the identical BM25 answered FROM the
+    // streamed-then-compacted generation through the flipped MANIFEST,
+    // with the term isin still reaching the generation scan as a pushed In
+    "bm25_topk_gen" -> ((s, dir) =>
+      graft.ml.Retrieval.bm25StoredTopK(
+        graft.streaming.DocumentsIngest.compactedLexOnce(s, dir,
+          Catalog.scratch(dir, "bm25_topk_gen")),
+        Catalog.lexStats(s, dir), Seq("hash", "join", "filter"), 15)),
     // BATCHED BM25 serving: a whole query table scored in one plan — the
     // lexical twin of emb_topk_ivf_batch (one corpus pass, dl carried
     // through the explode, per-query top-k via WindowGroupLimit)
@@ -1416,6 +1425,8 @@ object SparkEntry {
     "lex_stream_index" -> graft.ml.Retrieval.lexOracleSql,
     "lex_compact" -> graft.ml.Retrieval.lexOracleSql,
     "lex_stats_stream" -> graft.ml.Retrieval.lexStatsOracleSql,
+    "bm25_topk_gen" -> graft.ml.Retrieval.bm25OracleSql(
+      Seq("hash", "join", "filter"), 15),
     "rrf_fusion" -> graft.ml.Retrieval.rrfOracleSql(
       Seq("merge", "stream", "window"), 0L, 20, 10),
     "rrf_stored" -> graft.ml.Retrieval.rrfStoredOracleSql(

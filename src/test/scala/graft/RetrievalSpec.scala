@@ -155,6 +155,27 @@ class RetrievalSpec extends AnyFunSuite {
       (batchStats.getLong(0), batchStats.getLong(1)))
   }
 
+  test("bm25 from the compacted generation == stored; In(token) survives the swap") {
+    val terms = Seq("hash", "join", "filter")
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_bm25_gen").toString
+    val gen = graft.streaming.DocumentsIngest.compactedLexOnce(
+      spark, dir, scratch)
+    val fromGen = Retrieval.bm25StoredTopK(gen,
+      Catalog.lexStats(spark, dir), terms, 15)
+    val got = fromGen.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Retrieval.bm25StoredTopK(Catalog.lexIndex(spark, dir),
+      Catalog.lexStats(spark, dir), terms, 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    // the token-sorted compaction keeps the pushed In skip on the
+    // generation scan — the claim that lets a swapped store keep serving
+    val p = fromGen.queryExecution.executedPlan.toString
+    assert(p.contains("In(token"),
+      s"In(token) not pushed to the compacted generation scan:\n$p")
+    graft.util.Caches.drain()
+  }
+
   test("rrfStored serves from stored indexes only") {
     val df = Retrieval.rrfStored(Catalog.lexIndex(spark, dir),
       Catalog.lexStats(spark, dir), Catalog.embeddings(spark, dir),
