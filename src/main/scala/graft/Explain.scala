@@ -10,7 +10,9 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("s1_keyword_leaf", "s3_prefix_scan", "ql_and_order_topk",
         "t1_topk", "emb_topk_lsh", "emb_topk_ivf", "dedup_minhash",
-        "dedup_ngram", "correlate_full", "q3_top_orders")
+        "dedup_ngram", "correlate_full", "q3_top_orders",
+        "bm25_stored", "rrf_stored", "decontaminate_bloom",
+        "emb_topk_filtered_batch")
     val spark = GraftSession.local()
     for (n <- names) {
       println(s"\n========== $n ==========")

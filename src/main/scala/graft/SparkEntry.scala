@@ -731,6 +731,13 @@ object SparkEntry {
       graft.ml.Retrieval.bm25TopKBatch(Catalog.documents(s, dir),
         BatchQueries.toDF("qid", "terms"), 5)
     }),
+    // the same batch FROM the stored index — store pruned to the batch's
+    // term dictionary by a bounded broadcast semi-join, no re-tokenization
+    "bm25_stored_batch" -> ((s, dir) => {
+      import s.implicits._
+      graft.ml.Retrieval.bm25StoredTopKBatch(Catalog.lexIndex(s, dir),
+        Catalog.lexStats(s, dir), BatchQueries.toDF("qid", "terms"), 5)
+    }),
     // hybrid retrieval: reciprocal-rank fusion of the BM25 ranking and the
     // exact embedding-cosine ranking for the same query (id spaces shared)
     "rrf_fusion" -> ((s, dir) =>
@@ -1418,6 +1425,9 @@ object SparkEntry {
     "bm25_topk" -> graft.ml.Retrieval.bm25OracleSql(
       Seq("merge", "stream", "window"), 20),
     "bm25_topk_batch" -> graft.ml.Retrieval.bm25BatchOracleSql(BatchQueries, 5),
+    // stored batch computes the same scores from the index — shared oracle
+    "bm25_stored_batch" ->
+      graft.ml.Retrieval.bm25BatchOracleSql(BatchQueries, 5),
     // the stored path computes the same scores from the index, so it
     // shares the corpus-side oracle form
     "bm25_stored" -> graft.ml.Retrieval.bm25OracleSql(

@@ -233,6 +233,41 @@ object Retrieval {
        |WHERE rn <= $k""".stripMargin.replaceAll("\\s+", " ")
   }
 
+  /** BATCHED BM25 FROM THE STORED INDEX — the lexical serving matrix's
+    * fourth corner ({single, batch} × {corpus-side, stored}): the whole
+    * query table answered against Catalog.lexIndex in one plan. The store
+    * is pruned to the batch's term dictionary by a broadcast left-semi —
+    * bounded by the DICTIONARY size, not |Q| (the prunedByProbedCells
+    * convention: at data-scale |Q| the filter approaches a no-op and the
+    * plan degrades gracefully to the full-postings join; at serving-size
+    * batches it is the row-group skip). df aggregates only the pruned
+    * postings; stats fold from the additive store. Same scoring and rank
+    * conventions as bm25TopKBatch, so the stored batch shares its oracle. */
+  def bm25StoredTopKBatch(index: DataFrame, stats: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val qt = queries.select(col("qid"), explode(col("terms")).as("token"))
+    val px = index.join(broadcast(qt.select("token").distinct()),
+      Seq("token"), "left_semi")
+    val dfr = px.groupBy("token").agg(count(lit(1)).as("df"))
+    val st = broadcast(stats
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl")))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val contrib = idf * (col("tf") * (K1 + 1)) /
+      (col("tf") + (col("dl") / col("avgdl") * B + (1 - B)) * K1)
+    qt.join(px, Seq("token"))
+      .join(dfr, Seq("token"))
+      .crossJoin(st)
+      .groupBy("qid", "doc_id")
+      .agg(round(sum(contrib), 4).as("bm25"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("bm25"), asc("doc_id"))))
+      .filter(col("rn") <= k)
+      .select("qid", "doc_id", "bm25")
+  }
+
   /** Exact embedding-cosine ranking for one query vector, as (vec_id, rank)
     * for the top `n` — the dense tier the fusion consumes. Same rounded-sim
     * vec_id-tiebreak order as Ann's exact baseline; the rank is assigned by

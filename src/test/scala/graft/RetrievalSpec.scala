@@ -155,6 +155,22 @@ class RetrievalSpec extends AnyFunSuite {
       (batchStats.getLong(0), batchStats.getLong(1)))
   }
 
+  test("bm25StoredTopKBatch == corpus-side batch; store-only plan") {
+    val queries = Seq(0L -> Seq("merge", "stream", "window"),
+      1L -> Seq("hash", "join"), 2L -> Seq("fast", "filter", "sort"))
+    val sdf = Retrieval.bm25StoredTopKBatch(Catalog.lexIndex(spark, dir),
+      Catalog.lexStats(spark, dir), queries.toDF("qid", "terms"), 5)
+    val stored = sdf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val corpus = Retrieval.bm25TopKBatch(Catalog.documents(spark, dir),
+      queries.toDF("qid", "terms"), 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stored == corpus)
+    val p = sdf.queryExecution.executedPlan.toString
+    assert(p.contains("lex_index") && !p.toLowerCase.contains("documents.parquet"),
+      s"stored batch must read only the index:\n$p")
+  }
+
   test("bm25 from the compacted generation == stored; In(token) survives the swap") {
     val terms = Seq("hash", "join", "filter")
     val scratch = java.nio.file.Files
