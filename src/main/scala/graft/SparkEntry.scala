@@ -630,6 +630,11 @@ object SparkEntry {
     // pattern applied to the span family)
     "span_dedup_stored" -> ((s, dir) =>
       graft.ml.SpanDedup.sharedSpansFrom(Catalog.spanSketch(s, dir))),
+    // span-level decontamination: the exact token runs a TRAINING doc
+    // shares with any benchmark doc — localizes what decontaminate can
+    // only flag; train-train repeats do not mark; stored-sketch serving
+    "decontaminate_spans" -> ((s, dir) =>
+      graft.ml.SpanDedup.benchSpansFrom(Catalog.spanSketch(s, dir), 25L)),
     // incremental sketch maintenance: new documents stream through the
     // SAME shingle projection the batch build uses — stateless
     "span_stream_index" -> ((s, dir) =>
@@ -1404,6 +1409,7 @@ object SparkEntry {
     "dedup_clusters_stream" -> graft.ml.Clusters.oracleSql(0.6),
     "span_dedup" -> graft.ml.SpanDedup.spansOracleSql,
     "span_dedup_stored" -> graft.ml.SpanDedup.spansOracleSql,
+    "decontaminate_spans" -> graft.ml.SpanDedup.benchSpansOracleSql(25L),
     "span_stream_index" -> graft.ml.SpanDedup.sketchOracleSql,
     "span_compact" -> graft.ml.SpanDedup.sketchOracleSql,
     "span_cut" -> graft.ml.SpanDedup.cutOracleSql,

@@ -105,6 +105,37 @@ object SpanDedup {
       .select("doc_id", "span_start", "span_end")
   }
 
+  /** SPAN-LEVEL DECONTAMINATION: maximal runs a TRAINING document (doc_id
+    * ≥ benchMaxId) shares verbatim with ANY benchmark document (doc_id <
+    * benchMaxId) — the exact-substring contamination check (Lee et al.
+    * 2022 §6's eval-overlap concern) that shingle-COUNT decontamination
+    * (CorpusOps.decontaminate) cannot localize: it flags a doc, this
+    * returns the precise token spans, ready for cutBySpans surgery or a
+    * coverage gate. Unlike sharedSpans, train↔train repeats do NOT mark —
+    * only positions whose shingle occurs on the benchmark side.
+    *
+    * Runs over the STORED positional sketch (Catalog.spanSketch): the
+    * bench hash set is one pruned aggregation of the bench rows (eval
+    * suites are bounded, AQE runtime-broadcasts it when it fits; unhinted
+    * because "benchmark" is a domain contract, not a plan guarantee), the
+    * train side probes it with a hash semi-join, and the island merge is
+    * the same per-doc bounded window every span policy uses. Corpus text
+    * is never re-tokenized. Returns (doc_id, span_start, span_end). */
+  def benchSpansFrom(sketch: DataFrame, benchMaxId: Long): DataFrame = {
+    val benchH = sketch.filter(col("doc_id") < benchMaxId)
+      .select("h").distinct()
+    mergeIslands(sketch.filter(col("doc_id") >= benchMaxId)
+      .join(benchH, Seq("h"))
+      .select("doc_id", "pos"))
+  }
+
+  /** DuckDB mirror of benchSpansFrom: the bench-hash semi-join as the
+    * marked-position policy, then the shared island merge. */
+  def benchSpansOracleSql(benchMaxId: Long): String = islandsSqlOver(
+    s"""bh AS (SELECT DISTINCT h FROM p WHERE doc_id < $benchMaxId),
+       |sp AS (SELECT doc_id, pos FROM p JOIN bh USING (h)
+       |       WHERE doc_id >= $benchMaxId)""".stripMargin)
+
   /** KEEP-FIRST spans: like sharedSpans, but each shared shingle's single
     * CANONICAL occurrence — the lexicographically lowest (doc_id, pos) —
     * is exempt from cutting, so exactly one copy of every shared run

@@ -160,4 +160,33 @@ class SpanDedupSpec extends AnyFunSuite {
       assert(got(3L) == ((25, 0L, 0.0)), s"doc 3: ${got(3L)}")
     } finally graft.util.Caches.drain()
   }
+
+  test("benchSpans marks only bench-shared runs; train-train repeats exempt") {
+    // bench = doc 0 (id < benchMaxId=10); train docs 10-12:
+    //  - doc 10 shares X with the BENCH doc          -> flagged [20, 29]
+    //  - docs 11 & 12 share Y with EACH OTHER only   -> NOT flagged (the
+    //    defining difference from sharedSpans, which would mark both)
+    val a = (1 to 20).map(i => s"a$i")
+    val b = (1 to 20).map(i => s"b$i")
+    val x = (1 to 10).map(i => s"x$i")
+    val y = (1 to 10).map(i => s"y$i")
+    val docs = Seq(
+      (0L, (a ++ x).mkString(" ")),
+      (10L, (b ++ x).mkString(" ")),
+      (11L, ((1 to 20).map(i => s"c$i") ++ y).mkString(" ")),
+      (12L, ((1 to 20).map(i => s"d$i") ++ y).mkString(" ")))
+      .toDF("doc_id", "text")
+    try {
+      val got = SpanDedup.benchSpansFrom(SpanDedup.spanShingles(docs), 10L)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got == Set((10L, 20, 29)), s"got $got")
+      // the same corpus through sharedSpans DOES mark the train-train pair,
+      // pinning that the two policies genuinely differ
+      val shared = spans(Seq((0L, (a ++ x).mkString(" ")),
+        (10L, (b ++ x).mkString(" ")),
+        (11L, ((1 to 20).map(i => s"c$i") ++ y).mkString(" ")),
+        (12L, ((1 to 20).map(i => s"d$i") ++ y).mkString(" "))))
+      assert(shared.exists(_._1 == 11L) && shared.exists(_._1 == 12L))
+    } finally graft.util.Caches.drain()
+  }
 }
