@@ -1,0 +1,78 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.ml.Retrieval
+
+/** Scalacheck laws for the retrieval tier: bm25TopK against an in-memory
+  * BM25 model over random small corpora and query term sets, and the
+  * batch == singles equivalence over random query batches. Scores compare
+  * at the entries' own 4-dp rounding (the cross-engine contract), ranks
+  * exactly. Corpora draw from a tiny vocabulary so term overlap, all-doc
+  * misses, single-token docs, and repeated tokens all occur naturally.
+  */
+object RetrievalProps extends Properties("Retrieval") {
+  import TestSpark.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val vocab = Vector("a", "b", "c", "d", "e")
+
+  private val corpus: Gen[Vector[(Long, String)]] = for {
+    n <- Gen.choose(1, 8)
+    texts <- Gen.listOfN(n, for {
+      len <- Gen.choose(1, 12)
+      toks <- Gen.listOfN(len, Gen.oneOf(vocab))
+    } yield toks.mkString(" "))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toVector
+
+  private val terms: Gen[Vector[String]] = for {
+    k <- Gen.choose(1, 3)
+    ts <- Gen.pick(k, vocab)
+  } yield ts.toVector
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** In-memory BM25 with the engine's exact conventions (Lucene idf,
+    * rounded-score rank, doc_id tiebreak, no-term docs excluded). */
+  private def ref(docs: Seq[(Long, String)], ts: Seq[String],
+      k: Int): Seq[(Long, Double)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val n = docs.size
+    val avgdl = toks.map(_._2.size).sum.toDouble / n
+    val dfm = ts.map(t => t -> toks.count(_._2.contains(t))).toMap
+    toks.flatMap { case (id, tk) =>
+      if (!ts.exists(tk.contains)) None
+      else Some(id -> round4(ts.map { t =>
+        val tf = tk.count(_ == t).toDouble
+        val idf = math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1)
+        idf * (tf * (Retrieval.K1 + 1)) /
+          (tf + (tk.size / avgdl * Retrieval.B + (1 - Retrieval.B)) * Retrieval.K1)
+      }.sum))
+    }.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  property("bm25TopK == in-memory BM25 over random corpora") =
+    forAll(corpus, terms) { (docs, ts) =>
+      val got = Retrieval.bm25TopK(docs.toDF("doc_id", "text"), ts, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      got == ref(docs, ts, 5)
+    }
+
+  property("bm25TopKBatch == per-query singles over random batches") =
+    forAll(corpus, Gen.listOfN(2, terms)) { (docs, queryTerms) =>
+      val queries = queryTerms.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.toSeq) }
+      val batch = Retrieval.bm25TopKBatch(docs.toDF("doc_id", "text"),
+          queries.toDF("qid", "terms"), 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val singles = queries.flatMap { case (qid, ts) =>
+        Retrieval.bm25TopK(docs.toDF("doc_id", "text"), ts, 5)
+          .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+      }.toSet
+      batch == singles
+    }
+}
