@@ -42,34 +42,34 @@ case class BloomContains(value: Expression, filter: Expression)
 
   override def dataType: DataType = BooleanType
 
-  // a NULL/absent filter means "prune nothing" is NOT a safe default for a
-  // correctness-bearing prune — surface it as NULL so the downstream
-  // filter drops every row and the mismatch is loud, matching the
-  // malformed-input policy of the other graft expressions
+  // a NULL filter literal is always a caller bug (the builder lost its
+  // bloom bytes), and the pruning sits upstream of a correctness gate:
+  // returning NULL here would drop every row and render an EMPTY
+  // decontamination result — indistinguishable from a genuinely clean
+  // corpus, the worst failure direction. Fail the query instead; the
+  // filter is foldable, so this throws at first eval/codegen, before any
+  // partial results exist.
   @transient private lazy val bloom: BloomFilter = {
     val bytes = filter.eval(null).asInstanceOf[Array[Byte]]
-    if (bytes == null) null
-    else BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+    if (bytes == null) throw new IllegalStateException(
+      "graft_bloom_contains: filter bytes are NULL — a null filter would " +
+        "silently prune everything; build the bloom before planning")
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
   }
 
   override def nullable: Boolean = true
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    if (bloom == null) return null
     val v = value.eval(input)
     if (v == null) null
     else bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    if (bloom == null) {
-      ExprCode.forNullValue(dataType)
-    } else {
-      val bf = ctx.addReferenceObj("graftBloom", bloom,
-        classOf[BloomFilter].getName)
-      nullSafeCodeGen(ctx, ev, (v, _) =>
-        s"${ev.value} = $bf.mightContainBinary($v.getBytes());")
-    }
+    val bf = ctx.addReferenceObj("graftBloom", bloom,
+      classOf[BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"${ev.value} = $bf.mightContainBinary($v.getBytes());")
   }
 
   override protected def withNewChildrenInternal(

@@ -255,7 +255,13 @@ object CorpusOps {
   def decontaminateBloom(docs: DataFrame, benchMaxId: Long, minOverlap: Int,
       expectedItems: Long = 1 << 14, fpp: Double = 0.01): DataFrame = {
     val sh = NearDup.shingles(docs)
-    val bench = sh.filter(col("doc_id") < benchMaxId).select("shingle").distinct()
+    // cached: the bench shingle set feeds the eager bloomFilter build AND
+    // the verify join's subtree — uncached, the bench-side explode +
+    // distinct runs twice per call (the sharedSpans double-execution
+    // pattern, SpanDedup.scala:66-73)
+    val bench = graft.util.Caches.track(
+      sh.filter(col("doc_id") < benchMaxId).select("shingle").distinct()
+        .cache())
     val bf = bench.stat.bloomFilter("shingle", expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)

@@ -164,14 +164,20 @@ object Retrieval {
     * declarative plan — the lexical twin of Ann.ivfTopKBatch (queries
     * arrive in batches at serving time; per-query driver round-trips don't
     * scale). Stages, all in-plan:
-    *  1. tf — ONE corpus pass: dl rides the explode as a carried column
-    *     (functional on doc_id, so it joins the groupBy key for free — no
-    *     second corpus shuffle on doc_id), and the token stream is
-    *     restricted to the batch's distinct term set by an UNHINTED
-    *     equi-join (AQE broadcasts the term dictionary when it's small,
-    *     shuffle-joins when a data-scale batch makes it big);
-    *  2. per-term df and the corpus scalars (N, avgdl) — one tiny
-    *     aggregate each, the scalars broadcast as a 1-row frame;
+    *  1. tf — one corpus-sized pass whose SHUFFLE stays term-bounded: dl
+    *     rides the explode as a carried column (functional on doc_id, so
+    *     it joins the groupBy key for free — no second corpus shuffle on
+    *     doc_id), and the token stream is restricted to the batch's
+    *     distinct term set by an UNHINTED equi-join (AQE broadcasts the
+    *     term dictionary when it's small, shuffle-joins when a data-scale
+    *     batch makes it big);
+    *  2. per-term df from the pruned tf rows, and the corpus scalars
+    *     (N, avgdl) from a SECOND corpus scan — a deliberate trade: the
+    *     term filter that keeps stage 1's shuffle small also drops the
+    *     no-term docs the scalars must count, and folding them back in
+    *     would cost a full-vocabulary shuffle. Two text scans beat one
+    *     vocabulary-wide exchange; at serving scale BOTH passes disappear
+    *     into bm25StoredTopKBatch's stored index + additive stats store;
     *  3. scoring — (qid, term) joins tf on term, contributions sum per
     *     (qid, doc), round-4 like the single-query path;
     *  4. per-query top-k — row_number ≤ k rides Spark's WindowGroupLimit

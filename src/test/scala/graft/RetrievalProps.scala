@@ -33,33 +33,11 @@ object RetrievalProps extends Properties("Retrieval") {
     ts <- Gen.pick(k, vocab)
   } yield ts.toVector
 
-  private def round4(x: Double): Double =
-    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-
-  /** In-memory BM25 with the engine's exact conventions (Lucene idf,
-    * rounded-score rank, doc_id tiebreak, no-term docs excluded). */
-  private def ref(docs: Seq[(Long, String)], ts: Seq[String],
-      k: Int): Seq[(Long, Double)] = {
-    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
-    val n = docs.size
-    val avgdl = toks.map(_._2.size).sum.toDouble / n
-    val dfm = ts.map(t => t -> toks.count(_._2.contains(t))).toMap
-    toks.flatMap { case (id, tk) =>
-      if (!ts.exists(tk.contains)) None
-      else Some(id -> round4(ts.map { t =>
-        val tf = tk.count(_ == t).toDouble
-        val idf = math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1)
-        idf * (tf * (Retrieval.K1 + 1)) /
-          (tf + (tk.size / avgdl * Retrieval.B + (1 - Retrieval.B)) * Retrieval.K1)
-      }.sum))
-    }.sortBy { case (id, s) => (-s, id) }.take(k)
-  }
-
   property("bm25TopK == in-memory BM25 over random corpora") =
     forAll(corpus, terms) { (docs, ts) =>
       val got = Retrieval.bm25TopK(docs.toDF("doc_id", "text"), ts, 5)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      got == ref(docs, ts, 5)
+      got == Bm25Ref.topK(docs, ts, 5)
     }
 
   property("bm25TopKBatch == per-query singles over random batches") =

@@ -16,26 +16,6 @@ class RetrievalSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  // ---- in-memory BM25 reference (same Lucene-style idf) ----
-  private def refBm25(docs: Seq[(Long, String)], terms: Seq[String],
-      k: Int): Seq[(Long, Double)] = {
-    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
-    val n = docs.size
-    val avgdl = toks.map(_._2.size).sum.toDouble / n
-    val dfm = terms.map(t => t -> toks.count(_._2.contains(t))).toMap
-    toks.flatMap { case (id, tk) =>
-      val score = terms.map { t =>
-        val tf = tk.count(_ == t).toDouble
-        val idf = math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1)
-        idf * (tf * (Retrieval.K1 + 1)) /
-          (tf + (tk.size / avgdl * Retrieval.B + (1 - Retrieval.B)) * Retrieval.K1)
-      }.sum
-      if (terms.exists(tk.contains)) Some(id -> BigDecimal(score)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      else None
-    }.sortBy { case (id, s) => (-s, id) }.take(k)
-  }
-
   test("bm25TopK matches the in-memory reference on a hand fixture") {
     val docs = Seq(
       (0L, "x y x"), (1L, "x z"), (2L, "w w"), (3L, "y y y x"),
@@ -43,7 +23,7 @@ class RetrievalSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val got = Retrieval.bm25TopK(docs, Seq("x", "y"), 4)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val want = refBm25(
+    val want = Bm25Ref.topK(
       Seq((0L, "x y x"), (1L, "x z"), (2L, "w w"), (3L, "y y y x"),
         (4L, "z w"), (5L, "x x x x")), Seq("x", "y"), 4)
     assert(got == want)
@@ -175,21 +155,22 @@ class RetrievalSpec extends AnyFunSuite {
     val terms = Seq("hash", "join", "filter")
     val scratch = java.nio.file.Files
       .createTempDirectory("graft_bm25_gen").toString
-    val gen = graft.streaming.DocumentsIngest.compactedLexOnce(
-      spark, dir, scratch)
-    val fromGen = Retrieval.bm25StoredTopK(gen,
-      Catalog.lexStats(spark, dir), terms, 15)
-    val got = fromGen.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val want = Retrieval.bm25StoredTopK(Catalog.lexIndex(spark, dir),
-      Catalog.lexStats(spark, dir), terms, 15)
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    assert(got == want)
-    // the token-sorted compaction keeps the pushed In skip on the
-    // generation scan — the claim that lets a swapped store keep serving
-    val p = fromGen.queryExecution.executedPlan.toString
-    assert(p.contains("In(token"),
-      s"In(token) not pushed to the compacted generation scan:\n$p")
-    graft.util.Caches.drain()
+    try {
+      val gen = graft.streaming.DocumentsIngest.compactedLexOnce(
+        spark, dir, scratch)
+      val fromGen = Retrieval.bm25StoredTopK(gen,
+        Catalog.lexStats(spark, dir), terms, 15)
+      val got = fromGen.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = Retrieval.bm25StoredTopK(Catalog.lexIndex(spark, dir),
+        Catalog.lexStats(spark, dir), terms, 15)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want)
+      // the token-sorted compaction keeps the pushed In skip on the
+      // generation scan — the claim that lets a swapped store keep serving
+      val p = fromGen.queryExecution.executedPlan.toString
+      assert(p.contains("In(token"),
+        s"In(token) not pushed to the compacted generation scan:\n$p")
+    } finally graft.util.Caches.drain()
   }
 
   test("rrfStored serves from stored indexes only") {
@@ -243,6 +224,19 @@ class RetrievalSpec extends AnyFunSuite {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_bloom_contains('x')").collect()
     }
+    // a NULL FILTER must fail the query loudly, not silently prune
+    // everything (an empty decontamination result reads as "clean")
+    val err = intercept[Throwable] {
+      vals.toDF("s")
+        .select(call_function("graft_bloom_contains", col("s"),
+          lit(null).cast("binary")))
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(_.getMessage != null) &&
+      causes(err).exists(c => c.getMessage != null &&
+        c.getMessage.contains("filter bytes are NULL")), s"got $err")
   }
 
   test("emb_topk_filtered: label predicate pushed, results all carry it") {
