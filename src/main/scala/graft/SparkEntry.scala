@@ -958,6 +958,10 @@ object SparkEntry {
     // ann_recall_planted, PQ here, floors pinned in PqSpec
     "pq_recall_planted" -> ((s, dir) =>
       graft.ml.Pq.recallAtKPlanted(Catalog.embeddings(s, dir), 0L, 10, 10)),
+    // the SQ8 tier's recall gate in the same planted regime — the ladder
+    // now covers all four serving tiers (LSH, IVF, SQ8, PQ)
+    "sq8_recall_planted" -> ((s, dir) =>
+      graft.ml.Quant.recallAtKPlanted(Catalog.embeddings(s, dir), 0L, 10, 10)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1495,6 +1499,8 @@ object SparkEntry {
     "ann_recall_planted" -> Ann.recallOracleSql(0, 10,
       Ann.plantedClusterSrcSql(0L, 10)),
     "pq_recall_planted" -> graft.ml.Pq.pqRecallOracleSql(0L, 10,
+      Ann.plantedClusterSrcSql(0L, 10)),
+    "sq8_recall_planted" -> graft.ml.Quant.sq8RecallOracleSql(0L, 10,
       Ann.plantedClusterSrcSql(0L, 10)),
     "ivf_stream_index" -> Ann.cellsOracleSql,
     "sq8_stream_index" -> graft.ml.Quant.sq8StreamOracleSql,

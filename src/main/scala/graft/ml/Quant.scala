@@ -227,8 +227,9 @@ object Quant {
     * pins), the same global (mn, scale) aggregate, the same
     * clamp-round-minus-128 byte codes, probed cells from the RAW query,
     * and the kernel's integer-domain asymmetric cosine (intSimSql). */
-  def sq8IvfOracleSql(qVecId: Long, k: Int): String =
-    s"""WITH ${Ann.cellCtesSql(Ann.BaseSrcSql)},
+  def sq8IvfOracleSql(qVecId: Long, k: Int,
+      srcSql: String = Ann.BaseSrcSql): String =
+    s"""WITH ${Ann.cellCtesSql(srcSql)},
        |$intRankCtesSql,
        |qc AS (SELECT cent_id AS cell FROM asg WHERE vec_id = $qVecId
        |       ORDER BY csim DESC, cent_id ASC LIMIT ${Ann.Probes}),
@@ -237,6 +238,48 @@ object Quant {
        |FROM cq JOIN cell USING (vec_id) JOIN qc USING (cell), q
        |WHERE cq.vec_id <> $qVecId
        |ORDER BY sim DESC, vec_id LIMIT $k
+       |""".stripMargin.replaceAll("\\s+", " ")
+
+  /** Recall@k of the SQ8×IVF lookup against the exact brute-force top-k in
+    * the PLANTED regime — the scalar-quantized tier's driver-checked
+    * quality gate, completing the recall ladder across ALL FOUR serving
+    * tiers (LSH/IVF via ann_recall_planted, PQ via pq_recall_planted, SQ8
+    * here): an affine-map / clamp / kernel regression moves this number on
+    * BOTH engines instead of only in QuantSpec's overlap pin. The ad-hoc
+    * store is built from the planted corpus with the same
+    * sq8Store ∘ cellAssignment composition as Catalog.sq8IvfStore. */
+  def recallAtKPlanted(emb: DataFrame, qVecId: Long, m: Int,
+      k: Int): DataFrame = {
+    val e = graft.util.Caches.track(
+      Ann.plantedCluster(emb, qVecId, m).cache())
+    val store = graft.util.Caches.track(sq8Store(e)
+      .join(Ann.cellAssignment(e).select(col("vec_id"), col("cell")),
+        Seq("vec_id"))
+      .cache())
+    val ee = e.select(col("vec_id"), col("embedding").as("emb"))
+    val q = broadcast(ee.filter(col("vec_id") === qVecId)
+      .select(col("emb").as("qemb")))
+    val exact = ee.filter(col("vec_id") =!= qVecId).crossJoin(q)
+      .select(col("vec_id"),
+        round(Ann.cosine(col("emb"), col("qemb")), 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id")).limit(k)
+      .select("vec_id")
+    sq8IvfTopKFrom(store, e, qVecId, k).select("vec_id")
+      .join(exact, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit("sq8").as("method"), col("hits"),
+        round(col("hits") * lit(1.0) / k, 4).as("recall"))
+  }
+
+  /** DuckDB mirror of recallAtKPlanted — the Ann.recallOracleSql shape for
+    * the SQ8 tier, comparing against the SAME exact rendering
+    * (Ann.exactTopKSql) every recall gate uses. */
+  def sq8RecallOracleSql(qVecId: Long, k: Int, srcSql: String): String =
+    s"""WITH exact AS ((${Ann.exactTopKSql(qVecId, k, srcSql)})),
+       |sqr AS ((${sq8IvfOracleSql(qVecId, k, srcSql)}))
+       |SELECT 'sq8' AS method, count(*) AS hits,
+       |  round(count(*) * 1.0 / $k, 4) AS recall
+       |FROM sqr WHERE vec_id IN (SELECT vec_id FROM exact)
        |""".stripMargin.replaceAll("\\s+", " ")
 
   /** DuckDB mirror of sq8IvfTopKBatchFrom ∘ sq8IvfStore for the query batch

@@ -198,4 +198,16 @@ class QuantSpec extends AnyFunSuite {
       .agg(min("c"), max("c")).head
     assert(r.getByte(0) == -128 && r.getByte(1) == -128)
   }
+
+  test("sq8 planted recall gate: >= 0.8 (PqSpec's floor for the scalar tier)") {
+    // sq8_recall_planted's regime — the ladder's fourth tier pinned
+    // numerically: an affine-map/clamp/kernel regression moves this number
+    try {
+      val rows = Quant.recallAtKPlanted(
+          graft.model.Catalog.embeddings(spark, "/root/testdata/sf0.001"),
+          0L, 10, 10)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(rows("sq8") >= 0.8, s"sq8 planted recall ${rows("sq8")} < 0.8")
+    } finally graft.util.Caches.drain()
+  }
 }
