@@ -688,6 +688,10 @@ object SparkEntry {
       graft.ml.CorpusOps.vocabTopK(Catalog.documents(s, dir), 100)),
     "decontaminate" -> ((s, dir) =>
       graft.ml.CorpusOps.decontaminate(Catalog.documents(s, dir), 25L, 3)),
+    // document chunking: overlapping max-50-token training windows with 10
+    // tokens of carried context — a pure per-row projection, no shuffle
+    "chunk_docs" -> ((s, dir) =>
+      graft.ml.CorpusOps.chunkDocs(Catalog.documents(s, dir), 50, 10)),
     // bloom-pruned decontamination: identical result, but the corpus side
     // is pre-pruned by a KB-size codegen'd bloom probe before any join —
     // the runtime-row-level-filtering pattern made explicit
@@ -1429,6 +1433,7 @@ object SparkEntry {
     "text_logprob" -> graft.ml.CorpusOps.unigramLogProbOracleSql,
     "vocab_topk" -> graft.ml.CorpusOps.vocabOracleSql(100),
     "decontaminate" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),
+    "chunk_docs" -> graft.ml.CorpusOps.chunkOracleSql(50, 10),
     // same oracle as decontaminate BY DESIGN: the bloom prune is invisible
     // in the result, only in the plan
     "decontaminate_bloom" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),

@@ -212,6 +212,43 @@ object CorpusOps {
       |FROM tf JOIN uni USING (token) CROSS JOIN n
       |GROUP BY doc_id""".stripMargin.replaceAll("\\s+", " ")
 
+  /** Document chunking: split each doc into overlapping max-`maxTok`-token
+    * windows with `overlap` tokens of context carried across the cut — the
+    * standard pretraining prep that turns variable-length documents into
+    * training-window-sized pieces (the step between cleaning and
+    * pack_batches). Window starts advance by stride = maxTok − overlap;
+    * a start is emitted while it still contributes tokens beyond the
+    * previous window's overlap (start ≤ n − overlap − 1, and always start
+    * 0), so a short doc yields exactly one chunk and no chunk is a pure
+    * suffix of its predecessor. Scale: a pure per-row projection —
+    * sequence + slice + concat_ws inside whole-stage codegen, no shuffle,
+    * no state; the 100 TB cost is the scan itself. */
+  def chunkDocs(docs: DataFrame, maxTok: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && maxTok > overlap,
+      s"need maxTok > overlap >= 0, got maxTok=$maxTok overlap=$overlap")
+    val stride = maxTok - overlap
+    docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), col("tok"), size(col("tok")).as("n"),
+        explode(sequence(lit(0),
+          greatest(lit(0), size(col("tok")) - overlap - 1),
+          lit(stride))).as("s"))
+      .select(col("doc_id"), (col("s") / stride).cast("int").as("chunk_id"),
+        concat_ws(" ", slice(col("tok"), col("s") + 1, lit(maxTok))).as("chunk"),
+        least(lit(maxTok), col("n") - col("s")).as("n_tokens"))
+  }
+
+  def chunkOracleSql(maxTok: Int, overlap: Int): String = {
+    val stride = maxTok - overlap
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok,
+       |  len(string_split(text, ' ')) AS n FROM documents)
+       |SELECT doc_id, CAST(s / $stride AS INT) AS chunk_id,
+       |  array_to_string(tok[s + 1 : s + $maxTok], ' ') AS chunk,
+       |  CAST(least($maxTok, n - s) AS INT) AS n_tokens
+       |FROM (SELECT doc_id, tok, n,
+       |        unnest(range(0, greatest(n - $overlap - 1, 0) + 1, $stride)) AS s
+       |      FROM t)""".stripMargin.replaceAll("\\s+", " ")
+  }
+
   /** Benchmark decontamination: count, per training doc, the distinct
     * 3-word shingles it shares with the held-out benchmark set (docs with
     * doc_id < benchMaxId); docs at or over `minOverlap` are contamination

@@ -259,4 +259,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     // doc 3: "all" scores 0 (idf ln(1)=0) but still ranks (only term)
     assert(got.filter(_._1 == 3L).map(_._2).toSeq == Seq("all"))
   }
+
+  test("chunkDocs: window boundaries, carried overlap, no pure-suffix chunks") {
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, toks(5)),   // shorter than overlap -> one chunk of 5
+      (2L, toks(50)),  // exactly maxTok -> one chunk
+      (3L, toks(51)),  // one token beyond -> second window carries it
+      (4L, toks(60)),  // [1..50] + [41..60]
+      (5L, toks(130))  // three strides: starts 0, 40, 80, (120 > n-overlap-1)
+    ).toDF("doc_id", "text")
+    val got = graft.ml.CorpusOps.chunkDocs(docs, 50, 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .groupBy(_._1)
+    assert(got(1L).toSeq == Seq((1L, 0, toks(5), 5)))
+    assert(got(2L).toSeq == Seq((2L, 0, toks(50), 50)))
+    assert(got(3L).map(c => (c._2, c._4)).sorted.toSeq == Seq((0, 50), (1, 11)))
+    // chunk 1 of doc 4 starts at token 41 (10 tokens of carried context)
+    val d4 = got(4L).sortBy(_._2)
+    assert(d4.map(c => (c._2, c._4)).toSeq == Seq((0, 50), (1, 20)))
+    assert(d4(1)._3.startsWith("t41 ") && d4(1)._3.endsWith(" t60"))
+    val d5 = got(5L).sortBy(_._2)
+    assert(d5.map(c => (c._2, c._4)).toSeq == Seq((0, 50), (1, 50), (2, 50)))
+    assert(d5(2)._3.startsWith("t81 ") && d5(2)._3.endsWith(" t130"))
+  }
 }
