@@ -623,6 +623,33 @@ object Ann {
        |""".stripMargin.replaceAll("\\s+", " ")
   }
 
+  /** The ONE rendering of the exact brute-force top-k baseline every recall
+    * gate compares against (the Spark twin of exactTopKSql): corpus-wide
+    * rounded cosine, (sim DESC, vec_id ASC) total order, self excluded.
+    * Input `e` is (vec_id, emb); callers cache the result when it feeds
+    * multiple probes. */
+  private[ml] def exactTopKIds(e: DataFrame, qVecId: Long,
+      k: Int): DataFrame = {
+    val q = broadcast(e.filter(col("vec_id") === qVecId)
+      .select(col("emb").as("qemb")))
+    e.filter(col("vec_id") =!= qVecId).crossJoin(q)
+      .select(col("vec_id"), round(cosine(col("emb"), col("qemb")), 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id")).limit(k)
+      .select("vec_id")
+  }
+
+  /** The ONE rendering of the recall row every gate emits:
+    * (method, hits, recall@k) of an approximate lookup's ids against the
+    * exact baseline — shared by the LSH/IVF gate here and the SQ8/PQ
+    * planted gates (Quant, Pq), so the hit/rounding convention cannot
+    * drift between tiers. */
+  private[ml] def recallOf(exact: DataFrame, approx: DataFrame,
+      method: String, k: Int): DataFrame =
+    approx.select("vec_id").join(exact, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(method).as("method"), col("hits"),
+        round(col("hits") * lit(1.0) / k, 4).as("recall"))
+
   /** Recall@k of both approximate lookups (LSH buckets, IVF cells) against
     * the exact brute-force top-k, for one query vector — the ANN QUALITY
     * check as a deterministic relational result: (method, hits, recall).
@@ -644,26 +671,11 @@ object Ann {
   def recallAtK(emb: DataFrame, bk: DataFrame, cells: DataFrame,
       qVecId: Long, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").as("emb"))
-    val q = broadcast(e.filter(col("vec_id") === qVecId)
-      .select(col("emb").as("qemb")))
     // cached: the brute-force subplan (corpus-wide cosine + sort) feeds
     // BOTH recall probes — uncached it executes twice per evaluation
-    val exact = graft.util.Caches.track(
-      e.filter(col("vec_id") =!= qVecId).crossJoin(q)
-        .select(col("vec_id"),
-          round(dot(col("emb"), col("qemb")) /
-            sqrt(dot(col("emb"), col("emb")) * dot(col("qemb"), col("qemb"))), 6)
-            .as("sim"))
-        .orderBy(desc("sim"), asc("vec_id")).limit(k)
-        .select("vec_id")
-        .cache())
-    def recall(method: String, approx: DataFrame): DataFrame =
-      approx.select("vec_id").join(exact, Seq("vec_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .select(lit(method).as("method"), col("hits"),
-          round(col("hits") * lit(1.0) / k, 4).as("recall"))
-    recall("lsh", topK(emb, bk, qVecId, k))
-      .unionByName(recall("ivf", ivfTopK(emb, cells, qVecId, k)))
+    val exact = graft.util.Caches.track(exactTopKIds(e, qVecId, k).cache())
+    recallOf(exact, topK(emb, bk, qVecId, k), "lsh", k)
+      .unionByName(recallOf(exact, ivfTopK(emb, cells, qVecId, k), "ivf", k))
   }
 
   /** DuckDB mirror of recallAtK: the exact, LSH, and IVF top-k oracles

@@ -257,18 +257,8 @@ object Quant {
         Seq("vec_id"))
       .cache())
     val ee = e.select(col("vec_id"), col("embedding").as("emb"))
-    val q = broadcast(ee.filter(col("vec_id") === qVecId)
-      .select(col("emb").as("qemb")))
-    val exact = ee.filter(col("vec_id") =!= qVecId).crossJoin(q)
-      .select(col("vec_id"),
-        round(Ann.cosine(col("emb"), col("qemb")), 6).as("sim"))
-      .orderBy(desc("sim"), asc("vec_id")).limit(k)
-      .select("vec_id")
-    sq8IvfTopKFrom(store, e, qVecId, k).select("vec_id")
-      .join(exact, Seq("vec_id"), "left_semi")
-      .agg(count(lit(1)).as("hits"))
-      .select(lit("sq8").as("method"), col("hits"),
-        round(col("hits") * lit(1.0) / k, 4).as("recall"))
+    Ann.recallOf(Ann.exactTopKIds(ee, qVecId, k),
+      sq8IvfTopKFrom(store, e, qVecId, k), "sq8", k)
   }
 
   /** DuckDB mirror of recallAtKPlanted — the Ann.recallOracleSql shape for

@@ -133,6 +133,37 @@ object Retrieval {
       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
       |FROM documents""".stripMargin.replaceAll("\\s+", " ")
 
+  /** Fold the additive stats store (generations of (n_docs, sum_dl)) to
+    * the broadcast (n_docs, avgdl) row every stored serving path consumes
+    * — ONE rendering so the avgdl arithmetic cannot drift between the
+    * single and batch stored lookups. */
+  private def statsFold(stats: DataFrame): DataFrame =
+    broadcast(stats
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl")))
+
+  /** The ONE BM25 per-(doc, term) contribution expression, over columns
+    * (tf, df, dl, n_docs, avgdl) — shared by every path that scores from
+    * long-format postings (stored single/batch, corpus-side batch), so a
+    * K1/B/idf change lands once. bm25TopK's wide-column variant renders
+    * the same arithmetic per term index. */
+  private def contribExpr: Column = {
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    idf * (col("tf") * (K1 + 1)) /
+      (col("tf") + (col("dl") / col("avgdl") * B + (1 - B)) * K1)
+  }
+
+  /** The per-query rank tail over (qid, doc_id, bm25) — row_number ≤ k
+    * with the rounded-score/doc_id tie-break, riding WindowGroupLimit
+    * (the lexical twin of Ann.topKPerQuery). */
+  private def perQueryTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("bm25"), asc("doc_id"))))
+      .filter(col("rn") <= k)
+      .select("qid", "doc_id", "bm25")
+
   /** BM25 served FROM the stored inverted index — what query time looks
     * like when the engine stops re-tokenizing the corpus per statement:
     * the term `isin` reaches the token-sorted store as a pushed In filter
@@ -147,16 +178,9 @@ object Retrieval {
       terms: Seq[String], k: Int): DataFrame = {
     val px = index.filter(col("token").isin(terms: _*))
     val dfr = px.groupBy("token").agg(count(lit(1)).as("df"))
-    val st = broadcast(stats
-      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
-      .select(col("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl")))
-    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
-    val contrib = idf * (col("tf") * (K1 + 1)) /
-      (col("tf") + (col("dl") / col("avgdl") * B + (1 - B)) * K1)
     px.join(dfr, Seq("token"))
-      .crossJoin(st)
-      .groupBy("doc_id").agg(round(sum(contrib), 4).as("bm25"))
+      .crossJoin(statsFold(stats))
+      .groupBy("doc_id").agg(round(sum(contribExpr), 4).as("bm25"))
       .orderBy(desc("bm25"), asc("doc_id")).limit(k)
   }
 
@@ -198,19 +222,11 @@ object Retrieval {
     val dfr = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       avg(size(split(col("text"), " "))).as("avgdl"))
-    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
-    val contrib = idf * (col("tf") * (K1 + 1)) /
-      (col("tf") + (col("dl") / col("avgdl") * B + (1 - B)) * K1)
-    val scored = qt.join(tf, Seq("token"))
+    perQueryTopK(qt.join(tf, Seq("token"))
       .join(dfr, Seq("token"))
       .crossJoin(broadcast(stats))
       .groupBy("qid", "doc_id")
-      .agg(round(sum(contrib), 4).as("bm25"))
-    scored.withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(desc("bm25"), asc("doc_id"))))
-      .filter(col("rn") <= k)
-      .select("qid", "doc_id", "bm25")
+      .agg(round(sum(contribExpr), 4).as("bm25")), k)
   }
 
   /** DuckDB mirror of bm25TopKBatch for an inline query batch. */
@@ -242,36 +258,30 @@ object Retrieval {
   /** BATCHED BM25 FROM THE STORED INDEX — the lexical serving matrix's
     * fourth corner ({single, batch} × {corpus-side, stored}): the whole
     * query table answered against Catalog.lexIndex in one plan. The store
-    * is pruned to the batch's term dictionary by a broadcast left-semi —
-    * bounded by the DICTIONARY size, not |Q| (the prunedByProbedCells
-    * convention: at data-scale |Q| the filter approaches a no-op and the
-    * plan degrades gracefully to the full-postings join; at serving-size
-    * batches it is the row-group skip). df aggregates only the pruned
+    * is pruned to the batch's term dictionary by an UNHINTED left-semi:
+    * unlike probed cells (≤ Cells, always broadcast-safe), a batch's
+    * distinct term set is bounded only by the vocabulary, so AQE
+    * runtime-broadcasts it while it fits and degrades to a shuffle
+    * semi-join when a data-scale batch grows it — at serving-size batches
+    * the broadcast semi is the store's row-group skip. df aggregates only
+    * the pruned
     * postings; stats fold from the additive store. Same scoring and rank
     * conventions as bm25TopKBatch, so the stored batch shares its oracle. */
   def bm25StoredTopKBatch(index: DataFrame, stats: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
     val qt = queries.select(col("qid"), explode(col("terms")).as("token"))
-    val px = index.join(broadcast(qt.select("token").distinct()),
+    // UNHINTED like bm25TopKBatch's dictionary join: distinct terms are
+    // bounded by the batch's VOCABULARY, not a fixed cap (unlike probed
+    // cells ≤ Cells), so a forced broadcast would OOM the driver on a
+    // data-scale batch instead of degrading to a shuffle semi-join
+    val px = index.join(qt.select("token").distinct(),
       Seq("token"), "left_semi")
     val dfr = px.groupBy("token").agg(count(lit(1)).as("df"))
-    val st = broadcast(stats
-      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
-      .select(col("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl")))
-    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
-    val contrib = idf * (col("tf") * (K1 + 1)) /
-      (col("tf") + (col("dl") / col("avgdl") * B + (1 - B)) * K1)
-    qt.join(px, Seq("token"))
+    perQueryTopK(qt.join(px, Seq("token"))
       .join(dfr, Seq("token"))
-      .crossJoin(st)
+      .crossJoin(statsFold(stats))
       .groupBy("qid", "doc_id")
-      .agg(round(sum(contrib), 4).as("bm25"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(desc("bm25"), asc("doc_id"))))
-      .filter(col("rn") <= k)
-      .select("qid", "doc_id", "bm25")
+      .agg(round(sum(contribExpr), 4).as("bm25")), k)
   }
 
   /** Exact embedding-cosine ranking for one query vector, as (vec_id, rank)

@@ -203,8 +203,7 @@ class QuantSpec extends AnyFunSuite {
     // sq8_recall_planted's regime — the ladder's fourth tier pinned
     // numerically: an affine-map/clamp/kernel regression moves this number
     try {
-      val rows = Quant.recallAtKPlanted(
-          graft.model.Catalog.embeddings(spark, "/root/testdata/sf0.001"),
+      val rows = Quant.recallAtKPlanted(Catalog.embeddings(spark, dir),
           0L, 10, 10)
         .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
       assert(rows("sq8") >= 0.8, s"sq8 planted recall ${rows("sq8")} < 0.8")
