@@ -761,6 +761,16 @@ object SparkEntry {
         Catalog.lexStats(s, dir), Catalog.embeddings(s, dir),
         Catalog.ivfCells(s, dir), Seq("merge", "stream", "window"),
         0L, 20, 10)),
+    // the batched stored hybrid: both tiers' batch plans + per-query
+    // fusion in ONE plan — the full hybrid serving matrix closed
+    "rrf_stored_batch" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      graft.ml.Retrieval.rrfStoredBatch(Catalog.lexIndex(s, dir),
+        Catalog.lexStats(s, dir), Catalog.embeddings(s, dir),
+        Catalog.ivfCells(s, dir), BatchQueries.toDF("qid", "terms"),
+        Catalog.embeddings(s, dir).filter(col("vec_id") < 3), 20, 10)
+    }),
     "text_quality" -> ((s, dir) =>
       graft.ml.TextAnalysis.quality(Catalog.documents(s, dir))),
     "text_langid" -> ((s, dir) =>
@@ -1456,6 +1466,8 @@ object SparkEntry {
       Seq("merge", "stream", "window"), 0L, 20, 10),
     "rrf_stored" -> graft.ml.Retrieval.rrfStoredOracleSql(
       Seq("merge", "stream", "window"), 0L, 20, 10),
+    "rrf_stored_batch" -> graft.ml.Retrieval.rrfStoredBatchOracleSql(
+      BatchQueries, 3L, 20, 10),
     "text_quality" -> (s"""SELECT doc_id,
       len(string_split(text, ' ')) AS n_tokens,
       round((len(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')), 4) AS mean_tok_len,

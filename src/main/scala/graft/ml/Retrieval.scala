@@ -354,6 +354,59 @@ object Retrieval {
     fuse(lex, den, k)
   }
 
+  /** BATCHED stored hybrid — the whole hybrid serving matrix in one plan:
+    * the lexical tier is bm25StoredTopKBatch (stored postings, term-
+    * dictionary semi-join), the dense tier is Ann.ivfTopKBatch (stored
+    * cells, probed-cell pruning), and the per-query fusion joins the two
+    * k-bounded rankings on (qid, doc_id). Query contract: the lexical
+    * queries table's qids ARE corpus vec_ids (the shared id space every
+    * hybrid entry uses), and `denQueries` carries those rows' embeddings.
+    * Per-query output is ≤ k rows ranked by (rrf DESC, doc_id). */
+  def rrfStoredBatch(index: DataFrame, stats: DataFrame, emb: DataFrame,
+      cells: DataFrame, queries: DataFrame, denQueries: DataFrame,
+      n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Window.partitionBy("qid")
+    val lex = bm25StoredTopKBatch(index, stats, queries, n)
+      .select(col("qid"), col("doc_id"), row_number().over(
+        byQ.orderBy(desc("bm25"), asc("doc_id"))).as("lex_rank"))
+    val den = Ann.ivfTopKBatch(emb, cells, denQueries, n)
+      .select(col("qid"), col("vec_id").as("doc_id"), row_number().over(
+        byQ.orderBy(desc("sim"), asc("vec_id"))).as("den_rank"))
+    def contrib(c: Column) = when(c.isNotNull, lit(1.0) / (lit(RrfK) + c))
+      .otherwise(lit(0.0))
+    val fused = lex.join(den, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        round(contrib(col("lex_rank")) + contrib(col("den_rank")), 6).as("rrf"))
+    fused.withColumn("rn", row_number().over(
+        byQ.orderBy(desc("rrf"), asc("doc_id"))))
+      .filter(col("rn") <= k)
+      .select("qid", "doc_id", "rrf")
+  }
+
+  /** DuckDB mirror of rrfStoredBatch: the already-verified batch oracles
+    * for both tiers, per-query rank assignment, and the fusion tail. */
+  def rrfStoredBatchOracleSql(queries: Seq[(Long, Seq[String])],
+      maxQid: Long, n: Int, k: Int): String =
+    s"""WITH lex AS (
+       |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |  FROM (${bm25BatchOracleSql(queries, n)})),
+       |den AS (
+       |  SELECT qid, vec_id AS doc_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id) AS den_rank
+       |  FROM (${Ann.ivfBatchOracleSql(maxQid, n)})),
+       |f AS (SELECT COALESCE(lex.qid, den.qid) AS qid,
+       |        COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+       |        round(COALESCE(1.0::DOUBLE/($RrfK + lex_rank), 0) +
+       |              COALESCE(1.0::DOUBLE/($RrfK + den_rank), 0), 6) AS rrf
+       |      FROM lex FULL OUTER JOIN den
+       |        ON lex.qid = den.qid AND lex.doc_id = den.doc_id)
+       |SELECT qid, doc_id, rrf FROM (
+       |  SELECT qid, doc_id, rrf, row_number() OVER (PARTITION BY qid
+       |    ORDER BY rrf DESC, doc_id) AS rn FROM f)
+       |WHERE rn <= $k""".stripMargin.replaceAll("\\s+", " ")
+
   /** DuckDB mirror of rrfStored: the bm25 CTE is bm25OracleSql's rendering
     * and the dense tier is Ann.ivfOracleSql's — each already verified
     * stand-alone — composed with the same fusion tail as rrfOracleSql. */

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalacheck.{Gen, Properties, Test}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 import graft.ml.Retrieval
 
 /** Scalacheck laws for the retrieval tier: bm25TopK against an in-memory
@@ -38,6 +38,26 @@ object RetrievalProps extends Properties("Retrieval") {
       val got = Retrieval.bm25TopK(docs.toDF("doc_id", "text"), ts, 5)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       got == Bm25Ref.topK(docs, ts, 5)
+    }
+
+  property("chunkDocs covers every token; interior chunks overlap exactly") =
+    forAll(Gen.choose(1, 40), Gen.choose(0, 4), Gen.choose(1, 60)) {
+      (stride, overlap, n) =>
+        val maxTok = stride + overlap
+        val text = (1 to n).map(i => s"t$i").mkString(" ")
+        val chunks = graft.ml.CorpusOps.chunkDocs(
+            Seq((0L, text)).toDF("doc_id", "text"), maxTok, overlap)
+          .collect().map(r => (r.getInt(1), r.getString(2).split(" ").toSeq))
+          .sortBy(_._1)
+        // every token appears in some chunk, in order, with exactly
+        // `overlap` carried tokens at every interior boundary
+        val starts = chunks.map(_._1 * stride)
+        val covered = chunks.zip(starts).flatMap { case ((_, toks), s) =>
+          toks.zipWithIndex.map { case (t, i) => (s + i, t) } }.toMap
+        (covered.size == n) :| s"covered ${covered.size} of $n" &&
+        covered.forall { case (i, t) => t == s"t${i + 1}" } :| "order" &&
+        chunks.zip(chunks.drop(1)).forall { case ((_, a), (_, b)) =>
+          a.takeRight(overlap) == b.take(overlap) } :| "carried overlap"
     }
 
   property("bm25TopKBatch == per-query singles over random batches") =

@@ -195,6 +195,26 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.forall { case (_, s) => s > 0.0 && s <= 2.0 / (Retrieval.RrfK + 1) })
   }
 
+  test("rrfStoredBatch slice == single rrfStored; store-only plan") {
+    val terms = Seq("merge", "stream", "window")
+    val queries = Seq(0L -> terms, 1L -> Seq("hash", "join"))
+    val bdf = Retrieval.rrfStoredBatch(Catalog.lexIndex(spark, dir),
+      Catalog.lexStats(spark, dir), Catalog.embeddings(spark, dir),
+      Catalog.ivfCells(spark, dir), queries.toDF("qid", "terms"),
+      Catalog.embeddings(spark, dir).filter(col("vec_id") < 2), 20, 10)
+    val q0 = bdf.filter(col("qid") === 0).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSet
+    val single = Retrieval.rrfStored(Catalog.lexIndex(spark, dir),
+      Catalog.lexStats(spark, dir), Catalog.embeddings(spark, dir),
+      Catalog.ivfCells(spark, dir), terms, 0L, 20, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(q0 == single)
+    val p = bdf.queryExecution.executedPlan.toString
+    assert(p.contains("lex_index") && p.contains("ivf_cells") &&
+      !p.toLowerCase.contains("documents.parquet"),
+      s"batched hybrid must read only the stored tiers:\n$p")
+  }
+
   test("decontaminateBloom == decontaminate, bloom probe in the plan") {
     val docs = Catalog.documents(spark, dir)
     val exact = CorpusOps.decontaminate(docs, 25L, 3)
