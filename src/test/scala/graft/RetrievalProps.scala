@@ -60,6 +60,17 @@ object RetrievalProps extends Properties("Retrieval") {
           a.takeRight(overlap) == b.take(overlap) } :| "carried overlap"
     }
 
+  property("bm25StoredTopK over lexRows == corpus-side bm25TopK") =
+    forAll(corpus, terms) { (docs, ts) =>
+      val ddf = docs.toDF("doc_id", "text")
+      val stored = Retrieval.bm25StoredTopK(Retrieval.lexRows(ddf),
+          Retrieval.lexStatsRows(ddf), ts, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val corpusSide = Retrieval.bm25TopK(ddf, ts, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      stored == corpusSide
+    }
+
   property("bm25TopKBatch == per-query singles over random batches") =
     forAll(corpus, Gen.listOfN(2, terms)) { (docs, queryTerms) =>
       val queries = queryTerms.zipWithIndex
