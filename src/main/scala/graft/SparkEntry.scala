@@ -794,6 +794,11 @@ object SparkEntry {
     // planted source chars, never the bytes
     "mm_features" -> ((s, dir) =>
       Multimodal.documentFeatures(s, Catalog.documents(s, dir))),
+    // streamed media decode: the same stateless PGM-decode projection over
+    // the documents STREAM == the batch features — media is decoded once
+    // at ingest, not per analysis query
+    "mm_stream_features" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.mmFeaturesOnce(s, dir)),
     "mm_framesample" -> ((s, dir) =>
       Multimodal.frameSample(Catalog.documents(s, dir))),
     "mm_resize" -> ((s, dir) =>
@@ -1535,6 +1540,7 @@ object SparkEntry {
     "pq_stream_index" -> graft.ml.Pq.pqStreamOracleSql,
     "pq_compact" -> graft.ml.Pq.pqStreamOracleSql,
     "pq_rerank" -> graft.ml.Pq.pqRerankOracleSql(0, 50, 10),
+    "mm_stream_features" -> Multimodal.documentFeaturesOracleSql,
     "mm_framesample" -> Multimodal.frameSampleOracleSql(),
     "mm_resize" -> Multimodal.resizeOracleSql,
   )

@@ -193,6 +193,18 @@ object DocumentsIngest {
           org.apache.spark.sql.functions.sum("sum_dl").as("sum_dl"))
     }
 
+  /** Streamed media feature extraction: the documents stream through the
+    * SAME planted-PGM decode projection the batch entry uses
+    * (Multimodal.documentFeatures — a stateless mapPartitions, the codec
+    * batch shape) == the batch decode. This is where a real pipeline
+    * decodes media: ONCE at ingest, with features landing beside the
+    * payload — not per analysis query. One-shot memory-sink entry point. */
+  def mmFeaturesOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:mmfeatures:$dir") {
+      Sinks.memoryOnce(spark, "graft_stream_mmf",
+        graft.ml.Multimodal.documentFeatures(spark, stream(spark, dir)))
+    }
+
   // ---- streamed admission of the near-dup PAIR GRAPH (Catalog.dupPairs) --
 
   /** Incremental maintenance of the stored near-dup pair graph: each
