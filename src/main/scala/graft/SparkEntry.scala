@@ -41,6 +41,12 @@ object SparkEntry {
     1L -> Seq("hash", "join"),
     2L -> Seq("fast", "filter", "sort"))
 
+  /** The hybrid batch's dense-tier qid bound, DERIVED from BatchQueries so
+    * extending the batch cannot silently drop a query's dense tier on both
+    * the Spark and oracle sides at once (qids are the dense 0..max range
+    * by the shared-id-space contract). */
+  private val BatchMaxQid: Long = BatchQueries.map(_._1).max + 1
+
   /** Flagship: the full statement path on sf0.001 — parse, compile, execute,
     * fetch summaries with override overlay. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
@@ -769,7 +775,8 @@ object SparkEntry {
       graft.ml.Retrieval.rrfStoredBatch(Catalog.lexIndex(s, dir),
         Catalog.lexStats(s, dir), Catalog.embeddings(s, dir),
         Catalog.ivfCells(s, dir), BatchQueries.toDF("qid", "terms"),
-        Catalog.embeddings(s, dir).filter(col("vec_id") < 3), 20, 10)
+        Catalog.embeddings(s, dir).filter(col("vec_id") < BatchMaxQid),
+        20, 10)
     }),
     "text_quality" -> ((s, dir) =>
       graft.ml.TextAnalysis.quality(Catalog.documents(s, dir))),
@@ -1472,7 +1479,7 @@ object SparkEntry {
     "rrf_stored" -> graft.ml.Retrieval.rrfStoredOracleSql(
       Seq("merge", "stream", "window"), 0L, 20, 10),
     "rrf_stored_batch" -> graft.ml.Retrieval.rrfStoredBatchOracleSql(
-      BatchQueries, 3L, 20, 10),
+      BatchQueries, BatchMaxQid, 20, 10),
     "text_quality" -> (s"""SELECT doc_id,
       len(string_split(text, ' ')) AS n_tokens,
       round((len(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')), 4) AS mean_tok_len,

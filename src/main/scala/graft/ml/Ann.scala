@@ -173,12 +173,17 @@ object Ann {
     * candidates: row_number ≤ k with the (sim DESC, vec_id ASC) tie-break —
     * rides Spark's WindowGroupLimit pushdown (partial top-k map-side, never
     * a global sort). The oracle twin is batchRankSql. */
-  private[ml] def topKPerQuery(cand: DataFrame, k: Int): DataFrame = {
+  private[ml] def topKPerQuery(cand: DataFrame, k: Int,
+      keepRank: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    cand.withColumn("rk", row_number().over(
+    val ranked = cand.withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("vec_id"), col("sim"))
+      .filter(col("rank") <= k)
+    // keepRank: a fusion consumer (Retrieval.rrfStoredBatch) reuses the
+    // rank this window just computed instead of re-deriving it with a
+    // second identical window per tier
+    if (keepRank) ranked.select("qid", "vec_id", "sim", "rank")
+    else ranked.select("qid", "vec_id", "sim")
   }
 
   /** IVF-flat top-k: the inverted-file ANN shape — a coarse quantizer assigns
@@ -348,7 +353,7 @@ object Ann {
     * Returns (qid, vec_id, sim), k rows per query. */
   def ivfTopKBatch(emb: DataFrame, cells: DataFrame, queries: DataFrame,
       k: Int, cents: Option[DataFrame] = None,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, keepRank: Boolean = false): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").as("emb"))
     val q = queries.select(col("vec_id").as("qid"),
       col("embedding").as("qemb"))
@@ -358,7 +363,7 @@ object Ann {
                else joined
     topKPerQuery(cand.join(e, Seq("vec_id"))
       .select(col("qid"), col("vec_id"),
-        asymSim(col("emb"), col("qemb"), col("qn")).as("sim")), k)
+        asymSim(col("emb"), col("qemb"), col("qn")).as("sim")), k, keepRank)
   }
 
   /** FILTERED batched IVF top-k — the serving matrix's fourth corner

@@ -156,13 +156,18 @@ object Retrieval {
 
   /** The per-query rank tail over (qid, doc_id, bm25) — row_number ≤ k
     * with the rounded-score/doc_id tie-break, riding WindowGroupLimit
-    * (the lexical twin of Ann.topKPerQuery). */
-  private def perQueryTopK(scored: DataFrame, k: Int): DataFrame =
-    scored.withColumn("rn", row_number().over(
+    * (the lexical twin of Ann.topKPerQuery). keepRank hands the computed
+    * rank to a fusion consumer instead of forcing a second identical
+    * window. */
+  private def perQueryTopK(scored: DataFrame, k: Int,
+      keepRank: Boolean = false): DataFrame = {
+    val ranked = scored.withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("qid").orderBy(desc("bm25"), asc("doc_id"))))
-      .filter(col("rn") <= k)
-      .select("qid", "doc_id", "bm25")
+      .filter(col("rank") <= k)
+    if (keepRank) ranked.select("qid", "doc_id", "bm25", "rank")
+    else ranked.select("qid", "doc_id", "bm25")
+  }
 
   /** BM25 served FROM the stored inverted index — what query time looks
     * like when the engine stops re-tokenizing the corpus per statement:
@@ -268,7 +273,7 @@ object Retrieval {
     * postings; stats fold from the additive store. Same scoring and rank
     * conventions as bm25TopKBatch, so the stored batch shares its oracle. */
   def bm25StoredTopKBatch(index: DataFrame, stats: DataFrame,
-      queries: DataFrame, k: Int): DataFrame = {
+      queries: DataFrame, k: Int, keepRank: Boolean = false): DataFrame = {
     val qt = queries.select(col("qid"), explode(col("terms")).as("token"))
     // UNHINTED like bm25TopKBatch's dictionary join: distinct terms are
     // bounded by the batch's VOCABULARY, not a fixed cap (unlike probed
@@ -281,7 +286,7 @@ object Retrieval {
       .join(dfr, Seq("token"))
       .crossJoin(statsFold(stats))
       .groupBy("qid", "doc_id")
-      .agg(round(sum(contribExpr), 4).as("bm25")), k)
+      .agg(round(sum(contribExpr), 4).as("bm25")), k, keepRank)
   }
 
   /** Exact embedding-cosine ranking for one query vector, as (vec_id, rank)
@@ -319,20 +324,30 @@ object Retrieval {
             .orderBy(desc("bm25"), asc("doc_id"))).as("rank")),
       denseRanks(emb, qVecId, n).withColumnRenamed("vec_id", "doc_id"), k)
 
-  /** The fusion combinator shared by the corpus-side and stored-index
-    * hybrid entries: full-outer over two (doc_id, rank) tier frames,
-    * absent docs contribute nothing. */
-  private def fuse(lex: DataFrame, den: DataFrame, k: Int): DataFrame = {
-    def contrib(c: Column) = when(c.isNotNull, lit(1.0) / (lit(RrfK) + c))
-      .otherwise(lit(0.0))
-    lex.select(col("doc_id"), col("rank").as("lex_rank"))
-      .join(den.select(col("doc_id"), col("rank").as("den_rank")),
-        Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        round(contrib(col("lex_rank")) + contrib(col("den_rank")), 6).as("rrf"))
+  /** ONE rendering of the per-tier RRF contribution (absent docs
+    * contribute nothing) — shared by every fusion path. */
+  private def rrfContrib(c: Column): Column =
+    when(c.isNotNull, lit(1.0) / (lit(RrfK) + c)).otherwise(lit(0.0))
+
+  /** ONE rendering of the fusion rows: full-outer over two ranked tier
+    * frames (each carrying a `rank` column) on `keys` — doc_id alone for
+    * single-query fusion, (qid, doc_id) for batches. Rank tail left to
+    * the caller (TakeOrdered vs per-query window). */
+  private def fuseRows(lex: DataFrame, den: DataFrame,
+      keys: Seq[String]): DataFrame =
+    lex.select(keys.map(col) :+ col("rank").as("lex_rank"): _*)
+      .join(den.select(keys.map(col) :+ col("rank").as("den_rank"): _*),
+        keys, "full_outer")
+      .select(keys.map(col) :+
+        round(rrfContrib(col("lex_rank")) + rrfContrib(col("den_rank")), 6)
+          .as("rrf"): _*)
+
+  /** The single-query fusion tail shared by the corpus-side and
+    * stored-index hybrid entries. */
+  private def fuse(lex: DataFrame, den: DataFrame, k: Int): DataFrame =
+    fuseRows(lex, den, Seq("doc_id"))
       .orderBy(desc("rrf"), asc("doc_id"))
       .limit(k)
-  }
 
   /** Hybrid retrieval served ENTIRELY from stored indexes — the deployed
     * shape: the lexical tier reads Catalog.lexIndex (pushed In(token),
@@ -365,21 +380,16 @@ object Retrieval {
   def rrfStoredBatch(index: DataFrame, stats: DataFrame, emb: DataFrame,
       cells: DataFrame, queries: DataFrame, denQueries: DataFrame,
       n: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byQ = Window.partitionBy("qid")
-    val lex = bm25StoredTopKBatch(index, stats, queries, n)
-      .select(col("qid"), col("doc_id"), row_number().over(
-        byQ.orderBy(desc("bm25"), asc("doc_id"))).as("lex_rank"))
-    val den = Ann.ivfTopKBatch(emb, cells, denQueries, n)
-      .select(col("qid"), col("vec_id").as("doc_id"), row_number().over(
-        byQ.orderBy(desc("sim"), asc("vec_id"))).as("den_rank"))
-    def contrib(c: Column) = when(c.isNotNull, lit(1.0) / (lit(RrfK) + c))
-      .otherwise(lit(0.0))
-    val fused = lex.join(den, Seq("qid", "doc_id"), "full_outer")
-      .select(col("qid"), col("doc_id"),
-        round(contrib(col("lex_rank")) + contrib(col("den_rank")), 6).as("rrf"))
-    fused.withColumn("rn", row_number().over(
-        byQ.orderBy(desc("rrf"), asc("doc_id"))))
+    // each tier KEEPS the rank its own top-n window just computed — no
+    // second identical window per tier (review finding)
+    val lex = bm25StoredTopKBatch(index, stats, queries, n, keepRank = true)
+      .select("qid", "doc_id", "rank")
+    val den = Ann.ivfTopKBatch(emb, cells, denQueries, n, keepRank = true)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
+    fuseRows(lex, den, Seq("qid", "doc_id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("rrf"), asc("doc_id"))))
       .filter(col("rn") <= k)
       .select("qid", "doc_id", "rrf")
   }

@@ -202,13 +202,18 @@ class RetrievalSpec extends AnyFunSuite {
       Catalog.lexStats(spark, dir), Catalog.embeddings(spark, dir),
       Catalog.ivfCells(spark, dir), queries.toDF("qid", "terms"),
       Catalog.embeddings(spark, dir).filter(col("vec_id") < 2), 20, 10)
-    val q0 = bdf.filter(col("qid") === 0).collect()
-      .map(r => (r.getLong(1), r.getDouble(2))).toSet
-    val single = Retrieval.rrfStored(Catalog.lexIndex(spark, dir),
-      Catalog.lexStats(spark, dir), Catalog.embeddings(spark, dir),
-      Catalog.ivfCells(spark, dir), terms, 0L, 20, 10).collect()
-      .map(r => (r.getLong(0), r.getDouble(1))).toSet
-    assert(q0 == single)
+    // BOTH qid slices check against their single-query paths: a fusion
+    // window accidentally not partitioned by qid could still produce a
+    // correct dominant-query slice, so one slice alone is not enough
+    for ((qid, ts) <- queries) {
+      val slice = bdf.filter(col("qid") === qid).collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).toSet
+      val single = Retrieval.rrfStored(Catalog.lexIndex(spark, dir),
+        Catalog.lexStats(spark, dir), Catalog.embeddings(spark, dir),
+        Catalog.ivfCells(spark, dir), ts, qid, 20, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(slice == single, s"qid $qid slice diverges from single path")
+    }
     val p = bdf.queryExecution.executedPlan.toString
     assert(p.contains("lex_index") && p.contains("ivf_cells") &&
       !p.toLowerCase.contains("documents.parquet"),
