@@ -16,7 +16,10 @@ cd "$(dirname "$0")/.."
 
 SF="${1:-/root/testdata/sf0.1}"
 LOAD="${LOAD:-8}"
-FAMILY="${FAMILY:-dedup_clusters,dedup_removal,dedup_keep_best,correlate_full,correlate_leakage,correlate_logodds}"
+# r14 additions: correlate_leakage_one (4.9x driver swing, 5-job plan same
+# as its 1.0x twin — decide ambient-vs-structural from here) and
+# dedup_minhash (now a stored read; parity here confirms the r15 fix).
+FAMILY="${FAMILY:-dedup_clusters,dedup_removal,dedup_keep_best,correlate_full,correlate_leakage,correlate_leakage_one,correlate_logodds,dedup_minhash,rrf_stored_batch}"
 OUT="${OUT:-bench_contended.json}"
 
 # Background load: LOAD python workers repeatedly full-reading every parquet

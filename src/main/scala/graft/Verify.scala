@@ -2,18 +2,32 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. Also records the
+  * per-entry scheduler counters ({jobs, stages, shuffle_bytes, task_ms})
+  * for EVERY entry — bench lines carry counters only for the slowest 15
+  * (stdout length guard), so the correctness run is where the complete
+  * counter map comes from (VERDICT r14 #8): written to outDir and, like
+  * bench_last.json, to a committed cwd artifact. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
+    val counters = new graft.util.BenchCounters
+    spark.sparkContext.addSparkListener(counters)
+    def snap(): graft.util.BenchCounters.Snap = {
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      counters.snapshot
+    }
     // GRAFT_VERIFY_ONLY=a,b,c restricts the dump (local iteration aid, same
     // contract as Bench's GRAFT_BENCH_ONLY); the driver never sets it.
     val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    val perEntry = scala.collection.mutable.ListBuffer
+      .empty[(String, graft.util.BenchCounters.Snap)]
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
+      val c0 = snap()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -21,7 +35,10 @@ object Verify {
       }
       // release any operator-internal caches before the next entry — 60
       // entries in one session would otherwise accumulate cached partitions
-      finally graft.util.Caches.drain()
+      finally {
+        graft.util.Caches.drain()
+        perEntry += name -> (snap() - c0)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -38,6 +55,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // NOTE: counters here include each entry's one-time store
+    // materialization on a cold cache (Verify runs each entry ONCE) —
+    // steady-state statement shape is bench_last.json's counters; this map
+    // is the COMPLETE coverage the bench line's top-15 fragment lacks.
+    val cjson = perEntry.sortBy(_._1).map { case (n, c) =>
+      q(n) + s""":{"jobs":${c.jobs},"stages":${c.stages},"shuffle_bytes":${c.shuffleBytes},"task_ms":${c.taskMs}}"""
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/counters.json"), cjson)
+    try Files.writeString(Paths.get(
+      sys.env.getOrElse("GRAFT_VERIFY_COUNTERS", "verify_counters.json")), cjson)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

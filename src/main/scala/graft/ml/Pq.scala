@@ -84,21 +84,18 @@ object Pq {
     * partition pruning), rank the probed rows through the PqSim kernel.
     * Returns (vec_id, sim). */
   def pqIvfTopKFrom(store: DataFrame, emb: DataFrame, qVecId: Long,
-      k: Int): DataFrame = {
-    val e = emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("emb"))
-    val qCells = Ann.probedCells(e, qVecId)
-    val q = broadcast(e.filter(col("vec_id") === qVecId)
-      .select(col("emb").as("qemb"),
-        Ann.dot(col("emb"), col("emb")).as("qn")))
-    store.filter(col("cell").isin(qCells: _*))
+      k: Int): DataFrame =
+    pqIvfTopKFromVec(store, Ann.queryVec(emb, qVecId), qVecId, k)
+
+  private[ml] def pqIvfTopKFromVec(store: DataFrame, vec: Array[Double],
+      qVecId: Long, k: Int): DataFrame =
+    store.filter(col("cell").isin(Ann.probedCellsOf(vec): _*))
       .filter(col("vec_id") =!= qVecId)
-      .crossJoin(q)
       .select(col("vec_id"),
-        pqSim(col("codes"), col("qemb"), col("qn")).as("sim"))
+        pqSim(col("codes"), Ann.litVec(vec),
+          lit(Ann.selfDot(vec))).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
-  }
 
   /** BATCHED PQ serving — the sq8IvfTopKBatchFrom shape: shared probe
     * stage (Ann.probeBatch), broadcast probed-cell semi-join for dynamic
@@ -142,6 +139,19 @@ object Pq {
     val ee = e.select(col("vec_id"), col("embedding").as("emb"))
     Ann.recallOf(Ann.exactTopKIds(ee, qVecId, k),
       pqIvfTopKFrom(store, e, qVecId, k), "pq", k)
+  }
+
+  /** The planted PQ gate served from STORED fixtures (VERDICT r14 #5):
+    * planted corpus, composed PQ×IVF store, and the k-row exact baseline
+    * all materialized once per sf-dir (Catalog.plantedEmb / plantedPqIvf /
+    * plantedExactTop10) — the 128-centroid encode never re-runs inside the
+    * statement. */
+  def recallAtKFrom(store: DataFrame, emb: DataFrame, exact: DataFrame,
+      qVecId: Long, k: Int): DataFrame = {
+    val ids = exact.select("vec_id").collect().map(_.getLong(0)).toSet
+    val pq = pqIvfTopKFrom(store, emb, qVecId, k)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    Ann.recallRows(emb.sparkSession, ids, Seq("pq" -> pq), k)
   }
 
   /** The multi-stage retrieval LADDER: a cheap PQ shortlist (kCoarse

@@ -111,22 +111,18 @@ object Quant {
     * touched ONLY for the single query row (pushed EqualTo filter);
     * candidates never load a float vector. Returns (vec_id, sim). */
   def sq8IvfTopKFrom(store: DataFrame, emb: DataFrame, qVecId: Long,
-      k: Int): DataFrame = {
-    val e = emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("emb"))
-    val qCells = Ann.probedCells(e, qVecId)
-    val q = broadcast(e.filter(col("vec_id") === qVecId)
-      .select(col("emb").as("qemb"),
-        Ann.dot(col("emb"), col("emb")).as("qn")))
-    store.filter(col("cell").isin(qCells: _*))
+      k: Int): DataFrame =
+    sq8IvfTopKFromVec(store, Ann.queryVec(emb, qVecId), qVecId, k)
+
+  private[ml] def sq8IvfTopKFromVec(store: DataFrame, vec: Array[Double],
+      qVecId: Long, k: Int): DataFrame =
+    store.filter(col("cell").isin(Ann.probedCellsOf(vec): _*))
       .filter(col("vec_id") =!= qVecId)
-      .crossJoin(q)
       .select(col("vec_id"),
-        sq8Sim(col("codes"), col("qemb"), col("mn"), col("scale"),
-          col("qn")).as("sim"))
+        sq8Sim(col("codes"), Ann.litVec(vec), col("mn"), col("scale"),
+          lit(Ann.selfDot(vec))).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
-  }
 
   /** BATCHED quantized serving: a whole query TABLE against the composed
     * SQ8×IVF store in one declarative plan — Ann.ivfTopKBatch's shape with
@@ -259,6 +255,19 @@ object Quant {
     val ee = e.select(col("vec_id"), col("embedding").as("emb"))
     Ann.recallOf(Ann.exactTopKIds(ee, qVecId, k),
       sq8IvfTopKFrom(store, e, qVecId, k), "sq8", k)
+  }
+
+  /** The planted SQ8 gate served from STORED fixtures (VERDICT r14 #5):
+    * planted corpus, composed SQ8×IVF store, and the k-row exact baseline
+    * all materialized once per sf-dir (Catalog.plantedEmb / plantedSq8Ivf /
+    * plantedExactTop10) — the statement ranks one probed-cell lookup and
+    * compares, nothing is derived or cached ad-hoc. */
+  def recallAtKFrom(store: DataFrame, emb: DataFrame, exact: DataFrame,
+      qVecId: Long, k: Int): DataFrame = {
+    val ids = exact.select("vec_id").collect().map(_.getLong(0)).toSet
+    val sq = sq8IvfTopKFrom(store, emb, qVecId, k)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    Ann.recallRows(emb.sparkSession, ids, Seq("sq8" -> sq), k)
   }
 
   /** DuckDB mirror of recallAtKPlanted — the Ann.recallOracleSql shape for

@@ -182,8 +182,12 @@ object Retrieval {
   def bm25StoredTopK(index: DataFrame, stats: DataFrame,
       terms: Seq[String], k: Int): DataFrame = {
     val px = index.filter(col("token").isin(terms: _*))
-    val dfr = px.groupBy("token").agg(count(lit(1)).as("df"))
-    px.join(dfr, Seq("token"))
+    // per-term df as a WINDOW count over the pruned postings — same value
+    // as the former groupBy(token) aggregate joined back, one exchange
+    // instead of two plus a join (VERDICT r14 #3 job audit); the window's
+    // token partitioning is exactly the pruned postings' natural key
+    px.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("token")))
       .crossJoin(statsFold(stats))
       .groupBy("doc_id").agg(round(sum(contribExpr), 4).as("bm25"))
       .orderBy(desc("bm25"), asc("doc_id")).limit(k)
@@ -224,11 +228,14 @@ object Retrieval {
         explode(split(col("text"), " ")).as("token"))
       .join(tset, Seq("token"))
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
-    val dfr = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // window-count df over the term-bounded tf rows (the stored paths'
+    // shape): one token exchange instead of re-evaluating the corpus-pass
+    // tf subtree for a df aggregate and joining it back
+    val tfd = tf.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("token")))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       avg(size(split(col("text"), " "))).as("avgdl"))
-    perQueryTopK(qt.join(tf, Seq("token"))
-      .join(dfr, Seq("token"))
+    perQueryTopK(qt.join(tfd, Seq("token"))
       .crossJoin(broadcast(stats))
       .groupBy("qid", "doc_id")
       .agg(round(sum(contribExpr), 4).as("bm25")), k)
@@ -281,9 +288,14 @@ object Retrieval {
     // data-scale batch instead of degrading to a shuffle semi-join
     val px = index.join(qt.select("token").distinct(),
       Seq("token"), "left_semi")
-    val dfr = px.groupBy("token").agg(count(lit(1)).as("df"))
-    perQueryTopK(qt.join(px, Seq("token"))
-      .join(dfr, Seq("token"))
+    // window-count df over the pruned postings (see bm25StoredTopK): one
+    // token exchange that the query join below then REUSES — the former
+    // groupBy+join-back shape evaluated the pruned-postings subtree twice
+    // and paid two more exchanges (VERDICT r14 #3: rrf_stored_batch's
+    // 26-job wave audit)
+    val pxd = px.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("token")))
+    perQueryTopK(qt.join(pxd, Seq("token"))
       .crossJoin(statsFold(stats))
       .groupBy("qid", "doc_id")
       .agg(round(sum(contribExpr), 4).as("bm25")), k, keepRank)
@@ -356,13 +368,13 @@ object Retrieval {
     * the two k-bounded rankings. Neither tier touches anything
     * corpus-sized at query time. */
   def rrfStored(index: DataFrame, stats: DataFrame, emb: DataFrame,
-      cells: DataFrame, terms: Seq[String], qVecId: Long, n: Int,
+      flat: DataFrame, terms: Seq[String], qVecId: Long, n: Int,
       k: Int): DataFrame = {
     val lex = bm25StoredTopK(index, stats, terms, n)
       .select(col("doc_id"), row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(desc("bm25"), asc("doc_id"))).as("rank"))
-    val den = Ann.ivfTopK(emb, cells, qVecId, n)
+    val den = Ann.ivfTopKFrom(flat, emb, qVecId, n)
       .select(col("vec_id").as("doc_id"), row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(desc("sim"), asc("vec_id"))).as("rank"))
@@ -377,14 +389,14 @@ object Retrieval {
     * queries table's qids ARE corpus vec_ids (the shared id space every
     * hybrid entry uses), and `denQueries` carries those rows' embeddings.
     * Per-query output is ≤ k rows ranked by (rrf DESC, doc_id). */
-  def rrfStoredBatch(index: DataFrame, stats: DataFrame, emb: DataFrame,
-      cells: DataFrame, queries: DataFrame, denQueries: DataFrame,
+  def rrfStoredBatch(index: DataFrame, stats: DataFrame,
+      flat: DataFrame, queries: DataFrame, denQueries: DataFrame,
       n: Int, k: Int): DataFrame = {
     // each tier KEEPS the rank its own top-n window just computed — no
     // second identical window per tier (review finding)
     val lex = bm25StoredTopKBatch(index, stats, queries, n, keepRank = true)
       .select("qid", "doc_id", "rank")
-    val den = Ann.ivfTopKBatch(emb, cells, denQueries, n, keepRank = true)
+    val den = Ann.ivfTopKBatchFrom(flat, denQueries, n, keepRank = true)
       .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
     fuseRows(lex, den, Seq("qid", "doc_id"))
       .withColumn("rn", row_number().over(

@@ -66,18 +66,27 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
-  test("emb_topk_ivf reads the materialized cell assignment") {
+  test("emb_topk_ivf reads the materialized IVF-flat store") {
     val df = SparkEntry.queries("emb_topk_ivf")(spark, dir)
     val p = plan(df)
-    assert(p.contains("ivf_cells"), s"plan does not scan ivf_cells:\n$p")
+    assert(p.contains("ivf_flat"), s"plan does not scan ivf_flat:\n$p")
     // probed cells are a static filter on the partition column → the scan
     // touches |Probes| hive partitions; pin the scan's PartitionFilters
     // clause itself (a bare "cell#" matches any scan of the store, pruned
     // or not — the column sits in the scan's output schema either way)
     assert("""PartitionFilters: \[[^\]]*cell#\d+[^\]]* IN """.r
         .findFirstIn(p).isDefined,
-      s"no probed-cell partition filter on the ivf_cells scan:\n$p")
+      s"no probed-cell partition filter on the ivf_flat scan:\n$p")
+    // the flat layout serves the floats itself: no join back to the raw
+    // embeddings parquet anywhere in the candidate side (the only
+    // embeddings read is the single query row)
     assert(df.count() == 10)
+    // ...and the flat path must equal the assignment-table derivation
+    val viaCells = Ann.ivfTopK(Catalog.embeddings(spark, dir),
+      Catalog.ivfCells(spark, dir), 0, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == viaCells)
   }
 
   test("dedup_embcos reads the materialized bucket index on both join sides") {
@@ -98,7 +107,7 @@ class AnnIndexSpec extends AnyFunSuite {
     val cells = Catalog.ivfCells(spark, dir)
     val df = SparkEntry.queries("emb_topk_ivf_batch")(spark, dir)
     val p = plan(df)
-    assert(p.contains("ivf_cells"), s"batch plan does not scan ivf_cells:\n$p")
+    assert(p.contains("ivf_flat"), s"batch plan does not scan ivf_flat:\n$p")
     // the only allowed cross shape is the probe stage's |Q|×Cells expansion
     // against the BROADCAST 16-row constant centroid matrix; candidates
     // must arrive through a HASH join on the cell key, never a cartesian
@@ -121,7 +130,7 @@ class AnnIndexSpec extends AnyFunSuite {
     // (VERDICT r11 #1)
     assert("""PartitionFilters: \[[^\]]*(dynamicpruning|cell#\d+[^\]]* IN )""".r
         .findFirstIn(p).isDefined,
-      s"no probed-cell partition filter on the batch ivf_cells scan:\n$p")
+      s"no probed-cell partition filter on the batch ivf_flat scan:\n$p")
     val batch = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val singles = (0L until 8L).flatMap { qid =>
@@ -131,7 +140,7 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(batch == singles)
     // the external-id-space escape hatch: with excludeSelf = false a
     // corpus-drawn query keeps its own row, which must rank first (sim 1.0)
-    val self = Ann.ivfTopKBatch(emb, cells,
+    val self = Ann.ivfTopKBatchFrom(Catalog.ivfFlat(spark, dir),
         emb.filter(col("vec_id") < 4), 1, excludeSelf = false)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(self.length == 4 && self.forall(r => r._1 == r._2 && r._3 == 1.0),
@@ -173,7 +182,7 @@ class AnnIndexSpec extends AnyFunSuite {
   test("filtered batch == per-query filtered singles, label pushed") {
     val emb = Catalog.embeddings(spark, dir)
     val cells = Catalog.ivfCells(spark, dir)
-    val bdf = Ann.ivfTopKBatchFiltered(emb, cells,
+    val bdf = Ann.ivfTopKBatchFilteredFrom(Catalog.ivfFlat(spark, dir),
       emb.filter(col("vec_id") < 8), 3, 10)
     val batch = bdf.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

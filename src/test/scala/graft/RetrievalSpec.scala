@@ -176,10 +176,10 @@ class RetrievalSpec extends AnyFunSuite {
   test("rrfStored serves from stored indexes only") {
     val df = Retrieval.rrfStored(Catalog.lexIndex(spark, dir),
       Catalog.lexStats(spark, dir), Catalog.embeddings(spark, dir),
-      Catalog.ivfCells(spark, dir), Seq("merge", "stream", "window"),
+      Catalog.ivfFlat(spark, dir), Seq("merge", "stream", "window"),
       0L, 20, 10)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("lex_index") && p.contains("ivf_cells"),
+    assert(p.contains("lex_index") && p.contains("ivf_flat"),
       s"stored tiers missing from plan:\n$p")
     assert(!p.toLowerCase.contains("documents.parquet"),
       s"stored hybrid re-reads corpus text:\n$p")
@@ -199,8 +199,8 @@ class RetrievalSpec extends AnyFunSuite {
     val terms = Seq("merge", "stream", "window")
     val queries = Seq(0L -> terms, 1L -> Seq("hash", "join"))
     val bdf = Retrieval.rrfStoredBatch(Catalog.lexIndex(spark, dir),
-      Catalog.lexStats(spark, dir), Catalog.embeddings(spark, dir),
-      Catalog.ivfCells(spark, dir), queries.toDF("qid", "terms"),
+      Catalog.lexStats(spark, dir),
+      Catalog.ivfFlat(spark, dir), queries.toDF("qid", "terms"),
       Catalog.embeddings(spark, dir).filter(col("vec_id") < 2), 20, 10)
     // BOTH qid slices check against their single-query paths: a fusion
     // window accidentally not partitioned by qid could still produce a
@@ -210,12 +210,12 @@ class RetrievalSpec extends AnyFunSuite {
         .map(r => (r.getLong(1), r.getDouble(2))).toSet
       val single = Retrieval.rrfStored(Catalog.lexIndex(spark, dir),
         Catalog.lexStats(spark, dir), Catalog.embeddings(spark, dir),
-        Catalog.ivfCells(spark, dir), ts, qid, 20, 10).collect()
+        Catalog.ivfFlat(spark, dir), ts, qid, 20, 10).collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSet
       assert(slice == single, s"qid $qid slice diverges from single path")
     }
     val p = bdf.queryExecution.executedPlan.toString
-    assert(p.contains("lex_index") && p.contains("ivf_cells") &&
+    assert(p.contains("lex_index") && p.contains("ivf_flat") &&
       !p.toLowerCase.contains("documents.parquet"),
       s"batched hybrid must read only the stored tiers:\n$p")
   }
@@ -265,14 +265,20 @@ class RetrievalSpec extends AnyFunSuite {
   }
 
   test("emb_topk_filtered: label predicate pushed, results all carry it") {
-    val df = Ann.ivfTopKFiltered(Catalog.embeddings(spark, dir),
-      Catalog.ivfCells(spark, dir), 0, 3, 10)
+    val df = Ann.ivfTopKFilteredFrom(Catalog.ivfFlat(spark, dir),
+      Catalog.embeddings(spark, dir), 0, 3, 10)
     val labels = Catalog.embeddings(spark, dir)
       .filter(col("label") === 3).select("vec_id")
       .collect().map(_.getLong(0)).toSet
     val got = df.collect().map(_.getLong(0))
     assert(got.nonEmpty && got.forall(labels.contains))
-    // the predicate reaches the embeddings parquet scan as a pushed filter
+    // the flat-store path must equal the assignment-table derivation
+    val viaCells = Ann.ivfTopKFiltered(Catalog.embeddings(spark, dir),
+      Catalog.ivfCells(spark, dir), 0, 3, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == viaCells)
+    // the predicate reaches the flat store's parquet scan as a pushed filter
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("EqualTo(label,3)"),
       s"label filter not pushed to the scan:\n$p")
