@@ -43,9 +43,20 @@ object SparkEntry {
 
   /** The hybrid batch's dense-tier qid bound, DERIVED from BatchQueries so
     * extending the batch cannot silently drop a query's dense tier on both
-    * the Spark and oracle sides at once (qids are the dense 0..max range
-    * by the shared-id-space contract). */
-  private val BatchMaxQid: Long = BatchQueries.map(_._1).max + 1
+    * the Spark and oracle sides at once. The `vec_id < BatchMaxQid` filter
+    * is only equivalent to "the batch's qids" while qids are DENSE from 0 —
+    * asserted here (ADVICE r14: a sparse qid, say 5, would silently enroll
+    * unrelated embeddings 3 and 4 as dense-tier-only queries on BOTH
+    * engine and oracle sides, masking exactly the drift the derivation
+    * exists to prevent). */
+  private val BatchMaxQid: Long = {
+    val qids = BatchQueries.map(_._1)
+    require(qids.sorted == (0L until qids.size.toLong),
+      s"BatchQueries qids must be dense 0..${qids.size - 1}, got $qids — " +
+        "the dense-tier vec_id bound and the oracle's vec_id < max CTE " +
+        "both assume density")
+    qids.max + 1
+  }
 
   /** Flagship: the full statement path on sf0.001 — parse, compile, execute,
     * fetch summaries with override overlay. Driver smoke-checks rows > 0. */

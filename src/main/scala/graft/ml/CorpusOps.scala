@@ -290,7 +290,7 @@ object CorpusOps {
     * the filter's size/fpp trade at plan time — a benchmark LARGER than
     * the bound degrades fpp (more survivors to verify), never correctness. */
   def decontaminateBloom(docs: DataFrame, benchMaxId: Long, minOverlap: Int,
-      expectedItems: Long = 1 << 14, fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01): DataFrame = {
     val sh = NearDup.shingles(docs)
     // cached: the bench shingle set feeds the eager bloomFilter build AND
     // the verify join's subtree — uncached, the bench-side explode +
@@ -299,7 +299,13 @@ object CorpusOps {
     val bench = graft.util.Caches.track(
       sh.filter(col("doc_id") < benchMaxId).select("shingle").distinct()
         .cache())
-    val bf = bench.stat.bloomFilter("shingle", expectedItems, fpp)
+    // the filter is SIZED from the actual bench cardinality (ADVICE r14: a
+    // fixed expectedItems default silently degraded the fpp — and with it
+    // the advertised pruning ratio — whenever the benchmark outgrew it;
+    // correctness survived via the exact verify join, so nothing signaled).
+    // The count also populates the cache the bloom build reads next.
+    val bf = bench.stat.bloomFilter("shingle",
+      math.max(bench.count(), 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     sh.filter(col("doc_id") >= benchMaxId)

@@ -69,9 +69,15 @@ object Retrieval {
 
   /** DuckDB mirror of bm25TopK — same wide-aggregation CTEs so tf/df/avgdl
     * are computed identically. */
+  /** A term as a SQL string literal — embedded quotes doubled (ADVICE r14:
+    * an unescaped quote produced a malformed oracle query while the Spark
+    * side handled the term fine, so the entry would fail instead of
+    * catching a real divergence). */
+  private def sqlLit(t: String): String = s"'${t.replace("'", "''")}'"
+
   def bm25OracleSql(terms: Seq[String], k: Int): String = {
     val tfSel = terms.zipWithIndex.map { case (t, i) =>
-      s"sum(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS ${tfc(i)}"
+      s"sum(CASE WHEN token = ${sqlLit(t)} THEN 1 ELSE 0 END) AS ${tfc(i)}"
     }.mkString(", ")
     val dfSel = terms.indices.map(i =>
       s"sum(CASE WHEN ${tfc(i)} > 0 THEN 1 ELSE 0 END) AS ${dfc(i)}").mkString(", ")
@@ -244,7 +250,7 @@ object Retrieval {
   /** DuckDB mirror of bm25TopKBatch for an inline query batch. */
   def bm25BatchOracleSql(queries: Seq[(Long, Seq[String])], k: Int): String = {
     val qRows = queries.flatMap { case (qid, ts) =>
-      ts.map(t => s"($qid, '$t')") }.mkString(", ")
+      ts.map(t => s"($qid, ${sqlLit(t)})") }.mkString(", ")
     s"""WITH q(qid, token) AS (VALUES $qRows),
        |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
        |          unnest(string_split(text, ' ')) AS token FROM documents),
