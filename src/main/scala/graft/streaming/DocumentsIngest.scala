@@ -51,19 +51,28 @@ object DocumentsIngest {
     * rescanning the stored sketch (VERDICT r9 #1). Reading the table is a
     * sum over delta generations, which Compact.mergeDfGenerations folds
     * back to one row per fp at compaction cadence. */
+  /** The df delta sink's per-batch writer — IDEMPOTENT under foreachBatch's
+    * at-least-once contract via the b=<batchId> overwrite dirs every
+    * foreachBatch sink here uses (the pair/lexStats pattern): this was the
+    * last blind `append` left in the streaming tier, and a replayed batch
+    * would have double-counted its fingerprints in every downstream df cap
+    * (VERDICT r14 #7 sweep). Named so the replay spec can invoke it twice
+    * with the same (batch, id) and pin the convergence. */
+  private[graft] def dfDeltaBatchWriter(
+      deltaPath: String): (DataFrame, Long) => Unit = (batch, id) => {
+    batch.groupBy("fp")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$deltaPath/b=$id")
+    ()
+  }
+
   def runDfDeltaSink(spark: SparkSession, dir: String, deltaPath: String,
       checkpoint: String): Unit = {
-    val writeBatch: (DataFrame, Long) => Unit = (batch, _) => {
-      batch.groupBy("fp")
-        .agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("df"))
-        .write.mode("append").parquet(deltaPath)
-      ()
-    }
     val q = sketchRows(stream(spark, dir))
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch(writeBatch)
+      .foreachBatch(dfDeltaBatchWriter(deltaPath))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -164,16 +173,20 @@ object DocumentsIngest {
     * pair sink uses (foreachBatch is at-least-once; a replayed blind
     * append would double-count the batch in every avgdl downstream).
     * Readers fold the generations with one tiny sum. */
+  /** The stats sink's per-batch writer — named for the replay spec (invoke
+    * twice with the same (batch, id): the b=<id> overwrite converges). */
+  private[graft] def lexStatsBatchWriter(
+      deltaPath: String): (DataFrame, Long) => Unit = (batch, id) => {
+    graft.ml.Retrieval.lexStatsRows(batch)
+      .write.mode("overwrite").parquet(s"$deltaPath/b=$id")
+    ()
+  }
+
   def runLexStatsSink(docsStream: DataFrame, deltaPath: String,
       checkpoint: String): Unit = {
-    val writeBatch: (DataFrame, Long) => Unit = (batch, id) => {
-      graft.ml.Retrieval.lexStatsRows(batch)
-        .write.mode("overwrite").parquet(s"$deltaPath/b=$id")
-      ()
-    }
     val q = docsStream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch(writeBatch)
+      .foreachBatch(lexStatsBatchWriter(deltaPath))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

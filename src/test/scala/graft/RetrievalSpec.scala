@@ -151,6 +151,42 @@ class RetrievalSpec extends AnyFunSuite {
       s"stored batch must read only the index:\n$p")
   }
 
+  test("bm25StoredTopKBatch: broadcast and shuffle semi regimes agree") {
+    // the term-dictionary prune is deliberately UNHINTED: AQE broadcasts a
+    // small batch's dictionary and must degrade to a shuffle semi-join
+    // when a data-scale batch outgrows the threshold
+    // (Retrieval.bm25StoredTopKBatch). VERDICT r14 #6: the degradation
+    // path was documented but untested — pin BOTH regimes' plans and
+    // their equal results by flipping the broadcast thresholds.
+    val queries = Seq(0L -> Seq("merge", "stream", "window"),
+      1L -> Seq("hash", "join"), 2L -> Seq("fast", "filter", "sort"))
+    def run() = {
+      val df = Retrieval.bm25StoredTopKBatch(Catalog.lexIndex(spark, dir),
+        Catalog.lexStats(spark, dir), queries.toDF("qid", "terms"), 5)
+      val rows = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      (rows, df.queryExecution.executedPlan.toString)
+    }
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      val (bRows, bPlan) = run()
+      assert(bPlan.contains("BroadcastHashJoin") &&
+        bPlan.contains("LeftSemi"),
+        s"small dictionary should broadcast the semi join:\n$bPlan")
+      keys.foreach(spark.conf.set(_, "-1"))
+      val (sRows, sPlan) = run()
+      assert(!sPlan.contains("BroadcastHashJoin"),
+        s"threshold -1 must degrade every join to a shuffle:\n$sPlan")
+      assert(sPlan.contains("LeftSemi"),
+        s"shuffle regime lost the semi prune:\n$sPlan")
+      assert(sRows == bRows,
+        "shuffle-semi regime diverged from the broadcast regime")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("bm25 from the compacted generation == stored; In(token) survives the swap") {
     val terms = Seq("hash", "join", "filter")
     val scratch = java.nio.file.Files

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.model.Catalog
+import graft.streaming.DocumentsIngest
+
+/** Replay idempotence of the streamed index sinks (VERDICT r14 #7): the
+  * engine's foreachBatch sinks run under Structured Streaming's
+  * at-least-once contract, so a micro-batch may be delivered AGAIN after a
+  * partial failure. The pair sink got per-batch overwrite dirs in r14;
+  * these specs pin the same property for the lex-stats and winnow-df delta
+  * sinks (re-invoking the named batch writer with the same (batch, id)
+  * must converge, not double-count) and for the parquet file-sink
+  * generations behind the lex and span compactions (an aborted attempt's
+  * orphan part-file is invisible to readers — the FileStreamSink metadata
+  * log is the commit record, and compaction reads through it).
+  */
+class StreamReplaySpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def scratch(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_replay_$tag").toString
+
+  test("lex-stats delta sink: replayed micro-batch converges") {
+    val base = scratch("lexstats")
+    try {
+      val docs = Catalog.documents(spark, dir)
+      val deltas = s"$base/deltas"
+      val write = DocumentsIngest.lexStatsBatchWriter(deltas)
+      write(docs, 0L)
+      val once = spark.read.parquet(deltas)
+        .agg(sum("n_docs"), sum("sum_dl")).collect()(0)
+      // at-least-once replay: the SAME batch delivered again under the
+      // same id — the b=0 overwrite must converge, a blind append would
+      // double every count feeding avgdl
+      write(docs, 0L)
+      val twice = spark.read.parquet(deltas)
+        .agg(sum("n_docs"), sum("sum_dl")).collect()(0)
+      assert(twice == once, s"replay double-counted: $once -> $twice")
+    } finally graft.ingest.Compact.rmTree(base)
+  }
+
+  test("winnow-df delta sink: replayed micro-batch converges") {
+    val base = scratch("winnowdf")
+    try {
+      val fps = graft.ml.NearDup.winnowFingerprints(
+        Catalog.documents(spark, dir))
+      val deltas = s"$base/deltas"
+      val write = DocumentsIngest.dfDeltaBatchWriter(deltas)
+      write(fps, 0L)
+      val once = spark.read.parquet(deltas).groupBy("fp")
+        .agg(sum("df").as("df")).collect()
+        .map(r => (r.get(0), r.getLong(1))).toSet
+      write(fps, 0L)
+      val twice = spark.read.parquet(deltas).groupBy("fp")
+        .agg(sum("df").as("df")).collect()
+        .map(r => (r.get(0), r.getLong(1))).toSet
+      assert(twice == once, "df replay double-counted fingerprints")
+      // a LATER batch still accumulates (the overwrite is per-batch, not
+      // per-store)
+      write(fps, 1L)
+      val next = spark.read.parquet(deltas).agg(sum("df")).collect()(0)
+        .getLong(0)
+      assert(next == 2 * once.toSeq.map(_._2).sum)
+    } finally graft.ingest.Compact.rmTree(base)
+  }
+
+  /** The file-sink generations: an aborted/replayed batch attempt leaves
+    * part-files that never committed to the sink's _spark_metadata log;
+    * readers (including compaction) must not see them. */
+  private def pinOrphanInvisible(tag: String,
+      rows: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      keyCol: String, sortCols: Seq[String]): Unit = {
+    val base = scratch(tag)
+    try {
+      graft.streaming.Sinks.parquetOnce(
+        rows(DocumentsIngest.stream(spark, dir)),
+        s"$base/raw", s"$base/ck")
+      val committed = spark.read.parquet(s"$base/raw").count()
+      // orphan: copy a committed part-file under an uncommitted name —
+      // exactly what a task attempt that died between write and commit
+      // leaves behind
+      val rawDir = new java.io.File(s"$base/raw")
+      val part = rawDir.listFiles().filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(rawDir, "part-orphan-replayed.snappy.parquet").toPath)
+      assert(spark.read.parquet(s"$base/raw").count() == committed,
+        "reader saw a part-file outside the sink's metadata log")
+      val gen = graft.ingest.Compact.compactAndFlip(spark, s"$base/raw",
+        s"$base/idx", keyCol, sortCols, partitions = Some(2))
+      assert(gen.count() == committed,
+        "compaction folded an uncommitted orphan into the generation")
+    } finally graft.ingest.Compact.rmTree(base)
+  }
+
+  test("lex generation: aborted-attempt orphan files are invisible") {
+    pinOrphanInvisible("lex", graft.ml.Retrieval.lexRows,
+      "token", Seq("token", "doc_id"))
+  }
+
+  test("span-sketch generation: aborted-attempt orphan files are invisible") {
+    pinOrphanInvisible("span", graft.ml.SpanDedup.spanShingles,
+      "h", Seq("h", "doc_id", "pos"))
+  }
+}
