@@ -90,7 +90,7 @@ object Ann {
 
   /** The query row's embedding as driver-side doubles (exact float→double
     * widening — the kernel's own conversion). One bounded collect. */
-  private[ml] def queryVec(emb: DataFrame, qVecId: Long): Array[Double] = {
+  private[graft] def queryVec(emb: DataFrame, qVecId: Long): Array[Double] = {
     val rows = emb.filter(col("vec_id") === qVecId).select("embedding")
       .limit(1).collect()
     require(rows.nonEmpty, s"query vec_id $qVecId not present in corpus")
@@ -110,12 +110,12 @@ object Ann {
     array(vec.toSeq.map(lit): _*)
 
   /** dot(vec, vec) in kernel order — the query self-norm literal. */
-  private[ml] def selfDot(vec: Array[Double]): Double =
+  private[graft] def selfDot(vec: Array[Double]): Double =
     dotConst(vec, scala.collection.immutable.ArraySeq.unsafeWrapArray(vec))
 
   /** The L bucket keys of one query vector — driver arithmetic against the
     * plane constants (the signature expression's exact op order). */
-  private[ml] def queryBucketKeysOf(vec: Array[Double]): Seq[String] =
+  private[graft] def queryBucketKeysOf(vec: Array[Double]): Seq[String] =
     (0 until Tables).map { t =>
       val bits = (0 until Bits).map { b =>
         if (dotConst(vec, planes(t * Bits + b)) >= 0) '1' else '0'
@@ -126,7 +126,7 @@ object Ann {
   /** The query's `Probes` nearest cell ids — driver arithmetic against the
     * committed centroid matrix (cosine in kernel op order; (csim DESC,
     * cent_id ASC) tie-break identical to the in-plan ranking). */
-  private[ml] def probedCellsOf(vec: Array[Double]): Seq[Long] = {
+  private[graft] def probedCellsOf(vec: Array[Double]): Seq[Long] = {
     val qq = selfDot(vec)
     TrainedCentroids.matrix.zipWithIndex.map { case (c, i) =>
       val cc = dotConst(c.toArray, c)
