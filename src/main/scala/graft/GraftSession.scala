@@ -29,8 +29,11 @@ object GraftSession {
       // pruning and pushed filters are unaffected (they skip within
       // whatever split reads them). A 100 TB deployment reverts to the
       // default: its files are ≥ hundreds of MB and the cluster has
-      // thousands of cores to keep busy WITHOUT sub-splitting.
-      .config("spark.sql.files.maxPartitionBytes", "4m")
+      // thousands of cores to keep busy WITHOUT sub-splitting — the env
+      // knob below is the revert mechanism (e.g. =128m), mirroring
+      // SPARK_GRAFT_CPUS.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"))
       .config("spark.ui.enabled", "false")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {

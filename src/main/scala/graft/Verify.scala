@@ -63,9 +63,14 @@ object Verify {
       q(n) + s""":{"jobs":${c.jobs},"stages":${c.stages},"shuffle_bytes":${c.shuffleBytes},"task_ms":${c.taskMs}}"""
     }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/counters.json"), cjson)
-    try Files.writeString(Paths.get(
-      sys.env.getOrElse("GRAFT_VERIFY_COUNTERS", "verify_counters.json")), cjson)
-    catch { case _: Throwable => () }
+    // the committed cwd artifact exists to be the COMPLETE per-entry map —
+    // a GRAFT_VERIFY_ONLY-restricted iteration run must not overwrite it
+    // with a partial one (review finding, r15)
+    if (only.isEmpty)
+      try Files.writeString(Paths.get(
+        sys.env.getOrElse("GRAFT_VERIFY_COUNTERS", "verify_counters.json")),
+        cjson)
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

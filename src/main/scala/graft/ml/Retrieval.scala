@@ -191,7 +191,12 @@ object Retrieval {
     // per-term df as a WINDOW count over the pruned postings — same value
     // as the former groupBy(token) aggregate joined back, one exchange
     // instead of two plus a join (VERDICT r14 #3 job audit); the window's
-    // token partitioning is exactly the pruned postings' natural key
+    // token partitioning is exactly the pruned postings' natural key.
+    // Trade (documented): a window has no map-side partial agg, so a
+    // stop-word-frequency query term buffers its whole posting list in one
+    // task (WindowExec spills, so a straggler, not a failure) — the same
+    // hot-term exposure the corpus-side batch documents, with the same
+    // treatment: drop df-capped terms from queries at data scale.
     px.withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("token")))
       .crossJoin(statsFold(stats))

@@ -48,10 +48,13 @@ object Catalog {
     * never share plans. Streamed/scratch generations are NOT memoized: they
     * are rewritten between reads and need a fresh file listing. */
   private val readers =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def readImmutable(spark: SparkSession, path: String): DataFrame =
-    readers.computeIfAbsent((System.identityHashCode(spark), path),
-      _ => spark.read.parquet(path))
+    // keyed by the session REFERENCE (SparkSession has identity equals), so
+    // two live sessions can never collide; entries for stopped sessions are
+    // retained — bounded by sessions-per-JVM × store count, and every main
+    // here builds exactly one session
+    readers.computeIfAbsent((spark, path), _ => spark.read.parquet(path))
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     readImmutable(spark, s"$dir/$name.parquet")

@@ -60,6 +60,17 @@ object DocumentsIngest {
     * with the same (batch, id) and pin the convergence. */
   private[graft] def dfDeltaBatchWriter(
       deltaPath: String): (DataFrame, Long) => Unit = (batch, id) => {
+    // layout-migration guard: a delta store written by the pre-r15 blind
+    // append keeps part files at the ROOT of deltaPath; mixing b=<id>
+    // subdirs into it would trip Spark's conflicting-directory-structures
+    // assertion on the next read. Fail loudly with the migration step
+    // instead of corrupting the store.
+    val root = new java.io.File(deltaPath)
+    if (Option(root.listFiles()).exists(_.exists(f =>
+        f.isFile && f.getName.startsWith("part-"))))
+      sys.error(s"$deltaPath holds a legacy flat df delta layout; fold it " +
+        "into a generation first (Compact.mergeDfGenerations) and point " +
+        "the sink at a fresh delta dir before resuming")
     batch.groupBy("fp")
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("df"))

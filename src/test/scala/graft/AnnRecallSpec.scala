@@ -76,4 +76,25 @@ class AnnRecallSpec extends AnyFunSuite {
     graft.util.Caches.drain()
     assert(hit >= 2, s"only $hit/3 planted clones surfaced as top-1")
   }
+
+  test("stored-fixture gates == the in-engine planted derivations (r15)") {
+    // the entries serve recallAtKFrom over Catalog.planted* stores; pin
+    // them row-for-row to the ad-hoc recallAtKPlanted functions they
+    // replaced — the same flat==cells equality pin the other store
+    // migrations carry (review finding, r15)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    try {
+      val emb = Catalog.embeddings(spark, dir)
+      assert(rows(SparkEntry.queries("ann_recall_planted")(spark, dir))
+        == rows(Ann.recallAtKPlanted(emb, 0L, 10, K)))
+      assert(rows(SparkEntry.queries("sq8_recall_planted")(spark, dir))
+        == rows(graft.ml.Quant.recallAtKPlanted(emb, 0L, 10, K)))
+      assert(rows(SparkEntry.queries("pq_recall_planted")(spark, dir))
+        == rows(graft.ml.Pq.recallAtKPlanted(emb, 0L, 10, K)))
+      assert(rows(SparkEntry.queries("ann_recall")(spark, dir))
+        == rows(Ann.recallAtK(emb, Catalog.annBuckets(spark, dir),
+          Catalog.ivfCells(spark, dir), 0L, K)))
+    } finally graft.util.Caches.drain()
+  }
 }
