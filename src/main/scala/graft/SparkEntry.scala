@@ -769,6 +769,28 @@ object SparkEntry {
       graft.ml.Retrieval.bm25StoredTopKBatch(Catalog.lexIndex(s, dir),
         Catalog.lexStats(s, dir), BatchQueries.toDF("qid", "terms"), 5)
     }),
+    // metadata-FILTERED lexical retrieval ("search within lang = en") —
+    // corpus-side: the predicate composes with the existing operator and
+    // reaches the documents scan pushed; candidates, df and stats all come
+    // from the slice (the per-language-index semantics)
+    "bm25_topk_filtered" -> ((s, dir) =>
+      graft.ml.Retrieval.bm25TopKFiltered(Catalog.documents(s, dir),
+        Seq("merge", "stream", "window"), 10, "en")),
+    // ...and FROM the stored index + metadata sidecar (Catalog.docMeta):
+    // postings pruned by term then semi-joined to the slice's doc ids,
+    // slice stats folded from the sidecar — corpus text never touched
+    "bm25_stored_filtered" -> ((s, dir) =>
+      graft.ml.Retrieval.bm25StoredTopKFiltered(Catalog.lexIndex(s, dir),
+        Catalog.docMeta(s, dir), Seq("merge", "stream", "window"),
+        "en", 10)),
+    // the filtered stored HYBRID: both tiers restricted to the same
+    // metadata slice of the shared id space, fused k-bounded — the
+    // filtered-search shape every deployed retrieval stack exposes
+    "rrf_stored_filtered" -> ((s, dir) =>
+      graft.ml.Retrieval.rrfStoredFiltered(Catalog.lexIndex(s, dir),
+        Catalog.docMeta(s, dir), Catalog.ivfFlat(s, dir),
+        Catalog.embeddings(s, dir), Seq("merge", "stream", "window"),
+        0L, "en", 20, 10)),
     // hybrid retrieval: reciprocal-rank fusion of the BM25 ranking and the
     // exact embedding-cosine ranking for the same query (id spaces shared)
     "rrf_fusion" -> ((s, dir) =>
@@ -1508,6 +1530,14 @@ object SparkEntry {
     "lex_stats_stream" -> graft.ml.Retrieval.lexStatsOracleSql,
     "bm25_topk_gen" -> graft.ml.Retrieval.bm25OracleSql(
       Seq("hash", "join", "filter"), 15),
+    // one oracle for BOTH filtered lexical paths (slice-equivalence is
+    // the stored path's contract)
+    "bm25_topk_filtered" -> graft.ml.Retrieval.bm25FilteredOracleSql(
+      Seq("merge", "stream", "window"), 10, "en"),
+    "bm25_stored_filtered" -> graft.ml.Retrieval.bm25FilteredOracleSql(
+      Seq("merge", "stream", "window"), 10, "en"),
+    "rrf_stored_filtered" -> graft.ml.Retrieval.rrfStoredFilteredOracleSql(
+      Seq("merge", "stream", "window"), 0L, "en", 20, 10),
     "rrf_fusion" -> graft.ml.Retrieval.rrfOracleSql(
       Seq("merge", "stream", "window"), 0L, 20, 10),
     "rrf_stored" -> graft.ml.Retrieval.rrfStoredOracleSql(

@@ -534,6 +534,48 @@ object Ann {
       .limit(k)
   }
 
+  /** IVF lookup post-filtered to an ALLOWED id set FRAME — the
+    * metadata-filtered shape when the predicate lives in a sidecar table
+    * (document metadata) rather than a column of the vector store itself:
+    * probed candidates left-semi the allowed ids, then rank. The semi is
+    * unhinted — an allowed set is sub-corpus-sized (a language slice), so
+    * a forced broadcast would OOM at data scale; AQE broadcasts it while
+    * small. Same fewer-than-k-survivors contract as the label filter. */
+  def ivfTopKAllowed(flat: DataFrame, emb: DataFrame, qVecId: Long,
+      allowed: DataFrame, k: Int): DataFrame = {
+    val vec = queryVec(emb, qVecId)
+    val qemb = litVec(vec)
+    flat.filter(col("cell").isin(probedCellsOf(vec): _*))
+      .filter(col("vec_id") =!= qVecId)
+      .join(allowed.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"),
+        round(dot(col("embedding"), qemb) /
+          sqrt(dot(col("embedding"), col("embedding")) * lit(selfDot(vec))),
+          6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of ivfTopKAllowed: ivfOracleSql's CTE chain with the
+    * caller-supplied allowed-id subquery (must yield a vec_id column)
+    * semi-joined on the candidate side — the ivfFilteredOracleSql shape
+    * with the predicate externalized. */
+  def ivfAllowedOracleSql(qVecId: Long, k: Int, allowedSql: String,
+      srcSql: String = BaseSrcSql): String =
+    s"""WITH ${cellCtesSql(srcSql)},
+       |qc AS (SELECT cent_id AS cell FROM asg WHERE vec_id = $qVecId
+       |       ORDER BY csim DESC, cent_id ASC LIMIT $Probes),
+       |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId),
+       |al AS ($allowedSql)
+       |SELECT cell.vec_id AS vec_id,
+       |  round(list_dot_product(e.emb, q.qemb) /
+       |        sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
+       |FROM cell JOIN qc USING (cell) JOIN e USING (vec_id)
+       |  JOIN al ON al.vec_id = cell.vec_id, q
+       |WHERE cell.vec_id <> $qVecId
+       |ORDER BY sim DESC, vec_id LIMIT $k
+       |""".stripMargin.replaceAll("\\s+", " ")
+
   /** ivfTopKBatch from the flat store: probe assignment, broadcast
     * probed-cell semi for dynamic partition pruning, candidates ranked
     * straight off the probed partitions' vectors — the corpus-sized

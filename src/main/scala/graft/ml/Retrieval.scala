@@ -75,7 +75,8 @@ object Retrieval {
     * catching a real divergence). */
   private def sqlLit(t: String): String = s"'${t.replace("'", "''")}'"
 
-  def bm25OracleSql(terms: Seq[String], k: Int): String = {
+  def bm25OracleSql(terms: Seq[String], k: Int,
+      where: String = ""): String = {
     val tfSel = terms.zipWithIndex.map { case (t, i) =>
       s"sum(CASE WHEN token = ${sqlLit(t)} THEN 1 ELSE 0 END) AS ${tfc(i)}"
     }.mkString(", ")
@@ -92,7 +93,7 @@ object Retrieval {
     val anyTf = if (terms.size == 1) tfc(0)
       else s"greatest(${terms.indices.map(tfc).mkString(", ")})"
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-       |  FROM documents),
+       |  FROM documents $where),
        |wide AS (SELECT doc_id, count(*) AS dl, $tfSel FROM tok GROUP BY doc_id),
        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, $dfSel FROM wide)
        |SELECT doc_id, round($score, 4) AS bm25
@@ -311,6 +312,90 @@ object Retrieval {
       .groupBy("qid", "doc_id")
       .agg(round(sum(contribExpr), 4).as("bm25")), k, keepRank)
   }
+
+  // ---- metadata-FILTERED retrieval (r15): the serving shape every search
+  // deployment exposes ("search within lang = L / source = S"), previously
+  // present only on the dense float tier. Semantics: retrieval over the
+  // metadata-defined SUB-corpus — candidates, df, AND (n_docs, avgdl) all
+  // come from the slice, exactly what a per-language index would hold, and
+  // what makes the corpus-side and stored paths trivially consistent.
+
+  /** Corpus-side filtered BM25 — a metadata filter composed with the
+    * existing operator (the predicate reaches the documents scan pushed). */
+  def bm25TopKFiltered(docs: DataFrame, terms: Seq[String], k: Int,
+      lang: String): DataFrame =
+    bm25TopK(docs.filter(col("lang") === lang), terms, k)
+
+  /** The filtered slice's (n_docs, sum_dl) — ONE aggregate over the
+    * metadata SIDECAR (Catalog.docMeta carries dl), never the corpus. */
+  private def metaStats(meta: DataFrame, lang: String): DataFrame =
+    meta.filter(col("lang") === lang)
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+
+  /** Filtered BM25 FROM the stored index: postings pruned to the query
+    * terms (pushed In), then to the allowed documents by an UNHINTED
+    * left-semi against the metadata sidecar (term-bounded left side, so
+    * the semi is cheap however large the slice; AQE broadcasts the pruned
+    * side when it fits); df windows over the SURVIVING postings and the
+    * slice stats fold from the sidecar — query cost stays proportional to
+    * the terms' posting lists, and the corpus text is never touched. */
+  def bm25StoredTopKFiltered(index: DataFrame, meta: DataFrame,
+      terms: Seq[String], lang: String, k: Int): DataFrame = {
+    val allowed = meta.filter(col("lang") === lang).select("doc_id")
+    val px = index.filter(col("token").isin(terms: _*))
+      .join(allowed, Seq("doc_id"), "left_semi")
+    px.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("token")))
+      .crossJoin(statsFold(metaStats(meta, lang)))
+      .groupBy("doc_id").agg(round(sum(contribExpr), 4).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id")).limit(k)
+  }
+
+  /** Filtered stored HYBRID: both tiers restricted to the same
+    * metadata-defined slice of the shared id space — the lexical tier via
+    * bm25StoredTopKFiltered, the dense tier via the probed-cell lookup
+    * semi-joined to the sidecar's allowed ids (Ann.ivfTopKAllowed) — then
+    * the usual k-bounded fusion. Nothing corpus-sized at query time. */
+  def rrfStoredFiltered(index: DataFrame, meta: DataFrame, flat: DataFrame,
+      emb: DataFrame, terms: Seq[String], qVecId: Long, lang: String,
+      n: Int, k: Int): DataFrame = {
+    val lex = bm25StoredTopKFiltered(index, meta, terms, lang, n)
+      .select(col("doc_id"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("bm25"), asc("doc_id"))).as("rank"))
+    val den = Ann.ivfTopKAllowed(flat, emb, qVecId,
+        meta.filter(col("lang") === lang)
+          .select(col("doc_id").as("vec_id")), n)
+      .select(col("vec_id").as("doc_id"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("sim"), asc("vec_id"))).as("rank"))
+    fuse(lex, den, k)
+  }
+
+  /** DuckDB mirror of bm25TopKFiltered / bm25StoredTopKFiltered (one
+    * oracle — the stored path's whole point is slice-equivalence). */
+  def bm25FilteredOracleSql(terms: Seq[String], k: Int,
+      lang: String): String =
+    bm25OracleSql(terms, k, s"WHERE lang = ${sqlLit(lang)}")
+
+  /** DuckDB mirror of rrfStoredFiltered: the filtered bm25 CTE + the
+    * allowed-set dense oracle, fused with the standard tail. */
+  def rrfStoredFilteredOracleSql(terms: Seq[String], qVecId: Long,
+      lang: String, n: Int, k: Int): String =
+    s"""WITH lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |  FROM (${bm25FilteredOracleSql(terms, n, lang)})),
+       |den AS (
+       |  SELECT vec_id AS doc_id,
+       |    row_number() OVER (ORDER BY sim DESC, vec_id) AS den_rank
+       |  FROM (${Ann.ivfAllowedOracleSql(qVecId, n,
+            s"SELECT doc_id AS vec_id FROM documents WHERE lang = ${sqlLit(lang)}")}))
+       |SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+       |  round(COALESCE(1.0::DOUBLE/($RrfK + lex_rank), 0) +
+       |        COALESCE(1.0::DOUBLE/($RrfK + den_rank), 0), 6) AS rrf
+       |FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT $k""".stripMargin
+      .replaceAll("\\s+", " ")
 
   /** Exact embedding-cosine ranking for one query vector, as (vec_id, rank)
     * for the top `n` — the dense tier the fusion consumes. Same rounded-sim

@@ -550,6 +550,25 @@ object Catalog {
     readImmutable(spark, path).select("n_docs", "sum_dl")
   }
 
+  /** The MATERIALIZED document-metadata sidecar — (doc_id, lang, source,
+    * dl): the per-document attributes metadata-filtered retrieval needs,
+    * stored BESIDE the inverted index the way every search engine ships
+    * doc-level fields, so a filtered query touches this table and the
+    * postings — never the corpus text. dl (token count) rides along so the
+    * filtered tier's (n_docs, avgdl) are one aggregate over THIS sidecar.
+    * Laid out by lang so the filter predicate skips whole files. */
+  def docMeta(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "doc_meta")
+    materialize(path) {
+      documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(split(col("text"), " ")).as("dl"))
+        .repartition(col("lang"))
+        .sortWithinPartitions("lang", "doc_id")
+    }
+    readImmutable(spark, path).select("doc_id", "lang", "source", "dl")
+  }
+
   /** The MATERIALIZED verified near-dup pair graph over `documents` —
     * (doc_a, doc_b, jaccard) at threshold `minJaccard`: the full MinHash
     * LSH pipeline (shingle → signature → band → bucket join → exact-Jaccard

@@ -209,6 +209,55 @@ class RetrievalSpec extends AnyFunSuite {
     } finally graft.util.Caches.drain()
   }
 
+  test("filtered lexical: stored slice == corpus-side slice; meta-only plan") {
+    val terms = Seq("merge", "stream", "window")
+    val stored = Retrieval.bm25StoredTopKFiltered(Catalog.lexIndex(spark, dir),
+      Catalog.docMeta(spark, dir), terms, "en", 10)
+    val got = stored.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val corpus = Retrieval.bm25TopKFiltered(Catalog.documents(spark, dir),
+      terms, 10, "en")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == corpus, "stored filtered slice diverged from corpus-side")
+    assert(got.nonEmpty)
+    // every hit is genuinely in the slice
+    val enIds = Catalog.docMeta(spark, dir).filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall { case (id, _) => enIds.contains(id) })
+    // the stored path reads postings + the metadata sidecar, never text;
+    // the lang predicate reaches the sidecar scan pushed
+    val p = stored.queryExecution.executedPlan.toString
+    assert(p.contains("lex_index") && p.contains("doc_meta") &&
+      !p.toLowerCase.contains("documents.parquet"),
+      s"filtered stored plan must read index + sidecar only:\n$p")
+    assert(p.contains("EqualTo(lang,en)"),
+      s"lang filter not pushed to the doc_meta scan:\n$p")
+  }
+
+  test("rrfStoredFiltered: all hits in slice, ranks decompose per tier") {
+    val terms = Seq("merge", "stream", "window")
+    val df = Retrieval.rrfStoredFiltered(Catalog.lexIndex(spark, dir),
+      Catalog.docMeta(spark, dir), Catalog.ivfFlat(spark, dir),
+      Catalog.embeddings(spark, dir), terms, 0L, "en", 20, 10)
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty)
+    val enIds = Catalog.docMeta(spark, dir).filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall { case (id, _) => enIds.contains(id) },
+      "fused hit outside the metadata slice")
+    // every fused score decomposes into the two filtered tier rankings
+    val lexIds = Retrieval.bm25StoredTopKFiltered(Catalog.lexIndex(spark, dir),
+      Catalog.docMeta(spark, dir), terms, "en", 20)
+      .collect().map(_.getLong(0)).toSet
+    val denIds = graft.ml.Ann.ivfTopKAllowed(Catalog.ivfFlat(spark, dir),
+      Catalog.embeddings(spark, dir), 0L,
+      Catalog.docMeta(spark, dir).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id")), 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(denIds.subsetOf(enIds), "dense tier leaked outside the slice")
+    assert(got.forall { case (id, _) =>
+      lexIds.contains(id) || denIds.contains(id) })
+  }
+
   test("rrfStored serves from stored indexes only") {
     val df = Retrieval.rrfStored(Catalog.lexIndex(spark, dir),
       Catalog.lexStats(spark, dir), Catalog.embeddings(spark, dir),
