@@ -783,6 +783,19 @@ object SparkEntry {
       graft.ml.Retrieval.bm25StoredTopKFiltered(Catalog.lexIndex(s, dir),
         Catalog.docMeta(s, dir), Seq("merge", "stream", "window"),
         "en", 10)),
+    // the filtered BATCH corners ({single,batch} × {corpus,stored} ×
+    // filtered now closed): corpus-side composes the filter with the batch
+    // operator; stored adds the slice semi-join to the batch store plan
+    "bm25_topk_filtered_batch" -> ((s, dir) => {
+      import s.implicits._
+      graft.ml.Retrieval.bm25TopKBatchFiltered(Catalog.documents(s, dir),
+        BatchQueries.toDF("qid", "terms"), 5, "en")
+    }),
+    "bm25_stored_filtered_batch" -> ((s, dir) => {
+      import s.implicits._
+      graft.ml.Retrieval.bm25StoredTopKBatchFiltered(Catalog.lexIndex(s, dir),
+        Catalog.docMeta(s, dir), BatchQueries.toDF("qid", "terms"), "en", 5)
+    }),
     // the filtered stored HYBRID: both tiers restricted to the same
     // metadata slice of the shared id space, fused k-bounded — the
     // filtered-search shape every deployed retrieval stack exposes
@@ -1536,6 +1549,10 @@ object SparkEntry {
       Seq("merge", "stream", "window"), 10, "en"),
     "bm25_stored_filtered" -> graft.ml.Retrieval.bm25FilteredOracleSql(
       Seq("merge", "stream", "window"), 10, "en"),
+    "bm25_topk_filtered_batch" -> graft.ml.Retrieval
+      .bm25BatchFilteredOracleSql(BatchQueries, 5, "en"),
+    "bm25_stored_filtered_batch" -> graft.ml.Retrieval
+      .bm25BatchFilteredOracleSql(BatchQueries, 5, "en"),
     "rrf_stored_filtered" -> graft.ml.Retrieval.rrfStoredFilteredOracleSql(
       Seq("merge", "stream", "window"), 0L, "en", 20, 10),
     "rrf_fusion" -> graft.ml.Retrieval.rrfOracleSql(

@@ -254,18 +254,20 @@ object Retrieval {
   }
 
   /** DuckDB mirror of bm25TopKBatch for an inline query batch. */
-  def bm25BatchOracleSql(queries: Seq[(Long, Seq[String])], k: Int): String = {
+  def bm25BatchOracleSql(queries: Seq[(Long, Seq[String])], k: Int,
+      where: String = ""): String = {
     val qRows = queries.flatMap { case (qid, ts) =>
       ts.map(t => s"($qid, ${sqlLit(t)})") }.mkString(", ")
     s"""WITH q(qid, token) AS (VALUES $qRows),
        |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
-       |          unnest(string_split(text, ' ')) AS token FROM documents),
+       |          unnest(string_split(text, ' ')) AS token FROM documents $where),
        |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM tok
        |       WHERE token IN (SELECT DISTINCT token FROM q)
        |       GROUP BY doc_id, dl, token),
        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
        |st AS (SELECT count(*) AS n_docs,
-       |         avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+       |         avg(len(string_split(text, ' '))) AS avgdl
+       |       FROM documents $where),
        |sc AS (SELECT q.qid, tf.doc_id,
        |         round(sum(
        |           ln((n_docs - df + 0.5::DOUBLE)/(df + 0.5::DOUBLE) + 1) *
@@ -371,6 +373,36 @@ object Retrieval {
           .orderBy(desc("sim"), asc("vec_id"))).as("rank"))
     fuse(lex, den, k)
   }
+
+  /** Corpus-side filtered BATCH — the filter composes with the batch
+    * operator; the slice predicate prunes the corpus pass itself. */
+  def bm25TopKBatchFiltered(docs: DataFrame, queries: DataFrame, k: Int,
+      lang: String): DataFrame =
+    bm25TopKBatch(docs.filter(col("lang") === lang), queries, k)
+
+  /** Filtered BATCH from the stored index — the matrix's last corner:
+    * bm25StoredTopKBatch's plan with the postings additionally semi-joined
+    * to the slice's doc ids and the stats folded from the sidecar. */
+  def bm25StoredTopKBatchFiltered(index: DataFrame, meta: DataFrame,
+      queries: DataFrame, lang: String, k: Int): DataFrame = {
+    val qt = queries.select(col("qid"), explode(col("terms")).as("token"))
+    val allowed = meta.filter(col("lang") === lang).select("doc_id")
+    val px = index.join(qt.select("token").distinct(),
+        Seq("token"), "left_semi")
+      .join(allowed, Seq("doc_id"), "left_semi")
+    val pxd = px.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("token")))
+    perQueryTopK(qt.join(pxd, Seq("token"))
+      .crossJoin(statsFold(metaStats(meta, lang)))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum(contribExpr), 4).as("bm25")), k)
+  }
+
+  /** DuckDB mirror of the filtered batch paths (shared, like the
+    * unfiltered pair). */
+  def bm25BatchFilteredOracleSql(queries: Seq[(Long, Seq[String])], k: Int,
+      lang: String): String =
+    bm25BatchOracleSql(queries, k, s"WHERE lang = ${sqlLit(lang)}")
 
   /** DuckDB mirror of bm25TopKFiltered / bm25StoredTopKFiltered (one
     * oracle — the stored path's whole point is slice-equivalence). */

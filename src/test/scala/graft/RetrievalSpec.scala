@@ -233,6 +233,25 @@ class RetrievalSpec extends AnyFunSuite {
       s"lang filter not pushed to the doc_meta scan:\n$p")
   }
 
+  test("filtered batch: stored == corpus-side, and == filtered singles") {
+    val queries = Seq(0L -> Seq("merge", "stream", "window"),
+      1L -> Seq("hash", "join"))
+    val stored = Retrieval.bm25StoredTopKBatchFiltered(
+      Catalog.lexIndex(spark, dir), Catalog.docMeta(spark, dir),
+      queries.toDF("qid", "terms"), "en", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val corpus = Retrieval.bm25TopKBatchFiltered(
+      Catalog.documents(spark, dir), queries.toDF("qid", "terms"), 5, "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stored == corpus)
+    // each batch slice equals the single-query filtered lookup
+    val singles = queries.flatMap { case (qid, ts) =>
+      Retrieval.bm25StoredTopKFiltered(Catalog.lexIndex(spark, dir),
+        Catalog.docMeta(spark, dir), ts, "en", 5).collect()
+        .map(r => (qid, r.getLong(0), r.getDouble(1))) }.toSet
+    assert(stored == singles)
+  }
+
   test("rrfStoredFiltered: all hits in slice, ranks decompose per tier") {
     val terms = Seq("merge", "stream", "window")
     val df = Retrieval.rrfStoredFiltered(Catalog.lexIndex(spark, dir),
