@@ -796,6 +796,11 @@ object SparkEntry {
       graft.ml.Retrieval.bm25StoredTopKBatchFiltered(Catalog.lexIndex(s, dir),
         Catalog.docMeta(s, dir), BatchQueries.toDF("qid", "terms"), "en", 5)
     }),
+    // sidecar upkeep: new documents stream through the SAME stateless
+    // projection the batch sidecar build uses and append — every stored
+    // table keeps its streamed twin
+    "meta_stream_index" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.metaOnce(s, dir)),
     // the filtered stored HYBRID: both tiers restricted to the same
     // metadata slice of the shared id space, fused k-bounded — the
     // filtered-search shape every deployed retrieval stack exposes
@@ -1553,6 +1558,7 @@ object SparkEntry {
       .bm25BatchFilteredOracleSql(BatchQueries, 5, "en"),
     "bm25_stored_filtered_batch" -> graft.ml.Retrieval
       .bm25BatchFilteredOracleSql(BatchQueries, 5, "en"),
+    "meta_stream_index" -> graft.ml.Retrieval.metaOracleSql,
     "rrf_stored_filtered" -> graft.ml.Retrieval.rrfStoredFilteredOracleSql(
       Seq("merge", "stream", "window"), 0L, "en", 20, 10),
     "rrf_fusion" -> graft.ml.Retrieval.rrfOracleSql(

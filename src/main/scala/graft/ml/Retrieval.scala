@@ -328,6 +328,20 @@ object Retrieval {
       lang: String): DataFrame =
     bm25TopK(docs.filter(col("lang") === lang), terms, k)
 
+  /** The sidecar's row projection (doc_id, lang, source, dl) — STATELESS
+    * per-row, shared by the batch store build (Catalog.docMeta) and the
+    * streamed upkeep (DocumentsIngest.metaOnce), the lexRows convention:
+    * one projection, two paths, no drift. */
+  def metaRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      size(split(col("text"), " ")).as("dl"))
+
+  /** DuckDB mirror of the sidecar content. */
+  def metaOracleSql: String =
+    """SELECT doc_id, lang, source,
+      |  len(string_split(text, ' ')) AS dl FROM documents""".stripMargin
+      .replaceAll("\\s+", " ")
+
   /** The filtered slice's (n_docs, sum_dl) — ONE aggregate over the
     * metadata SIDECAR (Catalog.docMeta carries dl), never the corpus. */
   private def metaStats(meta: DataFrame, lang: String): DataFrame =

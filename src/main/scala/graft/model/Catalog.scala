@@ -560,9 +560,7 @@ object Catalog {
   def docMeta(spark: SparkSession, dir: String): DataFrame = {
     val path = cacheDir(dir, "doc_meta")
     materialize(path) {
-      documents(spark, dir)
-        .select(col("doc_id"), col("lang"), col("source"),
-          size(split(col("text"), " ")).as("dl"))
+      graft.ml.Retrieval.metaRows(documents(spark, dir))
         .repartition(col("lang"))
         .sortWithinPartitions("lang", "doc_id")
     }

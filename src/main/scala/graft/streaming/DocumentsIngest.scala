@@ -178,6 +178,17 @@ object DocumentsIngest {
         partitions = Some(4))
     }
 
+  /** Incremental maintenance of the document-metadata sidecar
+    * (Catalog.docMeta): new documents stream through the SAME stateless
+    * row projection the batch build uses (Retrieval.metaRows) and append —
+    * the lexOnce convention; no state store, a doc's sidecar row is
+    * complete within its micro-batch. One-shot memory-sink entry point. */
+  def metaOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:docmeta:$dir") {
+      Sinks.memoryOnce(spark, "graft_stream_meta",
+        graft.ml.Retrieval.metaRows(stream(spark, dir)))
+    }
+
   /** Incremental maintenance of the additive stats store
     * (Catalog.lexStats): each micro-batch appends its OWN (n_docs, sum_dl)
     * delta row — idempotently, via the per-batch b=<id> overwrite dirs the
