@@ -801,6 +801,29 @@ object SparkEntry {
     // table keeps its streamed twin
     "meta_stream_index" -> ((s, dir) =>
       graft.streaming.DocumentsIngest.metaOnce(s, dir)),
+    // the no-reindex DELETE lifecycle over the retrieval stores: near-dup
+    // cluster losers tombstone the candidates at serving time while
+    // df/stats stay those of the stored index (the deleted-docs contract
+    // of every segment-based engine; the reference's summary-override
+    // posture applied to retrieval)...
+    "bm25_masked_serve" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ml.Retrieval.bm25StoredTopKMasked(Catalog.lexIndex(s, dir),
+        Catalog.lexStats(s, dir),
+        Catalog.dupClusters(s, dir, 0.6)
+          .filter(col("doc_id") =!= col("cluster_id")),
+        Seq("stream", "table", "scan"), 15)
+    }),
+    // ...and the REBUILD end: the physically deduped corpus re-scored, so
+    // df/avgdl reflect the clean corpus — what a tombstone-folding
+    // compaction serves
+    "bm25_clean_rebuild" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ml.Retrieval.bm25CleanRebuild(Catalog.documents(s, dir),
+        Catalog.dupClusters(s, dir, 0.6)
+          .filter(col("doc_id") =!= col("cluster_id")),
+        Seq("stream", "table", "scan"), 15)
+    }),
     // the filtered stored HYBRID: both tiers restricted to the same
     // metadata slice of the shared id space, fused k-bounded — the
     // filtered-search shape every deployed retrieval stack exposes
@@ -1559,6 +1582,24 @@ object SparkEntry {
     "bm25_stored_filtered_batch" -> graft.ml.Retrieval
       .bm25BatchFilteredOracleSql(BatchQueries, 5, "en"),
     "meta_stream_index" -> graft.ml.Retrieval.metaOracleSql,
+    // masked serving: full-corpus scoring chain, losers excluded in the
+    // final predicate (pre-delete statistics by contract)
+    // terms chosen so the mask BITES at sf0.01 (losers 178/290 rank in
+    // the unmasked top-15 — a vacuous mask would pass on any bug)
+    "bm25_masked_serve" -> graft.ml.Retrieval.bm25OracleSql(
+      Seq("stream", "table", "scan"), 15, andWhere =
+        s"""AND doc_id NOT IN (SELECT doc_id FROM
+           | (${graft.ml.Clusters.oracleSql(0.6)})
+           | WHERE doc_id <> cluster_id)""".stripMargin
+          .replaceAll("\\s+", " ")),
+    // rebuild: losers excised BEFORE the scoring chain, so df/avgdl are
+    // the clean corpus's
+    "bm25_clean_rebuild" -> graft.ml.Retrieval.bm25OracleSql(
+      Seq("stream", "table", "scan"), 15, where =
+        s"""WHERE doc_id NOT IN (SELECT doc_id FROM
+           | (${graft.ml.Clusters.oracleSql(0.6)})
+           | WHERE doc_id <> cluster_id)""".stripMargin
+          .replaceAll("\\s+", " ")),
     "rrf_stored_filtered" -> graft.ml.Retrieval.rrfStoredFilteredOracleSql(
       Seq("merge", "stream", "window"), 0L, "en", 20, 10),
     "rrf_fusion" -> graft.ml.Retrieval.rrfOracleSql(

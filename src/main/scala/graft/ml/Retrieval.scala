@@ -76,7 +76,7 @@ object Retrieval {
   private def sqlLit(t: String): String = s"'${t.replace("'", "''")}'"
 
   def bm25OracleSql(terms: Seq[String], k: Int,
-      where: String = ""): String = {
+      where: String = "", andWhere: String = ""): String = {
     val tfSel = terms.zipWithIndex.map { case (t, i) =>
       s"sum(CASE WHEN token = ${sqlLit(t)} THEN 1 ELSE 0 END) AS ${tfc(i)}"
     }.mkString(", ")
@@ -97,7 +97,7 @@ object Retrieval {
        |wide AS (SELECT doc_id, count(*) AS dl, $tfSel FROM tok GROUP BY doc_id),
        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, $dfSel FROM wide)
        |SELECT doc_id, round($score, 4) AS bm25
-       |FROM wide, st WHERE $anyTf > 0
+       |FROM wide, st WHERE $anyTf > 0 $andWhere
        |ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
       .replaceAll("\\s+", " ")
   }
@@ -387,6 +387,37 @@ object Retrieval {
           .orderBy(desc("sim"), asc("vec_id"))).as("rank"))
     fuse(lex, den, k)
   }
+
+  /** BM25 from the stored index with a TOMBSTONE mask — retrieval over a
+    * deduped view of the corpus WITHOUT reindexing: the near-dup cluster
+    * losers (or any deleted-doc set) anti-join the candidates at serving
+    * time, while df and the corpus stats remain those of the STORED index
+    * — the deleted-docs contract every segment-based engine ships
+    * (deletes mask results immediately; scores reflect pre-delete
+    * statistics until a rebuild folds them out), and the retrieval
+    * analogue of the reference's summary-override no-reindex refresh
+    * (/root/reference/README.md:38-49). The mask touches only doc_ids;
+    * bm25CleanRebuild below is the rebuild end of the lifecycle. */
+  def bm25StoredTopKMasked(index: DataFrame, stats: DataFrame,
+      tombstones: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val px = index.filter(col("token").isin(terms: _*))
+    // df BEFORE the mask — pre-delete statistics, by contract
+    px.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("token")))
+      .join(tombstones.select("doc_id"), Seq("doc_id"), "left_anti")
+      .crossJoin(statsFold(stats))
+      .groupBy("doc_id").agg(round(sum(contribExpr), 4).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id")).limit(k)
+  }
+
+  /** The rebuild end of the delete lifecycle: BM25 over the physically
+    * deduped corpus (losers excised BEFORE indexing, so df/avgdl reflect
+    * the clean corpus) — what a compaction that folds tombstones out
+    * serves. One anti-join + the standard operator. */
+  def bm25CleanRebuild(docs: DataFrame, tombstones: DataFrame,
+      terms: Seq[String], k: Int): DataFrame =
+    bm25TopK(docs.join(tombstones.select("doc_id"), Seq("doc_id"),
+      "left_anti"), terms, k)
 
   /** Corpus-side filtered BATCH — the filter composes with the batch
     * operator; the slice predicate prunes the corpus pass itself. */

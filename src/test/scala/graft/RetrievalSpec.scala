@@ -277,6 +277,34 @@ class RetrievalSpec extends AnyFunSuite {
       lexIds.contains(id) || denIds.contains(id) })
   }
 
+  test("tombstone mask: losers gone, pre-delete stats, rebuild re-scores") {
+    val terms = Seq("merge", "stream", "window")
+    import spark.implicits._
+    // a synthetic tombstone set drawn from the unmasked top-k, so the mask
+    // provably bites regardless of fixture clustering
+    val unmasked = Retrieval.bm25StoredTopK(Catalog.lexIndex(spark, dir),
+      Catalog.lexStats(spark, dir), terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dead = unmasked.take(2).map(_._1)
+    val masked = Retrieval.bm25StoredTopKMasked(Catalog.lexIndex(spark, dir),
+      Catalog.lexStats(spark, dir), dead.toDF("doc_id"), terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // deleted docs vanish from results...
+    assert(masked.map(_._1).toSet.intersect(dead.toSet).isEmpty)
+    // ...and surviving docs keep their PRE-delete scores (df/stats are the
+    // stored index's until a rebuild) — the deleted-docs contract
+    val unmaskedScores = unmasked.toMap
+    assert(masked.forall { case (id, s) =>
+      unmaskedScores.get(id).forall(_ == s) })
+    // the rebuild end re-scores: same tombstones excised before indexing,
+    // clean-corpus df/avgdl — scores for survivors may legitimately move
+    val rebuilt = Retrieval.bm25CleanRebuild(Catalog.documents(spark, dir),
+      dead.toDF("doc_id"), terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rebuilt.map(_._1).toSet.intersect(dead.toSet).isEmpty)
+    assert(rebuilt.nonEmpty)
+  }
+
   test("rrfStored serves from stored indexes only") {
     val df = Retrieval.rrfStored(Catalog.lexIndex(spark, dir),
       Catalog.lexStats(spark, dir), Catalog.embeddings(spark, dir),
