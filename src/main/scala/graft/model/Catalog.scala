@@ -56,8 +56,41 @@ object Catalog {
     // here builds exactly one session
     readers.computeIfAbsent((spark, path), _ => spark.read.parquet(path))
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    readImmutable(spark, s"$dir/$name.parquet")
+  /** Primary key per source table — the range-layout key for the ingest
+    * re-lay below. */
+  private val tableKeys = Map(
+    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+    "customer" -> "c_custkey", "part" -> "p_partkey",
+    "supplier" -> "s_suppkey", "nation" -> "n_nationkey",
+    "region" -> "r_regionkey", "events" -> "ts",
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  /** Source tables are RE-LAID at first use into a range-partitioned
+    * multi-file copy — the reference's ca-load posture (ingest into the
+    * engine's own layout, /root/reference/src/ca-load.cc): the driver's
+    * corpora ship as ONE parquet file with ONE row group, which no
+    * byte-range split can parallelize (a row group is the vectorized
+    * reader's atom), so every source scan ran as ONE task on a 32-thread
+    * executor; and a single file gives pushed key predicates nothing to
+    * skip. Range layout by the table's primary key restores both: N-way
+    * scans and min/max FILE skipping for key lookups. ~1 MB per file at
+    * bench scale; a production source already arrives as many splittable
+    * files and this build is a no-op re-lay of the same rows. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val src = s"$dir/$name.parquet"
+    tableKeys.get(name) match {
+      case None => readImmutable(spark, src)
+      case Some(key) =>
+        val path = cacheDir(dir, s"src_$name")
+        materialize(path) {
+          val raw = spark.read.parquet(src)
+          val parts = math.max(1, math.min(32,
+            (new java.io.File(src).length / (1 << 20)).toInt))
+          raw.repartitionByRange(parts, col(key))
+        }
+        readImmutable(spark, path)
+    }
+  }
 
   /** Materialization cache. Versioned so a derivation change invalidates old
     * caches; lives inside the repo (the only writable area) and is gitignored. */
