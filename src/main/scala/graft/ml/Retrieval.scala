@@ -186,24 +186,36 @@ object Retrieval {
     * the query terms' posting lists, not the corpus — the inverted-index
     * serving contract. Same scoring chain and rank convention as
     * bm25TopK, so the stored path shares its oracle. */
-  def bm25StoredTopK(index: DataFrame, stats: DataFrame,
-      terms: Seq[String], k: Int): DataFrame = {
-    val px = index.filter(col("token").isin(terms: _*))
-    // per-term df as a WINDOW count over the pruned postings — same value
-    // as the former groupBy(token) aggregate joined back, one exchange
-    // instead of two plus a join (VERDICT r14 #3 job audit); the window's
-    // token partitioning is exactly the pruned postings' natural key.
-    // Trade (documented): a window has no map-side partial agg, so a
-    // stop-word-frequency query term buffers its whole posting list in one
-    // task (WindowExec spills, so a straggler, not a failure) — the same
-    // hot-term exposure the corpus-side batch documents, with the same
-    // treatment: drop df-capped terms from queries at data scale.
+  /** The ONE single-query scoring tail over pruned postings `px` and an
+    * unfolded stats frame — shared by the plain, metadata-filtered, and
+    * tombstone-masked stored lookups, so a tie-break / rounding / df-shape
+    * change lands once (review finding, r15). Per-term df is a WINDOW
+    * count over the pruned postings — same value as the former
+    * groupBy(token) aggregate joined back, one exchange instead of two
+    * plus a join (VERDICT r14 #3 job audit); the window's token
+    * partitioning is the postings' natural key. Trade (documented): a
+    * window has no map-side partial agg, so a stop-word-frequency query
+    * term buffers its whole posting list in one task (WindowExec spills —
+    * a straggler, not a failure); same hot-term exposure and df-cap
+    * treatment as the corpus-side batch. */
+  private def withDfWindow(px: DataFrame): DataFrame =
     px.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("token")))
-      .crossJoin(statsFold(stats))
+      org.apache.spark.sql.expressions.Window.partitionBy("token")))
+
+  private def scoreWithDf(pxd: DataFrame, stats: DataFrame,
+      k: Int): DataFrame =
+    pxd.crossJoin(statsFold(stats))
       .groupBy("doc_id").agg(round(sum(contribExpr), 4).as("bm25"))
       .orderBy(desc("bm25"), asc("doc_id")).limit(k)
-  }
+
+  private def scoreStoredPostings(px: DataFrame, stats: DataFrame,
+      k: Int): DataFrame =
+    scoreWithDf(withDfWindow(px), stats, k)
+
+  def bm25StoredTopK(index: DataFrame, stats: DataFrame,
+      terms: Seq[String], k: Int): DataFrame =
+    scoreStoredPostings(index.filter(col("token").isin(terms: _*)),
+      stats, k)
 
   /** BATCHED BM25: serve a whole query TABLE (qid, terms array) in one
     * declarative plan — the lexical twin of Ann.ivfTopKBatch (queries
@@ -293,6 +305,20 @@ object Retrieval {
     * the pruned
     * postings; stats fold from the additive store. Same scoring and rank
     * conventions as bm25TopKBatch, so the stored batch shares its oracle. */
+  /** The ONE batch scoring tail over pruned postings — shared by the plain
+    * and metadata-filtered stored batches (the single-query
+    * scoreStoredPostings twin). Window-count df over the pruned postings:
+    * one token exchange that the query join REUSES — the former
+    * groupBy+join-back shape evaluated the pruned-postings subtree twice
+    * and paid two more exchanges (VERDICT r14 #3: rrf_stored_batch's
+    * 26-job wave audit). */
+  private def scoreStoredPostingsBatch(qt: DataFrame, px: DataFrame,
+      stats: DataFrame, k: Int, keepRank: Boolean = false): DataFrame =
+    perQueryTopK(qt.join(withDfWindow(px), Seq("token"))
+      .crossJoin(statsFold(stats))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum(contribExpr), 4).as("bm25")), k, keepRank)
+
   def bm25StoredTopKBatch(index: DataFrame, stats: DataFrame,
       queries: DataFrame, k: Int, keepRank: Boolean = false): DataFrame = {
     val qt = queries.select(col("qid"), explode(col("terms")).as("token"))
@@ -302,17 +328,7 @@ object Retrieval {
     // data-scale batch instead of degrading to a shuffle semi-join
     val px = index.join(qt.select("token").distinct(),
       Seq("token"), "left_semi")
-    // window-count df over the pruned postings (see bm25StoredTopK): one
-    // token exchange that the query join below then REUSES — the former
-    // groupBy+join-back shape evaluated the pruned-postings subtree twice
-    // and paid two more exchanges (VERDICT r14 #3: rrf_stored_batch's
-    // 26-job wave audit)
-    val pxd = px.withColumn("df", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("token")))
-    perQueryTopK(qt.join(pxd, Seq("token"))
-      .crossJoin(statsFold(stats))
-      .groupBy("qid", "doc_id")
-      .agg(round(sum(contribExpr), 4).as("bm25")), k, keepRank)
+    scoreStoredPostingsBatch(qt, px, stats, k, keepRank)
   }
 
   // ---- metadata-FILTERED retrieval (r15): the serving shape every search
@@ -356,16 +372,12 @@ object Retrieval {
     * slice stats fold from the sidecar — query cost stays proportional to
     * the terms' posting lists, and the corpus text is never touched. */
   def bm25StoredTopKFiltered(index: DataFrame, meta: DataFrame,
-      terms: Seq[String], lang: String, k: Int): DataFrame = {
-    val allowed = meta.filter(col("lang") === lang).select("doc_id")
-    val px = index.filter(col("token").isin(terms: _*))
-      .join(allowed, Seq("doc_id"), "left_semi")
-    px.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("token")))
-      .crossJoin(statsFold(metaStats(meta, lang)))
-      .groupBy("doc_id").agg(round(sum(contribExpr), 4).as("bm25"))
-      .orderBy(desc("bm25"), asc("doc_id")).limit(k)
-  }
+      terms: Seq[String], lang: String, k: Int): DataFrame =
+    scoreStoredPostings(
+      index.filter(col("token").isin(terms: _*))
+        .join(meta.filter(col("lang") === lang).select("doc_id"),
+          Seq("doc_id"), "left_semi"),
+      metaStats(meta, lang), k)
 
   /** Filtered stored HYBRID: both tiers restricted to the same
     * metadata-defined slice of the shared id space — the lexical tier via
@@ -400,14 +412,12 @@ object Retrieval {
     * bm25CleanRebuild below is the rebuild end of the lifecycle. */
   def bm25StoredTopKMasked(index: DataFrame, stats: DataFrame,
       tombstones: DataFrame, terms: Seq[String], k: Int): DataFrame = {
-    val px = index.filter(col("token").isin(terms: _*))
-    // df BEFORE the mask — pre-delete statistics, by contract
-    px.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("token")))
-      .join(tombstones.select("doc_id"), Seq("doc_id"), "left_anti")
-      .crossJoin(statsFold(stats))
-      .groupBy("doc_id").agg(round(sum(contribExpr), 4).as("bm25"))
-      .orderBy(desc("bm25"), asc("doc_id")).limit(k)
+    // df windows over the UNMASKED pruned postings (deleted docs still
+    // count — pre-delete statistics, by contract), THEN the mask anti-joins
+    // the candidate rows, then the shared scoring chain
+    val pxd = withDfWindow(index.filter(col("token").isin(terms: _*)))
+    scoreWithDf(pxd.join(tombstones.select("doc_id"), Seq("doc_id"),
+      "left_anti"), stats, k)
   }
 
   /** The rebuild end of the delete lifecycle: BM25 over the physically
@@ -431,16 +441,11 @@ object Retrieval {
   def bm25StoredTopKBatchFiltered(index: DataFrame, meta: DataFrame,
       queries: DataFrame, lang: String, k: Int): DataFrame = {
     val qt = queries.select(col("qid"), explode(col("terms")).as("token"))
-    val allowed = meta.filter(col("lang") === lang).select("doc_id")
     val px = index.join(qt.select("token").distinct(),
         Seq("token"), "left_semi")
-      .join(allowed, Seq("doc_id"), "left_semi")
-    val pxd = px.withColumn("df", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("token")))
-    perQueryTopK(qt.join(pxd, Seq("token"))
-      .crossJoin(statsFold(metaStats(meta, lang)))
-      .groupBy("qid", "doc_id")
-      .agg(round(sum(contribExpr), 4).as("bm25")), k)
+      .join(meta.filter(col("lang") === lang).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    scoreStoredPostingsBatch(qt, px, metaStats(meta, lang), k)
   }
 
   /** DuckDB mirror of the filtered batch paths (shared, like the

@@ -78,17 +78,21 @@ object Catalog {
     * files and this build is a no-op re-lay of the same rows. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val src = s"$dir/$name.parquet"
-    tableKeys.get(name) match {
-      case None => readImmutable(spark, src)
-      case Some(key) =>
-        val path = cacheDir(dir, s"src_$name")
-        materialize(path) {
-          val raw = spark.read.parquet(src)
-          val parts = math.max(1, math.min(32,
-            (new java.io.File(src).length / (1 << 20)).toInt))
-          raw.repartitionByRange(parts, col(key))
-        }
-        readImmutable(spark, path)
+    val f = new java.io.File(src)
+    // a directory-shaped source already arrives as splittable files — the
+    // re-lay is for the single-file single-row-group shape only (review
+    // finding, r15: File.length on a directory is the inode size, which
+    // would have collapsed a multi-file source to ONE partition)
+    if (f.isDirectory || !tableKeys.contains(name))
+      readImmutable(spark, src)
+    else {
+      val path = cacheDir(dir, s"src_$name")
+      materialize(path) {
+        spark.read.parquet(src).repartitionByRange(
+          math.max(1, math.min(32, (f.length / (1 << 20)).toInt)),
+          col(tableKeys(name)))
+      }
+      readImmutable(spark, path)
     }
   }
 

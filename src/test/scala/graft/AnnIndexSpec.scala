@@ -45,7 +45,7 @@ class AnnIndexSpec extends AnyFunSuite {
       val p = plan(df)
       assert(p.contains("winnow_sketch"),
         s"$name does not scan winnow_sketch:\n$p")
-      assert(!p.toLowerCase.contains("documents.parquet"),
+      assert(!TestSpark.scansCorpusText(p),
         s"$name re-reads corpus text:\n$p")
     }
   }

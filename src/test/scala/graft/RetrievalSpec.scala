@@ -94,7 +94,7 @@ class RetrievalSpec extends AnyFunSuite {
     val p = stored.queryExecution.executedPlan.toString
     assert(p.contains("lex_index"), s"plan does not scan the stored index:\n$p")
     assert(p.contains("In(token"), s"term filter not pushed to the store:\n$p")
-    assert(!p.toLowerCase.contains("documents.parquet"),
+    assert(!TestSpark.scansCorpusText(p),
       s"stored serving re-reads corpus text:\n$p")
   }
 
@@ -147,7 +147,7 @@ class RetrievalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(stored == corpus)
     val p = sdf.queryExecution.executedPlan.toString
-    assert(p.contains("lex_index") && !p.toLowerCase.contains("documents.parquet"),
+    assert(p.contains("lex_index") && !TestSpark.scansCorpusText(p),
       s"stored batch must read only the index:\n$p")
   }
 
@@ -227,7 +227,7 @@ class RetrievalSpec extends AnyFunSuite {
     // the lang predicate reaches the sidecar scan pushed
     val p = stored.queryExecution.executedPlan.toString
     assert(p.contains("lex_index") && p.contains("doc_meta") &&
-      !p.toLowerCase.contains("documents.parquet"),
+      !TestSpark.scansCorpusText(p),
       s"filtered stored plan must read index + sidecar only:\n$p")
     assert(p.contains("EqualTo(lang,en)"),
       s"lang filter not pushed to the doc_meta scan:\n$p")
@@ -313,7 +313,7 @@ class RetrievalSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("lex_index") && p.contains("ivf_flat"),
       s"stored tiers missing from plan:\n$p")
-    assert(!p.toLowerCase.contains("documents.parquet"),
+    assert(!TestSpark.scansCorpusText(p),
       s"stored hybrid re-reads corpus text:\n$p")
     // fused scores must decompose into the two tier rankings
     val lexIds = Retrieval.bm25TopK(Catalog.documents(spark, dir),
@@ -348,7 +348,7 @@ class RetrievalSpec extends AnyFunSuite {
     }
     val p = bdf.queryExecution.executedPlan.toString
     assert(p.contains("lex_index") && p.contains("ivf_flat") &&
-      !p.toLowerCase.contains("documents.parquet"),
+      !TestSpark.scansCorpusText(p),
       s"batched hybrid must read only the stored tiers:\n$p")
   }
 

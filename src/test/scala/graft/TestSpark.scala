@@ -19,4 +19,12 @@ object TestSpark {
 
   def multiset(p: Seq[(Long, Double)]): Map[(Long, Double), Int] =
     p.groupBy(identity).view.mapValues(_.length).toMap
+
+  /** True when an executed plan reads the corpus TEXT table — matches both
+    * the raw source file and its re-laid src_documents copy (review
+    * finding, r15: the re-lay made bare "documents.parquet" guards
+    * vacuous). The stored-only retrieval pins use this. */
+  def scansCorpusText(plan: String): Boolean =
+    plan.toLowerCase.contains("documents.parquet") ||
+      plan.contains("src_documents")
 }
