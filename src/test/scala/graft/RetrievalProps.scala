@@ -40,6 +40,24 @@ object RetrievalProps extends Properties("Retrieval") {
       got == Bm25Ref.topK(docs, ts, 5)
     }
 
+  property("filtered bm25 == in-memory BM25 over the slice alone") =
+    // the slice contract: candidates, df, AND n_docs/avgdl all come from
+    // the metadata-defined sub-corpus — equal to running the unfiltered
+    // model on the slice as its own corpus
+    forAll(corpus, terms, Gen.oneOf("en", "de")) { (docs, ts, lang) =>
+      val langOf = docs.map { case (id, _) =>
+        id -> (if (id % 3 == 0) "en" else "de") }.toMap
+      val df = docs.toDF("doc_id", "text")
+        .withColumn(
+          "lang",
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.col("doc_id") % 3 === 0, "en")
+            .otherwise("de"))
+      val got = Retrieval.bm25TopKFiltered(df, ts, 5, lang)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      got == Bm25Ref.topK(docs.filter(d => langOf(d._1) == lang), ts, 5)
+    }
+
   property("chunkDocs covers every token; interior chunks overlap exactly") =
     forAll(Gen.choose(1, 40), Gen.choose(0, 4), Gen.choose(1, 60)) {
       (stride, overlap, n) =>
