@@ -1079,6 +1079,13 @@ object SparkEntry {
       graft.ml.Pq.recallAtKFrom(Catalog.plantedPqIvf(s, dir),
         Catalog.plantedEmb(s, dir), Catalog.plantedExactTop10(s, dir),
         0L, 10)),
+    // FILTERED recall: the label-constrained lookup vs the exact slice
+    // baseline — the number that quantifies post-filtering's recall trade
+    // (the filtered-serving contract the docs promise the ladder measures)
+    "ann_recall_filtered" -> ((s, dir) =>
+      Ann.recallFilteredFrom(Catalog.ivfFlat(s, dir),
+        Catalog.embeddings(s, dir), Catalog.exactTop10Filtered(s, dir),
+        0L, 3, 10)),
     // the SQ8 tier's recall gate in the same planted regime — the ladder
     // now covers all four serving tiers (LSH, IVF, SQ8, PQ)
     "sq8_recall_planted" -> ((s, dir) =>
@@ -1653,6 +1660,7 @@ object SparkEntry {
     "emb_topk_ivf" -> Ann.ivfOracleSql(0, 10),
     "emb_topk_filtered" -> Ann.ivfFilteredOracleSql(0, 3, 10),
     "ann_recall" -> Ann.recallOracleSql(0, 10),
+    "ann_recall_filtered" -> Ann.recallFilteredOracleSql(0, 3, 10),
     "ann_recall_planted" -> Ann.recallOracleSql(0, 10,
       Ann.plantedClusterSrcSql(0L, 10)),
     "pq_recall_planted" -> graft.ml.Pq.pqRecallOracleSql(0L, 10,

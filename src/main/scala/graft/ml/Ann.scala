@@ -845,6 +845,52 @@ object Ann {
     exactTopKIds(emb.select(col("vec_id"), col("embedding").as("emb")),
       qVecId, k)
 
+  /** The exact baseline RESTRICTED to a label slice — what filtered-ANN
+    * recall compares against: the query row comes from the full corpus,
+    * candidates only from the slice. Persisted by
+    * Catalog.exactTop10Filtered. */
+  def exactIdsFiltered(emb: DataFrame, qVecId: Long, label: Int,
+      k: Int): DataFrame = {
+    val vec = queryVec(emb, qVecId)
+    emb.filter(col("label") === label).filter(col("vec_id") =!= qVecId)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), litVec(vec)), 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id")).limit(k)
+      .select("vec_id")
+  }
+
+  /** The FILTERED recall gate (stored-fixture shape): recall@k of the
+    * label-constrained IVF lookup against the exact slice baseline — the
+    * number that quantifies post-filtering's recall trade (selective
+    * predicates thin the probed cells; raise Probes when it drops), which
+    * the filtered-serving docs promise the ladder measures. */
+  def recallFilteredFrom(flat: DataFrame, emb: DataFrame, exact: DataFrame,
+      qVecId: Long, label: Int, k: Int): DataFrame = {
+    val ids = exact.select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = ivfTopKFilteredFrom(flat, emb, qVecId, label, k)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    recallRows(emb.sparkSession, ids, Seq("ivf_filtered" -> got), k)
+  }
+
+  /** DuckDB mirror of recallFilteredFrom: exact slice baseline CTE + the
+    * already-verified filtered-IVF oracle, recallOracleSql's count shape. */
+  def recallFilteredOracleSql(qVecId: Long, label: Int, k: Int,
+      srcSql: String = BaseSrcSql): String =
+    s"""WITH e AS ($srcSql),
+       |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId),
+       |el AS (SELECT vec_id FROM embeddings WHERE label = $label),
+       |exact AS (SELECT vec_id FROM (
+       |    SELECT e.vec_id AS vec_id,
+       |      round(list_dot_product(e.emb, q.qemb) /
+       |        sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
+       |    FROM e JOIN el USING (vec_id), q WHERE e.vec_id <> $qVecId)
+       |  ORDER BY sim DESC, vec_id LIMIT $k),
+       |flr AS ((${ivfFilteredOracleSql(qVecId, label, k, srcSql)}))
+       |SELECT 'ivf_filtered' AS method, count(*) AS hits,
+       |  round(count(*) * 1.0 / $k, 4) AS recall
+       |FROM flr WHERE vec_id IN (SELECT vec_id FROM exact)
+       |""".stripMargin.replaceAll("\\s+", " ")
+
   /** The ONE rendering of the recall row every gate emits:
     * (method, hits, recall@k) of an approximate lookup's ids against the
     * exact baseline — shared by the LSH/IVF gate here and the SQ8/PQ

@@ -810,6 +810,16 @@ object Catalog {
     readImmutable(spark, path).select("vec_id")
   }
 
+  /** The k-row exact baseline RESTRICTED to the label-3 slice — the
+    * filtered recall gate's comparison set. */
+  def exactTop10Filtered(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "exact_top10_q0_label3")
+    materialize(path) {
+      graft.ml.Ann.exactIdsFiltered(embeddings(spark, dir), 0L, 3, 10)
+    }
+    readImmutable(spark, path).select("vec_id")
+  }
+
   /** The k-row exact baseline over the PLANTED corpus. */
   def plantedExactTop10(spark: SparkSession, dir: String): DataFrame = {
     val path = cacheDir(dir, "planted_exact_top10_q0")
