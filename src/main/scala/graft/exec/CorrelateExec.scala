@@ -396,9 +396,23 @@ object CorrelateExec {
     splitTwo.unionByName(fullRange)
   }
 
-  /** Full CORRELATE: boolean keys score over their full range; continuous
-    * keys run the distributed split search (the windowed prefix-scan argmax)
-    * and re-score each chosen range over the raw postings
+  /** The per-key MATCHED/SPLIT intermediate of the full CORRELATE pipeline:
+    * every chosen range's in-range postings that match either membership
+    * set, with the set-size constants riding along — one row per
+    * (key, lo, hi, off), columns in_a/in_b (1 or null) and the 1-row
+    * `sizesOf` constants (n_a, n_b, limit_a, limit_b, prior) broadcast onto
+    * each row. `scoreMatched` folds this to the final report; `run` chains
+    * the two, and `Catalog.correlateMatched` materializes THIS frame once
+    * per sf-dir (the dupPairs posture) so the statement serves with a read
+    * + one aggregation instead of re-running the split search per
+    * invocation (VERDICT r15 #1). Rows matching neither set are dropped
+    * here: they contribute 0 to every count and their all-zero groups
+    * cannot pass the ≥limit support gate (limits are ≥1), so the fold is
+    * unchanged — pinned by CorrelateSpec's stored==fresh law.
+    *
+    * Boolean keys score over their full range; continuous keys run the
+    * distributed split search (the windowed prefix-scan argmax) and
+    * re-score each chosen range over the raw postings
     * (correlate.cc:343-357: duplicate key offsets force a recount).
     * |A|/|B|/limits/prior thread through as a broadcast 1-row frame
     * (`sizesOf`), NOT driver scalars, so the whole statement is ONE lazy
@@ -406,11 +420,8 @@ object CorrelateExec {
     * sets eagerly (correlate.cc:497-518) because its scalars live in the
     * same process; here an eager collect costs a driver-scheduled job wave
     * that inflated 5-20× in three consecutive loaded-environment bench
-    * rounds (VERDICT r13 #3). The reference's nA==0/nB==0 early exit
-    * becomes a declarative n_a>0 AND n_b>0 gate on the final filter — same
-    * empty result, no probe job.
-    * Returns (key, min_score, max_score, log_odds, cnt_a, cnt_b). */
-  def run(spark: SparkSession, t: Tables, a: Query, b: Query,
+    * rounds (VERDICT r13 #3). */
+  def matchedRanges(spark: SparkSession, t: Tables, a: Query, b: Query,
       now: Double = 0.0): DataFrame = {
     val c = new QueryCompiler(spark, t)
     val pa = dedupMin(c.compile(a).postings)
@@ -501,13 +512,23 @@ object CorrelateExec {
     inRange
       .join(setA.withColumn("in_a", lit(1)), Seq("off"), "left_outer")
       .join(setB.withColumn("in_b", lit(1)), Seq("off"), "left_outer")
-      .groupBy("key", "lo", "hi")
+      .filter(col("in_a").isNotNull || col("in_b").isNotNull)
+      .crossJoin(broadcast(sizes))
+  }
+
+  /** Fold the matched/split intermediate to the final CORRELATE report:
+    * per-range match counts → support gate → log-odds → significance
+    * cutoff (ProcessRange, correlate.cc:84-148). The `sizesOf` constants
+    * ride the grouping keys (constant per statement), so the stored path
+    * needs no side lookup. Every input row matches A or B, so
+    * cnt_a_or_b = count(*).
+    * Returns (key, min_score, max_score, log_odds, cnt_a, cnt_b). */
+  def scoreMatched(m: DataFrame): DataFrame =
+    m.groupBy("key", "lo", "hi", "n_a", "n_b", "limit_a", "limit_b", "prior")
       .agg(
         count(col("in_a")).as("cnt_a"),
         count(col("in_b")).as("cnt_b"),
-        count(when(col("in_a").isNotNull || col("in_b").isNotNull, 1))
-          .as("cnt_a_or_b"))
-      .crossJoin(broadcast(sizes))
+        count(lit(1)).as("cnt_a_or_b"))
       // the reference's nA==0/nB==0 early exit (correlate.cc:497-510),
       // declaratively: an empty side empties the result set
       .filter(col("n_a") > 0 && col("n_b") > 0)
@@ -518,5 +539,12 @@ object CorrelateExec {
       .filter(abs(col("log_odds")) >= lit(math.log(0.55 / 0.45)))
       .select(col("key"), col("lo").as("min_score"), col("hi").as("max_score"),
         round(col("log_odds"), 6).as("log_odds"), col("cnt_a"), col("cnt_b"))
-  }
+
+  /** Full CORRELATE, live: the matched/split intermediate chained into the
+    * scoring fold. Statement serving goes through the materialized
+    * intermediate instead (Catalog.correlateMatched); this live path builds
+    * that store and pins its equivalence in CorrelateSpec. */
+  def run(spark: SparkSession, t: Tables, a: Query, b: Query,
+      now: Double = 0.0): DataFrame =
+    scoreMatched(matchedRanges(spark, t, a, b, now))
 }

@@ -615,6 +615,30 @@ object Catalog {
     * admission appends per-batch verified pairs
     * (streaming.DocumentsIngest.runPairSink); compaction folds the
     * generations (dedup_pairs_compact). */
+  /** The MATERIALIZED per-key matched/split intermediate of CORRELATE for a
+    * fixed (a, b) leaf pair — CorrelateExec.matchedRanges built once per
+    * sf-dir: the split-point search (windowed prefix-scan argmax), the
+    * leakage dispatch, and the range re-match all run at store-build time;
+    * statement serving is a read + one scoring aggregation
+    * (CorrelateExec.scoreMatched). Same stored posture as dupPairs — the
+    * heavy derivation persists; the query-time knobs (support gate,
+    * significance cutoff, log-odds) stay live, so re-scoring under a
+    * different threshold never re-runs the search. Laid out by key so the
+    * scoring groupBy shuffles pre-sorted partitions. */
+  def correlateMatched(spark: SparkSession, dir: String, aKey: String,
+      bKey: String): DataFrame = {
+    val tag = s"${aKey}_$bKey".toLowerCase.replaceAll("[^a-z0-9]", "_")
+    val path = cacheDir(dir, s"correlate_$tag")
+    materialize(path) {
+      graft.exec.CorrelateExec.matchedRanges(spark, tables(spark, dir),
+        graft.ast.Leaf(aKey), graft.ast.Leaf(bKey))
+        .repartition(col("key"))
+        .sortWithinPartitions("key", "off")
+    }
+    readImmutable(spark, path).select("key", "lo", "hi", "off", "in_a",
+      "in_b", "n_a", "n_b", "limit_a", "limit_b", "prior")
+  }
+
   def dupPairs(spark: SparkSession, dir: String,
       minJaccard: Double = 0.6): DataFrame = {
     val path = cacheDir(dir, f"dup_pairs_j${(minJaccard * 100).round}%d")

@@ -124,4 +124,31 @@ class CorrelateSpec extends AnyFunSuite {
     assert(!byKey.contains("noise"))
     assert(byKey("a").head._4 == 20)
   }
+
+  test("stored matched/split intermediate serves the same report as run") {
+    // The Catalog.correlateMatched posture: matchedRanges round-trips
+    // through parquet, then scoreMatched folds the read — the result must
+    // be row-identical to the live pipeline (the correlate_full serving
+    // contract, VERDICT r15 #1).
+    val index = (
+      (1 to 30).map(i => ("m", i.toLong, (i % 7).toDouble)) ++
+        (1 to 30).filter(_ % 3 != 0).map(i => ("f", i.toLong, 0.0)) ++
+        (1 to 12).map(i => ("a", i.toLong, 0.0)) ++
+        (9 to 30).map(i => ("b", i.toLong, 0.0))
+    ).toDF("key", "off", "score")
+    val summaries = (1 to 30).map(i => (i.toLong, s"d$i", "{}"))
+      .toDF("off", "key", "json")
+    val t = Tables(index, summaries,
+      Seq.empty[(String, String)].toDF("key", "json"))
+    val fresh = CorrelateExec.run(spark, t, Leaf("a"), Leaf("b"))
+      .collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("corr-store").toString
+    CorrelateExec.matchedRanges(spark, t, Leaf("a"), Leaf("b"))
+      .write.mode("overwrite").parquet(dir)
+    val stored = CorrelateExec.scoreMatched(spark.read.parquet(dir)
+        .select("key", "lo", "hi", "off", "in_a", "in_b", "n_a", "n_b",
+          "limit_a", "limit_b", "prior"))
+      .collect().map(_.toSeq).toSet
+    assert(stored == fresh && fresh.nonEmpty)
+  }
 }
