@@ -20,24 +20,24 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Scan-partition sizing for THIS deployment (the guidance is to size
-      // files.maxPartitionBytes to the data scale): the bench corpora ship
-      // single-digit-MB files, so the 128 MB default makes every hot scan
-      // (lineitem 11 MB at sf0.1) ONE task on a 32-core executor — the
-      // range/salted join entries were spending 2+ s single-threaded in
-      // the scan stage. 4 MB splits those scans across cores; row-group
-      // pruning and pushed filters are unaffected (they skip within
-      // whatever split reads them). A 100 TB deployment reverts to the
-      // default: its files are ≥ hundreds of MB and the cluster has
-      // thousands of cores to keep busy WITHOUT sub-splitting — the env
-      // knob below is the revert mechanism (e.g. =128m), mirroring
-      // SPARK_GRAFT_CPUS.
-      .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"))
       .config("spark.ui.enabled", "false")
 
+  /** The sandbox mains' session (Bench/Verify/Smoke/Shell/tests). Scan
+    * sizing lives HERE, not in `builder` (ADVICE r15): a deployment
+    * composing on `builder` keeps Spark's 128 MB default — its files are
+    * ≥ hundreds of MB and the cluster has thousands of cores to keep busy
+    * WITHOUT sub-splitting. The bench corpora ship single-digit-MB files,
+    * so the default made every hot scan (lineitem 11 MB at sf0.1) ONE task
+    * on a 32-core executor — the range/salted join entries were spending
+    * 2+ s single-threaded in the scan stage. 4 MB splits those scans
+    * across cores; row-group pruning and pushed filters are unaffected
+    * (they skip within whatever split reads them). The env knob is the
+    * revert mechanism (e.g. =128m), mirroring SPARK_GRAFT_CPUS. */
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
-    val spark = builder(cpus).getOrCreate()
+    val spark = builder(cpus)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

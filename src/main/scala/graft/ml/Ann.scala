@@ -128,6 +128,10 @@ object Ann {
     * cent_id ASC) tie-break identical to the in-plan ranking). */
   private[graft] def probedCellsOf(vec: Array[Double]): Seq[Long] = {
     val qq = selfDot(vec)
+    // a zero-norm query makes every csim NaN, where Scala's ascending sort
+    // (NaN last) and Spark's desc (NaN first) disagree — fail loudly
+    // instead of diverging from the in-plan ranking (ADVICE r15)
+    require(qq > 0, "probedCellsOf: zero-norm query vector has no cosine ranking")
     TrainedCentroids.matrix.zipWithIndex.map { case (c, i) =>
       val cc = dotConst(c.toArray, c)
       ((i + 1).toLong, dotConst(vec, c) / math.sqrt(qq * cc))
@@ -153,20 +157,20 @@ object Ann {
     val e = emb.select(col("vec_id"), col("embedding").as("emb"))
     val qbs = queryBucketKeysOf(vec)
     val qemb = litVec(vec)
-    // candidate ids arrive as a BROADCAST left-semi build side: bounded by
-    // the L probed buckets' occupancy (the same bound that makes the bucket
-    // index useful at all — a bucket holding a corpus-scale fraction means
-    // the planes are broken, not that this join needs a shuffle), the semi
-    // join dedups multi-table collisions for free, and the corpus side
-    // STREAMS instead of exchanging — 3 fewer AQE stage jobs than the
-    // former distinct + shuffle-join shape (VERDICT r14 #5's job audit)
+    // candidate ids as an UNHINTED left-semi build side: bounded by the L
+    // probed buckets' occupancy in the usual case, so AQE runtime-
+    // broadcasts it and the corpus side streams without an exchange; a
+    // pathological bucket holding a corpus-scale fraction (correlated or
+    // all-equal embeddings that defeat the planes) then degrades to a
+    // shuffle join instead of OOMing the driver on a forced broadcast
+    // (ADVICE r15 — same posture as ivfTopKAllowed)
     val cands = bk.filter(col("bucket").isin(qbs: _*))
       .filter(col("vec_id") =!= qVecId)
       .select("vec_id")
     val d = dot(col("emb"), qemb)
     val na = dot(col("emb"), col("emb"))
     val nb = lit(selfDot(vec))
-    e.join(broadcast(cands), Seq("vec_id"), "left_semi")
+    e.join(cands, Seq("vec_id"), "left_semi")
       .select(col("vec_id"), round(d / sqrt(na * nb), 6).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
@@ -374,9 +378,12 @@ object Ann {
 
   /** DuckDB mirror of ivfTopKFiltered: ivfOracleSql's CTE chain plus the
     * label semi-join on the candidate side. */
-  def ivfFilteredOracleSql(qVecId: Long, label: Int, k: Int,
-      srcSql: String = BaseSrcSql): String =
-    s"""WITH ${cellCtesSql(srcSql)},
+  // No srcSql parameter (ADVICE r15): the label slice below is anchored to
+  // the base `embeddings` table, so a non-base source would silently pair a
+  // re-sourced corpus with a base-table slice — only the base corpus is
+  // supported, and the signature now says so.
+  def ivfFilteredOracleSql(qVecId: Long, label: Int, k: Int): String =
+    s"""WITH ${cellCtesSql(BaseSrcSql)},
        |qc AS (SELECT cent_id AS cell FROM asg WHERE vec_id = $qVecId
        |       ORDER BY csim DESC, cent_id ASC LIMIT $Probes),
        |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId),
@@ -874,9 +881,8 @@ object Ann {
 
   /** DuckDB mirror of recallFilteredFrom: exact slice baseline CTE + the
     * already-verified filtered-IVF oracle, recallOracleSql's count shape. */
-  def recallFilteredOracleSql(qVecId: Long, label: Int, k: Int,
-      srcSql: String = BaseSrcSql): String =
-    s"""WITH e AS ($srcSql),
+  def recallFilteredOracleSql(qVecId: Long, label: Int, k: Int): String =
+    s"""WITH e AS ($BaseSrcSql),
        |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId),
        |el AS (SELECT vec_id FROM embeddings WHERE label = $label),
        |exact AS (SELECT vec_id FROM (
@@ -885,7 +891,7 @@ object Ann {
        |        sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
        |    FROM e JOIN el USING (vec_id), q WHERE e.vec_id <> $qVecId)
        |  ORDER BY sim DESC, vec_id LIMIT $k),
-       |flr AS ((${ivfFilteredOracleSql(qVecId, label, k, srcSql)}))
+       |flr AS ((${ivfFilteredOracleSql(qVecId, label, k)}))
        |SELECT 'ivf_filtered' AS method, count(*) AS hits,
        |  round(count(*) * 1.0 / $k, 4) AS recall
        |FROM flr WHERE vec_id IN (SELECT vec_id FROM exact)

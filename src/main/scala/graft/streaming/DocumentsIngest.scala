@@ -64,10 +64,15 @@ object DocumentsIngest {
     // append keeps part files at the ROOT of deltaPath; mixing b=<id>
     // subdirs into it would trip Spark's conflicting-directory-structures
     // assertion on the next read. Fail loudly with the migration step
-    // instead of corrupting the store.
-    val root = new java.io.File(deltaPath)
-    if (Option(root.listFiles()).exists(_.exists(f =>
-        f.isFile && f.getName.startsWith("part-"))))
+    // instead of corrupting the store. Resolved through Hadoop's
+    // FileSystem API so the guard holds on every filesystem the sink can
+    // write to — java.io.File silently sees nothing on HDFS/S3 paths
+    // (ADVICE r15).
+    val rootPath = new org.apache.hadoop.fs.Path(deltaPath)
+    val fs = rootPath.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath) && fs.listStatus(rootPath).exists(s =>
+        s.isFile && s.getPath.getName.startsWith("part-")))
       sys.error(s"$deltaPath holds a legacy flat df delta layout; fold it " +
         "into a generation first (Compact.mergeDfGenerations) and point " +
         "the sink at a fresh delta dir before resuming")
