@@ -15,9 +15,10 @@ object JobAudit {
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
-        jobs.add(s"job ${e.jobId} stages=[" +
-          e.stageInfos.map(s => s.name.linesIterator.next()).mkString(" | ") +
-          "]")
+        val rddNames = e.stageInfos
+          .flatMap(_.rddInfos.map(_.name)).distinct.mkString(",")
+        jobs.add(s"job ${e.jobId} stages=${e.stageInfos.size} " +
+          s"tasks=${e.stageInfos.map(_.numTasks).sum} rdds=[$rddNames]")
         ()
       }
     })

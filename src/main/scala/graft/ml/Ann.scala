@@ -485,8 +485,11 @@ object Ann {
     * gracefully to the full-store join it was before. */
   private[ml] def prunedByProbedCells(store: DataFrame,
       probed: DataFrame): DataFrame =
-    store.join(broadcast(probed.select("cell").distinct()),
-      Seq("cell"), "left_semi")
+    // no .distinct() on the build side: a left-semi join dedups by
+    // construction, and the distinct added a whole exchange + stage wave
+    // to every batch lookup (r15 #6 job audit); the build stays bounded by
+    // |Q| × Probes cell rows either way
+    store.join(broadcast(probed.select("cell")), Seq("cell"), "left_semi")
 
   // ---- IVF-FLAT serving store (VERDICT r14 #5/#3 job audit) ----
   // A real IVF-flat index stores the VECTORS inside the cell layout — the
@@ -620,6 +623,47 @@ object Ann {
       .select(col("qid"), col("vec_id"),
         asymSim(col("embedding"), col("qemb"), col("qn")).as("sim")), k)
   }
+
+  /** BATCHED IVF lookup post-filtered to an ALLOWED id set frame — the
+    * batch twin of ivfTopKAllowed (sidecar-defined slice), composed from
+    * the same stages as ivfTopKBatchFrom with the probed partitions'
+    * candidates left-semi'd to the allowed ids BEFORE the probe join, so
+    * the per-query ranking never sees out-of-slice vectors. The semi is
+    * unhinted (slice is sub-corpus-sized, not fixed-bounded; AQE
+    * broadcasts while small). */
+  def ivfTopKBatchAllowed(flat: DataFrame, queries: DataFrame,
+      allowed: DataFrame, k: Int, cents: Option[DataFrame] = None,
+      excludeSelf: Boolean = true, keepRank: Boolean = false): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qemb"))
+    val probed = probeBatch(q, cents.getOrElse(centroids(queries)))
+    val pruned = prunedByProbedCells(flat, probed)
+      .join(allowed.select("vec_id"), Seq("vec_id"), "left_semi")
+    val joined = probed.join(pruned, Seq("cell"))
+    val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("qid"))
+               else joined
+    topKPerQuery(cand
+      .select(col("qid"), col("vec_id"),
+        asymSim(col("embedding"), col("qemb"), col("qn")).as("sim")),
+      k, keepRank)
+  }
+
+  /** DuckDB mirror of ivfTopKBatchAllowed: ivfBatchOracleSql's CTE chain
+    * with the caller-supplied allowed-id subquery semi-joined on the
+    * candidate side (the ivfAllowedOracleSql shape, batched). */
+  def ivfBatchAllowedOracleSql(maxQid: Long, k: Int, allowedSql: String,
+      srcSql: String = BaseSrcSql): String =
+    s"""WITH ${cellCtesSql(srcSql)},
+       |${batchQueryCtesSql(maxQid)},
+       |al AS ($allowedSql),
+       |cand AS (SELECT p.qid AS qid, cell.vec_id AS vec_id,
+       |    round(list_dot_product(e.emb, p.qemb) /
+       |      sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(p.qemb, p.qemb)), 6) AS sim
+       |  FROM probed p JOIN cell USING (cell) JOIN e ON e.vec_id = cell.vec_id
+       |    JOIN al ON al.vec_id = cell.vec_id
+       |  WHERE cell.vec_id <> p.qid)
+       |${batchRankSql(k)}
+       |""".stripMargin.replaceAll("\\s+", " ")
 
   /** The batched probe stage shared by ivfTopKBatch and the SQ8 batch
     * lookup (Quant.sq8IvfTopKBatchFrom): each (qid, qemb) row of `q` ranks

@@ -316,6 +316,23 @@ object CorpusOps {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Bloom-pruned decontamination served from the COMMITTED fixtures
+    * (Catalog.decontamBench / decontamBloomBytes): the corpus side shingles
+    * and probes the stored bloom as a codegen literal, survivors verify
+    * against the stored bench shingle set — no per-statement cache, count,
+    * or bloom-collect waves (VERDICT r15 #5). Result identical to
+    * `decontaminate`/`decontaminateBloom` by the bloom's no-false-negative
+    * contract; CorpusOpsSpec pins stored == live. */
+  def decontaminateBloomStored(docs: DataFrame, bench: DataFrame,
+      bloom: Array[Byte], benchMaxId: Long, minOverlap: Int): DataFrame =
+    NearDup.shingles(docs)
+      .filter(col("doc_id") >= benchMaxId)
+      .filter(call_function("graft_bloom_contains", col("shingle"),
+        lit(bloom)))
+      .join(bench, Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+
   def decontaminateOracleSql(benchMaxId: Long, minOverlap: Int): String =
     s"""WITH sh AS (
        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 3

@@ -145,7 +145,12 @@ object Retrieval {
     * — ONE rendering so the avgdl arithmetic cannot drift between the
     * single and batch stored lookups. */
   private def statsFold(stats: DataFrame): DataFrame =
-    broadcast(stats
+    // a pre-folded frame (Catalog.lexStatsFolded — local 1-row, columns
+    // (n_docs, avgdl)) broadcasts as is: its LocalRelation builds the
+    // broadcast driver-side with no scan/agg stage waves. Generation
+    // frames (columns (n_docs, sum_dl)) keep the in-plan additive fold.
+    if (stats.columns.sameElements(Array("n_docs", "avgdl"))) broadcast(stats)
+    else broadcast(stats
       .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs")).as("avgdl")))
@@ -314,20 +319,40 @@ object Retrieval {
     * 26-job wave audit). */
   private def scoreStoredPostingsBatch(qt: DataFrame, px: DataFrame,
       stats: DataFrame, k: Int, keepRank: Boolean = false): DataFrame =
+    // ONE exchange on qid serves both the (qid, doc_id) aggregate (subset
+    // co-partitioning: hash(qid) clusters (qid, doc_id)) and the per-query
+    // rank window — the former agg-hash + window-hash exchange pair was
+    // two AQE stage waves per tier (VERDICT r15 #6). Map-side combine for
+    // the agg is forfeited; a (qid, doc_id) group holds ≤ |terms| rows, so
+    // the partials saved almost nothing.
     perQueryTopK(qt.join(withDfWindow(px), Seq("token"))
       .crossJoin(statsFold(stats))
+      .repartition(col("qid"))
       .groupBy("qid", "doc_id")
       .agg(round(sum(contribExpr), 4).as("bm25")), k, keepRank)
 
+  /** `termDict`: when the CALLER already holds the batch's distinct terms
+    * driver-side (a literal serving batch — the entries' BatchQueries
+    * case), the store prunes by a static pushed In(token) exactly like the
+    * single-query path: row-group skipping at planning time, and the
+    * dictionary semi-join's broadcast-build wave disappears (VERDICT r15
+    * #6 job audit). A data-scale batch passes None and keeps the unhinted
+    * semi-join below. The dict must equal the queries' distinct terms —
+    * asserted cheaply at plan time is impossible, so the batch==singles
+    * specs pin the equivalence. */
   def bm25StoredTopKBatch(index: DataFrame, stats: DataFrame,
-      queries: DataFrame, k: Int, keepRank: Boolean = false): DataFrame = {
+      queries: DataFrame, k: Int, keepRank: Boolean = false,
+      termDict: Option[Seq[String]] = None): DataFrame = {
     val qt = queries.select(col("qid"), explode(col("terms")).as("token"))
     // UNHINTED like bm25TopKBatch's dictionary join: distinct terms are
     // bounded by the batch's VOCABULARY, not a fixed cap (unlike probed
     // cells ≤ Cells), so a forced broadcast would OOM the driver on a
     // data-scale batch instead of degrading to a shuffle semi-join
-    val px = index.join(qt.select("token").distinct(),
-      Seq("token"), "left_semi")
+    val px = termDict match {
+      case Some(dict) => index.filter(col("token").isin(dict: _*))
+      case None => index.join(qt.select("token").distinct(),
+        Seq("token"), "left_semi")
+    }
     scoreStoredPostingsBatch(qt, px, stats, k, keepRank)
   }
 
@@ -371,13 +396,17 @@ object Retrieval {
     * side when it fits); df windows over the SURVIVING postings and the
     * slice stats fold from the sidecar — query cost stays proportional to
     * the terms' posting lists, and the corpus text is never touched. */
+  /** `sliceStats`: a pre-folded (n_docs, avgdl) frame for the slice
+    * (Catalog.metaStatsFolded — the immutable sidecar's fold memoized
+    * driver-side); None keeps the in-plan sidecar aggregate. */
   def bm25StoredTopKFiltered(index: DataFrame, meta: DataFrame,
-      terms: Seq[String], lang: String, k: Int): DataFrame =
+      terms: Seq[String], lang: String, k: Int,
+      sliceStats: Option[DataFrame] = None): DataFrame =
     scoreStoredPostings(
       index.filter(col("token").isin(terms: _*))
         .join(meta.filter(col("lang") === lang).select("doc_id"),
           Seq("doc_id"), "left_semi"),
-      metaStats(meta, lang), k)
+      sliceStats.getOrElse(metaStats(meta, lang)), k)
 
   /** Filtered stored HYBRID: both tiers restricted to the same
     * metadata-defined slice of the shared id space — the lexical tier via
@@ -386,8 +415,8 @@ object Retrieval {
     * the usual k-bounded fusion. Nothing corpus-sized at query time. */
   def rrfStoredFiltered(index: DataFrame, meta: DataFrame, flat: DataFrame,
       emb: DataFrame, terms: Seq[String], qVecId: Long, lang: String,
-      n: Int, k: Int): DataFrame = {
-    val lex = bm25StoredTopKFiltered(index, meta, terms, lang, n)
+      n: Int, k: Int, sliceStats: Option[DataFrame] = None): DataFrame = {
+    val lex = bm25StoredTopKFiltered(index, meta, terms, lang, n, sliceStats)
       .select(col("doc_id"), row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(desc("bm25"), asc("doc_id"))).as("rank"))
@@ -439,13 +468,21 @@ object Retrieval {
     * bm25StoredTopKBatch's plan with the postings additionally semi-joined
     * to the slice's doc ids and the stats folded from the sidecar. */
   def bm25StoredTopKBatchFiltered(index: DataFrame, meta: DataFrame,
-      queries: DataFrame, lang: String, k: Int): DataFrame = {
+      queries: DataFrame, lang: String, k: Int,
+      keepRank: Boolean = false,
+      termDict: Option[Seq[String]] = None,
+      sliceStats: Option[DataFrame] = None): DataFrame = {
     val qt = queries.select(col("qid"), explode(col("terms")).as("token"))
-    val px = index.join(qt.select("token").distinct(),
+    val pruned = termDict match {
+      case Some(dict) => index.filter(col("token").isin(dict: _*))
+      case None => index.join(qt.select("token").distinct(),
         Seq("token"), "left_semi")
+    }
+    val px = pruned
       .join(meta.filter(col("lang") === lang).select("doc_id"),
         Seq("doc_id"), "left_semi")
-    scoreStoredPostingsBatch(qt, px, metaStats(meta, lang), k)
+    scoreStoredPostingsBatch(qt, px,
+      sliceStats.getOrElse(metaStats(meta, lang)), k, keepRank)
   }
 
   /** DuckDB mirror of the filtered batch paths (shared, like the
@@ -514,23 +551,26 @@ object Retrieval {
             .orderBy(desc("bm25"), asc("doc_id"))).as("rank")),
       denseRanks(emb, qVecId, n).withColumnRenamed("vec_id", "doc_id"), k)
 
-  /** ONE rendering of the per-tier RRF contribution (absent docs
-    * contribute nothing) — shared by every fusion path. */
-  private def rrfContrib(c: Column): Column =
-    when(c.isNotNull, lit(1.0) / (lit(RrfK) + c)).otherwise(lit(0.0))
-
-  /** ONE rendering of the fusion rows: full-outer over two ranked tier
-    * frames (each carrying a `rank` column) on `keys` — doc_id alone for
-    * single-query fusion, (qid, doc_id) for batches. Rank tail left to
-    * the caller (TakeOrdered vs per-query window). */
+  /** ONE rendering of the fusion rows: rrf(d) = Σ_tiers 1/(RrfK + rank) is
+    * a plain sum over the tiers' (keys, rank) rows, so the fusion is a
+    * UNION + one aggregation — not the former full-outer join, whose
+    * equi-full-outer needs both k-bounded sides exchanged AND sorted
+    * (an SMJ wave pair, r15 #6 job audit). Absent tiers simply contribute
+    * no row; double addition over ≤2 values is commutative, so the summed
+    * score is bit-identical to the joined coalesce form (the oracles keep
+    * the full-outer rendering — same values). The explicit repartition on
+    * keys.head (qid for batches, doc_id single) lets the downstream
+    * per-query rank window reuse the aggregation's exchange via subset
+    * co-partitioning. */
   private def fuseRows(lex: DataFrame, den: DataFrame,
-      keys: Seq[String]): DataFrame =
-    lex.select(keys.map(col) :+ col("rank").as("lex_rank"): _*)
-      .join(den.select(keys.map(col) :+ col("rank").as("den_rank"): _*),
-        keys, "full_outer")
-      .select(keys.map(col) :+
-        round(rrfContrib(col("lex_rank")) + rrfContrib(col("den_rank")), 6)
-          .as("rrf"): _*)
+      keys: Seq[String]): DataFrame = {
+    val contrib = (lit(1.0) / (lit(RrfK) + col("rank"))).as("contrib")
+    lex.select(keys.map(col) :+ contrib: _*)
+      .unionByName(den.select(keys.map(col) :+ contrib: _*))
+      .repartition(col(keys.head))
+      .groupBy(keys.map(col): _*)
+      .agg(round(sum("contrib"), 6).as("rrf"))
+  }
 
   /** The single-query fusion tail shared by the corpus-side and
     * stored-index hybrid entries. */
@@ -569,20 +609,75 @@ object Retrieval {
     * Per-query output is ≤ k rows ranked by (rrf DESC, doc_id). */
   def rrfStoredBatch(index: DataFrame, stats: DataFrame,
       flat: DataFrame, queries: DataFrame, denQueries: DataFrame,
-      n: Int, k: Int): DataFrame = {
+      n: Int, k: Int, termDict: Option[Seq[String]] = None): DataFrame = {
     // each tier KEEPS the rank its own top-n window just computed — no
     // second identical window per tier (review finding)
-    val lex = bm25StoredTopKBatch(index, stats, queries, n, keepRank = true)
+    val lex = bm25StoredTopKBatch(index, stats, queries, n, keepRank = true,
+        termDict = termDict)
       .select("qid", "doc_id", "rank")
     val den = Ann.ivfTopKBatchFrom(flat, denQueries, n, keepRank = true)
       .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
+    fuseBatch(lex, den, k)
+  }
+
+  /** The per-query batch fusion tail (full-outer on (qid, doc_id) + the
+    * per-query rank window) shared by the plain and filtered stored
+    * batches. */
+  private def fuseBatch(lex: DataFrame, den: DataFrame, k: Int): DataFrame =
     fuseRows(lex, den, Seq("qid", "doc_id"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("qid").orderBy(desc("rrf"), asc("doc_id"))))
       .filter(col("rn") <= k)
       .select("qid", "doc_id", "rrf")
+
+  /** BATCHED FILTERED stored hybrid — the serving matrix's last corner
+    * ({batch} × {stored} × {filtered}): both tiers' batch plans restricted
+    * to the same metadata-defined slice (lexical postings semi-joined to
+    * the sidecar's slice ids with slice stats; dense candidates semi-joined
+    * to the same ids inside the probed partitions), fused per query.
+    * Nothing corpus-sized at query time; sub-corpus df/avgdl semantics
+    * identical to the filtered singles (spec-pinned). */
+  def rrfStoredFilteredBatch(index: DataFrame, meta: DataFrame,
+      flat: DataFrame, queries: DataFrame, denQueries: DataFrame,
+      lang: String, n: Int, k: Int,
+      termDict: Option[Seq[String]] = None,
+      sliceStats: Option[DataFrame] = None): DataFrame = {
+    val lex = bm25StoredTopKBatchFiltered(index, meta, queries, lang, n,
+        keepRank = true, termDict = termDict, sliceStats = sliceStats)
+      .select("qid", "doc_id", "rank")
+    val allowed = meta.filter(col("lang") === lang)
+      .select(col("doc_id").as("vec_id"))
+    val den = Ann.ivfTopKBatchAllowed(flat, denQueries, allowed, n,
+        keepRank = true)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
+    fuseBatch(lex, den, k)
   }
+
+  /** DuckDB mirror of rrfStoredFilteredBatch: the filtered batch oracles
+    * for both tiers + the per-query fusion tail (rrfStoredBatchOracleSql's
+    * shape with the slice composed in). */
+  def rrfStoredFilteredBatchOracleSql(queries: Seq[(Long, Seq[String])],
+      maxQid: Long, lang: String, n: Int, k: Int): String =
+    s"""WITH lex AS (
+       |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |  FROM (${bm25BatchFilteredOracleSql(queries, n, lang)})),
+       |den AS (
+       |  SELECT qid, vec_id AS doc_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id) AS den_rank
+       |  FROM (${Ann.ivfBatchAllowedOracleSql(maxQid, n,
+            s"SELECT doc_id AS vec_id FROM documents WHERE lang = ${sqlLit(lang)}")})),
+       |f AS (SELECT COALESCE(lex.qid, den.qid) AS qid,
+       |        COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+       |        round(COALESCE(1.0::DOUBLE/($RrfK + lex_rank), 0) +
+       |              COALESCE(1.0::DOUBLE/($RrfK + den_rank), 0), 6) AS rrf
+       |      FROM lex FULL OUTER JOIN den
+       |        ON lex.qid = den.qid AND lex.doc_id = den.doc_id)
+       |SELECT qid, doc_id, rrf FROM (
+       |  SELECT qid, doc_id, rrf, row_number() OVER (PARTITION BY qid
+       |    ORDER BY rrf DESC, doc_id) AS rn FROM f)
+       |WHERE rn <= $k""".stripMargin.replaceAll("\\s+", " ")
 
   /** DuckDB mirror of rrfStoredBatch: the already-verified batch oracles
     * for both tiers, per-query rank assignment, and the fusion tail. */

@@ -587,6 +587,52 @@ object Catalog {
     readImmutable(spark, path).select("n_docs", "sum_dl")
   }
 
+  /** The lexical stats fold of the IMMUTABLE serving store as a LOCAL
+    * 1-row frame — the additive-generations fold (sum n_docs, sum sum_dl,
+    * avgdl = sum_dl/n_docs with the identical double division) collected
+    * ONCE per (session, sf-dir) and memoized, the driver-side-constants
+    * posture (r15): the generation parquet scan + the 1-row aggregate
+    * exchange stop riding every stored lexical statement (2 AQE stage
+    * waves each). Streamed/scratch stats generations must NOT use this —
+    * they are rewritten between reads; their consumers keep the in-plan
+    * fold (Retrieval.statsFold's generations branch). */
+  private val lexStatsFolds =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  def lexStatsFolded(spark: SparkSession, dir: String): DataFrame =
+    lexStatsFolds.computeIfAbsent((spark, dir), _ => {
+      val r = lexStats(spark, dir)
+        .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+        .collect()(0)
+      val (nDocs, sumDl) = (r.getLong(0), r.getLong(1))
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      spark.createDataFrame(
+        java.util.Arrays.asList(Row(nDocs, sumDl.toDouble / nDocs)),
+        StructType(Seq(StructField("n_docs", LongType),
+          StructField("avgdl", DoubleType))))
+    })
+
+  /** The metadata slice's stats fold — lexStatsFolded's twin for the
+    * filtered tier: (n_docs, avgdl) of one lang slice of the immutable
+    * docMeta sidecar, memoized per (session, sf-dir, lang). Same double
+    * division as the in-plan metaStats fold. */
+  private val metaStatsFolds =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+  def metaStatsFolded(spark: SparkSession, dir: String,
+      lang: String): DataFrame =
+    metaStatsFolds.computeIfAbsent((spark, dir, lang), _ => {
+      val r = docMeta(spark, dir).filter(col("lang") === lang)
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+        .collect()(0)
+      val (nDocs, sumDl) = (r.getLong(0), r.getLong(1))
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      spark.createDataFrame(
+        java.util.Arrays.asList(Row(nDocs, sumDl.toDouble / nDocs)),
+        StructType(Seq(StructField("n_docs", LongType),
+          StructField("avgdl", DoubleType))))
+    })
+
   /** The MATERIALIZED document-metadata sidecar — (doc_id, lang, source,
     * dl): the per-document attributes metadata-filtered retrieval needs,
     * stored BESIDE the inverted index the way every search engine ships
@@ -615,6 +661,55 @@ object Catalog {
     * admission appends per-batch verified pairs
     * (streaming.DocumentsIngest.runPairSink); compaction folds the
     * generations (dedup_pairs_compact). */
+  /** The MATERIALIZED benchmark shingle set for decontamination — the
+    * distinct 3-gram shingles of the bench slice (doc_id < benchMaxId),
+    * laid out sorted by shingle so the verify join shuffles pre-sorted
+    * partitions. The benchmark is immutable per sf-dir, so this set (and
+    * the bloom beside it) is a committed fixture, not per-statement work
+    * (VERDICT r15 #5). */
+  def decontamBench(spark: SparkSession, dir: String,
+      benchMaxId: Long): DataFrame = {
+    val path = cacheDir(dir, s"decontam_bench_$benchMaxId")
+    materialize(path) {
+      graft.ml.NearDup.shingles(documents(spark, dir))
+        .filter(col("doc_id") < benchMaxId)
+        .select("shingle").distinct()
+        .repartition(col("shingle"))
+        .sortWithinPartitions("shingle")
+    }
+    readImmutable(spark, path).select("shingle")
+  }
+
+  /** The SERIALIZED bloom filter over decontamBench — sized from the actual
+    * bench cardinality (ADVICE r14), built once per sf-dir beside the
+    * shingle store and read back as raw bytes with ZERO jobs at serving
+    * time: the statement inlines the bytes as a codegen literal
+    * (graft_bloom_contains) and never schedules the cache/count/collect
+    * build waves the per-statement construction paid (VERDICT r15 #5).
+    * Memoized per path; written atomically via tmp + rename. */
+  private val blooms =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]
+  def decontamBloomBytes(spark: SparkSession, dir: String, benchMaxId: Long,
+      fpp: Double = 0.01): Array[Byte] = {
+    val path = cacheDir(dir, s"decontam_bloom_$benchMaxId")
+    blooms.computeIfAbsent(path, _ => synchronized {
+      val f = new java.io.File(s"$path/bloom.bin")
+      if (!f.exists()) {
+        val bench = decontamBench(spark, dir, benchMaxId)
+        val bf = bench.stat.bloomFilter("shingle",
+          math.max(bench.count(), 1L), fpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        f.getParentFile.mkdirs()
+        val tmp = new java.io.File(s"$path/bloom.bin.tmp")
+        java.nio.file.Files.write(tmp.toPath, bos.toByteArray)
+        if (!tmp.renameTo(f) && !f.exists())
+          sys.error(s"could not commit $f")
+      }
+      java.nio.file.Files.readAllBytes(f.toPath)
+    })
+  }
+
   /** The MATERIALIZED per-key matched/split intermediate of CORRELATE for a
     * fixed (a, b) leaf pair — CorrelateExec.matchedRanges built once per
     * sf-dir: the split-point search (windowed prefix-scan argmax), the

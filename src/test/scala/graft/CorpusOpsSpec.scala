@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions.col
-import graft.ml.{Clusters, CorpusOps}
+import graft.ml.{Clusters, CorpusOps, NearDup}
 
 class CorpusOpsSpec extends AnyFunSuite {
   import TestSpark.spark
@@ -121,6 +121,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     val out = CorpusOps.decontaminate(docs, benchMaxId = 50L, minOverlap = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out == Map(100L -> 8L)) // benchmark doc 0 itself is never reported
+  }
+
+  test("stored-fixture bloom decontamination equals the live paths") {
+    // The Catalog.decontamBench/decontamBloomBytes serving shape: bench
+    // shingles round-trip through parquet, the bloom arrives as pre-built
+    // bytes — the fold must equal both decontaminate (exact) and
+    // decontaminateBloom (live bloom build), the decontaminate_bloom
+    // serving contract (VERDICT r15 #5).
+    val leaked = (1 to 10).map(i => s"w$i").mkString(" ")
+    val partial = ((1 to 4).map(i => s"w$i") ++ (1 to 6).map(i => s"y$i"))
+      .mkString(" ") // shares shingles w1..w4 → 2 overlapping 3-grams
+    val docs = Seq((0L, leaked), (100L, leaked), (101L, partial))
+      .toDF("doc_id", "text")
+    val live = CorpusOps.decontaminate(docs, 50L, 3)
+      .collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("decon-store").toString
+    NearDup.shingles(docs).filter($"doc_id" < 50L).select("shingle")
+      .distinct().write.mode("overwrite").parquet(dir)
+    val bench = spark.read.parquet(dir)
+    val bf = bench.stat.bloomFilter("shingle", 64L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val stored = CorpusOps.decontaminateBloomStored(docs, bench,
+        bos.toByteArray, 50L, 3)
+      .collect().map(_.toSeq).toSet
+    assert(stored == live && live.nonEmpty)
   }
 
   test("mixtureSample fills per-source quotas, capped by availability") {

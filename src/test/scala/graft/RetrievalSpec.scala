@@ -352,6 +352,37 @@ class RetrievalSpec extends AnyFunSuite {
       s"batched hybrid must read only the stored tiers:\n$p")
   }
 
+  test("rrfStoredFilteredBatch slice == single rrfStoredFiltered; store-only") {
+    val terms = Seq("merge", "stream", "window")
+    val queries = Seq(0L -> terms, 1L -> Seq("hash", "join"))
+    val bdf = Retrieval.rrfStoredFilteredBatch(Catalog.lexIndex(spark, dir),
+      Catalog.docMeta(spark, dir), Catalog.ivfFlat(spark, dir),
+      queries.toDF("qid", "terms"),
+      Catalog.embeddings(spark, dir).filter(col("vec_id") < 2),
+      "en", 20, 10)
+    // both qid slices against the single filtered hybrid (the
+    // rrfStoredBatch convention: one slice alone can mask a fusion window
+    // not partitioned by qid)
+    for ((qid, ts) <- queries) {
+      val slice = bdf.filter(col("qid") === qid).collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).toSet
+      val single = Retrieval.rrfStoredFiltered(Catalog.lexIndex(spark, dir),
+        Catalog.docMeta(spark, dir), Catalog.ivfFlat(spark, dir),
+        Catalog.embeddings(spark, dir), ts, qid, "en", 20, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(slice == single, s"qid $qid slice diverges from single path")
+    }
+    // every fused hit stays inside the metadata slice
+    val enIds = Catalog.docMeta(spark, dir).filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bdf.collect().forall(r => enIds.contains(r.getLong(1))),
+      "fused hit outside the metadata slice")
+    val p = bdf.queryExecution.executedPlan.toString
+    assert(p.contains("lex_index") && p.contains("ivf_flat") &&
+      p.contains("doc_meta") && !TestSpark.scansCorpusText(p),
+      s"filtered batched hybrid must read only the stored tiers:\n$p")
+  }
+
   test("decontaminateBloom == decontaminate, bloom probe in the plan") {
     val docs = Catalog.documents(spark, dir)
     val exact = CorpusOps.decontaminate(docs, 25L, 3)
