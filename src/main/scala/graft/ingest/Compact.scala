@@ -243,6 +243,19 @@ object Compact {
     * cannot distinguish a crash from a slow live compactor. */
   def compactAndFlip(spark: SparkSession, inPath: String, base: String,
       keyCol: String, sortCols: Seq[String],
+      partitions: Option[Int] = None): DataFrame =
+    writeGenerationAndFlip(spark, spark.read.parquet(inPath), base,
+      keyCol, sortCols, partitions)
+
+  /** Write `src` as the NEXT sorted generation under `base` and flip the
+    * manifest — the generation writer behind compactAndFlip, exposed for
+    * callers whose input is a FRAME rather than a raw delta directory: the
+    * tombstone-folding compaction passes the serving store anti-joined to
+    * its tombstone set (Ann.ivfTombstoneCompactServe), a delta compaction
+    * passes the raw read. Same lock + atomic-flip discipline; a failed
+    * write leaves the manifest untouched. */
+  def writeGenerationAndFlip(spark: SparkSession, src: DataFrame,
+      base: String, keyCol: String, sortCols: Seq[String],
       partitions: Option[Int] = None): DataFrame = {
     val (fs, lock) = fsFor(s"$base/$LockFile")
     fs.mkdirs(lock.getParent)
@@ -258,7 +271,12 @@ object Compact {
         .map(g => new Path(g).getName.stripPrefix("gen-").toInt + 1)
         .getOrElse(1)
       val name = genName(next)
-      compactIndex(spark, inPath, s"$base/$name", keyCol, sortCols, partitions)
+      val parted = partitions match {
+        case Some(n) => src.repartition(n, col(keyCol))
+        case None    => src.repartition(col(keyCol))
+      }
+      parted.sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode("overwrite").parquet(s"$base/$name")
       flipGeneration(base, name)
       readCurrent(spark, base)
     } finally {

@@ -566,6 +566,68 @@ object Ann {
       .limit(k)
   }
 
+  /** IVF lookup with a TOMBSTONE mask — the DENSE end of the no-reindex
+    * delete lifecycle (bm25StoredTopKMasked's twin, VERDICT r15 #4):
+    * near-dup losers (or any deleted-id set) anti-join the probed
+    * candidates at serving time, so deletes mask results immediately
+    * without touching the stored cells. Unlike the lexical tier, cosine
+    * scores carry NO corpus statistics, so masked serving and a
+    * tombstone-folding compaction (ivfTombstoneCompactServe) return
+    * IDENTICAL rows — pinned by AnnIndexSpec; a hybrid deployment masks
+    * BOTH tiers with the same tombstone set or serves inconsistent
+    * fusions. */
+  def ivfTopKMaskedFrom(flat: DataFrame, emb: DataFrame, qVecId: Long,
+      tombstones: DataFrame, k: Int): DataFrame = {
+    val vec = queryVec(emb, qVecId)
+    val qemb = litVec(vec)
+    flat.filter(col("cell").isin(probedCellsOf(vec): _*))
+      .filter(col("vec_id") =!= qVecId)
+      .join(tombstones.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"),
+        round(dot(col("embedding"), qemb) /
+          sqrt(dot(col("embedding"), col("embedding")) * lit(selfDot(vec))),
+          6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** The COMPACTION end of the dense delete lifecycle: fold the tombstoned
+    * vectors out of the flat store into a new sorted generation behind the
+    * atomic MANIFEST flip (the bm25_clean_rebuild equivalence), then serve
+    * the same lookup from the flipped generation — the cell In-filter
+    * file-skips via min/max on the (cell, vec_id) sort. Memoized per
+    * statement window like every *Once compaction. */
+  def ivfTombstoneCompactServe(spark: org.apache.spark.sql.SparkSession,
+      flat: DataFrame, emb: DataFrame, qVecId: Long, tombstones: DataFrame,
+      scratchBase: String, k: Int): DataFrame = {
+    val clean = graft.util.Caches.memoize(s"ann:tombcompact:$scratchBase") {
+      graft.ingest.Compact.rmTree(scratchBase)
+      graft.ingest.Compact.writeGenerationAndFlip(spark,
+        flat.join(tombstones.select("vec_id"), Seq("vec_id"), "left_anti"),
+        scratchBase, "cell", Seq("cell", "vec_id"), partitions = Some(4))
+    }
+    ivfTopKFromVec(clean, queryVec(emb, qVecId), qVecId, k)
+  }
+
+  /** DuckDB mirror of ivfTopKMaskedFrom AND the compacted serve (one
+    * oracle — identity across the flip is the lifecycle's contract): the
+    * ivfOracleSql chain with the dead-id subquery anti-joined. */
+  def ivfMaskedOracleSql(qVecId: Long, k: Int, deadSql: String,
+      srcSql: String = BaseSrcSql): String =
+    s"""WITH ${cellCtesSql(srcSql)},
+       |qc AS (SELECT cent_id AS cell FROM asg WHERE vec_id = $qVecId
+       |       ORDER BY csim DESC, cent_id ASC LIMIT $Probes),
+       |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId),
+       |dead AS ($deadSql)
+       |SELECT cell.vec_id AS vec_id,
+       |  round(list_dot_product(e.emb, q.qemb) /
+       |        sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
+       |FROM cell JOIN qc USING (cell) JOIN e USING (vec_id), q
+       |WHERE cell.vec_id <> $qVecId
+       |  AND cell.vec_id NOT IN (SELECT vec_id FROM dead)
+       |ORDER BY sim DESC, vec_id LIMIT $k
+       |""".stripMargin.replaceAll("\\s+", " ")
+
   /** DuckDB mirror of ivfTopKAllowed: ivfOracleSql's CTE chain with the
     * caller-supplied allowed-id subquery (must yield a vec_id column)
     * semi-joined on the candidate side — the ivfFilteredOracleSql shape

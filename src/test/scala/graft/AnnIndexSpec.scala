@@ -195,6 +195,37 @@ class AnnIndexSpec extends AnyFunSuite {
       s"label filter not pushed in the batch plan:\n${plan(bdf)}")
   }
 
+  test("dense tombstone mask bites and == tombstone-folded compaction") {
+    import spark.implicits._
+    val flat = Catalog.ivfFlat(spark, dir)
+    val emb = Catalog.embeddings(spark, dir)
+    // tombstones drawn from the unmasked top-k, so the mask provably bites
+    // regardless of fixture clustering (the RetrievalSpec convention)
+    val unmasked = Ann.ivfTopKFrom(flat, emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dead = unmasked.take(2).map(_._1)
+    val masked = Ann.ivfTopKMaskedFrom(flat, emb, 0L,
+        dead.toDF("vec_id"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(masked.map(_._1).toSet.intersect(dead.toSet).isEmpty)
+    // cosine carries no corpus statistics: surviving scores are unchanged
+    val um = unmasked.toMap
+    assert(masked.forall { case (id, s) => um.get(id).forall(_ == s) })
+    // the compaction end serves IDENTICAL rows from the flipped generation
+    val scratch = java.nio.file.Files
+      .createTempDirectory("ann-tomb").toString
+    val compacted = Ann.ivfTombstoneCompactServe(spark, flat, emb, 0L,
+        dead.toDF("vec_id"), scratch, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(compacted == masked)
+    // and the generation really flipped: a manifest exists and the dead
+    // ids are physically absent from the store it points at
+    val cur = graft.ingest.Compact.currentGeneration(scratch)
+    assert(cur.isDefined)
+    val gen = spark.read.parquet(cur.get)
+    assert(gen.filter(col("vec_id").isin(dead: _*)).count() == 0)
+  }
+
   test("persisted-index lookup matches the ad-hoc derivation") {
     val emb = Catalog.embeddings(spark, dir)
     val stored = Ann.topK(emb, Catalog.annBuckets(spark, dir), 0, 10)
