@@ -16,10 +16,11 @@ cd "$(dirname "$0")/.."
 
 SF="${1:-/root/testdata/sf0.1}"
 LOAD="${LOAD:-8}"
-# r14 additions: correlate_leakage_one (4.9x driver swing, 5-job plan same
-# as its 1.0x twin — decide ambient-vs-structural from here) and
-# dedup_minhash (now a stored read; parity here confirms the r15 fix).
-FAMILY="${FAMILY:-dedup_clusters,dedup_removal,dedup_keep_best,correlate_full,correlate_leakage,correlate_leakage_one,correlate_logodds,dedup_minhash,rrf_stored_batch}"
+# r16 set (VERDICT r15 #8): the r15 driver run's top-10 entries plus the
+# new filtered/masked tier, so next round's ambient-vs-structural calls
+# are pre-decided; correlate_full is now a stored read (parity here
+# confirms the r16 fix, like dedup_minhash confirmed r15's).
+FAMILY="${FAMILY:-correlate_full,correlate_logodds,correlate_leakage_one,join_salted,bm25_topk_batch,rrf_stored_batch,decontaminate_bloom,tfidf_topterms,pipeline_clean_corpus,span_dedup,span_dedup_stored,dedup_minhash,bm25_topk_filtered_batch,bm25_stored_filtered_batch,rrf_stored_filtered_batch,ann_masked_serve,ann_tombstone_compact}"
 OUT="${OUT:-bench_contended.json}"
 
 # Background load: LOAD python workers repeatedly full-reading every parquet

@@ -38,6 +38,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"prefix not pushed:\n$p")
   }
 
+  test("in-FIELD:PARAM contains-scan pushes its prefix (VERDICT r15 #7)") {
+    // The S3 prefix+contains leaf is inherently a key sweep over one
+    // prefix family, but the StartsWith conjunct must reach the parquet
+    // scan as a pushed filter: the 1-file-per-key index layout then skips
+    // every other key family via min/max stats — the 100× key dictionary
+    // is pruned, only the contains() check runs post-scan.
+    val p = planOf(SparkEntry.queries("ql_in_prefix")(spark, dir))
+    assert(p.contains("StringStartsWith(key,priority)"),
+      s"in-prefix leaf's StartsWith not pushed:\n$p")
+  }
+
   test("5-field SELECT collapses plain leaves into ONE index scan") {
     // VERDICT r9 #4: N plain-leaf fields must not mean N scans of a 100 TB
     // index — the collapse makes it one shared `key isin (…)` scan read
