@@ -865,6 +865,19 @@ object SparkEntry {
           .select(col("doc_id").as("vec_id")),
         Catalog.scratch(dir, "ann_tombstone_compact"), 10)
     }),
+    // the MASKED stored hybrid: the tombstone set applied to BOTH tiers
+    // of one fusion — masking only one side would fuse a ranking that
+    // still holds the deleted doc with one that doesn't (the
+    // inconsistency the dense lifecycle exists to prevent)
+    "rrf_stored_masked" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ml.Retrieval.rrfStoredMasked(Catalog.lexIndex(s, dir),
+        Catalog.lexStatsFolded(s, dir), Catalog.embeddings(s, dir),
+        Catalog.ivfFlat(s, dir),
+        Catalog.dupClusters(s, dir, 0.6)
+          .filter(col("doc_id") =!= col("cluster_id")),
+        Seq("stream", "table", "scan"), 0L, 20, 10)
+    }),
     // the filtered stored HYBRID: both tiers restricted to the same
     // metadata slice of the shared id space, fused k-bounded — the
     // filtered-search shape every deployed retrieval stack exposes
@@ -1669,6 +1682,11 @@ object SparkEntry {
     "ann_tombstone_compact" -> Ann.ivfMaskedOracleSql(0L, 10,
       s"""SELECT doc_id AS vec_id FROM (${graft.ml.Clusters.oracleSql(0.6)})
          | WHERE doc_id <> cluster_id""".stripMargin.replaceAll("\\s+", " ")),
+    "rrf_stored_masked" -> graft.ml.Retrieval.rrfStoredMaskedOracleSql(
+      Seq("stream", "table", "scan"), 0L,
+      s"""SELECT doc_id FROM (${graft.ml.Clusters.oracleSql(0.6)})
+         | WHERE doc_id <> cluster_id""".stripMargin
+        .replaceAll("\\s+", " "), 20, 10),
     "rrf_stored_filtered" -> graft.ml.Retrieval.rrfStoredFilteredOracleSql(
       Seq("merge", "stream", "window"), 0L, "en", 20, 10),
     "rrf_fusion" -> graft.ml.Retrieval.rrfOracleSql(

@@ -33,35 +33,47 @@ import graft.operators.PostingAlgebra._
   */
 object CorrelateExec {
 
-  /** Distinct membership sets: A, and B with A's offsets removed. Cached
-    * (tracked): every consumer layer (counts, logOdds, the sizes frame)
-    * joins each set at least twice — uncached, the compile pipelines
-    * re-evaluate per join site (bench counters: correlate_logodds ran 21
-    * jobs vs correlate_full's 12, purely from re-derived set subplans). */
+  /** Distinct membership sets: A, and B with A's offsets removed.
+    * UNCACHED since r16: the consumer layers' repeated set subplans are
+    * identical leaf lookups over the re-laid key-pruned index, and
+    * exchange reuse covers them — the r9-era caches that once saved
+    * re-derivation now only forced extra materialization waves
+    * (correlate_counts 11 → 3 jobs on the uncached lazy plan). */
   def sets(spark: SparkSession, t: Tables, a: Query, b: Query): (DataFrame, DataFrame) = {
     val c = new QueryCompiler(spark, t)
     val pa = dedupMin(c.compile(a).postings)
     val pb = subtract(dedupMin(c.compile(b).postings), pa)
-    (graft.util.Caches.track(pa.select("off").cache()),
-      graft.util.Caches.track(pb.select("off").cache()))
+    (pa.select("off"), pb.select("off"))
   }
+
+  /** The tagged MEMBERSHIP union: one row per offset of A ∪ B carrying 0/1
+    * flags. A and B are disjoint by construction (B subtracts A,
+    * correlate.cc:497-501) and internally distinct (dedupMin), so the
+    * union needs no aggregation. Every CORRELATE layer joins THIS one
+    * frame instead of each set separately — halving the membership
+    * exchanges and broadcast builds per statement (r16 job audit) — and
+    * the sizes frame becomes one aggregate over it. */
+  def membership(setA: DataFrame, setB: DataFrame): DataFrame =
+    setA.select(col("off"), lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionByName(setB.select(col("off"), lit(0).as("in_a"),
+        lit(1).as("in_b")))
 
   /** A9 counting layer: per index key, the number of distinct key-offsets
     * matching A, B, and either (correlate.cc:84-135 — duplicate key offsets
     * counted once). Declarative: no driver-side action. */
   def counts(t: Tables, setA: DataFrame, setB: DataFrame): DataFrame = {
     val k = t.index.select("key", "off").distinct()
-    // membership sets are QUERY-RESULT-sized — no broadcast hint (it would
-    // cap the engine at queries whose result fits on the driver); AQE
-    // runtime-broadcasts them when small, shuffle-joins on `off` when not
-    k.join(setA.withColumn("in_a", lit(1)), Seq("off"), "left_outer")
-      .join(setB.withColumn("in_b", lit(1)), Seq("off"), "left_outer")
+    // the membership union is QUERY-RESULT-sized — no broadcast hint (it
+    // would cap the engine at queries whose result fits on the driver);
+    // AQE runtime-broadcasts it when small, shuffle-joins on `off` when
+    // not. Per-row coalesce keeps all-unmatched keys at 0, the count()
+    // semantics of the former two-join shape.
+    k.join(membership(setA, setB), Seq("off"), "left_outer")
       .groupBy("key")
       .agg(
-        count(col("in_a")).as("cnt_a"),
-        count(col("in_b")).as("cnt_b"),
-        count(when(col("in_a").isNotNull || col("in_b").isNotNull, 1))
-          .as("cnt_a_or_b"))
+        sum(coalesce(col("in_a"), lit(0))).as("cnt_a"),
+        sum(coalesce(col("in_b"), lit(0))).as("cnt_b"),
+        count(col("in_a")).as("cnt_a_or_b"))
   }
 
   /** The 1-row sizes/limits/prior frame (correlate.cc:512-518) every
@@ -71,9 +83,12 @@ object CorrelateExec {
     * statement one lazy plan — one job wave at action time, no up-front
     * count jobs (VERDICT r13 #3: the former eager union-count collect cost
     * an extra driver-scheduled wave that inflated 5-20× under load). */
-  def sizesOf(setA: DataFrame, setB: DataFrame): DataFrame =
-    setA.agg(count(lit(1)).as("n_a"))
-      .crossJoin(setB.agg(count(lit(1)).as("n_b")))
+  def sizesOf(mem: DataFrame): DataFrame =
+    mem.agg(sum(coalesce(col("in_a"), lit(0))).as("n_a0"),
+        sum(coalesce(col("in_b"), lit(0))).as("n_b0"))
+      // empty membership → NULL sums; the former count() shape gave 0
+      .select(coalesce(col("n_a0"), lit(0L)).as("n_a"),
+        coalesce(col("n_b0"), lit(0L)).as("n_b"))
       .select(col("n_a"), col("n_b"),
         greatest(floor(col("n_a") / 20), lit(1L)).as("limit_a"),
         greatest(floor(col("n_b") / 20), lit(1L)).as("limit_b"),
@@ -84,20 +99,19 @@ object CorrelateExec {
     * the whole statement stays one lazy plan. Key-size skip (step 3) included.
     * Returns (key, log_odds, cnt_a, cnt_b). */
   def logOdds(t: Tables, setA: DataFrame, setB: DataFrame): DataFrame = {
-    val sizes = sizesOf(setA, setB)
+    val mem = membership(setA, setB)
+    val sizes = sizesOf(mem)
     // ONE pass over the index: groupBy (key, off) carries the duplicate
     // count, so the raw key size (support gate) and the distinct-offset
     // match counts come out of the same shuffle — no second full scan.
     val kc = t.index.groupBy("key", "off").agg(count(lit(1)).as("dup_n"))
-    kc.join(setA.withColumn("in_a", lit(1)), Seq("off"), "left_outer")
-      .join(setB.withColumn("in_b", lit(1)), Seq("off"), "left_outer")
+    kc.join(mem, Seq("off"), "left_outer")
       .groupBy("key")
       .agg(
         sum("dup_n").as("key_n"),
-        count(col("in_a")).as("cnt_a"),
-        count(col("in_b")).as("cnt_b"),
-        count(when(col("in_a").isNotNull || col("in_b").isNotNull, 1))
-          .as("cnt_a_or_b"))
+        sum(coalesce(col("in_a"), lit(0))).as("cnt_a"),
+        sum(coalesce(col("in_b"), lit(0))).as("cnt_b"),
+        count(col("in_a")).as("cnt_a_or_b"))
       .crossJoin(broadcast(sizes))
       .filter(col("key_n") >= least(col("limit_a"), col("limit_b")))
       .filter(col("cnt_a") >= col("limit_a") || col("cnt_b") >= col("limit_b"))
@@ -426,18 +440,18 @@ object CorrelateExec {
     val c = new QueryCompiler(spark, t)
     val pa = dedupMin(c.compile(a).postings)
     val pb = subtract(dedupMin(c.compile(b).postings), pa)
-    // the distinct membership sets feed the size aggregates, the class join
+    // the tagged membership union feeds the size aggregate, the class join
     // and the range re-score — cache once instead of re-evaluating per
-    // consumer; tracked so the presenter can release them
-    // post-materialization. The caches populate inside the one action's
-    // first stage that touches them and every later consumer in the same
+    // consumer; tracked so the presenter can release it
+    // post-materialization. The cache populates inside the one action's
+    // first stage that touches it and every later consumer in the same
     // job reads the cached blocks.
-    val setA = graft.util.Caches.track(pa.select("off").cache())
-    val setB = graft.util.Caches.track(pb.select("off").cache())
+    val mem = graft.util.Caches.track(
+      membership(pa.select("off"), pb.select("off")).cache())
     // 1 row; cached so the several crossJoin sites below share one
-    // materialization of the count aggregates instead of re-scanning the
-    // cached sets per site
-    val sizes = graft.util.Caches.track(sizesOf(setA, setB).cache())
+    // materialization of the count aggregate instead of re-scanning the
+    // cached union per site
+    val sizes = graft.util.Caches.track(sizesOf(mem).cache())
 
     // Time-leakage handling (correlate.cc:524-563): when A's primary keyword
     // is timestamped, ephemeral keys are skipped entirely and timestamped
@@ -485,16 +499,16 @@ object CorrelateExec {
     // Ranges: boolean keys → full range; continuous keys → the distributed
     // split search (windowed prefix-scan argmax) over matched (score, cls)
     // pairs.
-    // the membership sets are QUERY-RESULT-sized (every matching offset) —
-    // hint-broadcasting them caps the engine at queries whose result fits
-    // on the driver. Unhinted, AQE runtime-broadcasts the cached sets when
-    // small and shuffle-joins on `off` when not.
+    // the membership union is QUERY-RESULT-sized (every matching offset) —
+    // hint-broadcasting it caps the engine at queries whose result fits
+    // on the driver. Unhinted, AQE runtime-broadcasts the cached union
+    // when small and shuffle-joins on `off` when not. A matched row has
+    // both flags non-null; A/B are disjoint so cls = in_a − in_b ∈ {±1}.
     val matched = idx.filter(col("continuous") === 1)
-      .join(setA.withColumn("in_a", lit(1)), Seq("off"), "left_outer")
-      .join(setB.withColumn("in_b", lit(1)), Seq("off"), "left_outer")
-      .filter(col("in_a").isNotNull || col("in_b").isNotNull)
+      .join(mem, Seq("off"), "left_outer")
+      .filter(col("in_a").isNotNull)
       .select(col("key"), col("score"),
-        (coalesce(col("in_a"), lit(0)) - coalesce(col("in_b"), lit(0))).as("cls"))
+        (col("in_a") - col("in_b")).as("cls"))
     val contRanges = splitRanges(matched, sizes)
     val boolRanges = keyMeta.filter(col("continuous") === 0)
       .select(col("key"), lit(null).cast("double").as("lo"),
@@ -510,9 +524,8 @@ object CorrelateExec {
         (col("hi").isNull || col("score") <= col("hi")))
       .select("key", "lo", "hi", "off").distinct()
     inRange
-      .join(setA.withColumn("in_a", lit(1)), Seq("off"), "left_outer")
-      .join(setB.withColumn("in_b", lit(1)), Seq("off"), "left_outer")
-      .filter(col("in_a").isNotNull || col("in_b").isNotNull)
+      .join(mem, Seq("off"), "left_outer")
+      .filter(col("in_a").isNotNull)
       .crossJoin(broadcast(sizes))
   }
 
@@ -524,10 +537,15 @@ object CorrelateExec {
     * cnt_a_or_b = count(*).
     * Returns (key, min_score, max_score, log_odds, cnt_a, cnt_b). */
   def scoreMatched(m: DataFrame): DataFrame =
+    // summing the per-row-coalesced membership flags counts A/B hits under
+    // BOTH flag encodings a store may carry — the current 0/1 union tags
+    // and the pre-r16 1/null join markers — and keeps a one-sided group's
+    // other count at 0 instead of NULL (a NULL cnt would null the log-odds
+    // and silently drop the row at the significance filter)
     m.groupBy("key", "lo", "hi", "n_a", "n_b", "limit_a", "limit_b", "prior")
       .agg(
-        count(col("in_a")).as("cnt_a"),
-        count(col("in_b")).as("cnt_b"),
+        sum(coalesce(col("in_a"), lit(0))).as("cnt_a"),
+        sum(coalesce(col("in_b"), lit(0))).as("cnt_b"),
         count(lit(1)).as("cnt_a_or_b"))
       // the reference's nA==0/nB==0 early exit (correlate.cc:497-510),
       // declaratively: an empty side empties the result set

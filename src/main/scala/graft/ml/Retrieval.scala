@@ -599,6 +599,51 @@ object Retrieval {
     fuse(lex, den, k)
   }
 
+  /** Tombstone-MASKED stored hybrid — the delete lifecycle applied to BOTH
+    * tiers of the same fusion (VERDICT r15 #4's rationale made an
+    * operator): the lexical tier serves masked with pre-delete statistics
+    * (bm25StoredTopKMasked), the dense tier anti-joins the same tombstone
+    * set inside its probed cells (Ann.ivfTopKMaskedFrom), and the fusion
+    * sees no deleted doc from either side — masking one tier only would
+    * fuse a ranking that still contains the deleted doc with one that
+    * doesn't, exactly the inconsistency this operator exists to prevent. */
+  def rrfStoredMasked(index: DataFrame, stats: DataFrame, emb: DataFrame,
+      flat: DataFrame, tombstones: DataFrame, terms: Seq[String],
+      qVecId: Long, n: Int, k: Int): DataFrame = {
+    val lex = bm25StoredTopKMasked(index, stats, tombstones, terms, n)
+      .select(col("doc_id"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("bm25"), asc("doc_id"))).as("rank"))
+    val den = Ann.ivfTopKMaskedFrom(flat, emb, qVecId,
+        tombstones.select(col("doc_id").as("vec_id")), n)
+      .select(col("vec_id").as("doc_id"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("sim"), asc("vec_id"))).as("rank"))
+    fuse(lex, den, k)
+  }
+
+  /** DuckDB mirror of rrfStoredMasked: the masked bm25 oracle (candidates
+    * anti-joined, df/stats pre-delete) + the masked dense oracle, fused
+    * with the standard tail. */
+  def rrfStoredMaskedOracleSql(terms: Seq[String], qVecId: Long,
+      deadDocSql: String, n: Int, k: Int): String =
+    s"""WITH dead AS ($deadDocSql),
+       |lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |  FROM (${bm25OracleSql(terms, n, andWhere =
+            "AND doc_id NOT IN (SELECT doc_id FROM dead)")})),
+       |den AS (
+       |  SELECT vec_id AS doc_id,
+       |    row_number() OVER (ORDER BY sim DESC, vec_id) AS den_rank
+       |  FROM (${Ann.ivfMaskedOracleSql(qVecId, n,
+            "SELECT doc_id AS vec_id FROM dead")}))
+       |SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+       |  round(COALESCE(1.0::DOUBLE/($RrfK + lex_rank), 0) +
+       |        COALESCE(1.0::DOUBLE/($RrfK + den_rank), 0), 6) AS rrf
+       |FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT $k""".stripMargin
+      .replaceAll("\\s+", " ")
+
   /** BATCHED stored hybrid — the whole hybrid serving matrix in one plan:
     * the lexical tier is bm25StoredTopKBatch (stored postings, term-
     * dictionary semi-join), the dense tier is Ann.ivfTopKBatch (stored

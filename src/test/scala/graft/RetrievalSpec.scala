@@ -352,6 +352,34 @@ class RetrievalSpec extends AnyFunSuite {
       s"batched hybrid must read only the stored tiers:\n$p")
   }
 
+  test("rrfStoredMasked: no tombstoned doc from either tier, decomposes") {
+    import spark.implicits._
+    val terms = Seq("merge", "stream", "window")
+    // tombstones drawn from BOTH tiers' unmasked top-n so the mask
+    // provably bites on each side
+    val lexTop = Retrieval.bm25StoredTopK(Catalog.lexIndex(spark, dir),
+      Catalog.lexStats(spark, dir), terms, 5).collect().map(_.getLong(0))
+    val denTop = Ann.ivfTopKFrom(Catalog.ivfFlat(spark, dir),
+      Catalog.embeddings(spark, dir), 0L, 5).collect().map(_.getLong(0))
+    val dead = (lexTop.take(1) ++ denTop.take(1)).distinct.toSeq
+    val fusedM = Retrieval.rrfStoredMasked(Catalog.lexIndex(spark, dir),
+      Catalog.lexStats(spark, dir), Catalog.embeddings(spark, dir),
+      Catalog.ivfFlat(spark, dir), dead.toDF("doc_id"), terms, 0L, 20, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fusedM.nonEmpty)
+    assert(fusedM.map(_._1).toSet.intersect(dead.toSet).isEmpty,
+      "a tombstoned doc surfaced through the fusion")
+    // every fused hit decomposes into the two MASKED tier rankings
+    val lexIds = Retrieval.bm25StoredTopKMasked(Catalog.lexIndex(spark, dir),
+      Catalog.lexStats(spark, dir), dead.toDF("doc_id"), terms, 20)
+      .collect().map(_.getLong(0)).toSet
+    val denIds = Ann.ivfTopKMaskedFrom(Catalog.ivfFlat(spark, dir),
+      Catalog.embeddings(spark, dir), 0L,
+      dead.toDF("vec_id"), 20).collect().map(_.getLong(0)).toSet
+    assert(fusedM.forall { case (id, _) =>
+      lexIds.contains(id) || denIds.contains(id) })
+  }
+
   test("rrfStoredFilteredBatch slice == single rrfStoredFiltered; store-only") {
     val terms = Seq("merge", "stream", "window")
     val queries = Seq(0L -> terms, 1L -> Seq("hash", "join"))
