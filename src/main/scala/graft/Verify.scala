@@ -54,6 +54,20 @@ object Verify {
     // GRAFT_VERIFY_ONLY=a,b,c restricts the dump (local iteration aid, same
     // contract as Bench's GRAFT_BENCH_ONLY); the driver never sets it.
     val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    // WARMUP pass (Bench's protocol): materialize every entry once so the
+    // one-time store builds land HERE, not in the counted pass — a
+    // cold-cache run otherwise attributes materialization jobs to
+    // whichever entry touches each store first, making the committed
+    // counter baseline cache-temperature-dependent and the regression
+    // gate below non-deterministic (observed: ann_masked_serve 27 jobs
+    // cold vs 4 steady-state, purely from first-touching dupClusters).
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (_, fn) =>
+        try { fn(spark, sfDir).count(); () }
+        catch { case _: Throwable => () }
+        finally graft.util.Caches.drain()
+      }
     val perEntry = scala.collection.mutable.ListBuffer
       .empty[(String, graft.util.BenchCounters.Snap)]
     SparkEntry.queries
@@ -87,10 +101,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // NOTE: counters here include each entry's one-time store
-    // materialization on a cold cache (Verify runs each entry ONCE) —
-    // steady-state statement shape is bench_last.json's counters; this map
-    // is the COMPLETE coverage the bench line's top-15 fragment lacks.
+    // NOTE: the warmup pass above absorbed one-time store materialization,
+    // so these counters are STEADY-STATE statement shape at any cache
+    // temperature — comparable run-to-run and to bench_last.json's
+    // counters; this map is the COMPLETE coverage the bench line's top-15
+    // fragment lacks.
     val cjson = perEntry.sortBy(_._1).map { case (n, c) =>
       q(n) + s""":{"jobs":${c.jobs},"stages":${c.stages},"shuffle_bytes":${c.shuffleBytes},"task_ms":${c.taskMs}}"""
     }.mkString("{", ",", "}")
