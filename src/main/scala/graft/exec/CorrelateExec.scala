@@ -33,12 +33,15 @@ import graft.operators.PostingAlgebra._
   */
 object CorrelateExec {
 
-  /** Distinct membership sets: A, and B with A's offsets removed.
+  /** Distinct membership sets: A, and B with A's offsets removed — the
+    * disjointness + distinctness contract `membership` relies on.
     * UNCACHED since r16: the consumer layers' repeated set subplans are
     * identical leaf lookups over the re-laid key-pruned index, and
     * exchange reuse covers them — the r9-era caches that once saved
     * re-derivation now only forced extra materialization waves
-    * (correlate_counts 11 → 3 jobs on the uncached lazy plan). */
+    * (correlate_counts 11 → 3 jobs in the sf0.1 statement audit;
+    * 11 → 7 in the committed sf0.01 verify map, which includes the
+    * result write). */
   def sets(spark: SparkSession, t: Tables, a: Query, b: Query): (DataFrame, DataFrame) = {
     val c = new QueryCompiler(spark, t)
     val pa = dedupMin(c.compile(a).postings)
@@ -47,13 +50,17 @@ object CorrelateExec {
   }
 
   /** The tagged MEMBERSHIP union: one row per offset of A ∪ B carrying 0/1
-    * flags. A and B are disjoint by construction (B subtracts A,
-    * correlate.cc:497-501) and internally distinct (dedupMin), so the
-    * union needs no aggregation. Every CORRELATE layer joins THIS one
+    * flags. PRECONDITION (the `sets` contract): A and B are DISJOINT
+    * (B subtracts A, correlate.cc:497-501) and internally distinct
+    * (dedupMin) — that is what lets the union skip the aggregation; a
+    * caller passing overlapping or duplicated sets would double-count
+    * silently, so every consumer below must take its sets from `sets`
+    * or reproduce that contract. Every CORRELATE layer joins THIS one
     * frame instead of each set separately — halving the membership
     * exchanges and broadcast builds per statement (r16 job audit) — and
-    * the sizes frame becomes one aggregate over it. */
-  def membership(setA: DataFrame, setB: DataFrame): DataFrame =
+    * the sizes frame becomes one aggregate over it. Private: the
+    * disjointness invariant is not enforceable at this boundary. */
+  private[exec] def membership(setA: DataFrame, setB: DataFrame): DataFrame =
     setA.select(col("off"), lit(1).as("in_a"), lit(0).as("in_b"))
       .unionByName(setB.select(col("off"), lit(0).as("in_a"),
         lit(1).as("in_b")))

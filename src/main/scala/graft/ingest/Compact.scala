@@ -79,17 +79,25 @@ object Compact {
   def compactIndex(spark: SparkSession, inPath: String, outPath: String,
       keyCol: String, sortCols: Seq[String],
       partitions: Option[Int] = None): DataFrame = {
-    val in = spark.read.parquet(inPath)
-    // a deployment sizes the generation's file count to total bytes /
-    // target file size; callers pass it via `partitions` (default: the
-    // session shuffle parallelism)
+    writeSorted(spark.read.parquet(inPath), outPath, keyCol, sortCols,
+      partitions)
+    spark.read.parquet(outPath)
+  }
+
+  /** The ONE generation-layout writer (key-partitioned, sorted within
+    * partitions, overwrite) behind compactIndex and
+    * writeGenerationAndFlip — a layout rule change lands once (review
+    * finding, r16). A deployment sizes the generation's file count to
+    * total bytes / target file size; callers pass it via `partitions`
+    * (default: the session shuffle parallelism). */
+  private def writeSorted(src: DataFrame, outPath: String, keyCol: String,
+      sortCols: Seq[String], partitions: Option[Int]): Unit = {
     val parted = partitions match {
-      case Some(n) => in.repartition(n, col(keyCol))
-      case None    => in.repartition(col(keyCol))
+      case Some(n) => src.repartition(n, col(keyCol))
+      case None    => src.repartition(col(keyCol))
     }
     parted.sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(outPath)
-    spark.read.parquet(outPath)
   }
 
   /** Fold (fp, df) delta generations into one row per fingerprint — the
@@ -271,12 +279,7 @@ object Compact {
         .map(g => new Path(g).getName.stripPrefix("gen-").toInt + 1)
         .getOrElse(1)
       val name = genName(next)
-      val parted = partitions match {
-        case Some(n) => src.repartition(n, col(keyCol))
-        case None    => src.repartition(col(keyCol))
-      }
-      parted.sortWithinPartitions(sortCols.map(col): _*)
-        .write.mode("overwrite").parquet(s"$base/$name")
+      writeSorted(src, s"$base/$name", keyCol, sortCols, partitions)
       flipGeneration(base, name)
       readCurrent(spark, base)
     } finally {

@@ -577,19 +577,15 @@ object Ann {
     * BOTH tiers with the same tombstone set or serves inconsistent
     * fusions. */
   def ivfTopKMaskedFrom(flat: DataFrame, emb: DataFrame, qVecId: Long,
-      tombstones: DataFrame, k: Int): DataFrame = {
-    val vec = queryVec(emb, qVecId)
-    val qemb = litVec(vec)
-    flat.filter(col("cell").isin(probedCellsOf(vec): _*))
-      .filter(col("vec_id") =!= qVecId)
-      .join(tombstones.select("vec_id"), Seq("vec_id"), "left_anti")
-      .select(col("vec_id"),
-        round(dot(col("embedding"), qemb) /
-          sqrt(dot(col("embedding"), col("embedding")) * lit(selfDot(vec))),
-          6).as("sim"))
-      .orderBy(desc("sim"), asc("vec_id"))
-      .limit(k)
-  }
+      tombstones: DataFrame, k: Int): DataFrame =
+    // one scoring/tie-break rendering for the whole lifecycle: the masked
+    // serve IS the standard lookup over the anti-joined store (the
+    // anti-join commutes with the cell/self filters), so the spec-pinned
+    // masked == compacted identity cannot drift between two copies of the
+    // cosine chain (review finding, r16)
+    ivfTopKFromVec(
+      flat.join(tombstones.select("vec_id"), Seq("vec_id"), "left_anti"),
+      queryVec(emb, qVecId), qVecId, k)
 
   /** The COMPACTION end of the dense delete lifecycle: fold the tombstoned
     * vectors out of the flat store into a new sorted generation behind the

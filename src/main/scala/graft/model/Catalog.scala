@@ -603,14 +603,25 @@ object Catalog {
       val r = lexStats(spark, dir)
         .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
         .collect()(0)
-      val (nDocs, sumDl) = (r.getLong(0), r.getLong(1))
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
-      spark.createDataFrame(
-        java.util.Arrays.asList(Row(nDocs, sumDl.toDouble / nDocs)),
-        StructType(Seq(StructField("n_docs", LongType),
-          StructField("avgdl", DoubleType))))
+      statsRow(spark, if (r.isNullAt(0)) 0L else r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1))
     })
+
+  /** The shared (n_docs, avgdl) local-literal rendering behind both stats
+    * folds — empty-store/slice safe: NULL sums read as 0 and a zero-doc
+    * fold carries avgdl 0.0 (the serving paths' postings are empty for
+    * that input anyway, so the value never scores a row; the in-plan fold
+    * crashes nothing either). */
+  private def statsRow(spark: SparkSession, nDocs: Long,
+      sumDl: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val avgdl = if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(nDocs, avgdl)),
+      StructType(Seq(StructField("n_docs", LongType),
+        StructField("avgdl", DoubleType))))
+  }
 
   /** The metadata slice's stats fold — lexStatsFolded's twin for the
     * filtered tier: (n_docs, avgdl) of one lang slice of the immutable
@@ -624,13 +635,9 @@ object Catalog {
       val r = docMeta(spark, dir).filter(col("lang") === lang)
         .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
         .collect()(0)
-      val (nDocs, sumDl) = (r.getLong(0), r.getLong(1))
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
-      spark.createDataFrame(
-        java.util.Arrays.asList(Row(nDocs, sumDl.toDouble / nDocs)),
-        StructType(Seq(StructField("n_docs", LongType),
-          StructField("avgdl", DoubleType))))
+      // an absent lang slice has count 0 and a NULL dl sum — fold to the
+      // empty-slice stats row instead of an NPE (review finding, r16)
+      statsRow(spark, r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     })
 
   /** The MATERIALIZED document-metadata sidecar — (doc_id, lang, source,
