@@ -573,8 +573,9 @@ object Retrieval {
   }
 
   /** The single-query fusion tail shared by the corpus-side and
-    * stored-index hybrid entries. */
-  private def fuse(lex: DataFrame, den: DataFrame, k: Int): DataFrame =
+    * stored-index hybrid entries. private[graft]: RetrievalSpec's
+    * randomized union-sum == full-outer law drives it directly. */
+  private[graft] def fuse(lex: DataFrame, den: DataFrame, k: Int): DataFrame =
     fuseRows(lex, den, Seq("doc_id"))
       .orderBy(desc("rrf"), asc("doc_id"))
       .limit(k)

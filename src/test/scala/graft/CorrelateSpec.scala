@@ -125,6 +125,38 @@ class CorrelateSpec extends AnyFunSuite {
     assert(byKey("a").head._4 == 20)
   }
 
+  test("scoreMatched folds both stored flag encodings identically (randomized)") {
+    // A correlateMatched store may carry the current 0/1 union tags or
+    // the pre-r16 1/null join markers; the per-row-coalesced sums must
+    // fold either to the same report (the compatibility contract that a
+    // NULL cnt regression would break by silently dropping one-sided
+    // groups at the significance filter).
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val rows = (1 to 40).map { i =>
+        val inA = rnd.nextBoolean()
+        ( s"k${i % 4}",
+          if (rnd.nextBoolean()) null else java.lang.Double.valueOf(rnd.nextInt(5).toDouble),
+          null.asInstanceOf[java.lang.Double],
+          i.toLong,
+          if (inA) 1 else 0, if (inA) 0 else 1,
+          20L, 20L, 1L, 1L, 0.0)
+      }
+      val cols = Seq("key", "lo", "hi", "off", "in_a", "in_b",
+        "n_a", "n_b", "limit_a", "limit_b", "prior")
+      val newFmt = rows.toDF(cols: _*)
+      // legacy encoding: flag 1 stays 1, flag 0 becomes NULL
+      val legacy = newFmt
+        .withColumn("in_a", org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("in_a") === 1, 1))
+        .withColumn("in_b", org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("in_b") === 1, 1))
+      val a = CorrelateExec.scoreMatched(newFmt).collect().map(_.toSeq).toSet
+      val b = CorrelateExec.scoreMatched(legacy).collect().map(_.toSeq).toSet
+      assert(a == b && a.nonEmpty, s"trial $trial")
+    }
+  }
+
   test("stored matched/split intermediate serves the same report as run") {
     // The Catalog.correlateMatched posture: matchedRanges round-trips
     // through parquet, then scoreMatched folds the read — the result must

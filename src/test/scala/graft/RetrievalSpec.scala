@@ -352,6 +352,35 @@ class RetrievalSpec extends AnyFunSuite {
       s"batched hybrid must read only the stored tiers:\n$p")
   }
 
+  test("fusion union-sum == full-outer coalesce reference (randomized)") {
+    // The r16 fusion rewrite's claim: rrf(d) = Σ 1/(K+rank) as a union +
+    // aggregation is BIT-identical to the former full-outer-join coalesce
+    // form (double addition over ≤2 contributions commutes). Randomized
+    // over tier overlap patterns incl. one-sided docs and disjoint sets;
+    // the reference is computed locally with the exact double op order of
+    // the old joined expression (lex contribution + den contribution).
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 8) {
+      val ids = rnd.shuffle((1L to 30L).toList)
+      val lexN = 1 + rnd.nextInt(10)
+      val denN = 1 + rnd.nextInt(10)
+      val lex = ids.take(lexN).zipWithIndex.map { case (d, i) => (d, i + 1) }
+      val den = rnd.shuffle(ids).take(denN).zipWithIndex
+        .map { case (d, i) => (d, i + 1) }
+      val got = Retrieval.fuse(
+        lex.toDF("doc_id", "rank"), den.toDF("doc_id", "rank"), 30)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val lexM = lex.toMap; val denM = den.toMap
+      val want = (lexM.keySet ++ denM.keySet).map { d =>
+        val c = lexM.get(d).map(r => 1.0 / (Retrieval.RrfK + r)).getOrElse(0.0) +
+          denM.get(d).map(r => 1.0 / (Retrieval.RrfK + r)).getOrElse(0.0)
+        d -> BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      }.toMap
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
+
   test("rrfStoredMasked: no tombstoned doc from either tier, decomposes") {
     import spark.implicits._
     val terms = Seq("merge", "stream", "window")
