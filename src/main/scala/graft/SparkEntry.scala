@@ -1072,6 +1072,42 @@ object SparkEntry {
     "emb_topk_sq8" -> ((s, dir) =>
       graft.ml.Quant.sq8IvfTopKFrom(Catalog.sq8IvfStore(s, dir),
         Catalog.embeddings(s, dir), 0, 10)),
+    // filtered + masked serving at the QUANTIZED tiers (r16): the sidecar
+    // slice / tombstone set composes with the composed stores exactly as
+    // on the float tier — the semi/anti commutes with cell pruning, one
+    // scoring chain per tier; the common production combo (filtered
+    // search over the memory-efficient index) and the delete lifecycle's
+    // quantized end
+    "sq8_topk_filtered" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ml.Quant.sq8IvfTopKAllowed(Catalog.sq8IvfStore(s, dir),
+        Catalog.embeddings(s, dir), 0L,
+        Catalog.docMeta(s, dir).filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id")), 10)
+    }),
+    "sq8_masked_serve" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ml.Quant.sq8IvfTopKMasked(Catalog.sq8IvfStore(s, dir),
+        Catalog.embeddings(s, dir), 0L,
+        Catalog.dupClusters(s, dir, 0.6)
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as("vec_id")), 10)
+    }),
+    "pq_topk_filtered" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ml.Pq.pqIvfTopKAllowed(Catalog.pqIvfStore(s, dir),
+        Catalog.embeddings(s, dir), 0L,
+        Catalog.docMeta(s, dir).filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id")), 10)
+    }),
+    "pq_masked_serve" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ml.Pq.pqIvfTopKMasked(Catalog.pqIvfStore(s, dir),
+        Catalog.embeddings(s, dir), 0L,
+        Catalog.dupClusters(s, dir, 0.6)
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as("vec_id")), 10)
+    }),
     // PRODUCT quantization composed with the coarse quantizer: one byte
     // per subspace (32x smaller than the floats, vs SQ8's 4x); the lookup
     // probes its nearest cells and ranks through the PqSim ADC kernel —
@@ -1759,6 +1795,19 @@ object SparkEntry {
     "sq8_compact" -> graft.ml.Quant.sq8StreamOracleSql,
     "sq8_topk_gen" -> graft.ml.Quant.sq8IvfOracleSql(0, 10),
     "emb_topk_sq8" -> graft.ml.Quant.sq8IvfOracleSql(0, 10),
+    "sq8_topk_filtered" -> graft.ml.Quant.sq8IvfAllowedOracleSql(0L, 10,
+      "SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'"),
+    "sq8_masked_serve" -> graft.ml.Quant.sq8IvfMaskedOracleSql(0L, 10,
+      s"""SELECT doc_id AS vec_id FROM (${graft.ml.Clusters.oracleSql(0.6)})
+         | WHERE doc_id <> cluster_id""".stripMargin
+        .replaceAll("\\s+", " ")),
+    "pq_topk_filtered" -> graft.ml.Pq.pqIvfRestrictedOracleSql(0L, 10,
+      "SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'",
+      masked = false),
+    "pq_masked_serve" -> graft.ml.Pq.pqIvfRestrictedOracleSql(0L, 10,
+      s"""SELECT doc_id AS vec_id FROM (${graft.ml.Clusters.oracleSql(0.6)})
+         | WHERE doc_id <> cluster_id""".stripMargin
+        .replaceAll("\\s+", " "), masked = true),
     "sq8_topk_batch" -> graft.ml.Quant.sq8IvfBatchOracleSql(8, 10),
     "emb_topk_pq" -> graft.ml.Pq.pqIvfOracleSql(0, 10),
     "pq_topk_batch" -> graft.ml.Pq.pqIvfBatchOracleSql(8, 10),

@@ -87,6 +87,22 @@ object Pq {
       k: Int): DataFrame =
     pqIvfTopKFromVec(store, Ann.queryVec(emb, qVecId), qVecId, k)
 
+  /** PQ×IVF lookup restricted to an ALLOWED id set — filtered serving at
+    * the 32×-compressed tier (Quant.sq8IvfTopKAllowed's twin; the
+    * semi-join commutes with the probed-cell filters, one scoring
+    * chain). */
+  def pqIvfTopKAllowed(store: DataFrame, emb: DataFrame, qVecId: Long,
+      allowed: DataFrame, k: Int): DataFrame =
+    pqIvfTopKFrom(store.join(allowed.select("vec_id"), Seq("vec_id"),
+      "left_semi"), emb, qVecId, k)
+
+  /** PQ×IVF lookup under a TOMBSTONE mask — the delete lifecycle's masked
+    * serve at the product-quantized tier. */
+  def pqIvfTopKMasked(store: DataFrame, emb: DataFrame, qVecId: Long,
+      tombstones: DataFrame, k: Int): DataFrame =
+    pqIvfTopKFrom(store.join(tombstones.select("vec_id"), Seq("vec_id"),
+      "left_anti"), emb, qVecId, k)
+
   private[ml] def pqIvfTopKFromVec(store: DataFrame, vec: Array[Double],
       qVecId: Long, k: Int): DataFrame =
     store.filter(col("cell").isin(Ann.probedCellsOf(vec): _*))
@@ -289,6 +305,30 @@ object Pq {
        |WHERE pxq.vec_id <> $qVecId
        |ORDER BY sim DESC, vec_id LIMIT $k
        |""".stripMargin.replaceAll("\\s+", " ")
+
+  /** DuckDB mirror of pqIvfTopKAllowed / pqIvfTopKMasked: pqIvfOracleSql's
+    * chain with the caller-supplied id subquery semi- (allowed) or
+    * anti-joined (masked) on the candidate side. */
+  def pqIvfRestrictedOracleSql(qVecId: Long, k: Int, idsSql: String,
+      masked: Boolean): String = {
+    val (cte, pred) =
+      if (masked) ("dead", "AND pxq.vec_id NOT IN (SELECT vec_id FROM dead)")
+      else ("al", "AND pxq.vec_id IN (SELECT vec_id FROM al)")
+    s"""WITH ${Ann.cellCtesSql(Ann.BaseSrcSql)},
+       |$pxqCteSql,
+       |qc AS (SELECT cent_id AS cell FROM asg WHERE vec_id = $qVecId
+       |       ORDER BY csim DESC, cent_id ASC LIMIT ${Ann.Probes}),
+       |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId),
+       |$cte AS ($idsSql)
+       |SELECT pxq.vec_id AS vec_id,
+       |  round(list_dot_product(pxq.xq, q.qemb) /
+       |    sqrt(list_dot_product(pxq.xq, pxq.xq) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
+       |FROM pxq JOIN cell USING (vec_id) JOIN qc USING (cell), q
+       |WHERE pxq.vec_id <> $qVecId
+       |  $pred
+       |ORDER BY sim DESC, vec_id LIMIT $k
+       |""".stripMargin.replaceAll("\\s+", " ")
+  }
 
   /** DuckDB mirror of recallAtKPlanted: the exact top-k and the PQ lookup
     * oracle composed over the same planted source — the

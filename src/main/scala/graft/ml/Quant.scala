@@ -114,6 +114,27 @@ object Quant {
       k: Int): DataFrame =
     sq8IvfTopKFromVec(store, Ann.queryVec(emb, qVecId), qVecId, k)
 
+  /** SQ8×IVF lookup restricted to an ALLOWED id set (a metadata-sidecar
+    * slice) — filtered serving at the quantized tier: the semi-join
+    * commutes with the probed-cell and self filters, so the lookup IS the
+    * standard one over the sliced store (Ann.ivfTopKAllowed's posture at
+    * 4× compression, one shared scoring chain). Fewer-than-k survivors is
+    * the same documented contract as the float tier. */
+  def sq8IvfTopKAllowed(store: DataFrame, emb: DataFrame, qVecId: Long,
+      allowed: DataFrame, k: Int): DataFrame =
+    sq8IvfTopKFrom(store.join(allowed.select("vec_id"), Seq("vec_id"),
+      "left_semi"), emb, qVecId, k)
+
+  /** SQ8×IVF lookup under a TOMBSTONE mask — the delete lifecycle's dense
+    * masked serve at the quantized tier (Ann.ivfTopKMaskedFrom's twin):
+    * the anti-join commutes with the probed-cell filters; asymmetric
+    * similarity carries no corpus statistics, so masked serving equals a
+    * tombstone-folded compacted generation exactly. */
+  def sq8IvfTopKMasked(store: DataFrame, emb: DataFrame, qVecId: Long,
+      tombstones: DataFrame, k: Int): DataFrame =
+    sq8IvfTopKFrom(store.join(tombstones.select("vec_id"), Seq("vec_id"),
+      "left_anti"), emb, qVecId, k)
+
   private[ml] def sq8IvfTopKFromVec(store: DataFrame, vec: Array[Double],
       qVecId: Long, k: Int): DataFrame =
     store.filter(col("cell").isin(Ann.probedCellsOf(vec): _*))
@@ -233,6 +254,39 @@ object Quant {
        |SELECT cq.vec_id AS vec_id, ${intSimSql("q.qemb")} AS sim
        |FROM cq JOIN cell USING (vec_id) JOIN qc USING (cell), q
        |WHERE cq.vec_id <> $qVecId
+       |ORDER BY sim DESC, vec_id LIMIT $k
+       |""".stripMargin.replaceAll("\\s+", " ")
+
+  /** DuckDB mirror of sq8IvfTopKAllowed: sq8IvfOracleSql's chain with the
+    * caller-supplied allowed-id subquery joined on the candidate side. */
+  def sq8IvfAllowedOracleSql(qVecId: Long, k: Int,
+      allowedSql: String): String =
+    s"""WITH ${Ann.cellCtesSql(Ann.BaseSrcSql)},
+       |$intRankCtesSql,
+       |qc AS (SELECT cent_id AS cell FROM asg WHERE vec_id = $qVecId
+       |       ORDER BY csim DESC, cent_id ASC LIMIT ${Ann.Probes}),
+       |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId),
+       |al AS ($allowedSql)
+       |SELECT cq.vec_id AS vec_id, ${intSimSql("q.qemb")} AS sim
+       |FROM cq JOIN cell USING (vec_id) JOIN qc USING (cell)
+       |  JOIN al ON al.vec_id = cq.vec_id, q
+       |WHERE cq.vec_id <> $qVecId
+       |ORDER BY sim DESC, vec_id LIMIT $k
+       |""".stripMargin.replaceAll("\\s+", " ")
+
+  /** DuckDB mirror of sq8IvfTopKMasked — candidates anti-joined against
+    * the dead-id subquery. */
+  def sq8IvfMaskedOracleSql(qVecId: Long, k: Int, deadSql: String): String =
+    s"""WITH ${Ann.cellCtesSql(Ann.BaseSrcSql)},
+       |$intRankCtesSql,
+       |qc AS (SELECT cent_id AS cell FROM asg WHERE vec_id = $qVecId
+       |       ORDER BY csim DESC, cent_id ASC LIMIT ${Ann.Probes}),
+       |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId),
+       |dead AS ($deadSql)
+       |SELECT cq.vec_id AS vec_id, ${intSimSql("q.qemb")} AS sim
+       |FROM cq JOIN cell USING (vec_id) JOIN qc USING (cell), q
+       |WHERE cq.vec_id <> $qVecId
+       |  AND cq.vec_id NOT IN (SELECT vec_id FROM dead)
        |ORDER BY sim DESC, vec_id LIMIT $k
        |""".stripMargin.replaceAll("\\s+", " ")
 

@@ -171,6 +171,34 @@ class QuantSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered stays in slice; mask bites with unchanged survivor sims") {
+    import TestSpark.spark.implicits._
+    val store = Catalog.sq8IvfStore(TestSpark.spark, dir)
+    val emb = Catalog.embeddings(TestSpark.spark, dir)
+    // filtered: every hit carries the slice's membership
+    val enIds = Catalog.docMeta(TestSpark.spark, dir)
+      .filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val filtered = Quant.sq8IvfTopKAllowed(store, emb, 0L,
+      Catalog.docMeta(TestSpark.spark, dir).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id")), 10)
+      .collect().map(_.getLong(0))
+    assert(filtered.nonEmpty && filtered.forall(enIds.contains),
+      "quantized filtered hit outside the slice")
+    // masked: tombstones drawn from the unmasked top-k so the mask
+    // provably bites; survivors keep their sims (no corpus stats in the
+    // asymmetric kernel — the masked == compacted identity's basis)
+    val unmasked = Quant.sq8IvfTopKFrom(store, emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dead = unmasked.take(2).map(_._1)
+    val masked = Quant.sq8IvfTopKMasked(store, emb, 0L,
+        dead.toDF("vec_id"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(masked.map(_._1).toSet.intersect(dead.toSet).isEmpty)
+    val um = unmasked.toMap
+    assert(masked.forall { case (id, s) => um.get(id).forall(_ == s) })
+  }
+
   test("frozen encode saturates out-of-range inputs instead of wrapping") {
     // the streamed-upkeep hazard: a new vector OUTSIDE the frozen training
     // range [mn, mx] must clamp to the byte extremes (codes -128/127), the
