@@ -1078,6 +1078,18 @@ object SparkEntry {
     // scoring chain per tier; the common production combo (filtered
     // search over the memory-efficient index) and the delete lifecycle's
     // quantized end
+    // ADAPTIVE probe widening: when the slice thins the probed candidates
+    // below k, the ladder doubles the probed cells (up to an exact slice
+    // scan) before answering short — the production answer to the
+    // fewer-than-k filtered-serving contract; the fr slice at k=20
+    // exercises the escalation at verify scale
+    "emb_topk_adaptive" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ml.Ann.ivfTopKAllowedAdaptive(Catalog.ivfFlat(s, dir),
+        Catalog.embeddings(s, dir), 0L,
+        Catalog.docMeta(s, dir).filter(col("lang") === "fr")
+          .select(col("doc_id").as("vec_id")), 20)
+    }),
     "sq8_topk_filtered" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       graft.ml.Quant.sq8IvfTopKAllowed(Catalog.sq8IvfStore(s, dir),
@@ -1795,6 +1807,8 @@ object SparkEntry {
     "sq8_compact" -> graft.ml.Quant.sq8StreamOracleSql,
     "sq8_topk_gen" -> graft.ml.Quant.sq8IvfOracleSql(0, 10),
     "emb_topk_sq8" -> graft.ml.Quant.sq8IvfOracleSql(0, 10),
+    "emb_topk_adaptive" -> Ann.ivfAdaptiveOracleSql(0L, 20,
+      "SELECT doc_id AS vec_id FROM documents WHERE lang = 'fr'"),
     "sq8_topk_filtered" -> graft.ml.Quant.sq8IvfAllowedOracleSql(0L, 10,
       "SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'"),
     "sq8_masked_serve" -> graft.ml.Quant.sq8IvfMaskedOracleSql(0L, 10,

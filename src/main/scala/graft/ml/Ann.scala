@@ -126,7 +126,12 @@ object Ann {
   /** The query's `Probes` nearest cell ids — driver arithmetic against the
     * committed centroid matrix (cosine in kernel op order; (csim DESC,
     * cent_id ASC) tie-break identical to the in-plan ranking). */
-  private[graft] def probedCellsOf(vec: Array[Double]): Seq[Long] = {
+  private[graft] def probedCellsOf(vec: Array[Double]): Seq[Long] =
+    probedCellsOf(vec, Probes)
+
+  /** The width-`p` generalization — the adaptive probe-widening lookup
+    * escalates p; every fixed-width caller stays on the Probes default. */
+  private[graft] def probedCellsOf(vec: Array[Double], p: Int): Seq[Long] = {
     val qq = selfDot(vec)
     // a zero-norm query makes every csim NaN, where Scala's ascending sort
     // (NaN last) and Spark's desc (NaN first) disagree — fail loudly
@@ -136,7 +141,7 @@ object Ann {
       val cc = dotConst(c.toArray, c)
       ((i + 1).toLong, dotConst(vec, c) / math.sqrt(qq * cc))
     }.sortBy { case (id, csim) => (-csim, id) }
-      .take(Probes).map(_._1)
+      .take(p).map(_._1)
   }
 
   /** LSH-candidate top-k by cosine for query vector `qVecId` against a
@@ -552,10 +557,13 @@ object Ann {
     * a forced broadcast would OOM at data scale; AQE broadcasts it while
     * small. Same fewer-than-k-survivors contract as the label filter. */
   def ivfTopKAllowed(flat: DataFrame, emb: DataFrame, qVecId: Long,
-      allowed: DataFrame, k: Int): DataFrame = {
-    val vec = queryVec(emb, qVecId)
+      allowed: DataFrame, k: Int): DataFrame =
+    ivfTopKAllowedAt(flat, queryVec(emb, qVecId), qVecId, allowed, k, Probes)
+
+  private def ivfTopKAllowedAt(flat: DataFrame, vec: Array[Double],
+      qVecId: Long, allowed: DataFrame, k: Int, p: Int): DataFrame = {
     val qemb = litVec(vec)
-    flat.filter(col("cell").isin(probedCellsOf(vec): _*))
+    flat.filter(col("cell").isin(probedCellsOf(vec, p): _*))
       .filter(col("vec_id") =!= qVecId)
       .join(allowed.select("vec_id"), Seq("vec_id"), "left_semi")
       .select(col("vec_id"),
@@ -564,6 +572,71 @@ object Ann {
           6).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** ADAPTIVE probe widening for filtered lookups — the production answer
+    * to the fewer-than-k-survivors contract: serve at the standard Probes
+    * width, and when the metadata slice thins the probed candidates below
+    * k, DOUBLE the probed cells (Probes → 2·Probes → … → Cells, i.e. an
+    * exact slice scan at the ladder's end) before answering short. Recall
+    * under selective filters degrades gracefully at bounded extra cost —
+    * each escalation is ONE bounded count over an already cell-pruned
+    * k-limited plan (the adaptive control decision is driver-side by
+    * nature, the same class as the probe constants), and a non-escalating
+    * query pays exactly one count more than the static lookup. The
+    * escalation rule is deterministic in the data, so the DuckDB oracle
+    * mirrors it exactly (ivfAdaptiveOracleSql). */
+  def ivfTopKAllowedAdaptive(flat: DataFrame, emb: DataFrame, qVecId: Long,
+      allowed: DataFrame, k: Int): DataFrame = {
+    val vec = queryVec(emb, qVecId)
+    val widths = adaptiveWidths
+    widths.init.foreach { p =>
+      val at = ivfTopKAllowedAt(flat, vec, qVecId, allowed, k, p)
+      if (at.count() >= k) return at
+    }
+    ivfTopKAllowedAt(flat, vec, qVecId, allowed, k, widths.last)
+  }
+
+  /** The probe ladder Probes → 2·Probes → … → Cells, shared by the lookup
+    * and its oracle so the two can never disagree on the escalation
+    * levels. */
+  private[graft] def adaptiveWidths: Seq[Int] =
+    (Iterator.iterate(Probes)(_ * 2).takeWhile(_ < Cells).toSeq :+ Cells)
+      .distinct
+
+  /** DuckDB mirror of ivfTopKAllowedAdaptive: one ranked CTE per ladder
+    * width, then the first width whose hit count reaches k (or the last
+    * width) answers — the same deterministic escalation rule. */
+  def ivfAdaptiveOracleSql(qVecId: Long, k: Int, allowedSql: String): String = {
+    val widths = adaptiveWidths
+    val rCtes = widths.map { p =>
+      s"""r$p AS (SELECT vec_id, sim FROM (
+         |  SELECT cell.vec_id AS vec_id,
+         |    round(list_dot_product(e.emb, q.qemb) /
+         |      sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
+         |  FROM cell JOIN (SELECT cent_id AS cell FROM asg
+         |                  WHERE vec_id = $qVecId
+         |                  ORDER BY csim DESC, cent_id ASC LIMIT $p) qc$p
+         |    USING (cell)
+         |  JOIN e USING (vec_id) JOIN al ON al.vec_id = cell.vec_id, q
+         |  WHERE cell.vec_id <> $qVecId)
+         |ORDER BY sim DESC, vec_id LIMIT $k)""".stripMargin
+    }.mkString(",\n")
+    val arms = widths.zipWithIndex.map { case (p, i) =>
+      val shorter = widths.take(i)
+        .map(s => s"(SELECT count(*) FROM r$s) < $k")
+      val cond = (if (i == widths.size - 1) shorter
+        else shorter :+ s"(SELECT count(*) FROM r$p) >= $k")
+        .mkString(" AND ")
+      s"SELECT vec_id, sim FROM r$p" +
+        (if (cond.nonEmpty) s" WHERE $cond" else "")
+    }.mkString(" UNION ALL ")
+    s"""WITH ${cellCtesSql(BaseSrcSql)},
+       |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId),
+       |al AS ($allowedSql),
+       |$rCtes
+       |$arms
+       |""".stripMargin.replaceAll("\\s+", " ")
   }
 
   /** IVF lookup with a TOMBSTONE mask — the DENSE end of the no-reindex

@@ -195,6 +195,33 @@ class AnnIndexSpec extends AnyFunSuite {
       s"label filter not pushed in the batch plan:\n${plan(bdf)}")
   }
 
+  test("adaptive probe widening: static when wide enough, exact-slice at the ladder end") {
+    import spark.implicits._
+    val flat = Catalog.ivfFlat(spark, dir)
+    val emb = Catalog.embeddings(spark, dir)
+    val all = emb.select(col("vec_id"))
+    // unselective slice: the standard width already yields k — the
+    // adaptive lookup must equal the static filtered lookup exactly
+    val adaptive = Ann.ivfTopKAllowedAdaptive(flat, emb, 0L, all, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val static0 = Ann.ivfTopKAllowed(flat, emb, 0L, all, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(adaptive == static0)
+    // a tiny slice can never reach k: the ladder must end at an EXACT
+    // slice scan (every cell probed) and answer short rather than miss a
+    // slice member sitting outside the narrow probes
+    val tiny = emb.select("vec_id")
+      .orderBy(org.apache.spark.sql.functions.desc("vec_id")).limit(3)
+    val short = Ann.ivfTopKAllowedAdaptive(flat, emb, 0L, tiny, 5)
+      .collect().map(_.getLong(0)).toSet
+    val sliceIds = tiny.collect().map(_.getLong(0)).toSet - 0L
+    assert(short == sliceIds,
+      s"ladder end must return the whole slice: $short vs $sliceIds")
+    // the ladder's widths are the doubling sequence ending at Cells
+    assert(Ann.adaptiveWidths.last == Ann.Cells &&
+      Ann.adaptiveWidths == Ann.adaptiveWidths.distinct.sorted)
+  }
+
   test("dense tombstone mask bites and == tombstone-folded compaction") {
     import spark.implicits._
     val flat = Catalog.ivfFlat(spark, dir)
