@@ -12,7 +12,8 @@ object Explain {
         "t1_topk", "emb_topk_lsh", "emb_topk_ivf", "dedup_minhash",
         "dedup_ngram", "correlate_full", "q3_top_orders",
         "bm25_stored", "rrf_stored", "decontaminate_bloom",
-        "emb_topk_filtered_batch")
+        "emb_topk_filtered_batch", "rrf_stored_filtered_batch",
+        "ann_masked_serve", "emb_topk_adaptive", "rrf_stored_masked")
     val spark = GraftSession.local()
     for (n <- names) {
       println(s"\n========== $n ==========")
