@@ -1078,6 +1078,24 @@ object SparkEntry {
     // scoring chain per tier; the common production combo (filtered
     // search over the memory-efficient index) and the delete lifecycle's
     // quantized end
+    // HARD-NEGATIVE mining: per query, the top-k nearest EXCLUDING its
+    // known positives — here the verified near-dup partners (both
+    // orientations of the stored pair graph) plus the query's own rank-1
+    // candidate (the self-supervised positive, so the exclusion provably
+    // bites for every query) — the contrastive-training data op, all
+    // in-plan over the stored IVF index
+    "hardneg_mine" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val queries = Catalog.embeddings(s, dir).filter(col("vec_id") < 32)
+      val pairs = Catalog.dupPairs(s, dir, 0.6)
+      val pos = pairs
+        .select(col("doc_a").as("qid"), col("doc_b").as("vec_id"))
+        .unionByName(pairs
+          .select(col("doc_b").as("qid"), col("doc_a").as("vec_id")))
+        .unionByName(Ann.ivfTopKBatchFrom(Catalog.ivfFlat(s, dir),
+          queries, 1).select(col("qid"), col("vec_id")))
+      Ann.hardNegatives(Catalog.ivfFlat(s, dir), queries, pos, 10)
+    }),
     // ADAPTIVE probe widening: when the slice thins the probed candidates
     // below k, the ladder doubles the probed cells (up to an exact slice
     // scan) before answering short — the production answer to the
@@ -1809,6 +1827,8 @@ object SparkEntry {
     "emb_topk_sq8" -> graft.ml.Quant.sq8IvfOracleSql(0, 10),
     "emb_topk_adaptive" -> Ann.ivfAdaptiveOracleSql(0L, 20,
       "SELECT doc_id AS vec_id FROM documents WHERE lang = 'fr'"),
+    "hardneg_mine" -> Ann.hardNegOracleSql(32L, 10,
+      NearDup.pairCtesSql(0.6)),
     "sq8_topk_filtered" -> graft.ml.Quant.sq8IvfAllowedOracleSql(0L, 10,
       "SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'"),
     "sq8_masked_serve" -> graft.ml.Quant.sq8IvfMaskedOracleSql(0L, 10,

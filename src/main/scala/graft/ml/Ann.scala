@@ -796,6 +796,60 @@ object Ann {
        |${batchRankSql(k)}
        |""".stripMargin.replaceAll("\\s+", " ")
 
+  /** HARD-NEGATIVE mining over the stored IVF-flat index — the
+    * contrastive-training data op: for each query vector, the top-k
+    * nearest candidates EXCLUDING the query itself and its known
+    * POSITIVES — a (qid, vec_id) pair table: labeled relevants, near-dup
+    * partners (the verified pair graph's both orientations), a
+    * self-supervised per-query top-1, or any union of those. Composes the
+    * batched probe/rank machinery with ONE anti-join on (qid, vec_id);
+    * everything stays in-plan, so |Q| can itself be data-scale (mining a
+    * whole training set's negatives in one statement — the realistic
+    * 100 TB shape). Returns (qid, vec_id, sim), ≤ k rows per query. */
+  def hardNegatives(flat: DataFrame, queries: DataFrame,
+      positives: DataFrame, k: Int,
+      cents: Option[DataFrame] = None): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qemb"))
+    val probed = probeBatch(q, cents.getOrElse(centroids(queries)))
+    val cand = probed.join(prunedByProbedCells(flat, probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(positives.select("qid", "vec_id"), Seq("qid", "vec_id"),
+        "left_anti")
+    topKPerQuery(cand
+      .select(col("qid"), col("vec_id"),
+        asymSim(col("embedding"), col("qemb"), col("qn")).as("sim")), k)
+  }
+
+  /** DuckDB mirror of the hardneg_mine entry: the batch candidate chain,
+    * positives = the verified near-dup pair graph (both orientations) ∪
+    * each query's rank-1 candidate (the self-supervised positive, which
+    * guarantees the exclusion bites for every query), then the per-query
+    * top-k over the surviving candidates. `pairCtes` supplies a `dup`
+    * CTE (NearDup.pairCtesSql). */
+  def hardNegOracleSql(maxQid: Long, k: Int, pairCtes: String): String =
+    s"""WITH ${cellCtesSql(BaseSrcSql)},
+       |${batchQueryCtesSql(maxQid)},
+       |$pairCtes,
+       |cand AS (SELECT p.qid AS qid, cell.vec_id AS vec_id,
+       |    round(list_dot_product(e.emb, p.qemb) /
+       |      sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(p.qemb, p.qemb)), 6) AS sim
+       |  FROM probed p JOIN cell USING (cell) JOIN e ON e.vec_id = cell.vec_id
+       |  WHERE cell.vec_id <> p.qid),
+       |pos AS (SELECT doc_a AS qid, doc_b AS vec_id FROM dup
+       |  UNION ALL SELECT doc_b, doc_a FROM dup
+       |  UNION ALL SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id ASC) AS rk FROM cand) WHERE rk = 1),
+       |fcand AS (SELECT qid, vec_id, sim FROM cand
+       |  WHERE NOT EXISTS (SELECT 1 FROM pos
+       |    WHERE pos.qid = cand.qid AND pos.vec_id = cand.vec_id))
+       |SELECT qid, vec_id, sim FROM (
+       |  SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, vec_id ASC) AS rk FROM fcand)
+       |WHERE rk <= $k
+       |""".stripMargin.replaceAll("\\s+", " ")
+
   /** The batched probe stage shared by ivfTopKBatch and the SQ8 batch
     * lookup (Quant.sq8IvfTopKBatchFrom): each (qid, qemb) row of `q` ranks
     * the broadcast centroid matrix and keeps its `Probes` nearest cells —

@@ -253,6 +253,31 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(gen.filter(col("vec_id").isin(dead: _*)).count() == 0)
   }
 
+  test("hardNegatives == batch lookup minus the positives, rank re-closed") {
+    import spark.implicits._
+    val flat = Catalog.ivfFlat(spark, dir)
+    val queries = Catalog.embeddings(spark, dir).filter(col("vec_id") < 4)
+    // baseline: plain batch top-(k+2); positives = each query's ranks 1
+    // and 3 — excluding mid-list positives must CLOSE the rank gap, not
+    // just truncate (the contrastive-mining contract)
+    val base = Ann.ivfTopKBatchFrom(flat, queries, 12, keepRank = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    val pos = base.filter(r => r._4 == 1 || r._4 == 3)
+      .map(r => (r._1, r._2)).toSeq
+    val got = Ann.hardNegatives(flat, queries, pos.toDF("qid", "vec_id"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val posSet = pos.toSet
+    assert(got.nonEmpty &&
+      got.forall { case (q, v, _) => !posSet.contains((q, v)) })
+    // per query: the survivors in baseline order, top-10
+    val want = base.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.sortBy(_._4).filter(r => !posSet.contains((r._1, r._2)))
+        .take(10).map(r => (r._1, r._2, r._3))
+    }.toSet
+    assert(got.toSet == want)
+  }
+
   test("persisted-index lookup matches the ad-hoc derivation") {
     val emb = Catalog.embeddings(spark, dir)
     val stored = Ann.topK(emb, Catalog.annBuckets(spark, dir), 0, 10)
