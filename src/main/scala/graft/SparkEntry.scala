@@ -1092,9 +1092,8 @@ object SparkEntry {
         .select(col("doc_a").as("qid"), col("doc_b").as("vec_id"))
         .unionByName(pairs
           .select(col("doc_b").as("qid"), col("doc_a").as("vec_id")))
-        .unionByName(Ann.ivfTopKBatchFrom(Catalog.ivfFlat(s, dir),
-          queries, 1).select(col("qid"), col("vec_id")))
-      Ann.hardNegatives(Catalog.ivfFlat(s, dir), queries, pos, 10)
+      Ann.hardNegatives(Catalog.ivfFlat(s, dir), queries, pos, 10,
+        excludeTopM = 1)
     }),
     // ADAPTIVE probe widening: when the slice thins the probed candidates
     // below k, the ladder doubles the probed cells (up to an exact slice

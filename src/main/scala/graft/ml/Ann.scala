@@ -808,17 +808,30 @@ object Ann {
     * 100 TB shape). Returns (qid, vec_id, sim), ≤ k rows per query. */
   def hardNegatives(flat: DataFrame, queries: DataFrame,
       positives: DataFrame, k: Int,
-      cents: Option[DataFrame] = None): DataFrame = {
+      cents: Option[DataFrame] = None,
+      excludeTopM: Int = 0): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"),
       col("embedding").as("qemb"))
     val probed = probeBatch(q, cents.getOrElse(centroids(queries)))
-    val cand = probed.join(prunedByProbedCells(flat, probed), Seq("cell"))
+    val scored = probed.join(prunedByProbedCells(flat, probed), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .join(positives.select("qid", "vec_id"), Seq("qid", "vec_id"),
-        "left_anti")
-    topKPerQuery(cand
       .select(col("qid"), col("vec_id"),
-        asymSim(col("embedding"), col("qemb"), col("qn")).as("sim")), k)
+        asymSim(col("embedding"), col("qemb"), col("qn")).as("sim"))
+    // excludeTopM: each query's top-M of the PLAIN ranking are treated as
+    // self-supervised positives INSIDE the same chain — the window rides
+    // the qid exchange the final top-k already needs, instead of a second
+    // probe/join chain computing the top-M separately (r16 bench: the
+    // two-chain entry paid ~2× the plan)
+    val mFiltered =
+      if (excludeTopM <= 0) scored
+      else scored.withColumn("rk0", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
+        .filter(col("rk0") > excludeTopM)
+        .drop("rk0")
+    topKPerQuery(mFiltered
+      .join(positives.select("qid", "vec_id"), Seq("qid", "vec_id"),
+        "left_anti"), k)
   }
 
   /** DuckDB mirror of the hardneg_mine entry: the batch candidate chain,
