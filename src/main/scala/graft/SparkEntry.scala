@@ -196,13 +196,15 @@ object SparkEntry {
       val CorrelateStmt(a, b) = graft.parser.Parser.parseStatement(
         "CORRELATE QUERY 'status:F', 'status:O';"): @unchecked
       val (setA, setB) = CorrelateExec.sets(s, t(s, dir), a, b)
-      CorrelateExec.counts(t(s, dir), setA, setB)
+      CorrelateExec.counts(t(s, dir), setA, setB,
+        Some(Catalog.indexKeyOff(s, dir)))
     }),
     "correlate_logodds" -> ((s, dir) => {
       val CorrelateStmt(a, b) = graft.parser.Parser.parseStatement(
         "CORRELATE QUERY 'status:F', 'status:O';"): @unchecked
       val (setA, setB) = CorrelateExec.sets(s, t(s, dir), a, b)
-      CorrelateExec.logOdds(t(s, dir), setA, setB)
+      CorrelateExec.logOdds(t(s, dir), setA, setB,
+        Some(Catalog.indexKeyOff(s, dir)))
     }),
 
     // The COMPLETE pipeline incl. the distributed split-point search (A10) —

@@ -67,9 +67,14 @@ object CorrelateExec {
 
   /** A9 counting layer: per index key, the number of distinct key-offsets
     * matching A, B, and either (correlate.cc:84-135 — duplicate key offsets
-    * counted once). Declarative: no driver-side action. */
-  def counts(t: Tables, setA: DataFrame, setB: DataFrame): DataFrame = {
-    val k = t.index.select("key", "off").distinct()
+    * counted once). Declarative: no driver-side action. `keyOff`: the
+    * materialized (key, off, dup_n) occurrence store
+    * (Catalog.indexKeyOff) — the query-independent grouping shuffled once
+    * per sf-dir; None derives it from the raw index (ad-hoc Tables). */
+  def counts(t: Tables, setA: DataFrame, setB: DataFrame,
+      keyOff: Option[DataFrame] = None): DataFrame = {
+    val k = keyOff.map(_.select("key", "off"))
+      .getOrElse(t.index.select("key", "off").distinct())
     // the membership union is QUERY-RESULT-sized — no broadcast hint (it
     // would cap the engine at queries whose result fits on the driver);
     // AQE runtime-broadcasts it when small, shuffle-joins on `off` when
@@ -105,13 +110,24 @@ object CorrelateExec {
     * significance cutoff, with |A|/|B|/limits as broadcast 1-row aggregates so
     * the whole statement stays one lazy plan. Key-size skip (step 3) included.
     * Returns (key, log_odds, cnt_a, cnt_b). */
-  def logOdds(t: Tables, setA: DataFrame, setB: DataFrame): DataFrame = {
+  def logOdds(t: Tables, setA: DataFrame, setB: DataFrame,
+      keyOff: Option[DataFrame] = None): DataFrame = {
+    // the union stays LAZY although three consumers re-evaluate it (both
+    // sizes aggregates + the occurrence join): measured at sf0.1, caching
+    // it halves the job count (12 → 6) but costs ~30% wall time — the
+    // blocking materialization wave loses more than the repeated
+    // key-pruned leaf lookups cost. Revisit if a driver run shows this
+    // entry wave-amplifying.
     val mem = membership(setA, setB)
     val sizes = sizesOf(mem)
     // ONE pass over the index: groupBy (key, off) carries the duplicate
     // count, so the raw key size (support gate) and the distinct-offset
-    // match counts come out of the same shuffle — no second full scan.
-    val kc = t.index.groupBy("key", "off").agg(count(lit(1)).as("dup_n"))
+    // match counts come out of the same shuffle — no second full scan;
+    // with the materialized occurrence store (Catalog.indexKeyOff) even
+    // that shuffle is pre-paid at store build and the statement's only
+    // corpus-shaped exchange is the key aggregation below.
+    val kc = keyOff.getOrElse(
+      t.index.groupBy("key", "off").agg(count(lit(1)).as("dup_n")))
     kc.join(mem, Seq("off"), "left_outer")
       .groupBy("key")
       .agg(

@@ -668,6 +668,25 @@ object Catalog {
     * admission appends per-batch verified pairs
     * (streaming.DocumentsIngest.runPairSink); compaction folds the
     * generations (dedup_pairs_compact). */
+  /** The MATERIALIZED (key, off) posting-occurrence store — one row per
+    * DISTINCT (key, off) carrying its duplicate count: the
+    * query-independent half of every CORRELATE counting layer
+    * (correlate.cc:84-135 counts distinct key-offsets; the raw-size
+    * support gate sums the duplicates), grouped ONCE per sf-dir instead
+    * of shuffling the full index per statement — the dominant exchange in
+    * the live counts/log-odds layers. Key-sorted so the membership join's
+    * downstream key aggregation shuffles pre-grouped rows. */
+  def indexKeyOff(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "index_key_off")
+    materialize(path) {
+      index(spark, dir).groupBy("key", "off")
+        .agg(count(lit(1)).as("dup_n"))
+        .repartition(col("key"))
+        .sortWithinPartitions("key", "off")
+    }
+    readImmutable(spark, path).select("key", "off", "dup_n")
+  }
+
   /** The MATERIALIZED benchmark shingle set for decontamination — the
     * distinct 3-gram shingles of the bench slice (doc_id < benchMaxId),
     * laid out sorted by shingle so the verify join shuffles pre-sorted
