@@ -58,6 +58,20 @@ object SparkEntry {
     qids.max + 1
   }
 
+  /** The delete lifecycle's ONE tombstone definition — near-dup cluster
+    * losers (doc_id ≠ cluster_id) at the canonical threshold — and its
+    * DuckDB mirror, shared by every masked entry and both rebuild ends so
+    * a threshold or keep-policy change lands once (review finding, r16).
+    * Returns (doc_id, cluster_id); dense callers alias doc_id → vec_id
+    * (the shared id space). */
+  private def tombstoneLosers(s: SparkSession, dir: String): DataFrame =
+    Catalog.dupClusters(s, dir, 0.6)
+      .filter(col("doc_id") =!= col("cluster_id"))
+
+  private val DeadIdsSql: String =
+    s"""SELECT doc_id AS vec_id FROM (${graft.ml.Clusters.oracleSql(0.6)})
+       | WHERE doc_id <> cluster_id""".stripMargin.replaceAll("\\s+", " ")
+
   /** The literal batch's distinct term dictionary, derived driver-side from
     * the same BatchQueries constant the batch frame is built from — pushed
     * into the stored-index scans as a static In(token) so the dictionary
@@ -828,8 +842,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       graft.ml.Retrieval.bm25StoredTopKMasked(Catalog.lexIndex(s, dir),
         Catalog.lexStatsFolded(s, dir),
-        Catalog.dupClusters(s, dir, 0.6)
-          .filter(col("doc_id") =!= col("cluster_id")),
+        tombstoneLosers(s, dir),
         Seq("stream", "table", "scan"), 15)
     }),
     // ...and the REBUILD end: the physically deduped corpus re-scored, so
@@ -838,8 +851,7 @@ object SparkEntry {
     "bm25_clean_rebuild" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       graft.ml.Retrieval.bm25CleanRebuild(Catalog.documents(s, dir),
-        Catalog.dupClusters(s, dir, 0.6)
-          .filter(col("doc_id") =!= col("cluster_id")),
+        tombstoneLosers(s, dir),
         Seq("stream", "table", "scan"), 15)
     }),
     // the DENSE end of the delete lifecycle (VERDICT r15 #4): the same
@@ -850,9 +862,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       graft.ml.Ann.ivfTopKMaskedFrom(Catalog.ivfFlat(s, dir),
         Catalog.embeddings(s, dir), 0L,
-        Catalog.dupClusters(s, dir, 0.6)
-          .filter(col("doc_id") =!= col("cluster_id"))
-          .select(col("doc_id").as("vec_id")), 10)
+        tombstoneLosers(s, dir).select(col("doc_id").as("vec_id")), 10)
     }),
     // ...and its compaction end: tombstones folded OUT of the flat store
     // into a new sorted generation behind the atomic MANIFEST flip, served
@@ -862,9 +872,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       graft.ml.Ann.ivfTombstoneCompactServe(s, Catalog.ivfFlat(s, dir),
         Catalog.embeddings(s, dir), 0L,
-        Catalog.dupClusters(s, dir, 0.6)
-          .filter(col("doc_id") =!= col("cluster_id"))
-          .select(col("doc_id").as("vec_id")),
+        tombstoneLosers(s, dir).select(col("doc_id").as("vec_id")),
         Catalog.scratch(dir, "ann_tombstone_compact"), 10)
     }),
     // the MASKED stored hybrid: the tombstone set applied to BOTH tiers
@@ -876,8 +884,7 @@ object SparkEntry {
       graft.ml.Retrieval.rrfStoredMasked(Catalog.lexIndex(s, dir),
         Catalog.lexStatsFolded(s, dir), Catalog.embeddings(s, dir),
         Catalog.ivfFlat(s, dir),
-        Catalog.dupClusters(s, dir, 0.6)
-          .filter(col("doc_id") =!= col("cluster_id")),
+        tombstoneLosers(s, dir),
         Seq("stream", "table", "scan"), 0L, 20, 10)
     }),
     // the filtered stored HYBRID: both tiers restricted to the same
@@ -1120,9 +1127,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       graft.ml.Quant.sq8IvfTopKMasked(Catalog.sq8IvfStore(s, dir),
         Catalog.embeddings(s, dir), 0L,
-        Catalog.dupClusters(s, dir, 0.6)
-          .filter(col("doc_id") =!= col("cluster_id"))
-          .select(col("doc_id").as("vec_id")), 10)
+        tombstoneLosers(s, dir).select(col("doc_id").as("vec_id")), 10)
     }),
     "pq_topk_filtered" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
@@ -1135,9 +1140,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       graft.ml.Pq.pqIvfTopKMasked(Catalog.pqIvfStore(s, dir),
         Catalog.embeddings(s, dir), 0L,
-        Catalog.dupClusters(s, dir, 0.6)
-          .filter(col("doc_id") =!= col("cluster_id"))
-          .select(col("doc_id").as("vec_id")), 10)
+        tombstoneLosers(s, dir).select(col("doc_id").as("vec_id")), 10)
     }),
     // PRODUCT quantization composed with the coarse quantizer: one byte
     // per subspace (32x smaller than the floats, vs SQ8's 4x); the lookup
@@ -1744,11 +1747,10 @@ object SparkEntry {
     // ONE oracle for both dense delete-lifecycle ends — identity across
     // the compaction flip IS the contract (cosine carries no corpus stats)
     "ann_masked_serve" -> Ann.ivfMaskedOracleSql(0L, 10,
-      s"""SELECT doc_id AS vec_id FROM (${graft.ml.Clusters.oracleSql(0.6)})
-         | WHERE doc_id <> cluster_id""".stripMargin.replaceAll("\\s+", " ")),
+      DeadIdsSql),
     "ann_tombstone_compact" -> Ann.ivfMaskedOracleSql(0L, 10,
-      s"""SELECT doc_id AS vec_id FROM (${graft.ml.Clusters.oracleSql(0.6)})
-         | WHERE doc_id <> cluster_id""".stripMargin.replaceAll("\\s+", " ")),
+      DeadIdsSql),
+    // DeadIdsSql aliases to vec_id; this oracle's dead CTE needs doc_id
     "rrf_stored_masked" -> graft.ml.Retrieval.rrfStoredMaskedOracleSql(
       Seq("stream", "table", "scan"), 0L,
       s"""SELECT doc_id FROM (${graft.ml.Clusters.oracleSql(0.6)})
@@ -1830,19 +1832,16 @@ object SparkEntry {
       "SELECT doc_id AS vec_id FROM documents WHERE lang = 'fr'"),
     "hardneg_mine" -> Ann.hardNegOracleSql(32L, 10,
       NearDup.pairCtesSql(0.6)),
-    "sq8_topk_filtered" -> graft.ml.Quant.sq8IvfAllowedOracleSql(0L, 10,
-      "SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'"),
-    "sq8_masked_serve" -> graft.ml.Quant.sq8IvfMaskedOracleSql(0L, 10,
-      s"""SELECT doc_id AS vec_id FROM (${graft.ml.Clusters.oracleSql(0.6)})
-         | WHERE doc_id <> cluster_id""".stripMargin
-        .replaceAll("\\s+", " ")),
+    "sq8_topk_filtered" -> graft.ml.Quant.sq8IvfRestrictedOracleSql(0L, 10,
+      "SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'",
+      masked = false),
+    "sq8_masked_serve" -> graft.ml.Quant.sq8IvfRestrictedOracleSql(0L, 10,
+      DeadIdsSql, masked = true),
     "pq_topk_filtered" -> graft.ml.Pq.pqIvfRestrictedOracleSql(0L, 10,
       "SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'",
       masked = false),
     "pq_masked_serve" -> graft.ml.Pq.pqIvfRestrictedOracleSql(0L, 10,
-      s"""SELECT doc_id AS vec_id FROM (${graft.ml.Clusters.oracleSql(0.6)})
-         | WHERE doc_id <> cluster_id""".stripMargin
-        .replaceAll("\\s+", " "), masked = true),
+      DeadIdsSql, masked = true),
     "sq8_topk_batch" -> graft.ml.Quant.sq8IvfBatchOracleSql(8, 10),
     "emb_topk_pq" -> graft.ml.Pq.pqIvfOracleSql(0, 10),
     "pq_topk_batch" -> graft.ml.Pq.pqIvfBatchOracleSql(8, 10),

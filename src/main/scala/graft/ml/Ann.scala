@@ -618,7 +618,8 @@ object Ann {
          |                  WHERE vec_id = $qVecId
          |                  ORDER BY csim DESC, cent_id ASC LIMIT $p) qc$p
          |    USING (cell)
-         |  JOIN e USING (vec_id) JOIN al ON al.vec_id = cell.vec_id, q
+         |  JOIN e USING (vec_id)
+       |  JOIN (SELECT DISTINCT vec_id FROM al) ald ON ald.vec_id = cell.vec_id, q
          |  WHERE cell.vec_id <> $qVecId)
          |ORDER BY sim DESC, vec_id LIMIT $k)""".stripMargin
     }.mkString(",\n")
@@ -712,7 +713,7 @@ object Ann {
        |  round(list_dot_product(e.emb, q.qemb) /
        |        sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
        |FROM cell JOIN qc USING (cell) JOIN e USING (vec_id)
-       |  JOIN al ON al.vec_id = cell.vec_id, q
+       |  JOIN (SELECT DISTINCT vec_id FROM al) ald ON ald.vec_id = cell.vec_id, q
        |WHERE cell.vec_id <> $qVecId
        |ORDER BY sim DESC, vec_id LIMIT $k
        |""".stripMargin.replaceAll("\\s+", " ")
@@ -722,38 +723,37 @@ object Ann {
     * straight off the probed partitions' vectors — the corpus-sized
     * equi-join on vec_id is GONE (it existed only to fetch floats the flat
     * layout already co-locates with the cell). Same query contract. */
-  def ivfTopKBatchFrom(flat: DataFrame, queries: DataFrame, k: Int,
-      cents: Option[DataFrame] = None, excludeSelf: Boolean = true,
-      keepRank: Boolean = false): DataFrame = {
+  /** The ONE batch candidate chain — probe assignment, probed-cell
+    * pruning of the (possibly pre-restricted) store, optional
+    * self-exclusion, asymmetric scoring. Every batch lookup and the
+    * hard-negative miner compose THIS chain, so a change to the probe or
+    * scoring stages lands once (review finding, r16: the block existed in
+    * four verbatim copies). Returns (qid, vec_id, sim), unranked. */
+  private def scoredCandidates(store: DataFrame, queries: DataFrame,
+      cents: Option[DataFrame], excludeSelf: Boolean): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"),
       col("embedding").as("qemb"))
     val probed = probeBatch(q, cents.getOrElse(centroids(queries)))
-    val joined = probed.join(prunedByProbedCells(flat, probed), Seq("cell"))
+    val joined = probed.join(prunedByProbedCells(store, probed), Seq("cell"))
     val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("qid"))
                else joined
-    topKPerQuery(cand
-      .select(col("qid"), col("vec_id"),
-        asymSim(col("embedding"), col("qemb"), col("qn")).as("sim")),
-      k, keepRank)
+    cand.select(col("qid"), col("vec_id"),
+      asymSim(col("embedding"), col("qemb"), col("qn")).as("sim"))
   }
+
+  def ivfTopKBatchFrom(flat: DataFrame, queries: DataFrame, k: Int,
+      cents: Option[DataFrame] = None, excludeSelf: Boolean = true,
+      keepRank: Boolean = false): DataFrame =
+    topKPerQuery(scoredCandidates(flat, queries, cents, excludeSelf),
+      k, keepRank)
 
   /** ivfTopKBatchFiltered from the flat store — label pushed into the flat
     * scan beside the dynamic partition pruning. */
   def ivfTopKBatchFilteredFrom(flat: DataFrame, queries: DataFrame,
       label: Int, k: Int, cents: Option[DataFrame] = None,
-      excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"),
-      col("embedding").as("qemb"))
-    val probed = probeBatch(q, cents.getOrElse(centroids(queries)))
-    val joined = probed.join(
-      prunedByProbedCells(flat.filter(col("label") === label), probed),
-      Seq("cell"))
-    val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("qid"))
-               else joined
-    topKPerQuery(cand
-      .select(col("qid"), col("vec_id"),
-        asymSim(col("embedding"), col("qemb"), col("qn")).as("sim")), k)
-  }
+      excludeSelf: Boolean = true): DataFrame =
+    topKPerQuery(scoredCandidates(flat.filter(col("label") === label),
+      queries, cents, excludeSelf), k)
 
   /** BATCHED IVF lookup post-filtered to an ALLOWED id set frame — the
     * batch twin of ivfTopKAllowed (sidecar-defined slice), composed from
@@ -764,20 +764,12 @@ object Ann {
     * broadcasts while small). */
   def ivfTopKBatchAllowed(flat: DataFrame, queries: DataFrame,
       allowed: DataFrame, k: Int, cents: Option[DataFrame] = None,
-      excludeSelf: Boolean = true, keepRank: Boolean = false): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"),
-      col("embedding").as("qemb"))
-    val probed = probeBatch(q, cents.getOrElse(centroids(queries)))
-    val pruned = prunedByProbedCells(flat, probed)
-      .join(allowed.select("vec_id"), Seq("vec_id"), "left_semi")
-    val joined = probed.join(pruned, Seq("cell"))
-    val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("qid"))
-               else joined
-    topKPerQuery(cand
-      .select(col("qid"), col("vec_id"),
-        asymSim(col("embedding"), col("qemb"), col("qn")).as("sim")),
-      k, keepRank)
-  }
+      excludeSelf: Boolean = true, keepRank: Boolean = false): DataFrame =
+    // the allowed semi commutes with the probed-cell pruning — the store
+    // is restricted BEFORE the shared chain, same rows either way
+    topKPerQuery(scoredCandidates(
+      flat.join(allowed.select("vec_id"), Seq("vec_id"), "left_semi"),
+      queries, cents, excludeSelf), k, keepRank)
 
   /** DuckDB mirror of ivfTopKBatchAllowed: ivfBatchOracleSql's CTE chain
     * with the caller-supplied allowed-id subquery semi-joined on the
@@ -791,7 +783,7 @@ object Ann {
        |    round(list_dot_product(e.emb, p.qemb) /
        |      sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(p.qemb, p.qemb)), 6) AS sim
        |  FROM probed p JOIN cell USING (cell) JOIN e ON e.vec_id = cell.vec_id
-       |    JOIN al ON al.vec_id = cell.vec_id
+       |    JOIN (SELECT DISTINCT vec_id FROM al) ald ON ald.vec_id = cell.vec_id
        |  WHERE cell.vec_id <> p.qid)
        |${batchRankSql(k)}
        |""".stripMargin.replaceAll("\\s+", " ")
@@ -810,13 +802,7 @@ object Ann {
       positives: DataFrame, k: Int,
       cents: Option[DataFrame] = None,
       excludeTopM: Int = 0): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"),
-      col("embedding").as("qemb"))
-    val probed = probeBatch(q, cents.getOrElse(centroids(queries)))
-    val scored = probed.join(prunedByProbedCells(flat, probed), Seq("cell"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        asymSim(col("embedding"), col("qemb"), col("qn")).as("sim"))
+    val scored = scoredCandidates(flat, queries, cents, excludeSelf = true)
     // excludeTopM: each query's top-M of the PLAIN ranking are treated as
     // self-supervised positives INSIDE the same chain — the window rides
     // the qid exchange the final top-k already needs, instead of a second
@@ -836,11 +822,19 @@ object Ann {
 
   /** DuckDB mirror of the hardneg_mine entry: the batch candidate chain,
     * positives = the verified near-dup pair graph (both orientations) ∪
-    * each query's rank-1 candidate (the self-supervised positive, which
-    * guarantees the exclusion bites for every query), then the per-query
-    * top-k over the surviving candidates. `pairCtes` supplies a `dup`
-    * CTE (NearDup.pairCtesSql). */
-  def hardNegOracleSql(maxQid: Long, k: Int, pairCtes: String): String =
+    * each query's top-`excludeTopM` candidates (the self-supervised
+    * positives, which guarantee the exclusion bites for every query),
+    * then the per-query top-k over the surviving candidates. `pairCtes`
+    * supplies a `dup` CTE (NearDup.pairCtesSql); `excludeTopM` mirrors
+    * hardNegatives' parameter so the pair cannot drift (the
+    * adaptiveWidths convention). */
+  def hardNegOracleSql(maxQid: Long, k: Int, pairCtes: String,
+      excludeTopM: Int = 1): String = {
+    val selfPos = if (excludeTopM <= 0) ""
+      else s"""UNION ALL SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+           |      ORDER BY sim DESC, vec_id ASC) AS rk FROM cand)
+           |  WHERE rk <= $excludeTopM""".stripMargin
     s"""WITH ${cellCtesSql(BaseSrcSql)},
        |${batchQueryCtesSql(maxQid)},
        |$pairCtes,
@@ -851,9 +845,7 @@ object Ann {
        |  WHERE cell.vec_id <> p.qid),
        |pos AS (SELECT doc_a AS qid, doc_b AS vec_id FROM dup
        |  UNION ALL SELECT doc_b, doc_a FROM dup
-       |  UNION ALL SELECT qid, vec_id FROM (
-       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
-       |      ORDER BY sim DESC, vec_id ASC) AS rk FROM cand) WHERE rk = 1),
+       |  $selfPos),
        |fcand AS (SELECT qid, vec_id, sim FROM cand
        |  WHERE NOT EXISTS (SELECT 1 FROM pos
        |    WHERE pos.qid = cand.qid AND pos.vec_id = cand.vec_id))
@@ -862,6 +854,7 @@ object Ann {
        |    ORDER BY sim DESC, vec_id ASC) AS rk FROM fcand)
        |WHERE rk <= $k
        |""".stripMargin.replaceAll("\\s+", " ")
+  }
 
   /** The batched probe stage shared by ivfTopKBatch and the SQ8 batch
     * lookup (Quant.sq8IvfTopKBatchFrom): each (qid, qemb) row of `q` ranks

@@ -257,38 +257,28 @@ object Quant {
        |ORDER BY sim DESC, vec_id LIMIT $k
        |""".stripMargin.replaceAll("\\s+", " ")
 
-  /** DuckDB mirror of sq8IvfTopKAllowed: sq8IvfOracleSql's chain with the
-    * caller-supplied allowed-id subquery joined on the candidate side. */
-  def sq8IvfAllowedOracleSql(qVecId: Long, k: Int,
-      allowedSql: String): String =
+  /** DuckDB mirror of sq8IvfTopKAllowed / sq8IvfTopKMasked — ONE
+    * parameterized builder (the Pq.pqIvfRestrictedOracleSql form, review
+    * finding r16): the candidate side IN- (allowed) or NOT-IN-restricted
+    * (masked) by the caller-supplied id subquery. IN/NOT IN are set
+    * predicates, so duplicate id rows cannot duplicate candidates — the
+    * semi/anti-join semantics of the Spark side. */
+  def sq8IvfRestrictedOracleSql(qVecId: Long, k: Int, idsSql: String,
+      masked: Boolean): String = {
+    val pred = if (masked) "NOT IN" else "IN"
     s"""WITH ${Ann.cellCtesSql(Ann.BaseSrcSql)},
        |$intRankCtesSql,
        |qc AS (SELECT cent_id AS cell FROM asg WHERE vec_id = $qVecId
        |       ORDER BY csim DESC, cent_id ASC LIMIT ${Ann.Probes}),
        |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId),
-       |al AS ($allowedSql)
-       |SELECT cq.vec_id AS vec_id, ${intSimSql("q.qemb")} AS sim
-       |FROM cq JOIN cell USING (vec_id) JOIN qc USING (cell)
-       |  JOIN al ON al.vec_id = cq.vec_id, q
-       |WHERE cq.vec_id <> $qVecId
-       |ORDER BY sim DESC, vec_id LIMIT $k
-       |""".stripMargin.replaceAll("\\s+", " ")
-
-  /** DuckDB mirror of sq8IvfTopKMasked — candidates anti-joined against
-    * the dead-id subquery. */
-  def sq8IvfMaskedOracleSql(qVecId: Long, k: Int, deadSql: String): String =
-    s"""WITH ${Ann.cellCtesSql(Ann.BaseSrcSql)},
-       |$intRankCtesSql,
-       |qc AS (SELECT cent_id AS cell FROM asg WHERE vec_id = $qVecId
-       |       ORDER BY csim DESC, cent_id ASC LIMIT ${Ann.Probes}),
-       |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId),
-       |dead AS ($deadSql)
+       |ids AS ($idsSql)
        |SELECT cq.vec_id AS vec_id, ${intSimSql("q.qemb")} AS sim
        |FROM cq JOIN cell USING (vec_id) JOIN qc USING (cell), q
        |WHERE cq.vec_id <> $qVecId
-       |  AND cq.vec_id NOT IN (SELECT vec_id FROM dead)
+       |  AND cq.vec_id $pred (SELECT vec_id FROM ids)
        |ORDER BY sim DESC, vec_id LIMIT $k
        |""".stripMargin.replaceAll("\\s+", " ")
+  }
 
   /** Recall@k of the SQ8×IVF lookup against the exact brute-force top-k in
     * the PLANTED regime — the scalar-quantized tier's driver-checked
