@@ -702,6 +702,11 @@ object SparkEntry {
     // boilerplate coverage as a per-doc quality signal on the same shuffle
     "span_coverage" -> ((s, dir) =>
       graft.ml.SpanDedup.spanCoverage(Catalog.documents(s, dir))),
+    // SEMANTIC-diversity sampling: per-IVF-cell deterministic draws — the
+    // embedding-space stratification a metadata stratum can't express
+    // (topic-balanced subcorpora); reads the materialized cell assignment
+    "sample_by_cell" -> ((s, dir) =>
+      graft.ml.CorpusOps.cellStratifiedSample(Catalog.ivfCells(s, dir), 5)),
     "sample_stratified" -> ((s, dir) =>
       graft.ml.CorpusOps.stratifiedSample(Catalog.documents(s, dir), "lang", 20)),
     // greedy sequence packing into ~2000-token training batches, 8 hash
@@ -1686,6 +1691,7 @@ object SparkEntry {
     "span_cut" -> graft.ml.SpanDedup.cutOracleSql,
     "span_cut_keep_first" -> graft.ml.SpanDedup.cutKeepFirstOracleSql,
     "span_coverage" -> graft.ml.SpanDedup.coverageOracleSql,
+    "sample_by_cell" -> graft.ml.CorpusOps.cellStratifiedOracleSql(5),
     "sample_stratified" -> graft.ml.CorpusOps.stratifiedOracleSql("lang", 20),
     "pack_batches" -> graft.ml.CorpusOps.packOracleSql(2000L, 8),
     "sample_mixture" -> graft.ml.CorpusOps.mixtureOracleSql(MixtureWeights, MixtureTotal),

@@ -30,6 +30,36 @@ object CorpusOps {
       .select(col("doc_id"), col(stratum))
   }
 
+  /** SEMANTIC-diversity sampling: stratifiedSample with the strata drawn
+    * from EMBEDDING space — the stored IVF cell assignment — instead of a
+    * metadata column: per coarse cluster, `perCell` deterministic md5-order
+    * draws. The curation op behind topic-balanced subcorpora (a metadata
+    * stratum can't see that 80% of 'en' is near-duplicate boilerplate;
+    * the embedding cells can). One window over the cells store joined to
+    * nothing corpus-sized — the assignment is the materialized
+    * Catalog.ivfCells. Same md5-order determinism contract as every
+    * sampler here. Returns (doc_id, cell). */
+  def cellStratifiedSample(cells: DataFrame, perCell: Int): DataFrame = {
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(concat(lit("smp:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    cells.select(col("vec_id").as("doc_id"), col("cell"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perCell)
+      .select(col("doc_id"), col("cell"))
+  }
+
+  /** DuckDB mirror of cellStratifiedSample: the shared cell-assignment
+    * CTEs + the same md5-order window. */
+  def cellStratifiedOracleSql(perCell: Int): String =
+    s"""WITH ${Ann.cellCtesSql(Ann.BaseSrcSql)}
+       |SELECT doc_id, CAST(cell AS BIGINT) AS cell FROM (
+       |  SELECT vec_id AS doc_id, cell, row_number() OVER (
+       |    PARTITION BY cell
+       |    ORDER BY md5('smp:' || vec_id), vec_id) AS rn
+       |  FROM cell) WHERE rn <= $perCell""".stripMargin
+      .replaceAll("\\s+", " ")
+
   def stratifiedOracleSql(stratum: String, perStratum: Int): String =
     s"""SELECT doc_id, $stratum FROM (
        |  SELECT doc_id, $stratum, row_number() OVER (
