@@ -900,6 +900,15 @@ object SparkEntry {
         Catalog.docMeta(s, dir), Catalog.ivfFlat(s, dir),
         Catalog.embeddings(s, dir), Seq("merge", "stream", "window"),
         0L, "en", 20, 10, Some(Catalog.metaStatsFolded(s, dir, "en")))),
+    // the serving lattice's last single-query cell: slice AND tombstone
+    // mask composed on both tiers of one fusion — slice statistics,
+    // pre-delete scoring, no deleted doc from either side
+    "rrf_stored_filtered_masked" -> ((s, dir) =>
+      graft.ml.Retrieval.rrfStoredFilteredMasked(Catalog.lexIndex(s, dir),
+        Catalog.docMeta(s, dir), Catalog.ivfFlat(s, dir),
+        Catalog.embeddings(s, dir), tombstoneLosers(s, dir),
+        Seq("merge", "stream", "window"), 0L, "en", 20, 10,
+        Some(Catalog.metaStatsFolded(s, dir, "en")))),
     // hybrid retrieval: reciprocal-rank fusion of the BM25 ranking and the
     // exact embedding-cosine ranking for the same query (id spaces shared)
     "rrf_fusion" -> ((s, dir) =>
@@ -1764,6 +1773,12 @@ object SparkEntry {
         .replaceAll("\\s+", " "), 20, 10),
     "rrf_stored_filtered" -> graft.ml.Retrieval.rrfStoredFilteredOracleSql(
       Seq("merge", "stream", "window"), 0L, "en", 20, 10),
+    "rrf_stored_filtered_masked" ->
+      graft.ml.Retrieval.rrfStoredFilteredMaskedOracleSql(
+        Seq("merge", "stream", "window"), 0L, "en",
+        s"""SELECT doc_id FROM (${graft.ml.Clusters.oracleSql(0.6)})
+           | WHERE doc_id <> cluster_id""".stripMargin
+          .replaceAll("\\s+", " "), 20, 10),
     "rrf_fusion" -> graft.ml.Retrieval.rrfOracleSql(
       Seq("merge", "stream", "window"), 0L, 20, 10),
     "rrf_stored" -> graft.ml.Retrieval.rrfStoredOracleSql(

@@ -449,6 +449,27 @@ object Retrieval {
       "left_anti"), stats, k)
   }
 
+  /** Filtered AND masked BM25 from the stored index — the two serving
+    * contracts composed, each keeping its own statistics discipline: the
+    * slice semi-join AND the slice df/stats come from the metadata sidecar
+    * (sub-corpus semantics, as bm25StoredTopKFiltered), while the
+    * tombstones anti-join only the CANDIDATE rows after the df window
+    * (pre-delete statistics, as bm25StoredTopKMasked). The composition
+    * order matters and is pinned by spec: df windows over the sliced
+    * UNMASKED postings — a deleted doc stops appearing immediately but
+    * keeps counting toward slice df until a rebuild folds it out. */
+  def bm25StoredTopKFilteredMasked(index: DataFrame, meta: DataFrame,
+      tombstones: DataFrame, terms: Seq[String], lang: String, k: Int,
+      sliceStats: Option[DataFrame] = None): DataFrame = {
+    val pxd = withDfWindow(
+      index.filter(col("token").isin(terms: _*))
+        .join(meta.filter(col("lang") === lang).select("doc_id"),
+          Seq("doc_id"), "left_semi"))
+    scoreWithDf(pxd.join(tombstones.select("doc_id"), Seq("doc_id"),
+        "left_anti"),
+      sliceStats.getOrElse(metaStats(meta, lang)), k)
+  }
+
   /** The rebuild end of the delete lifecycle: BM25 over the physically
     * deduped corpus (losers excised BEFORE indexing, so df/avgdl reflect
     * the clean corpus) — what a compaction that folds tombstones out
@@ -638,6 +659,63 @@ object Retrieval {
        |    row_number() OVER (ORDER BY sim DESC, vec_id) AS den_rank
        |  FROM (${Ann.ivfMaskedOracleSql(qVecId, n,
             "SELECT doc_id AS vec_id FROM dead")}))
+       |SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+       |  round(COALESCE(1.0::DOUBLE/($RrfK + lex_rank), 0) +
+       |        COALESCE(1.0::DOUBLE/($RrfK + den_rank), 0), 6) AS rrf
+       |FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT $k""".stripMargin
+      .replaceAll("\\s+", " ")
+
+  /** Filtered AND masked stored hybrid — the serving lattice's last
+    * single-query cell: both tiers restricted to the same metadata slice
+    * AND masked by the same tombstone set. The lexical tier composes the
+    * two contracts (bm25StoredTopKFilteredMasked: slice df, pre-delete
+    * statistics); the dense tier's candidate set is one relational
+    * expression — slice ids anti-joined to the tombstones — fed to the
+    * existing allowed-set lookup (semi/anti commutes with cell pruning,
+    * the same one-line composition the quantized masked tiers use).
+    * Either set empty degrades to the simpler operator bit-identically
+    * (spec-pinned). */
+  def rrfStoredFilteredMasked(index: DataFrame, meta: DataFrame,
+      flat: DataFrame, emb: DataFrame, tombstones: DataFrame,
+      terms: Seq[String], qVecId: Long, lang: String, n: Int, k: Int,
+      sliceStats: Option[DataFrame] = None): DataFrame = {
+    val lex = bm25StoredTopKFilteredMasked(index, meta, tombstones, terms,
+        lang, n, sliceStats)
+      .select(col("doc_id"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("bm25"), asc("doc_id"))).as("rank"))
+    val allowed = meta.filter(col("lang") === lang)
+      .select(col("doc_id").as("vec_id"))
+      .join(tombstones.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_anti")
+    val den = Ann.ivfTopKAllowed(flat, emb, qVecId, allowed, n)
+      .select(col("vec_id").as("doc_id"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("sim"), asc("vec_id"))).as("rank"))
+    fuse(lex, den, k)
+  }
+
+  /** DuckDB mirror of rrfStoredFilteredMasked: the bm25 oracle sliced in
+    * its corpus CTE (slice statistics) and masked in its output predicate
+    * (pre-delete statistics), the dense oracle over the slice-minus-dead
+    * allowed set, fused with the standard tail. */
+  def rrfStoredFilteredMaskedOracleSql(terms: Seq[String], qVecId: Long,
+      lang: String, deadDocSql: String, n: Int, k: Int): String =
+    s"""WITH dead AS ($deadDocSql),
+       |lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |  FROM (${bm25OracleSql(terms, n,
+            where = s"WHERE lang = ${sqlLit(lang)}",
+            andWhere = "AND doc_id NOT IN (SELECT doc_id FROM dead)")})),
+       |den AS (
+       |  SELECT vec_id AS doc_id,
+       |    row_number() OVER (ORDER BY sim DESC, vec_id) AS den_rank
+       |  FROM (${Ann.ivfAllowedOracleSql(qVecId, n,
+            s"""SELECT doc_id AS vec_id FROM documents
+               | WHERE lang = ${sqlLit(lang)}
+               |   AND doc_id NOT IN (SELECT doc_id FROM dead)""".stripMargin
+              .replaceAll("\\s+", " "))}))
        |SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
        |  round(COALESCE(1.0::DOUBLE/($RrfK + lex_rank), 0) +
        |        COALESCE(1.0::DOUBLE/($RrfK + den_rank), 0), 6) AS rrf

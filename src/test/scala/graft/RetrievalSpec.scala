@@ -409,6 +409,34 @@ class RetrievalSpec extends AnyFunSuite {
       lexIds.contains(id) || denIds.contains(id) })
   }
 
+  test("rrfStoredFilteredMasked: degrades to filtered when nothing is dead, " +
+      "masks both tiers otherwise") {
+    import spark.implicits._
+    val terms = Seq("merge", "stream", "window")
+    def run(dead: Seq[Long]) = Retrieval.rrfStoredFilteredMasked(
+      Catalog.lexIndex(spark, dir), Catalog.docMeta(spark, dir),
+      Catalog.ivfFlat(spark, dir), Catalog.embeddings(spark, dir),
+      dead.toDF("doc_id"), terms, 0L, "en", 20, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // empty tombstones: bit-identical to the plain filtered hybrid
+    val plain = Retrieval.rrfStoredFiltered(Catalog.lexIndex(spark, dir),
+      Catalog.docMeta(spark, dir), Catalog.ivfFlat(spark, dir),
+      Catalog.embeddings(spark, dir), terms, 0L, "en", 20, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(run(Nil) == plain, "empty mask must be the identity")
+    // tombstones drawn from the unmasked filtered result so the mask bites
+    val dead = plain.take(2).map(_._1)
+    val masked = run(dead)
+    assert(masked.nonEmpty)
+    assert(masked.map(_._1).toSet.intersect(dead.toSet).isEmpty,
+      "a tombstoned doc surfaced through the filtered fusion")
+    // slice contract survives the mask: every hit is in the lang slice
+    val slice = Catalog.docMeta(spark, dir).filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(masked.map(_._1).forall(slice.contains),
+      "a hit escaped the metadata slice")
+  }
+
   test("rrfStoredFilteredBatch slice == single rrfStoredFiltered; store-only") {
     val terms = Seq("merge", "stream", "window")
     val queries = Seq(0L -> terms, 1L -> Seq("hash", "join"))
