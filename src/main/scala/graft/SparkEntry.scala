@@ -590,6 +590,18 @@ object SparkEntry {
     // oracle-checked rows — the corpus itself has no genuine near-dups
     "dedup_embcos_real" -> ((s, dir) =>
       Ann.nearDupCosPlanted(Catalog.embeddings(s, dir), 0.9, 50)),
+    // SemDeDup (Abbas et al. 2023): semantic dedup scoped to the SAME
+    // coarse-quantizer cells the IVF tiers serve from — within-cell
+    // lower-triangle cosine, removed set out. Reads the STORED assignment
+    // (Catalog.ivfCells); threshold fixture-driven like dedup_embcos
+    "dedup_semantic" -> ((s, dir) =>
+      Ann.semanticDedup(Catalog.embeddings(s, dir),
+        Catalog.ivfCells(s, dir), 0.4)),
+    // realistic-threshold SemDeDup over the planted corpus (the
+    // dedup_embcos_real posture): planted variants land in their source's
+    // cell, so the 0.9 threshold removes non-vacuous, oracle-checked rows
+    "dedup_semantic_real" -> ((s, dir) =>
+      Ann.semanticDedupPlanted(Catalog.embeddings(s, dir), 0.9, 50)),
     "dedup_ngram" -> ((s, dir) =>
       NearDup.ngramJaccard(Catalog.documents(s, dir), 0.6, maxDf = 50)),
     // MOSS winnowing: substring-overlap candidates from the ~1/w-sized
@@ -1676,6 +1688,8 @@ object SparkEntry {
     "dedup_simhash" -> NearDup.simHashOracleSql(),
     "dedup_embcos" -> Ann.nearDupCosSql(0.4),
     "dedup_embcos_real" -> Ann.nearDupCosPlantedSql(0.9, 50),
+    "dedup_semantic" -> Ann.semanticDedupSql(0.4),
+    "dedup_semantic_real" -> Ann.semanticDedupPlantedSql(0.9, 50),
     "dedup_ngram" -> NearDup.ngramOracleSql(0.6, maxDf = 50),
     "dedup_winnow" -> NearDup.winnowOracleSql(minShared = 2, maxDf = 50),
     "dedup_incremental" -> NearDup.incrementalOracleSql(splitId = 250L,

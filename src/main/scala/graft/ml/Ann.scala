@@ -1010,6 +1010,66 @@ object Ann {
   def nearDupCosPlanted(emb: DataFrame, minCos: Double, every: Int): DataFrame =
     nearDupCos(plantedCorpus(emb, every), minCos)
 
+  /** SEMANTIC dedup scoped to the coarse-quantizer cells — the SemDeDup
+    * recipe (Abbas et al. 2023, arXiv:2303.09540): k-means the embeddings
+    * (here: the SAME committed coarse quantizer the IVF tiers serve from,
+    * so the dedup and the index agree on what "semantically close" means),
+    * then compare pairs only WITHIN a cell and remove any point whose
+    * max cosine over the lower-triangle ordering exceeds the threshold —
+    * i.e. point x is removed when some retained-ordering predecessor y in
+    * its cell has cos(x,y) ≥ minCos. The ordering is the paper's
+    * fixed-but-arbitrary matrix order made deterministic (vec_id ASC); the
+    * centroid-proximity keep-policy refinement is an ORDER BY swap away.
+    * Scale: the quadratic stays WITHIN cells — the published design point
+    * (k grows with the corpus so cells stay bounded); no all-pairs, and
+    * against the stored assignment (Catalog.ivfCells) the statement reads
+    * cell-partitioned data and never re-quantizes. Complements the
+    * LSH-bucketed nearDupCos: buckets bound candidates by hash collision,
+    * cells by cluster membership — the latter also catches moderate-cosine
+    * topical duplicates LSH tables at these bit widths rarely collide.
+    * Returns the REMOVED rows (vec_id, cell). */
+  def semanticDedup(emb: DataFrame, cells: DataFrame,
+      minCos: Double): DataFrame = {
+    val m = cells.select(col("vec_id"), col("cell"))
+      .join(emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb")), Seq("vec_id"))
+    m.as("x").join(m.as("y"),
+        col("x.cell") === col("y.cell") &&
+          col("y.vec_id") < col("x.vec_id"))
+      .filter(round(cosine(col("x.emb"), col("y.emb")), 6) >= minCos)
+      .select(col("x.vec_id").as("vec_id"), col("x.cell").as("cell"))
+      .distinct()
+  }
+
+  /** semanticDedup at a REALISTIC threshold over the planted corpus
+    * (nearDupCosPlanted's posture): the variants land in their source's
+    * cell by construction of the assignment arithmetic on both engines,
+    * so the removed set is non-trivial at cos ≥ 0.9. Ad-hoc assignment
+    * over the augmented corpus, cached for the statement's two sides. */
+  def semanticDedupPlanted(emb: DataFrame, minCos: Double,
+      every: Int): DataFrame = {
+    val e = graft.util.Caches.track(plantedCorpus(emb, every).cache())
+    semanticDedup(e, graft.util.Caches.track(cellAssignment(e).cache()),
+      minCos)
+  }
+
+  /** DuckDB mirror of semanticDedup: the shared cell CTEs + the same
+    * lower-triangle within-cell pair predicate. */
+  def semanticDedupSql(minCos: Double,
+      srcSql: String = BaseSrcSql): String =
+    s"""WITH ${cellCtesSql(srcSql)},
+       |m AS (SELECT cell.vec_id, cell.cell, e.emb
+       |      FROM cell JOIN e USING (vec_id))
+       |SELECT DISTINCT x.vec_id, CAST(x.cell AS BIGINT) AS cell
+       |FROM m x JOIN m y ON x.cell = y.cell AND y.vec_id < x.vec_id
+       |WHERE round(list_dot_product(x.emb, y.emb) /
+       |  sqrt(list_dot_product(x.emb, x.emb) * list_dot_product(y.emb, y.emb)),
+       |  6) >= $minCos""".stripMargin.replaceAll("\\s+", " ")
+
+  /** DuckDB mirror of semanticDedupPlanted. */
+  def semanticDedupPlantedSql(minCos: Double, every: Int): String =
+    semanticDedupSql(minCos, plantedSrcSql(every))
+
   /** DuckDB mirror of nearDupCos over the `embeddings` view. */
   def nearDupCosSql(minCos: Double): String =
     nearDupCosSqlFrom(
@@ -1030,20 +1090,24 @@ object Ann {
       .replaceAll("\\s+", " ")
   }
 
-  /** DuckDB mirror of nearDupCosPlanted: same source augmentation (double
-    * widening FIRST, then the 1.1 half-scale) so cosines are bit-identical. */
-  def nearDupCosPlantedSql(minCos: Double, every: Int): String = {
+  /** DuckDB mirror of plantedCorpus's source relation: same augmentation
+    * (double widening FIRST, then the 1.1 half-scale) so cosines are
+    * bit-identical. Shared by the planted near-dup and semantic-dedup
+    * oracles. */
+  def plantedSrcSql(every: Int): String = {
     val half = Dims / 2
     val base = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings"
-    val src =
-      s"""SELECT vec_id, emb FROM ($base)
-         | UNION ALL
-         | SELECT vec_id + $PlantOffset AS vec_id,
-         |   list_concat(list_transform(emb[1:$half], x -> x * 1.1),
-         |               emb[${half + 1}:$Dims]) AS emb
-         | FROM ($base) WHERE vec_id % $every = 0""".stripMargin
-    nearDupCosSqlFrom(src, minCos)
+    s"""SELECT vec_id, emb FROM ($base)
+       | UNION ALL
+       | SELECT vec_id + $PlantOffset AS vec_id,
+       |   list_concat(list_transform(emb[1:$half], x -> x * 1.1),
+       |               emb[${half + 1}:$Dims]) AS emb
+       | FROM ($base) WHERE vec_id % $every = 0""".stripMargin
   }
+
+  /** DuckDB mirror of nearDupCosPlanted. */
+  def nearDupCosPlantedSql(minCos: Double, every: Int): String =
+    nearDupCosSqlFrom(plantedSrcSql(every), minCos)
 
   private def nearDupCosSqlFrom(srcSql: String, minCos: Double): String = {
     def sigExpr(src: String): Seq[String] = (0 until Tables).map { t =>

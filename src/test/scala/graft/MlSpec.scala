@@ -89,6 +89,32 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup: within-cell lower-triangle removal, planted variants " +
+      "removed iff they share their source's cell") {
+    val emb = graft.model.Catalog.embeddings(spark,
+      "/root/testdata/sf0.001")
+    // threshold above any cosine: identity (no removal)
+    assert(Ann.semanticDedupPlanted(emb, 1.1, 50).isEmpty,
+      "an impossible threshold removed rows")
+    // realistic threshold over the planted corpus: at 0.9 only the planted
+    // (source, variant) pairs clear the bar (natural ceiling ~0.51), and the
+    // variant is the removed side (source has the lower vec_id); removal
+    // requires cell co-membership, so removed == variants sharing cells
+    val removed = Ann.semanticDedupPlanted(emb, 0.9, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(removed.nonEmpty)
+    assert(removed.keys.forall(_ >= Ann.PlantOffset),
+      "a non-planted doc was removed at a threshold above the natural ceiling")
+    val e = Ann.plantedCorpus(emb, 50)
+    val cells = Ann.cellAssignment(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expect = cells.keys.filter(_ >= Ann.PlantOffset)
+      .filter(v => cells.get(v) == cells.get(v - Ann.PlantOffset)).toSet
+    assert(removed.keySet == expect,
+      "removed set diverges from the co-cell planted variants")
+    removed.foreach { case (v, c) => assert(cells(v) == c) }
+  }
+
   test("n-gram Jaccard: exact inverted-index dedup; df-cap bounds candidates") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val nearDup = ((1 to 29).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
