@@ -961,6 +961,11 @@ object SparkEntry {
     }),
     "text_quality" -> ((s, dir) =>
       graft.ml.TextAnalysis.quality(Catalog.documents(s, dir))),
+    // the published Gopher boolean rubric (Rae et al. 2021) at the
+    // published bounds — the gate corpora run BEFORE the continuous score
+    "quality_gopher" -> ((s, dir) =>
+      graft.ml.TextAnalysis.gopherRules(Catalog.documents(s, dir),
+        minStops = 1)),
     "text_langid" -> ((s, dir) =>
       graft.ml.TextAnalysis.langId(Catalog.documents(s, dir))),
     "text_tokens_regex" -> ((s, dir) =>
@@ -1809,6 +1814,8 @@ object SparkEntry {
       round(len(list_filter(string_split(text, ' '), t -> list_contains(['the','and','of','to','a','in','is'], t))) * 1.0 / len(string_split(text, ' ')), 4) AS stop_ratio,
       ${graft.ml.TextAnalysis.qualitySqlExpr} AS quality
       FROM documents""".replaceAll("\\s+", " ")),
+    "quality_gopher" -> graft.ml.TextAnalysis.gopherRulesOracleSql(
+      minStops = 1),
     "text_langid" -> ("""WITH h AS (SELECT doc_id,
         len(list_filter(string_split(text, ' '), t -> list_contains(['the','and','of','to','a','in','is'], t))) AS h_en,
         len(list_filter(string_split(text, ' '), t -> list_contains(['der','die','das','und','ist','ein'], t))) AS h_de,

@@ -66,6 +66,79 @@ object TextAnalysis {
       qualityCol.as("quality"))
   }
 
+  /** The Gopher rule set's stop-word list (Rae et al. 2021, Appendix A):
+    * a document must contain at least two of these to pass. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style RULE-BASED quality filter (Rae et al. 2021, Appendix A)
+    * — the published boolean rubric corpora are gated on before the
+    * continuous score above is even computed, at the published bounds:
+    * word count in [50, 100000], mean word length in [3, 10],
+    * symbol-to-word ratio ('#' and '...') ≤ 0.1, ≥ 80% of words contain
+    * an alphabetic character, and ≥ `minStops` distinct stop-word hits
+    * (published default 2; the oracle entry pins 1 because the synthetic
+    * vocabulary contains only 'the' of the eight published stop words, so
+    * ≥2 is false corpus-wide and the verdict column would be vacuous —
+    * the dedup_embcos fixture-driven-threshold precedent, ADVICE r6).
+    * (The bullet/ellipsis LINE-ratio rules are omitted — the corpus is
+    * single-line; they'd be two more ratio columns of the same shape.)
+    * Every signal is a per-row codegen projection (zero shuffle), and the
+    * pass verdict compares the ROUNDED ratios so the boundary cases agree
+    * with the DuckDB mirror bit-for-bit. */
+  def gopherRules(docs: DataFrame, minStops: Int = 2): DataFrame = {
+    val tok = tokens
+    val nTok = size(tok)
+    val nChar = length(col("text"))
+    val meanWordLen = round((nChar - (nTok - 1)).cast("double") / nTok, 4)
+    // '#' count + non-overlapping '...' count; literal replace on both
+    // engines so occurrence semantics can't diverge
+    val nSym = (nChar - length(regexp_replace(col("text"), "#", ""))) +
+      (nChar - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3)
+    val symbolRatio = round(nSym.cast("double") / nTok, 4)
+    val alphaRatio = round(
+      size(filter(tok, t => t.rlike("[a-zA-Z]"))).cast("double") / nTok, 4)
+    val stopHits = GopherStops
+      .map(w => array_contains(tok, w).cast("int")).reduce(_ + _)
+    docs.select(col("doc_id"), nTok.as("n_words"),
+        meanWordLen.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
+        alphaRatio.as("alpha_ratio"), stopHits.as("stop_hits"))
+      .withColumn("passes",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 && col("alpha_ratio") >= 0.8 &&
+          col("stop_hits") >= minStops)
+  }
+
+  /** DuckDB mirror of gopherRules: same signals, same rounded-value
+    * comparisons, verdict composed in an outer select over the aliased
+    * signal columns. */
+  def gopherRulesOracleSql(minStops: Int = 2): String =
+    s"""SELECT *, (n_words >= 50 AND n_words <= 100000
+      |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |  AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+      |  AND stop_hits >= $minStops) AS passes
+      |FROM (SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_words,
+      |  round((len(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+      |    / len(string_split(text, ' ')), 4) AS mean_word_len,
+      |  round(((len(text) - len(regexp_replace(text, '#', '', 'g'))) +
+      |      (len(text) - len(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3)
+      |    * 1.0 / len(string_split(text, ' ')), 4) AS symbol_ratio,
+      |  round(len(list_filter(string_split(text, ' '),
+      |      t -> regexp_matches(t, '[a-zA-Z]'))) * 1.0
+      |    / len(string_split(text, ' ')), 4) AS alpha_ratio,
+      |  (CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 1 ELSE 0 END
+      |   + CASE WHEN list_contains(string_split(text, ' '), 'be') THEN 1 ELSE 0 END
+      |   + CASE WHEN list_contains(string_split(text, ' '), 'to') THEN 1 ELSE 0 END
+      |   + CASE WHEN list_contains(string_split(text, ' '), 'of') THEN 1 ELSE 0 END
+      |   + CASE WHEN list_contains(string_split(text, ' '), 'and') THEN 1 ELSE 0 END
+      |   + CASE WHEN list_contains(string_split(text, ' '), 'that') THEN 1 ELSE 0 END
+      |   + CASE WHEN list_contains(string_split(text, ' '), 'have') THEN 1 ELSE 0 END
+      |   + CASE WHEN list_contains(string_split(text, ' '), 'with') THEN 1 ELSE 0 END
+      |  ) AS stop_hits
+      |  FROM documents)""".stripMargin.replaceAll("\\s+", " ")
+
   /** Language-ID by stopword-profile hit counting with deterministic
     * tie-break (first profile in declaration order wins ties; 'und' when no
     * profile hits). The real-corpus version swaps profiles for char-n-gram

@@ -271,6 +271,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(1L)._3 != got(2L)._3)
   }
 
+  test("gopherRules: each rule independently fails its crafted doc") {
+    val pad = (1 to 60).map(_ => "have").mkString(" ") // 60 words, all alpha
+    val good = pad + " of" // 2 distinct stops, meanLen ok
+    val docs = Seq(
+      (1L, good),                                      // passes everything
+      (2L, "the of"),                                  // too few words
+      (3L, (1 to 60).map(_ => "a").mkString(" ") + " the of"), // meanLen < 3
+      (4L, pad + " of " + (1 to 20).map(_ => "#").mkString(" ")), // symbols
+      (5L, pad + " of " + (1 to 20).map(_ => "123").mkString(" ")), // alpha
+      (6L, (1 to 60).map(i => s"tok$i").mkString(" ")) // no stop words
+    ).toDF("doc_id", "text")
+    val got = graft.ml.TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false, 6L -> false))
+    // the relaxed stop gate the oracle entry pins: doc 6 still fails (0
+    // hits), doc 1 still passes
+    val relaxed = graft.ml.TextAnalysis.gopherRules(docs, minStops = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(relaxed(1L) && !relaxed(6L))
+  }
+
   test("tfidfTopTerms ranks by rounded score with term tie-break") {
     // 4 docs; "rare" appears in doc 1 only (3×), "mid" in docs 1-2,
     // "all" in every doc (idf = ln(1) = 0)
