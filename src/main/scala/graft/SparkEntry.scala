@@ -730,6 +730,11 @@ object SparkEntry {
     "sample_mixture" -> ((s, dir) =>
       graft.ml.CorpusOps.mixtureSample(Catalog.documents(s, dir),
         MixtureWeights, MixtureTotal)),
+    // temperature mixing (p ∝ n^0.5): quotas derived IN-PLAN from the
+    // corpus' own per-source counts — no driver-given weights
+    "sample_temperature" -> ((s, dir) =>
+      graft.ml.CorpusOps.temperatureSample(Catalog.documents(s, dir),
+        0.5, MixtureTotal)),
     // Gopher-style intra-doc repetition signals (top-bigram share, repeated
     // trigram share) — the boilerplate filter before dedup
     "text_repetition" -> ((s, dir) =>
@@ -1723,6 +1728,7 @@ object SparkEntry {
     "sample_stratified" -> graft.ml.CorpusOps.stratifiedOracleSql("lang", 20),
     "pack_batches" -> graft.ml.CorpusOps.packOracleSql(2000L, 8),
     "sample_mixture" -> graft.ml.CorpusOps.mixtureOracleSql(MixtureWeights, MixtureTotal),
+    "sample_temperature" -> graft.ml.CorpusOps.temperatureOracleSql(MixtureTotal),
     "text_repetition" -> graft.ml.TextAnalysis.repetitionOracleSql,
     "text_scrub" -> graft.ml.TextAnalysis.scrubPlantedOracleSql(25),
     "domain_stats" -> graft.ml.TextAnalysis.domainStatsPlantedOracleSql(5),

@@ -115,6 +115,56 @@ object CorpusOps {
       .select(col("doc_id"), col("source"))
   }
 
+  /** TEMPERATURE-weighted mixture sampling — the data-mixing rule LLM
+    * corpora are composed with (sampling probability ∝ n_d^α, α < 1
+    * upweighting small sources; the multilingual/multi-corpus recipe from
+    * the published pretraining pipelines): per-source quotas are derived
+    * IN-PLAN from the corpus' own counts — quota_d = round(total ·
+    * n_d^α / Σ n_d^α) — then drawn in the shared deterministic md5 order.
+    * α is pinned to 0.5 in the oracle entry: the power is then sqrt,
+    * which IEEE-754 requires correctly rounded, so Spark and DuckDB
+    * compute bit-identical weights (a general pow is not so guaranteed
+    * across libms — the determinism conventions' "identical IEEE op
+    * sequence" rule decides the exponent). Scale: the weight derivation
+    * is one tiny per-source aggregate; the draw pre-filters rn ≤ total
+    * (a static bound ≥ every quota), so the rank window rewrites to
+    * WindowGroupLimit exactly like mixtureSample's static maxQuota. */
+  def temperatureSample(docs: DataFrame, alpha: Double,
+      total: Int): DataFrame = {
+    require(alpha == 0.5,
+      "temperatureSample: only α = 0.5 (sqrt — IEEE-exact on both engines)")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val z = Window.partitionBy()
+    val quotas = counts
+      .withColumn("wz", sqrt(col("n").cast("double")))
+      .select(col("source"),
+        round(lit(total) * col("wz") / sum("wz").over(z), 0)
+          .cast("int").as("quota"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("tmp:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= total)
+      .join(quotas, Seq("source"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** DuckDB mirror of temperatureSample at α = 0.5. */
+  def temperatureOracleSql(total: Int): String =
+    s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+       |q AS (SELECT source,
+       |    CAST(round($total * sqrt(CAST(n AS DOUBLE)) /
+       |      (SELECT sum(sqrt(CAST(n AS DOUBLE))) FROM c), 0) AS INT) AS quota
+       |  FROM c),
+       |r AS (SELECT doc_id, source, row_number() OVER (
+       |    PARTITION BY source
+       |    ORDER BY md5('tmp:' || doc_id), doc_id) AS rn
+       |  FROM documents)
+       |SELECT doc_id, source FROM r JOIN q USING (source)
+       |WHERE rn <= quota""".stripMargin.replaceAll("\\s+", " ")
+
   def mixtureOracleSql(weights: Seq[(String, Double)], total: Int): String = {
     val rows = weights
       .map { case (src, w) => s"('$src', ${math.round(total * w).toInt})" }

@@ -271,6 +271,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(1L)._3 != got(2L)._3)
   }
 
+  test("temperatureSample: sqrt-law quotas upweight small sources, " +
+      "md5-order draw, quota law matches hand arithmetic") {
+    // skewed corpus: 90 / 9 / 1 docs per source
+    val docs = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (91 to 99).map(i => (i.toLong, "mid")) :+ (100L -> "tiny"))
+      .toDF("doc_id", "source")
+    val total = 30
+    val got = CorpusOps.temperatureSample(docs, 0.5, total).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    // hand arithmetic: z = √90 + √9 + √1; quota_d = round(30·√n_d/z)
+    val z = math.sqrt(90.0) + 3.0 + 1.0
+    // quota law: round(30·√n_d/z), capped by what the source HAS (tiny's
+    // quota is 2 but it holds one doc — an under-provisioned source
+    // contributes all of it, the mixtureSample contract)
+    val quota = Map(
+      "big" -> math.round(total * math.sqrt(90.0) / z).toInt,
+      "mid" -> math.round(total * 3.0 / z).toInt,
+      "tiny" -> math.round(total * 1.0 / z).toInt)
+    val n = Map("big" -> 90, "mid" -> 9, "tiny" -> 1)
+    val want = quota.map { case (s, q) => s -> math.min(q, n(s)) }
+    assert(bySrc == want.filter(_._2 > 0))
+    // α = 0.5 upweights the tail: tiny's QUOTA is ~2.2/30 ≈ 7.4% of the
+    // draw vs its 1% corpus share
+    assert(quota("tiny") * 100.0 / total > 100.0 * 1 / 100,
+      "temperature did not upweight the smallest source")
+    // the draw is the shared md5-order prefix per source
+    val drawnBig = got.filter(_._2 == "big").map(_._1).toSet
+    val orderedBig = (1 to 90).map(_.toLong)
+      .sortBy(id => (TestSpark.spark.sql(
+        s"SELECT md5('tmp:' || '$id')").head.getString(0), id))
+      .take(want("big")).toSet
+    assert(drawnBig == orderedBig)
+  }
+
   test("gopherRules: each rule independently fails its crafted doc") {
     val pad = (1 to 60).map(_ => "have").mkString(" ") // 60 words, all alpha
     val good = pad + " of" // 2 distinct stops, meanLen ok
