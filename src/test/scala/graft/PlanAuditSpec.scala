@@ -86,6 +86,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"dedup_removal re-derives the pair pipeline in-statement:\n$pr")
   }
 
+  test("semantic dedup reads the stored cell assignment; filtered+masked " +
+      "hybrid is store-only") {
+    // dedup_semantic's 100 TB posture: the coarse assignment is READ from
+    // Catalog.ivfCells — a plan that re-quantizes (centroid argmax over
+    // cent_id) has regressed to per-statement assignment
+    val ps = planOf(SparkEntry.queries("dedup_semantic")(spark, dir))
+    assert(ps.contains("ivf_cells"),
+      s"dedup_semantic not reading the stored assignment:\n$ps")
+    assert(!ps.contains("cent_id"),
+      s"dedup_semantic re-derives the cell assignment in-statement:\n$ps")
+    // the filtered+masked hybrid: both tiers from stores, corpus text
+    // never scanned (the rrf_stored family contract)
+    val pm = planOf(
+      SparkEntry.queries("rrf_stored_filtered_masked")(spark, dir))
+    assert(pm.contains("lex_index") && pm.contains("ivf_flat") &&
+      !TestSpark.scansCorpusText(pm),
+      s"filtered+masked hybrid must read only the stored tiers:\n$pm")
+    graft.util.Caches.drain()
+  }
+
   test("vocabulary joins carry NO explicit broadcast hint (r9 de-broadcast pins)") {
     // the r9 scale fix: df/unigram vocabularies and CORRELATE membership
     // sets are data-scaled, so their joins must reach the planner unhinted
