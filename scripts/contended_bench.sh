@@ -20,7 +20,7 @@ LOAD="${LOAD:-8}"
 # new filtered/masked tier, so next round's ambient-vs-structural calls
 # are pre-decided; correlate_full is now a stored read (parity here
 # confirms the r16 fix, like dedup_minhash confirmed r15's).
-FAMILY="${FAMILY:-correlate_full,correlate_logodds,correlate_leakage_one,join_salted,bm25_topk_batch,rrf_stored_batch,decontaminate_bloom,tfidf_topterms,pipeline_clean_corpus,span_dedup,span_dedup_stored,dedup_minhash,bm25_topk_filtered_batch,bm25_stored_filtered_batch,rrf_stored_filtered_batch,ann_masked_serve,ann_tombstone_compact}"
+FAMILY="${FAMILY:-correlate_full,correlate_logodds,correlate_leakage_one,join_salted,bm25_topk_batch,rrf_stored_batch,decontaminate_bloom,tfidf_topterms,pipeline_clean_corpus,span_dedup,span_dedup_stored,dedup_minhash,bm25_topk_filtered_batch,bm25_stored_filtered_batch,rrf_stored_filtered_batch,ann_masked_serve,ann_tombstone_compact,rrf_stored_filtered_masked,dedup_semantic,dedup_semantic_real,quality_gopher,sample_temperature}"
 OUT="${OUT:-bench_contended.json}"
 
 # Background load: LOAD python workers repeatedly full-reading every parquet
