@@ -735,6 +735,37 @@ object SparkEntry {
     "sample_temperature" -> ((s, dir) =>
       graft.ml.CorpusOps.temperatureSample(Catalog.documents(s, dir),
         0.5, MixtureTotal)),
+    // TOKEN-budget mixing: fill each source up to a per-source token
+    // budget in md5 order (greedy fill; WindowGroupLimit-bounded rank)
+    "mixture_token_budget" -> ((s, dir) =>
+      graft.ml.CorpusOps.tokenBudgetSample(Catalog.documents(s, dir), 1500L)),
+    // DSIR importance weights (Xie et al. 2023): hashed-gram log-ratio
+    // score vs the src0 target slice, add-one smoothed, 256 buckets
+    "dsir_weights" -> ((s, dir) =>
+      graft.ml.Selection.dsirWeights(Catalog.documents(s, dir), "src0")),
+    // the deterministic DSIR draw: top-100 by (score DESC, doc_id)
+    "dsir_select" -> ((s, dir) =>
+      graft.ml.Selection.dsirSelect(Catalog.documents(s, dir), "src0", 100)),
+    // hashed-feature linear quality classifier (fixed 256-bucket feature
+    // hash, weights a pure function of the bucket — zero joins)
+    "quality_linear" -> ((s, dir) =>
+      graft.ml.Selection.linearQuality(Catalog.documents(s, dir), 0.5)),
+    // GPT-3-style Pareto rejection sampling over that score at α = 1
+    // (single-division inverse CDF — engine-exact keep decision)
+    "sample_pareto" -> ((s, dir) =>
+      graft.ml.Selection.paretoSample(Catalog.documents(s, dir))),
+    // deterministic md5 train/val/test split (75/12.5/12.5) — stable
+    // under corpus growth, zero shuffle
+    "split_train_eval" -> ((s, dir) =>
+      graft.ml.Selection.trainEvalSplit(Catalog.documents(s, dir))),
+    // URL-normalized dedup over the planted-URL corpus (case-folded,
+    // query-stripped; one doc kept per normalized URL)
+    "dedup_url" -> ((s, dir) =>
+      graft.ml.TextAnalysis.urlDedup(Catalog.documents(s, dir), 5)),
+    // per-domain frequency cap: ≤ 3 docs per normalized domain in md5
+    // order (WindowGroupLimit-bounded)
+    "sample_domain_cap" -> ((s, dir) =>
+      graft.ml.TextAnalysis.domainCap(Catalog.documents(s, dir), 5, 3)),
     // Gopher-style intra-doc repetition signals (top-bigram share, repeated
     // trigram share) — the boilerplate filter before dedup
     "text_repetition" -> ((s, dir) =>
@@ -1729,6 +1760,14 @@ object SparkEntry {
     "pack_batches" -> graft.ml.CorpusOps.packOracleSql(2000L, 8),
     "sample_mixture" -> graft.ml.CorpusOps.mixtureOracleSql(MixtureWeights, MixtureTotal),
     "sample_temperature" -> graft.ml.CorpusOps.temperatureOracleSql(MixtureTotal),
+    "mixture_token_budget" -> graft.ml.CorpusOps.tokenBudgetOracleSql(1500L),
+    "dsir_weights" -> graft.ml.Selection.dsirOracleSql("src0"),
+    "dsir_select" -> graft.ml.Selection.dsirSelectOracleSql("src0", 100),
+    "quality_linear" -> graft.ml.Selection.linearQualityOracleSql(0.5),
+    "sample_pareto" -> graft.ml.Selection.paretoOracleSql(),
+    "split_train_eval" -> graft.ml.Selection.trainEvalSplitOracleSql,
+    "dedup_url" -> graft.ml.TextAnalysis.urlDedupOracleSql(5),
+    "sample_domain_cap" -> graft.ml.TextAnalysis.domainCapOracleSql(5, 3),
     "text_repetition" -> graft.ml.TextAnalysis.repetitionOracleSql,
     "text_scrub" -> graft.ml.TextAnalysis.scrubPlantedOracleSql(25),
     "domain_stats" -> graft.ml.TextAnalysis.domainStatsPlantedOracleSql(5),

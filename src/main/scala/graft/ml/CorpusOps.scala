@@ -178,6 +178,50 @@ object CorpusOps {
        |WHERE rn <= quota""".stripMargin.replaceAll("\\s+", " ")
   }
 
+  /** TOKEN-budget mixture selection: fill each source's slice of the mix up
+    * to a per-source TOKEN budget (what a training recipe actually
+    * specifies — "30 B tokens of code, 10 B of papers" — doc-count quotas
+    * like mixtureSample's are the proxy). Docs are taken in the shared
+    * deterministic md5 order; a doc is in iff it STARTS before the budget
+    * is exhausted (cum − n_tok < budget), so each source overflows by at
+    * most one document — the pack_batches greedy-fill rule applied to
+    * selection. Scale: the rank pre-filter `rn ≤ budget` is a STATIC bound
+    * (every doc has ≥ 1 token, so no doc ranked past `budget` can start
+    * under it) — Spark rewrites it to WindowGroupLimit, executors forward
+    * at most `budget` rows per source, and the running sum runs over that
+    * bounded survivor set; both windows share one partition+order, one
+    * exchange. */
+  def tokenBudgetSample(docs: DataFrame, budget: Long): DataFrame = {
+    val ord = Seq(md5(concat(lit("bud:"), col("doc_id").cast("string"))),
+      col("doc_id"))
+    val wRank = Window.partitionBy("source").orderBy(ord: _*)
+    val wCum = Window.partitionBy("source").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= budget)
+      .withColumn("cum", sum("n_tok").over(wCum))
+      .filter(col("cum") - col("n_tok") < budget)
+      .select(col("doc_id"), col("source"), col("n_tok"))
+  }
+
+  def tokenBudgetOracleSql(budget: Long): String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |r AS (SELECT doc_id, source, n_tok, row_number() OVER (
+       |    PARTITION BY source
+       |    ORDER BY md5('bud:' || doc_id), doc_id) AS rn FROM d),
+       |c AS (SELECT doc_id, source, n_tok, sum(n_tok) OVER (
+       |    PARTITION BY source
+       |    ORDER BY md5('bud:' || doc_id), doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM r WHERE rn <= $budget)
+       |SELECT doc_id, source, n_tok FROM c
+       |WHERE cum - n_tok < $budget""".stripMargin.replaceAll("\\s+", " ")
+
   /** Greedy sequence packing — the batch-construction step before training:
     * docs are laid out in a deterministic md5 order and cut into consecutive
     * batches of ~`budget` tokens (a doc lands in the batch its running

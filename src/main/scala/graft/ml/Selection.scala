@@ -1,0 +1,238 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-SELECTION operators — the published family of "which docs make the
+  * training set" verbs that sit between cleaning and mixing:
+  *
+  *  - DSIR importance resampling (Xie et al., NeurIPS 2023): score every
+  *    raw doc by how target-like its hashed n-gram distribution is, keep
+  *    the top mass;
+  *  - a hashed-feature LINEAR quality classifier (the GPT-3-era logistic
+  *    filter shape: fixed-width feature hashing, per-doc weighted mean);
+  *  - Pareto rejection sampling over that score (GPT-3 Appendix A's
+  *    "keep low-scoring docs with decaying probability" lottery, at α = 1
+  *    so the inverse CDF is a single IEEE division — no pow, engine-exact);
+  *  - the deterministic md5 train/val/test split every pipeline needs last.
+  *
+  * All randomness is md5-derived (the RANDOM_SAMPLE determinism contract,
+  * /root/reference/src/query.cc:668-686): reproducible across runs, engines,
+  * and partitionings, with DuckDB mirrors sharing the exact hash → number
+  * convention (`('0x' || substr(md5(x),1,6))::BIGINT` ≡ Spark's
+  * `conv(substring(md5(x),1,6),16,10)`).
+  *
+  * Scale shape: every op here is one corpus scan + one partial-aggregating
+  * groupBy on (doc_id, bucket) + joins against a table bounded at 256 rows
+  * BY CONSTRUCTION (the feature space is fixed-width — the paper's is 10k
+  * buckets; ours is 2 hex chars = 256). Nothing vocabulary-sized is ever
+  * broadcast (contrast tfidfTopTerms' unbounded term table); the bucket
+  * tables are below any broadcast threshold at any corpus size.
+  */
+object Selection {
+
+  /** Number of hash buckets = 16^2 (2 hex chars of md5). */
+  val Buckets = 256
+
+  // ---- shared hashed-feature derivation (Spark side) ----------------------
+
+  /** Per-doc hashed-gram bucket counts: unigrams + bigrams (the DSIR
+    * paper's feature set), each hashed to its md5 prefix bucket. One
+    * explode + one partial-aggregating groupBy keyed (doc_id, b) — the
+    * count collapses map-side before the shuffle. Carries `source` for the
+    * target-slice split (functionally dependent on doc_id, free to group). */
+  private[ml] def bucketCounts(docs: DataFrame): DataFrame = {
+    val tok = split(col("text"), " ")
+    // the CASE guard wraps the transform itself: on a 1-token doc the
+    // unguarded sequence(0, size-2) goes DESCENDING (the repetition
+    // operator's documented trap, TextAnalysis.scala:188-195)
+    val bigrams = expr(
+      """CASE WHEN size(tok) >= 2
+        |THEN transform(sequence(0, size(tok) - 2),
+        |     i -> concat_ws(' ', tok[i], tok[i+1]))
+        |ELSE CAST(array() AS array<string>) END""".stripMargin)
+    docs.select(col("doc_id"), col("source"), tok.as("tok"))
+      .select(col("doc_id"), col("source"),
+        explode(concat(col("tok"), bigrams)).as("gram"))
+      .select(col("doc_id"), col("source"),
+        substring(md5(col("gram")), 1, 2).as("b"))
+      .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** The shared bucket-count CTE (DuckDB side): same grams, same buckets. */
+  private val BucketCtesSql: String =
+    """tokd AS (SELECT doc_id, source, string_split(text, ' ') AS tok
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, source, unnest(tok) AS gram FROM tokd
+      |  UNION ALL
+      |  SELECT doc_id, source,
+      |    unnest(list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])) AS gram
+      |  FROM tokd),
+      |gb AS (SELECT doc_id, source, substr(md5(gram), 1, 2) AS b,
+      |    count(*) AS c
+      |  FROM grams GROUP BY 1, 2, 3)""".stripMargin
+
+  // ---- DSIR importance resampling -----------------------------------------
+
+  /** DSIR importance weights (Xie et al. 2023): per doc, the mean over its
+    * hashed-gram occurrences of ln p̂_target(b) − ln p̂_raw(b), where both
+    * distributions are add-one-smoothed bucket frequencies (target = the
+    * `targetSrc` slice, raw = the whole corpus). A doc whose gram mix looks
+    * like the target scores > 0; generic/noise docs score < 0. The paper
+    * resamples ∝ exp(score); the deterministic engine keeps the top mass
+    * (`dsirSelect`) — same ordering, no RNG state.
+    *
+    * Scale: the bucket distributions aggregate the ALREADY-reduced
+    * (doc, bucket) counts into ≤256-row tables; their totals fold in a
+    * window over those 256 rows; the log-ratio table re-joins the doc-side
+    * counts as an explicit broadcast (bounded by construction — this is the
+    * justified-broadcast case tfidfTopTerms' unbounded vocabulary is not).
+    * One corpus-sized shuffle total (the bucketCounts groupBy). */
+  def dsirWeights(docs: DataFrame, targetSrc: String): DataFrame = {
+    val gb = bucketCounts(docs)
+    // raw and target bucket totals in ONE conditional aggregation — the
+    // separate raw/tgt aggs would each re-execute the bucketCounts subtree
+    // (the lazy-plan fan-out trap, TextAnalysis.cleanCorpus): one corpus
+    // pass builds the 256-row ratio table, the scoring join is the second
+    // and last
+    val z = Window.partitionBy()
+    val ratio = gb.groupBy("b")
+      .agg(sum("c").as("cr"),
+        sum(when(col("source") === targetSrc, col("c")).otherwise(0L))
+          .as("ct"))
+      .select(col("b"),
+        (log((col("ct") + 1).cast("double") /
+            (sum(col("ct")).over(z) + Buckets)) -
+          log((col("cr") + 1).cast("double") /
+            (sum(col("cr")).over(z) + Buckets))).as("lr"))
+    gb.join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("c") * col("lr")) / sum("c"), 4).as("dsir_score"))
+  }
+
+  /** Top-`k` DSIR selection: the deterministic stand-in for the paper's
+    * importance resampling draw — rank by (score DESC, doc_id) and cut at
+    * k. The rounded score + id tie-break is a total order, so the
+    * k-boundary is engine-stable; the sort is a TakeOrdered over the
+    * already-reduced per-doc scores, not a full corpus sort. */
+  def dsirSelect(docs: DataFrame, targetSrc: String, k: Int): DataFrame =
+    dsirWeights(docs, targetSrc)
+      .orderBy(desc("dsir_score"), asc("doc_id"))
+      .limit(k)
+
+  private def dsirCtesSql(targetSrc: String): String =
+    s"""$BucketCtesSql,
+       |bt AS (SELECT b, sum(c) AS cr,
+       |    sum(CASE WHEN source = '$targetSrc' THEN c ELSE 0 END) AS ct
+       |  FROM gb GROUP BY b),
+       |ratio AS (SELECT b,
+       |    ln((ct + 1) * 1.0 / ((SELECT sum(ct) FROM bt) + $Buckets)) -
+       |    ln((cr + 1) * 1.0 / ((SELECT sum(cr) FROM bt) + $Buckets)) AS lr
+       |  FROM bt),
+       |score AS (SELECT doc_id, round(sum(c * lr) / sum(c), 4) AS dsir_score
+       |  FROM gb JOIN ratio USING (b) GROUP BY doc_id)""".stripMargin
+
+  def dsirOracleSql(targetSrc: String): String =
+    s"""WITH ${dsirCtesSql(targetSrc)}
+       |SELECT doc_id, dsir_score FROM score""".stripMargin
+      .replaceAll("\\s+", " ")
+
+  def dsirSelectOracleSql(targetSrc: String, k: Int): String =
+    s"""WITH ${dsirCtesSql(targetSrc)}
+       |SELECT doc_id, dsir_score FROM score
+       |ORDER BY dsir_score DESC, doc_id LIMIT $k""".stripMargin
+      .replaceAll("\\s+", " ")
+
+  // ---- hashed linear quality classifier + Pareto lottery ------------------
+
+  /** The per-bucket weight: a deterministic value in [-1, 1) derived from
+    * the bucket id's own md5 (6 hex chars → uint → scaled). A real
+    * deployment swaps these pseudo-weights for TRAINED ones via the
+    * committed-constants pattern (TrainedCentroids); the operator shape —
+    * per-doc weighted mean over hashed features, zero joins because the
+    * weight is a pure function of the bucket — is what's under test. */
+  private def weightCol(b: Column): Column =
+    round(conv(substring(md5(concat(lit("w:"), b)), 1, 6), 16, 10)
+      .cast("double") / lit(16777216.0) * 2 - 1, 6)
+
+  private val WeightSql =
+    "round(('0x' || substr(md5('w:' || b), 1, 6))::BIGINT / 16777216.0 * 2 - 1, 6)"
+
+  /** Hashed-feature linear quality score ∈ [0, 1]: the weighted mean of a
+    * doc's bucket counts under the fixed weight table, affinely squashed.
+    * Monotone in the linear response, so the classifier verdict is a
+    * threshold on the score directly (no sigmoid — avoids exp() libm
+    * divergence across engines; same decision boundary). Zero joins: the
+    * weight is computed IN the aggregation projection. */
+  def linearQuality(docs: DataFrame, tau: Double): DataFrame =
+    bucketCounts(docs)
+      .groupBy("doc_id")
+      .agg(round((sum(col("c") * weightCol(col("b"))) / sum("c") + 1) / 2, 4)
+        .as("score"))
+      .withColumn("passes", col("score") >= tau)
+
+  def linearQualityOracleSql(tau: Double): String =
+    s"""WITH $BucketCtesSql,
+       |sc AS (SELECT doc_id,
+       |    round((sum(c * $WeightSql) / sum(c) + 1) / 2, 4) AS score
+       |  FROM gb GROUP BY doc_id)
+       |SELECT doc_id, score, score >= $tau AS passes FROM sc""".stripMargin
+      .replaceAll("\\s+", " ")
+
+  /** GPT-3-style Pareto rejection sampling (Brown et al. 2020, Appendix A:
+    * keep a doc iff a Pareto draw exceeds 1 − score, so high-quality docs
+    * are kept outright and low-quality docs survive with decaying
+    * probability — the filter keeps SOME tail mass on purpose). At α = 1
+    * the inverse-CDF draw is u/(1−u), and `keep ⇔ u/(1−u) > 1 − score`
+    * rearranges to `u > (1−score)/(2−score)` — one subtraction and one
+    * division on a rounded score, both correctly-rounded IEEE ops, so the
+    * keep decision is bit-identical across engines (a general α needs pow,
+    * which libms don't guarantee — the α = 0.5 sqrt rule's cousin,
+    * CorpusOps.temperatureSample). u is the md5 uniform: first 6 hex chars
+    * of md5("par:" ‖ doc_id) / 16^6, exact in doubles. */
+  def paretoSample(docs: DataFrame, tau: Double = 0.0): DataFrame = {
+    val u = conv(substring(md5(concat(lit("par:"),
+      col("doc_id").cast("string"))), 1, 6), 16, 10)
+      .cast("double") / lit(16777216.0)
+    linearQuality(docs, tau)
+      .select(col("doc_id"), col("score"))
+      .filter(u > (lit(1.0) - col("score")) / (lit(2.0) - col("score")))
+  }
+
+  def paretoOracleSql(tau: Double = 0.0): String =
+    s"""WITH $BucketCtesSql,
+       |sc AS (SELECT doc_id,
+       |    round((sum(c * $WeightSql) / sum(c) + 1) / 2, 4) AS score
+       |  FROM gb GROUP BY doc_id)
+       |SELECT doc_id, score FROM sc
+       |WHERE ('0x' || substr(md5('par:' || doc_id), 1, 6))::BIGINT / 16777216.0
+       |  > (1.0 - score) / (2.0 - score)""".stripMargin
+      .replaceAll("\\s+", " ")
+
+  // ---- deterministic train/val/test split ---------------------------------
+
+  /** The split every pipeline applies LAST: assign each doc to
+    * train/val/test by the first hex char of md5("split:" ‖ doc_id) —
+    * '0'–'b' → train (12/16), 'c'–'d' → val (2/16), 'e'–'f' → test (2/16).
+    * A pure single-char string comparison (ASCII order, identical on both
+    * engines — no numeric conversion at all), stable under corpus growth:
+    * a doc's split never changes when other docs arrive, which is the
+    * property hash splits exist for (a row_number split reshuffles
+    * everybody on every append). Zero shuffle: one codegen projection. */
+  def trainEvalSplit(docs: DataFrame): DataFrame = {
+    val c = substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string"))), 1, 1)
+    docs.select(col("doc_id"), col("source"),
+      when(c < "c", "train").when(c < "e", "val").otherwise("test")
+        .as("split"))
+  }
+
+  def trainEvalSplitOracleSql: String =
+    """SELECT doc_id, source,
+      |  CASE WHEN substr(md5('split:' || doc_id), 1, 1) < 'c' THEN 'train'
+      |       WHEN substr(md5('split:' || doc_id), 1, 1) < 'e' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin.replaceAll("\\s+", " ")
+}

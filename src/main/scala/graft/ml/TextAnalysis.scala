@@ -279,6 +279,92 @@ object TextAnalysis {
        |FROM x WHERE domain <> '' GROUP BY domain""".stripMargin
       .replaceAll("\\s+", " ")
 
+  /** The shared planted-URL corpus for the URL-level curation ops (the
+    * synthetic corpus has no URLs — the text_scrub planted-fixture
+    * pattern): every `every`-th doc gets a URL with a CASE-VARIED host
+    * (doc_id % 7 hosts), one of 3 paths, and a per-doc query string, so
+    * normalization has real work to do (case folding, query stripping)
+    * and every host+path group has many members to dedup/cap. */
+  private def withPlantedUrls(docs: DataFrame, every: Int): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % every === 0,
+        concat(col("text"), lit(" see https://Site"),
+          (col("doc_id") % 7).cast("string"), lit(".example/Path"),
+          (col("doc_id") % 3).cast("string"), lit("?ref="),
+          col("doc_id").cast("string")))
+        .otherwise(col("text")))
+
+  private def plantedUrlCteSql(every: Int): String =
+    s"""d AS (SELECT doc_id,
+       |    CASE WHEN doc_id % $every = 0 THEN text || ' see https://Site' ||
+       |      CAST(doc_id % 7 AS VARCHAR) || '.example/Path' ||
+       |      CAST(doc_id % 3 AS VARCHAR) || '?ref=' || CAST(doc_id AS VARCHAR)
+       |    ELSE text END AS text
+       |  FROM documents)""".stripMargin
+
+  /** URL-normalized dedup — the C4/RefinedWeb "one page per URL" step that
+    * runs BEFORE content dedup (a recrawled page is the same document even
+    * when its boilerplate drifted, and the URL key is free while MinHash
+    * is not): normalize each doc's URL (lowercase, query string stripped,
+    * trailing slash trimmed) and keep the lowest doc_id per normalized
+    * URL. One regexp projection + one partial-aggregating groupBy on the
+    * (bounded, URL-cardinality) key — a linear scan at any corpus size;
+    * the min-id keep rule is the exact-dedup canonical-copy contract
+    * (cleanCorpus). Returns (url_norm, keep_id, n_dups). */
+  def urlDedup(docs: DataFrame, every: Int): DataFrame =
+    withPlantedUrls(docs, every)
+      .select(col("doc_id"),
+        rtrim(lower(regexp_extract(col("text"), "https?://([^ ?]+)", 1)), "/")
+          .as("url_norm"))
+      .filter(col("url_norm") =!= "")
+      .groupBy("url_norm")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+
+  def urlDedupOracleSql(every: Int): String =
+    s"""WITH ${plantedUrlCteSql(every)},
+       |u AS (SELECT doc_id,
+       |    rtrim(lower(regexp_extract(text, 'https?://([^ ?]+)', 1)), '/')
+       |      AS url_norm
+       |  FROM d)
+       |SELECT url_norm, min(doc_id) AS keep_id, count(*) AS n_dups
+       |FROM u WHERE url_norm <> '' GROUP BY url_norm""".stripMargin
+      .replaceAll("\\s+", " ")
+
+  /** Per-domain frequency cap — the anti-boilerplate quota every web
+    * corpus applies after `domainStats` identifies the heavy registrars
+    * (an uncapped corpus is mostly its top domains; the cap bounds any one
+    * domain's influence on the model): keep at most `cap` docs per
+    * normalized (lowercased) domain, drawn in the deterministic md5 order
+    * every sampler here shares. Scale: the rank filter is a static bound,
+    * so it rewrites to WindowGroupLimit — executors forward ≤ cap rows per
+    * domain instead of sorting whole mega-domains. Returns (doc_id,
+    * domain). */
+  def domainCap(docs: DataFrame, every: Int, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("domain")
+      .orderBy(md5(concat(lit("cap:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    withPlantedUrls(docs, every)
+      .select(col("doc_id"),
+        lower(regexp_extract(col("text"), "https?://([^/ ?]+)", 1))
+          .as("domain"))
+      .filter(col("domain") =!= "")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("doc_id"), col("domain"))
+  }
+
+  def domainCapOracleSql(every: Int, cap: Int): String =
+    s"""WITH ${plantedUrlCteSql(every)},
+       |u AS (SELECT doc_id,
+       |    lower(regexp_extract(text, 'https?://([^/ ?]+)', 1)) AS domain
+       |  FROM d),
+       |r AS (SELECT doc_id, domain, row_number() OVER (
+       |    PARTITION BY domain
+       |    ORDER BY md5('cap:' || doc_id), doc_id) AS rn
+       |  FROM u WHERE domain <> '')
+       |SELECT doc_id, domain FROM r WHERE rn <= $cap""".stripMargin
+      .replaceAll("\\s+", " ")
+
   /** DuckDB mirror of `repetition` over the `documents` view. */
   def repetitionOracleSql: String =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
