@@ -736,9 +736,12 @@ object SparkEntry {
       graft.ml.CorpusOps.temperatureSample(Catalog.documents(s, dir),
         0.5, MixtureTotal)),
     // TOKEN-budget mixing: fill each source up to a per-source token
-    // budget in md5 order (greedy fill; WindowGroupLimit-bounded rank)
+    // budget in md5 order (greedy fill; WindowGroupLimit-bounded rank —
+    // the bound must stay under spark.sql.optimizer.windowGroupLimitThreshold
+    // (default 1000) or the rewrite silently stops firing; a deployment
+    // with larger budgets raises the threshold alongside)
     "mixture_token_budget" -> ((s, dir) =>
-      graft.ml.CorpusOps.tokenBudgetSample(Catalog.documents(s, dir), 1500L)),
+      graft.ml.CorpusOps.tokenBudgetSample(Catalog.documents(s, dir), 800L)),
     // DSIR importance weights (Xie et al. 2023): hashed-gram log-ratio
     // score vs the src0 target slice, add-one smoothed, 256 buckets
     "dsir_weights" -> ((s, dir) =>
@@ -1760,7 +1763,7 @@ object SparkEntry {
     "pack_batches" -> graft.ml.CorpusOps.packOracleSql(2000L, 8),
     "sample_mixture" -> graft.ml.CorpusOps.mixtureOracleSql(MixtureWeights, MixtureTotal),
     "sample_temperature" -> graft.ml.CorpusOps.temperatureOracleSql(MixtureTotal),
-    "mixture_token_budget" -> graft.ml.CorpusOps.tokenBudgetOracleSql(1500L),
+    "mixture_token_budget" -> graft.ml.CorpusOps.tokenBudgetOracleSql(800L),
     "dsir_weights" -> graft.ml.Selection.dsirOracleSql("src0"),
     "dsir_select" -> graft.ml.Selection.dsirSelectOracleSql("src0", 100),
     "quality_linear" -> graft.ml.Selection.linearQualityOracleSql(0.5),

@@ -147,37 +147,57 @@ object Selection {
 
   // ---- hashed linear quality classifier + Pareto lottery ------------------
 
-  /** The per-bucket weight: a deterministic value in [-1, 1) derived from
-    * the bucket id's own md5 (6 hex chars → uint → scaled). A real
-    * deployment swaps these pseudo-weights for TRAINED ones via the
-    * committed-constants pattern (TrainedCentroids); the operator shape —
-    * per-doc weighted mean over hashed features, zero joins because the
-    * weight is a pure function of the bucket — is what's under test. */
-  private def weightCol(b: Column): Column =
-    round(conv(substring(md5(concat(lit("w:"), b)), 1, 6), 16, 10)
-      .cast("double") / lit(16777216.0) * 2 - 1, 6)
+  // Per-bucket weights are a deterministic [-1, 1) value derived from the
+  // bucket id's own md5 — computed INLINE in the fold lambdas below. A
+  // real deployment swaps these pseudo-weights for TRAINED ones via the
+  // committed-constants pattern (TrainedCentroids); the operator shape —
+  // per-doc weighted mean over hashed features, zero joins because the
+  // weight is a pure function of the bucket — is what's under test.
 
-  private val WeightSql =
-    "round(('0x' || substr(md5('w:' || b), 1, 6))::BIGINT / 16777216.0 * 2 - 1, 6)"
+  /** The per-doc gram LIST (unigrams then bigrams, document order) and its
+    * DuckDB twin — classifier inference folds over this array per row, so
+    * BOTH engines sum weights in the identical sequence. */
+  private val GramListExpr =
+    """concat(tok,
+      |  CASE WHEN size(tok) >= 2
+      |  THEN transform(sequence(0, size(tok) - 2),
+      |       i -> concat_ws(' ', tok[i], tok[i+1]))
+      |  ELSE CAST(array() AS array<string>) END)""".stripMargin
 
-  /** Hashed-feature linear quality score ∈ [0, 1]: the weighted mean of a
-    * doc's bucket counts under the fixed weight table, affinely squashed.
-    * Monotone in the linear response, so the classifier verdict is a
-    * threshold on the score directly (no sigmoid — avoids exp() libm
-    * divergence across engines; same decision boundary). Zero joins: the
-    * weight is computed IN the aggregation projection. */
+  private val GramListSql =
+    "tok || list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])"
+
+  /** Hashed-feature linear quality score ∈ [0, 1]: the mean, over the
+    * doc's gram sequence, of each gram's bucket weight — affinely
+    * squashed. Σ_b c(b)·w(b) / Σ_b c(b) ≡ the per-occurrence mean, so the
+    * whole classifier is a PER-ROW ARRAY FOLD: zero joins, zero shuffles,
+    * whole-stage codegen — inference at 100 TB is the scan itself (the
+    * reason production quality classifiers are linear-over-hashed-features
+    * in the first place). Both engines fold the grams in document order —
+    * the summation sequence is identical, not merely round-masked.
+    * Monotone in the linear response, so the verdict is a threshold on the
+    * score directly (no sigmoid — avoids exp() libm divergence; same
+    * decision boundary). */
   def linearQuality(docs: DataFrame, tau: Double): DataFrame =
-    bucketCounts(docs)
-      .groupBy("doc_id")
-      .agg(round((sum(col("c") * weightCol(col("b"))) / sum("c") + 1) / 2, 4)
-        .as("score"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), expr(
+        s"""round((aggregate($GramListExpr, cast(0.0 as double),
+           |  (acc, g) -> acc + round(cast(conv(substring(md5(concat('w:',
+           |    substring(md5(g), 1, 2))), 1, 6), 16, 10) as double)
+           |    / 16777216.0 * 2 - 1, 6))
+           | / size($GramListExpr) + 1) / 2, 4)""".stripMargin).as("score"))
       .withColumn("passes", col("score") >= tau)
 
+  private val ScoreSql: String =
+    s"""round((list_sum(list_transform($GramListSql,
+       |  g -> round(('0x' || substr(md5('w:' || substr(md5(g), 1, 2)), 1, 6))::BIGINT
+       |    / 16777216.0 * 2 - 1, 6)))
+       | / len($GramListSql) + 1) / 2, 4)""".stripMargin
+
   def linearQualityOracleSql(tau: Double): String =
-    s"""WITH $BucketCtesSql,
-       |sc AS (SELECT doc_id,
-       |    round((sum(c * $WeightSql) / sum(c) + 1) / 2, 4) AS score
-       |  FROM gb GROUP BY doc_id)
+    s"""WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS tok
+       |  FROM documents),
+       |sc AS (SELECT doc_id, $ScoreSql AS score FROM tokd)
        |SELECT doc_id, score, score >= $tau AS passes FROM sc""".stripMargin
       .replaceAll("\\s+", " ")
 
@@ -202,10 +222,9 @@ object Selection {
   }
 
   def paretoOracleSql(tau: Double = 0.0): String =
-    s"""WITH $BucketCtesSql,
-       |sc AS (SELECT doc_id,
-       |    round((sum(c * $WeightSql) / sum(c) + 1) / 2, 4) AS score
-       |  FROM gb GROUP BY doc_id)
+    s"""WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS tok
+       |  FROM documents),
+       |sc AS (SELECT doc_id, $ScoreSql AS score FROM tokd)
        |SELECT doc_id, score FROM sc
        |WHERE ('0x' || substr(md5('par:' || doc_id), 1, 6))::BIGINT / 16777216.0
        |  > (1.0 - score) / (2.0 - score)""".stripMargin

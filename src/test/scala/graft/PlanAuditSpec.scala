@@ -130,6 +130,36 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally graft.util.Caches.drain()
   }
 
+  test("selection family keeps its scale shapes: WindowGroupLimit bounds, " +
+      "zero-shuffle split, bounded-broadcast DSIR") {
+    // domain cap + token budget: the static rank bound must rewrite to
+    // WindowGroupLimit so executors forward ≤ cap/budget rows per group
+    // instead of sorting whole mega-domains/sources
+    for (name <- Seq("sample_domain_cap", "mixture_token_budget")) {
+      val p = planOf(SparkEntry.queries(name)(spark, dir))
+      assert(p.contains("WindowGroupLimit"),
+        s"$name: rank bound not rewritten to WindowGroupLimit:\n$p")
+    }
+    // the md5 split is a pure projection — ANY exchange means it regressed
+    // to a shuffle
+    val ps = planOf(SparkEntry.queries("split_train_eval")(spark, dir))
+    assert(!ps.contains("Exchange"), s"split_train_eval shuffles:\n$ps")
+    // DSIR's one explicit broadcast is the 256-row ratio table (bounded BY
+    // CONSTRUCTION — the justified-broadcast case the unbounded-vocabulary
+    // pins above forbid); more hints mean a data-scaled side got hinted
+    val hints = "ResolvedHint".r.findAllIn(
+      SparkEntry.queries("dsir_weights")(spark, dir)
+        .queryExecution.analyzed.toString).size
+    assert(hints == 1, s"dsir_weights: $hints explicit hints, pinned 1")
+    // classifier inference is a per-row array fold — zero joins, zero
+    // exchanges; the 100 TB cost is the scan itself. The Pareto lottery
+    // composes on the same projection, so it must stay shuffle-free too.
+    for (name <- Seq("quality_linear", "sample_pareto")) {
+      val pq = planOf(SparkEntry.queries(name)(spark, dir))
+      assert(!pq.contains("Exchange"), s"$name must be a pure scan:\n$pq")
+    }
+  }
+
   test("multi-summary page fetch broadcasts the bounded page") {
     val df = SparkEntry.queries("ql_multi_summary")(spark, dir)
     val p = planOf(df)
