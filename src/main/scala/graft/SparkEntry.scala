@@ -761,6 +761,23 @@ object SparkEntry {
     // under corpus growth, zero shuffle
     "split_train_eval" -> ((s, dir) =>
       graft.ml.Selection.trainEvalSplit(Catalog.documents(s, dir))),
+    // the classifier served from the STORED sidecar (Catalog.docScores):
+    // same result as quality_linear, corpus text never scanned
+    "quality_stored" -> ((s, dir) =>
+      graft.ml.Selection.qualityStored(Catalog.docScores(s, dir), 0.5)),
+    // streamed upkeep of the score sidecar: the SAME stateless scoring
+    // projection as the batch store build (metaOnce convention)
+    "score_stream_index" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.scoresOnce(s, dir)),
+    // the composed curation statement: train split ∩ quality bar, then
+    // the α=0.5 temperature draw over survivor counts — all sidecar-side
+    "pipeline_curate" -> ((s, dir) =>
+      graft.ml.Selection.curate(Catalog.docScores(s, dir), 0.5, MixtureTotal)),
+    // DSIR served from the stored 256-row ratio table: the statement pays
+    // only the scoring pass (ratio build pre-paid at store build)
+    "dsir_stored" -> ((s, dir) =>
+      graft.ml.Selection.dsirWeightsFrom(Catalog.documents(s, dir),
+        Catalog.dsirRatio(s, dir, "src0"))),
     // URL-normalized dedup over the planted-URL corpus (case-folded,
     // query-stripped; one doc kept per normalized URL)
     "dedup_url" -> ((s, dir) =>
@@ -1769,6 +1786,10 @@ object SparkEntry {
     "quality_linear" -> graft.ml.Selection.linearQualityOracleSql(0.5),
     "sample_pareto" -> graft.ml.Selection.paretoOracleSql(),
     "split_train_eval" -> graft.ml.Selection.trainEvalSplitOracleSql,
+    "quality_stored" -> graft.ml.Selection.linearQualityOracleSql(0.5),
+    "score_stream_index" -> graft.ml.Selection.scoreRowsOracleSql,
+    "pipeline_curate" -> graft.ml.Selection.curateOracleSql(0.5, MixtureTotal),
+    "dsir_stored" -> graft.ml.Selection.dsirOracleSql("src0"),
     "dedup_url" -> graft.ml.TextAnalysis.urlDedupOracleSql(5),
     "sample_domain_cap" -> graft.ml.TextAnalysis.domainCapOracleSql(5, 3),
     "text_repetition" -> graft.ml.TextAnalysis.repetitionOracleSql,

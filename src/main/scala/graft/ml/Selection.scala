@@ -90,15 +90,16 @@ object Selection {
     * counts as an explicit broadcast (bounded by construction — this is the
     * justified-broadcast case tfidfTopTerms' unbounded vocabulary is not).
     * One corpus-sized shuffle total (the bucketCounts groupBy). */
-  def dsirWeights(docs: DataFrame, targetSrc: String): DataFrame = {
-    val gb = bucketCounts(docs)
-    // raw and target bucket totals in ONE conditional aggregation — the
-    // separate raw/tgt aggs would each re-execute the bucketCounts subtree
-    // (the lazy-plan fan-out trap, TextAnalysis.cleanCorpus): one corpus
-    // pass builds the 256-row ratio table, the scoring join is the second
-    // and last
+  /** The 256-row log-ratio table: raw and target bucket totals in ONE
+    * conditional aggregation — separate raw/tgt aggs would each re-execute
+    * the bucketCounts subtree (the lazy-plan fan-out trap,
+    * TextAnalysis.cleanCorpus). This is the query-independent half of
+    * DSIR: per (sf-dir, target) it is a materialized store
+    * (Catalog.dsirRatio), so a serving statement pays only the scoring
+    * pass. */
+  def ratioTable(docs: DataFrame, targetSrc: String): DataFrame = {
     val z = Window.partitionBy()
-    val ratio = gb.groupBy("b")
+    bucketCounts(docs).groupBy("b")
       .agg(sum("c").as("cr"),
         sum(when(col("source") === targetSrc, col("c")).otherwise(0L))
           .as("ct"))
@@ -107,10 +108,20 @@ object Selection {
             (sum(col("ct")).over(z) + Buckets)) -
           log((col("cr") + 1).cast("double") /
             (sum(col("cr")).over(z) + Buckets))).as("lr"))
-    gb.join(broadcast(ratio), Seq("b"))
+  }
+
+  def dsirWeights(docs: DataFrame, targetSrc: String): DataFrame =
+    dsirWeightsFrom(docs, ratioTable(docs, targetSrc))
+
+  /** DSIR scoring against a PREBUILT ratio table (Catalog.dsirRatio) —
+    * the serving shape: one corpus pass, the 256-row store broadcast
+    * (bounded by construction), no ratio-building aggregation. Stored ==
+    * fresh exactly: the stored doubles are the same deterministic
+    * ln-of-integer-ratio values the live build computes. */
+  def dsirWeightsFrom(docs: DataFrame, ratio: DataFrame): DataFrame =
+    bucketCounts(docs).join(broadcast(ratio), Seq("b"))
       .groupBy("doc_id")
       .agg(round(sum(col("c") * col("lr")) / sum("c"), 4).as("dsir_score"))
-  }
 
   /** Top-`k` DSIR selection: the deterministic stand-in for the paper's
     * importance resampling draw — rank by (score DESC, doc_id) and cut at
@@ -254,4 +265,100 @@ object Selection {
       |       WHEN substr(md5('split:' || doc_id), 1, 1) < 'e' THEN 'val'
       |       ELSE 'test' END AS split
       |FROM documents""".stripMargin.replaceAll("\\s+", " ")
+
+  // ---- the stored selection sidecar ---------------------------------------
+
+  private def splitCol: Column = {
+    val c = substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string"))), 1, 1)
+    when(c < "c", "train").when(c < "e", "val").otherwise("test")
+  }
+
+  private val SplitSql: String =
+    """CASE WHEN substr(md5('split:' || doc_id), 1, 1) < 'c' THEN 'train'
+      |     WHEN substr(md5('split:' || doc_id), 1, 1) < 'e' THEN 'val'
+      |     ELSE 'test' END""".stripMargin
+
+  /** The shared per-doc selection-sidecar projection — (doc_id, source,
+    * n_tok, score, split) — used identically by the batch store build
+    * (Catalog.docScores) and the streamed twin
+    * (DocumentsIngest.scoresOnce): stateless per-row, so streaming it
+    * needs no state store and a doc's sidecar row is complete within its
+    * micro-batch (the metaRows convention, Retrieval.scala). This is the
+    * table downstream curation reads INSTEAD of the corpus text — scoring
+    * at 100 TB happens once at ingest, selection statements are
+    * sidecar-sized. */
+  def scoreRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), col("source"),
+        size(col("tok")).cast("long").as("n_tok"),
+        expr(
+          s"""round((aggregate($GramListExpr, cast(0.0 as double),
+             |  (acc, g) -> acc + round(cast(conv(substring(md5(concat('w:',
+             |    substring(md5(g), 1, 2))), 1, 6), 16, 10) as double)
+             |    / 16777216.0 * 2 - 1, 6))
+             | / size($GramListExpr) + 1) / 2, 4)""".stripMargin).as("score"),
+        splitCol.as("split"))
+
+  /** DuckDB mirror of scoreRows over the `documents` view. */
+  def scoreRowsOracleSql: String =
+    s"""WITH tokd AS (SELECT doc_id, source, string_split(text, ' ') AS tok
+       |  FROM documents)
+       |SELECT doc_id, source, CAST(len(tok) AS BIGINT) AS n_tok,
+       |  $ScoreSql AS score, $SplitSql AS split
+       |FROM tokd""".stripMargin.replaceAll("\\s+", " ")
+
+  /** The classifier entry served from the STORED sidecar — same result as
+    * `linearQuality`, but the statement reads (doc_id, score) off
+    * Catalog.docScores and never touches corpus text (the bm25_stored
+    * posture applied to quality filtering). */
+  def qualityStored(scores: DataFrame, tau: Double): DataFrame =
+    scores.select(col("doc_id"), col("score"))
+      .withColumn("passes", col("score") >= tau)
+
+  /** The composed CURATION statement a training run issues: take the
+    * train-split docs that clear the quality bar, then draw the
+    * temperature-weighted mixture (p ∝ n^0.5 over the SURVIVOR counts) —
+    * entirely over the stored sidecar: corpus text is never scanned, the
+    * statement's only corpus-shaped input is the (doc_id, source, score,
+    * split) table. Quota derivation and the md5-order draw are
+    * CorpusOps.temperatureSample's, applied to the filtered survivor set
+    * (α pinned 0.5 — the IEEE-exact sqrt rule). */
+  def curate(scores: DataFrame, tau: Double, total: Int): DataFrame = {
+    val survivors = scores
+      .filter(col("split") === "train" && col("score") >= tau)
+    val counts = survivors.groupBy("source").agg(count(lit(1)).as("n"))
+    val z = Window.partitionBy()
+    val quotas = counts
+      .withColumn("wz", sqrt(col("n").cast("double")))
+      .select(col("source"),
+        round(lit(total) * col("wz") / sum("wz").over(z), 0)
+          .cast("int").as("quota"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("cur:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    survivors.select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= total)
+      .join(quotas, Seq("source"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("source"))
+  }
+
+  def curateOracleSql(tau: Double, total: Int): String =
+    s"""WITH tokd AS (SELECT doc_id, source, string_split(text, ' ') AS tok
+       |  FROM documents),
+       |sv AS (SELECT doc_id, source FROM tokd
+       |  WHERE $SplitSql = 'train' AND $ScoreSql >= $tau),
+       |c AS (SELECT source, count(*) AS n FROM sv GROUP BY source),
+       |q AS (SELECT source,
+       |    CAST(round($total * sqrt(CAST(n AS DOUBLE)) /
+       |      (SELECT sum(sqrt(CAST(n AS DOUBLE))) FROM c), 0) AS INT) AS quota
+       |  FROM c),
+       |r AS (SELECT doc_id, source, row_number() OVER (
+       |    PARTITION BY source
+       |    ORDER BY md5('cur:' || doc_id), doc_id) AS rn
+       |  FROM sv)
+       |SELECT doc_id, source FROM r JOIN q USING (source)
+       |WHERE rn <= quota""".stripMargin.replaceAll("\\s+", " ")
 }

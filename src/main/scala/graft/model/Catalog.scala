@@ -760,6 +760,41 @@ object Catalog {
       "in_b", "n_a", "n_b", "limit_a", "limit_b", "prior")
   }
 
+  /** The MATERIALIZED per-document selection-score sidecar — (doc_id,
+    * source, n_tok, score, split): the quality-classifier score and the
+    * md5 train/val/test assignment, computed ONCE at store build (in a
+    * deployment: once at ingest — DocumentsIngest.scoresOnce streams the
+    * same projection) so curation statements read this sidecar and never
+    * scan corpus text — docMeta's posture for the selection family. Laid
+    * out by source: the mixture/quota verbs partition on it, and the
+    * source-pruned reads skip whole files. */
+  def docScores(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "doc_scores")
+    materialize(path) {
+      graft.ml.Selection.scoreRows(documents(spark, dir))
+        .repartition(col("source"))
+        .sortWithinPartitions("source", "doc_id")
+    }
+    readImmutable(spark, path)
+      .select("doc_id", "source", "n_tok", "score", "split")
+  }
+
+  /** The MATERIALIZED DSIR log-ratio table for a target slice — 256 rows
+    * (b, lr), the query-independent half of importance scoring
+    * (Selection.ratioTable): built once per (sf-dir, target); a serving
+    * statement broadcasts this store and pays only the corpus scoring
+    * pass. Stored == fresh exactly — the values are deterministic
+    * ln-of-integer-ratio doubles. */
+  def dsirRatio(spark: SparkSession, dir: String,
+      targetSrc: String): DataFrame = {
+    val path = cacheDir(dir, s"dsir_ratio_$targetSrc")
+    materialize(path) {
+      graft.ml.Selection.ratioTable(documents(spark, dir), targetSrc)
+        .coalesce(1).sortWithinPartitions("b")
+    }
+    readImmutable(spark, path).select("b", "lr")
+  }
+
   def dupPairs(spark: SparkSession, dir: String,
       minJaccard: Double = 0.6): DataFrame = {
     val path = cacheDir(dir, f"dup_pairs_j${(minJaccard * 100).round}%d")

@@ -194,6 +194,18 @@ object DocumentsIngest {
         graft.ml.Retrieval.metaRows(stream(spark, dir)))
     }
 
+  /** Incremental maintenance of the selection-score sidecar
+    * (Catalog.docScores): new documents stream through the SAME stateless
+    * scoring projection the batch store build uses (Selection.scoreRows —
+    * the classifier fold, token count, and split assignment are all pure
+    * per-row) — the metaOnce convention. This is WHERE a deployment
+    * scores: once at ingest; curation statements then read the sidecar. */
+  def scoresOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:docscores:$dir") {
+      Sinks.memoryOnce(spark, "graft_stream_scores",
+        graft.ml.Selection.scoreRows(stream(spark, dir)))
+    }
+
   /** Incremental maintenance of the additive stats store
     * (Catalog.lexStats): each micro-batch appends its OWN (n_docs, sum_dl)
     * delta row — idempotently, via the per-batch b=<id> overwrite dirs the

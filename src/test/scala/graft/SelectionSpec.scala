@@ -126,6 +126,35 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("stored selection serving: sidecar == fresh scores, stored ratio == " +
+      "live DSIR, and the serving statements never scan corpus text") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.model.Catalog.documents(spark, dir)
+    // the materialized sidecar must equal the fresh projection row-for-row
+    val stored = graft.model.Catalog.docScores(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3), r.getString(4))).toMap
+    val fresh = Selection.scoreRows(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3), r.getString(4))).toMap
+    assert(stored == fresh)
+    // stored ratio table == live derivation, bit-for-bit (deterministic
+    // ln-of-integer-ratio doubles)
+    val rs = graft.model.Catalog.dsirRatio(spark, dir, "src0")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rl = Selection.ratioTable(docs, "src0")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rs == rl)
+    // serving statements are sidecar-only: no corpus text scan in either
+    for (name <- Seq("quality_stored", "pipeline_curate")) {
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!TestSpark.scansCorpusText(p),
+        s"$name must read the sidecar, not the corpus:\n$p")
+    }
+    graft.util.Caches.drain()
+  }
+
   test("domainCap bounds every domain at the cap, drawn in md5 order") {
     val cap = 2
     val rows = TextAnalysis.domainCap(docs(100), every = 5, cap = cap)
