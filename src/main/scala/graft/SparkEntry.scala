@@ -746,17 +746,21 @@ object SparkEntry {
     // score vs the src0 target slice, add-one smoothed, 256 buckets
     "dsir_weights" -> ((s, dir) =>
       graft.ml.Selection.dsirWeights(Catalog.documents(s, dir), "src0")),
-    // the deterministic DSIR draw: top-100 by (score DESC, doc_id)
+    // the deterministic DSIR draw: top-100 by (score DESC, doc_id),
+    // served from the stored ratio (the build path stays covered by
+    // dsir_weights)
     "dsir_select" -> ((s, dir) =>
-      graft.ml.Selection.dsirSelect(Catalog.documents(s, dir), "src0", 100)),
+      graft.ml.Selection.dsirSelectFrom(Catalog.documents(s, dir),
+        Catalog.dsirRatio(s, dir, "src0"), 100)),
     // hashed-feature linear quality classifier (fixed 256-bucket feature
     // hash, weights a pure function of the bucket — zero joins)
     "quality_linear" -> ((s, dir) =>
       graft.ml.Selection.linearQuality(Catalog.documents(s, dir), 0.5)),
-    // GPT-3-style Pareto rejection sampling over that score at α = 1
-    // (single-division inverse CDF — engine-exact keep decision)
+    // GPT-3-style Pareto rejection sampling at α = 1 (single-division
+    // inverse CDF — engine-exact keep decision) over the STORED scores:
+    // the lottery is a per-row predicate on the sidecar, not a re-fold
     "sample_pareto" -> ((s, dir) =>
-      graft.ml.Selection.paretoSample(Catalog.documents(s, dir))),
+      graft.ml.Selection.paretoSample(Catalog.docScores(s, dir))),
     // deterministic md5 train/val/test split (75/12.5/12.5) — stable
     // under corpus growth, zero shuffle
     "split_train_eval" -> ((s, dir) =>

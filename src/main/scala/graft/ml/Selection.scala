@@ -114,14 +114,31 @@ object Selection {
     dsirWeightsFrom(docs, ratioTable(docs, targetSrc))
 
   /** DSIR scoring against a PREBUILT ratio table (Catalog.dsirRatio) —
-    * the serving shape: one corpus pass, the 256-row store broadcast
-    * (bounded by construction), no ratio-building aggregation. Stored ==
-    * fresh exactly: the stored doubles are the same deterministic
-    * ln-of-integer-ratio values the live build computes. */
-  def dsirWeightsFrom(docs: DataFrame, ratio: DataFrame): DataFrame =
-    bucketCounts(docs).join(broadcast(ratio), Seq("b"))
-      .groupBy("doc_id")
-      .agg(round(sum(col("c") * col("lr")) / sum("c"), 4).as("dsir_score"))
+    * the serving shape: the store is 256 rows BOUNDED BY CONSTRUCTION, so
+    * serving collects it once (the driver-side query-constants precedent,
+    * Ann.probedCells) and embeds the log-ratios as an array literal
+    * indexed by the bucket int — the scoring becomes a PER-ROW FOLD over
+    * each doc's gram list: zero joins, zero exchanges, the statement IS
+    * the corpus scan (the quality_linear shape applied to importance
+    * scoring; the former broadcast-join + re-aggregate paid the 12M-row
+    * gram explode shuffle per statement). Σ_b c(b)·lr(b) / Σ_b c(b) ≡ the
+    * per-occurrence mean, so the result matches the aggregated form
+    * (summation order differs; the rounded score absorbs it — the
+    * tfidf/logprob convention). A bucket absent from the stored table
+    * (impossible when serving the build corpus, possible for a foreign
+    * doc) contributes the neutral log-ratio 0. */
+  def dsirWeightsFrom(docs: DataFrame, ratio: DataFrame): DataFrame = {
+    val byBucket = ratio.collect()
+      .map(r => Integer.parseInt(r.getString(0), 16) -> r.getDouble(1)).toMap
+    val lrArr = typedLit((0 until Buckets).map(byBucket.getOrElse(_, 0.0)))
+    val idx = (g: Column) =>
+      conv(substring(md5(g), 1, 2), 16, 10).cast("int") + 1
+    docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"),
+        round(aggregate(expr(GramListExpr), lit(0.0),
+            (acc, g) => acc + element_at(lrArr, idx(g))) /
+          size(expr(GramListExpr)), 4).as("dsir_score"))
+  }
 
   /** Top-`k` DSIR selection: the deterministic stand-in for the paper's
     * importance resampling draw — rank by (score DESC, doc_id) and cut at
@@ -129,7 +146,11 @@ object Selection {
     * k-boundary is engine-stable; the sort is a TakeOrdered over the
     * already-reduced per-doc scores, not a full corpus sort. */
   def dsirSelect(docs: DataFrame, targetSrc: String, k: Int): DataFrame =
-    dsirWeights(docs, targetSrc)
+    dsirSelectFrom(docs, ratioTable(docs, targetSrc), k)
+
+  /** The serving draw against the stored ratio (Catalog.dsirRatio). */
+  def dsirSelectFrom(docs: DataFrame, ratio: DataFrame, k: Int): DataFrame =
+    dsirWeightsFrom(docs, ratio)
       .orderBy(desc("dsir_score"), asc("doc_id"))
       .limit(k)
 
@@ -222,15 +243,24 @@ object Selection {
     * keep decision is bit-identical across engines (a general α needs pow,
     * which libms don't guarantee — the α = 0.5 sqrt rule's cousin,
     * CorpusOps.temperatureSample). u is the md5 uniform: first 6 hex chars
-    * of md5("par:" ‖ doc_id) / 16^6, exact in doubles. */
-  def paretoSample(docs: DataFrame, tau: Double = 0.0): DataFrame = {
+    * of md5("par:" ‖ doc_id) / 16^6, exact in doubles.
+    *
+    * Takes a SCORED frame — normally the stored sidecar
+    * (Catalog.docScores): the lottery is a per-row predicate over scores
+    * the pipeline already computed at ingest; re-folding the classifier
+    * per statement pays the corpus-scale gram hash again (measured 50×
+    * the sidecar read at sf0.1). `paretoSampleLive` composes the fold
+    * inline for ad-hoc corpora. */
+  def paretoSample(scores: DataFrame): DataFrame = {
     val u = conv(substring(md5(concat(lit("par:"),
       col("doc_id").cast("string"))), 1, 6), 16, 10)
       .cast("double") / lit(16777216.0)
-    linearQuality(docs, tau)
-      .select(col("doc_id"), col("score"))
+    scores.select(col("doc_id"), col("score"))
       .filter(u > (lit(1.0) - col("score")) / (lit(2.0) - col("score")))
   }
+
+  def paretoSampleLive(docs: DataFrame, tau: Double = 0.0): DataFrame =
+    paretoSample(linearQuality(docs, tau))
 
   def paretoOracleSql(tau: Double = 0.0): String =
     s"""WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS tok

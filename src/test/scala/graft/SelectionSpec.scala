@@ -67,7 +67,7 @@ class SelectionSpec extends AnyFunSuite {
         md5hex(s"par:$id").substring(0, 6), 16) / 16777216.0
       u > (1.0 - s) / (2.0 - s)
     }.keySet
-    val kept = Selection.paretoSample(d).collect().map(_.getLong(0)).toSet
+    val kept = Selection.paretoSampleLive(d).collect().map(_.getLong(0)).toSet
     assert(kept == expected)
     // the lottery must be a real filter with tail mass: some docs die,
     // some survive
@@ -145,8 +145,8 @@ class SelectionSpec extends AnyFunSuite {
     val rl = Selection.ratioTable(docs, "src0")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(rs == rl)
-    // serving statements are sidecar-only: no corpus text scan in either
-    for (name <- Seq("quality_stored", "pipeline_curate")) {
+    // serving statements are sidecar-only: no corpus text scan in any
+    for (name <- Seq("quality_stored", "pipeline_curate", "sample_pareto")) {
       val p = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
       assert(!TestSpark.scansCorpusText(p),
