@@ -13,7 +13,9 @@ object Explain {
         "dedup_ngram", "correlate_full", "q3_top_orders",
         "bm25_stored", "rrf_stored", "decontaminate_bloom",
         "emb_topk_filtered_batch", "rrf_stored_filtered_batch",
-        "ann_masked_serve", "emb_topk_adaptive", "rrf_stored_masked")
+        "ann_masked_serve", "emb_topk_adaptive", "rrf_stored_masked",
+        "dsir_stored", "quality_stored", "sample_pareto", "pipeline_curate",
+        "mixture_token_budget", "sample_domain_cap")
     val spark = GraftSession.local()
     for (n <- names) {
       println(s"\n========== $n ==========")
