@@ -782,6 +782,17 @@ object SparkEntry {
     "dsir_stored" -> ((s, dir) =>
       graft.ml.Selection.dsirWeightsFrom(Catalog.documents(s, dir),
         Catalog.dsirRatio(s, dir, "src0"))),
+    // CCNet perplexity terciles: head/middle/tail per source by LM score
+    // (unigram stand-in), the published corpus-quality partition
+    "ppl_buckets" -> ((s, dir) =>
+      graft.ml.CorpusOps.pplBuckets(Catalog.documents(s, dir))),
+    // per-source distinct-trigram diversity (dataset-card degeneracy stat)
+    "corpus_diversity" -> ((s, dir) =>
+      graft.ml.CorpusOps.distinctNgramDiversity(Catalog.documents(s, dir))),
+    // the dataset-card report: volume, mean score, split composition —
+    // one aggregate over the stored sidecar, corpus text never scanned
+    "corpus_report" -> ((s, dir) =>
+      graft.ml.Selection.corpusReport(Catalog.docScores(s, dir))),
     // URL-normalized dedup over the planted-URL corpus (case-folded,
     // query-stripped; one doc kept per normalized URL)
     "dedup_url" -> ((s, dir) =>
@@ -1794,6 +1805,9 @@ object SparkEntry {
     "score_stream_index" -> graft.ml.Selection.scoreRowsOracleSql,
     "pipeline_curate" -> graft.ml.Selection.curateOracleSql(0.5, MixtureTotal),
     "dsir_stored" -> graft.ml.Selection.dsirOracleSql("src0"),
+    "ppl_buckets" -> graft.ml.CorpusOps.pplBucketsOracleSql,
+    "corpus_diversity" -> graft.ml.CorpusOps.distinctNgramOracleSql,
+    "corpus_report" -> graft.ml.Selection.corpusReportOracleSql,
     "dedup_url" -> graft.ml.TextAnalysis.urlDedupOracleSql(5),
     "sample_domain_cap" -> graft.ml.TextAnalysis.domainCapOracleSql(5, 3),
     "text_repetition" -> graft.ml.TextAnalysis.repetitionOracleSql,

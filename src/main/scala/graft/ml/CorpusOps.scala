@@ -336,6 +336,82 @@ object CorpusOps {
       |FROM tf JOIN uni USING (token) CROSS JOIN n
       |GROUP BY doc_id""".stripMargin.replaceAll("\\s+", " ")
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): within each
+    * source, rank docs by language-model score and cut into
+    * head/middle/tail TERCILES — the published corpus-quality partition
+    * (CCNet trains on "head", inspects "middle", drops "tail"; the
+    * downstream mixture then samples per bucket). The LM score is the
+    * unigram log-prob stand-in (`unigramLogProb` — the operator shape is
+    * identical with a real LM), ROUNDED so the rank order is total with
+    * the doc_id tie-break and the tercile boundaries agree across
+    * engines. ntile is SQL-standard on both engines; the window
+    * partitions by source, so the sort is per-source, never global. */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    // unigramLogProb's chain with `source` carried through the (doc,
+    // token) aggregation (functionally dependent on doc_id — same tf
+    // rows, same score) instead of a join back to the corpus: one fewer
+    // corpus scan per statement
+    val tf = docs
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "source", "token").agg(count(lit(1)).as("tf"))
+    val uni = tf.groupBy("token").agg(sum("tf").as("freq"))
+    val n = uni.agg(sum("freq").as("n_tokens"))
+    val lp = tf.join(uni, Seq("token"))
+      .crossJoin(broadcast(n))
+      .groupBy("doc_id", "source")
+      .agg(round(sum(col("tf") * log(col("freq") / col("n_tokens"))) /
+        sum("tf"), 4).as("mean_logprob"))
+    val w = Window.partitionBy("source")
+      .orderBy(desc("mean_logprob"), asc("doc_id"))
+    lp.withColumn("bucket",
+        when(ntile(3).over(w) === 1, "head")
+          .when(ntile(3).over(w) === 2, "middle").otherwise("tail"))
+      .select(col("doc_id"), col("source"), col("mean_logprob"),
+        col("bucket"))
+  }
+
+  def pplBucketsOracleSql: String =
+    s"""WITH lp AS ($unigramLogProbOracleSql),
+       |j AS (SELECT lp.doc_id AS doc_id, d.source AS source, mean_logprob,
+       |    ntile(3) OVER (PARTITION BY d.source
+       |      ORDER BY mean_logprob DESC, lp.doc_id) AS nt
+       |  FROM lp JOIN documents d ON d.doc_id = lp.doc_id)
+       |SELECT doc_id, source, mean_logprob,
+       |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+       |    AS bucket
+       |FROM j""".stripMargin.replaceAll("\\s+", " ")
+
+  /** Distinct-n-gram diversity per source — the corpus-degeneracy stat a
+    * dataset card reports (a source whose trigram vocabulary is a small
+    * fraction of its trigram volume is boilerplate/templated): distinct
+    * trigrams over total trigram occurrences. Two partial-aggregating
+    * groupBys on (source, trigram) then (source) — bounded keys, linear
+    * scans, no all-pairs anywhere. */
+  def distinctNgramDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("source"), explode(expr(
+        """CASE WHEN size(tok) >= 3
+          |THEN transform(sequence(0, size(tok)-3),
+          |     i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))
+          |ELSE CAST(array() AS array<string>) END""".stripMargin)).as("tg"))
+      .groupBy("source", "tg").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_distinct"), sum("c").as("n_total"))
+      .withColumn("diversity",
+        round(col("n_distinct").cast("double") / col("n_total"), 6))
+
+  def distinctNgramOracleSql: String =
+    """WITH tok AS (SELECT source, string_split(text, ' ') AS tok
+      |  FROM documents),
+      |tg AS (SELECT source, unnest(list_transform(range(1, len(tok) - 1),
+      |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS tg
+      |  FROM tok),
+      |c AS (SELECT source, tg, count(*) AS c FROM tg GROUP BY 1, 2)
+      |SELECT source, count(*) AS n_distinct, sum(c) AS n_total,
+      |  round(count(*) * 1.0 / sum(c), 6) AS diversity
+      |FROM c GROUP BY source""".stripMargin.replaceAll("\\s+", " ")
+
   /** Document chunking: split each doc into overlapping max-`maxTok`-token
     * windows with `overlap` tokens of context carried across the cut — the
     * standard pretraining prep that turns variable-length documents into

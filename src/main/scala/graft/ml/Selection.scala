@@ -375,6 +375,33 @@ object Selection {
       .select(col("doc_id"), col("source"))
   }
 
+  /** The dataset-card report — per source: volume (docs, tokens), mean
+    * classifier score, and split composition — entirely off the stored
+    * sidecar (one partial-aggregating groupBy over (doc_id, source,
+    * n_tok, score, split); corpus text never scanned). This is the table
+    * a training run logs beside its mixture weights. */
+  def corpusReport(scores: DataFrame): DataFrame =
+    scores.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        round(avg("score"), 4).as("mean_score"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+
+  def corpusReportOracleSql: String =
+    s"""WITH tokd AS (SELECT doc_id, source, string_split(text, ' ') AS tok
+       |  FROM documents),
+       |sc AS (SELECT doc_id, source, CAST(len(tok) AS BIGINT) AS n_tok,
+       |    $ScoreSql AS score, $SplitSql AS split
+       |  FROM tokd)
+       |SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       |  round(avg(score), 4) AS mean_score,
+       |  sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+       |  sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+       |  sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+       |FROM sc GROUP BY source""".stripMargin.replaceAll("\\s+", " ")
+
   def curateOracleSql(tau: Double, total: Int): String =
     s"""WITH tokd AS (SELECT doc_id, source, string_split(text, ' ') AS tok
        |  FROM documents),

@@ -155,6 +155,46 @@ class SelectionSpec extends AnyFunSuite {
     graft.util.Caches.drain()
   }
 
+  test("pplBuckets cuts balanced terciles with head outscoring tail") {
+    val b = CorpusOps.pplBuckets(docs(48)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    b.groupBy(_._2).foreach { case (src, rows) =>
+      val sizes = rows.groupBy(_._4).view.mapValues(_.size)
+      assert(sizes.keySet == Set("head", "middle", "tail"))
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$src: ntile terciles must be balanced: $sizes")
+      val head = rows.filter(_._4 == "head").map(_._3)
+      val tail = rows.filter(_._4 == "tail").map(_._3)
+      assert(head.min >= tail.max,
+        s"$src: every head score must be >= every tail score")
+    }
+  }
+
+  test("corpusReport composes: splits partition each source's docs") {
+    val dir = "/root/testdata/sf0.001"
+    val rep = Selection.corpusReport(
+      graft.model.Catalog.docScores(spark, dir)).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      assert(r.getLong(1) == r.getLong(4) + r.getLong(5) + r.getLong(6),
+        s"${r.getString(0)}: n_docs must equal n_train+n_val+n_test")
+      val mean = r.getDouble(3)
+      assert(mean >= 0.0 && mean <= 1.0)
+    }
+    graft.util.Caches.drain()
+  }
+
+  test("distinctNgramDiversity is a (0,1] ratio per source") {
+    val d = CorpusOps.distinctNgramDiversity(docs(40)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(d.nonEmpty)
+    d.foreach { case (src, nd, nt, div) =>
+      assert(nd <= nt && div > 0.0 && div <= 1.0, s"$src: $nd/$nt=$div")
+      assert(div == BigDecimal(nd.toDouble / nt)
+        .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+    }
+  }
+
   test("domainCap bounds every domain at the cap, drawn in md5 order") {
     val cap = 2
     val rows = TextAnalysis.domainCap(docs(100), every = 5, cap = cap)
