@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{BloomContains, DotProduct, PqSim, Sq8Sim}
+import graft.expressions.{BloomContains, DotProduct, PqSim, PqrSim, Sq8Sim}
 
 /** Session extensions registering graft's native Catalyst functions and
   * optimizer rules (installed via spark.sql.extensions in
@@ -41,6 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PqSim].getName, "graft_pq_sim"),
       (children: Seq[Expression]) => {
         val c = arity("graft_pq_sim", 3, children); PqSim(c(0), c(1), c(2)) }))
+    e.injectFunction((
+      FunctionIdentifier("graft_pqr_sim"),
+      new ExpressionInfo(classOf[PqrSim].getName, "graft_pqr_sim"),
+      (children: Seq[Expression]) => {
+        val c = arity("graft_pqr_sim", 4, children)
+        PqrSim(c(0), c(1), c(2), c(3)) }))
     e.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),

@@ -773,6 +773,16 @@ object SparkEntry {
     // projection as the batch store build (metaOnce convention)
     "score_stream_index" -> ((s, dir) =>
       graft.streaming.DocumentsIngest.scoresOnce(s, dir)),
+    // streamed DSIR scoring against the FROZEN stored ratio (the sq8
+    // frozen-quantizer posture for importance weights)
+    "dsir_stream_scores" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.dsirScoresOnce(s, dir)),
+    // generation compaction of the streamed score sidecar (lex_compact
+    // twin): per-batch files folded into one source-sorted generation
+    // behind the flipped manifest
+    "score_compact" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.compactedScoresOnce(s, dir,
+        Catalog.scratch(dir, "score_compact"))),
     // the composed curation statement: train split ∩ quality bar, then
     // the α=0.5 temperature draw over survivor counts — all sidecar-side
     "pipeline_curate" -> ((s, dir) =>
@@ -1266,6 +1276,31 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(col("codes")).as(Seq("pos", "code")))
         .select(col("vec_id"), col("pos"), col("code"))
     }),
+    // RESIDUAL PQ — the IVFPQ design proper (Jégou et al. 2011): codes of
+    // v − c(cell(v)); the coarse term absorbs between-cell variance, so
+    // the same M bytes quantize a tighter distribution (PqrSpec pins the
+    // reconstruction-error win over the raw tier)
+    "emb_topk_pqr" -> ((s, dir) =>
+      graft.ml.PqResidual.pqrIvfTopKFrom(Catalog.pqrIvfStore(s, dir),
+        Catalog.embeddings(s, dir), 0, 10)),
+    // the residual store's content, exploded like pq_store_codes
+    "pqr_store_codes" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, posexplode}
+      Catalog.pqrIvfStore(s, dir)
+        .select(col("vec_id"), col("cell"),
+          posexplode(col("codes")).as(Seq("pos", "code")))
+        .select(col("vec_id"), col("cell"), col("pos"), col("code"))
+    }),
+    // the residual tier's planted recall gate (stored fixtures, the
+    // pq_recall_planted twin — completes the quality ladder)
+    "pqr_recall_planted" -> ((s, dir) =>
+      graft.ml.PqResidual.recallAtKFrom(Catalog.plantedPqrIvf(s, dir),
+        Catalog.plantedEmb(s, dir), Catalog.plantedExactTop10(s, dir),
+        0L, 10)),
+    // residual-PQ upkeep: coarse argmax + residual + committed-codebook
+    // encode in one stateless projection (the IVFADC ingest path)
+    "pqr_stream_index" -> ((s, dir) =>
+      explodeCodes(graft.streaming.EmbeddingsIngest.pqrOnce(s, dir))),
     // PQ upkeep: new embeddings encode through the COMMITTED codebooks and
     // assign their IVF cell in one stateless projection (no quantizer to
     // freeze — the codebooks are constants); exploded like sq8_stream_index
@@ -1803,6 +1838,8 @@ object SparkEntry {
     "split_train_eval" -> graft.ml.Selection.trainEvalSplitOracleSql,
     "quality_stored" -> graft.ml.Selection.linearQualityOracleSql(0.5),
     "score_stream_index" -> graft.ml.Selection.scoreRowsOracleSql,
+    "dsir_stream_scores" -> graft.ml.Selection.dsirOracleSql("src0"),
+    "score_compact" -> graft.ml.Selection.scoreRowsOracleSql,
     "pipeline_curate" -> graft.ml.Selection.curateOracleSql(0.5, MixtureTotal),
     "dsir_stored" -> graft.ml.Selection.dsirOracleSql("src0"),
     "ppl_buckets" -> graft.ml.CorpusOps.pplBucketsOracleSql,
@@ -1975,6 +2012,11 @@ object SparkEntry {
     "emb_topk_pq" -> graft.ml.Pq.pqIvfOracleSql(0, 10),
     "pq_topk_batch" -> graft.ml.Pq.pqIvfBatchOracleSql(8, 10),
     "pq_store_codes" -> graft.ml.Pq.codesOracleSql,
+    "emb_topk_pqr" -> graft.ml.PqResidual.pqrIvfOracleSql(0, 10),
+    "pqr_store_codes" -> graft.ml.PqResidual.codesOracleSql(),
+    "pqr_recall_planted" -> graft.ml.PqResidual.pqrRecallOracleSql(0L, 10,
+      Ann.plantedClusterSrcSql(0L, 10)),
+    "pqr_stream_index" -> graft.ml.PqResidual.codesOracleSql(),
     "pq_stream_index" -> graft.ml.Pq.pqStreamOracleSql,
     "pq_compact" -> graft.ml.Pq.pqStreamOracleSql,
     "pq_rerank" -> graft.ml.Pq.pqRerankOracleSql(0, 50, 10),

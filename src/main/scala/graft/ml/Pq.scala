@@ -44,14 +44,20 @@ object Pq {
 
   /** Squared distance from the j-th subspace of `emb` to codebook centroid
     * (j, k) — unrolled left-to-right over the SubDim components, the same
-    * IEEE sequence as the oracle's unrolled SQL, so the argmins agree. */
-  private def distExpr(emb: Column, j: Int, k: Int): Column = {
-    val c = TrainedPqCodebooks.books(j)(k)
+    * IEEE sequence as the oracle's unrolled SQL, so the argmins agree.
+    * Parameterized over the codebook set so the RESIDUAL tier
+    * (PqResidual) encodes through the identical expression shape. */
+  private[ml] def distExprWith(emb: Column, j: Int, k: Int,
+      books: Seq[Seq[Seq[Double]]]): Column = {
+    val c = books(j)(k)
     (0 until SubDim).map { d =>
       val x = element_at(emb, j * SubDim + d + 1)
       (x - lit(c(d))) * (x - lit(c(d)))
     }.reduceLeft(_ + _)
   }
+
+  private def distExpr(emb: Column, j: Int, k: Int): Column =
+    distExprWith(emb, j, k, TrainedPqCodebooks.books)
 
   /** The M-byte code row for a double-array embedding column: each byte
     * is the 0-based index of the subspace's nearest centroid (ties →
@@ -60,11 +66,16 @@ object Pq {
     * the batch store build and the streamed upkeep share it verbatim
     * (there is no quantizer to freeze: the codebooks ARE committed
     * constants). */
-  private[graft] def codesExpr(emb: Column): Column =
+  private[graft] def codesExprWith(emb: Column,
+      books: Seq[Seq[Seq[Double]]]): Column =
     array((0 until M).map { j =>
-      val dists = array((0 until Ksub).map(k => distExpr(emb, j, k)): _*)
+      val dists = array((0 until Ksub).map(k =>
+        distExprWith(emb, j, k, books)): _*)
       (array_position(dists, array_min(dists)) - 1).cast("byte")
     }: _*)
+
+  private[graft] def codesExpr(emb: Column): Column =
+    codesExprWith(emb, TrainedPqCodebooks.books)
 
   /** (vec_id, codes array<tinyint> of length M) — the PERSISTABLE store
     * content (Catalog.pqIvfStore lays it out under the coarse quantizer). */
@@ -197,33 +208,55 @@ object Pq {
 
   // ---- DuckDB mirrors ----
 
+  private[ml] def cbListSqlWith(j: Int,
+      books: Seq[Seq[Seq[Double]]]): String =
+    books(j).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
   private def cbListSql(j: Int): String =
-    TrainedPqCodebooks.books(j)
-      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    cbListSqlWith(j, TrainedPqCodebooks.books)
 
   /** The (j, k) squared distance, unrolled in the same left-to-right
-    * component order as distExpr. */
-  private def distSql(j: Int, k: Int): String = {
-    val c = TrainedPqCodebooks.books(j)(k)
+    * component order as distExpr. Parameterized over codebooks and the
+    * source array's SQL rendering (the residual tier's is an expression,
+    * not a column name). */
+  private[ml] def distSqlWith(j: Int, k: Int, books: Seq[Seq[Seq[Double]]],
+      src: String): String = {
+    val c = books(j)(k)
     (0 until SubDim).map { d =>
-      val x = s"emb[${j * SubDim + d + 1}]"
+      val x = s"$src[${j * SubDim + d + 1}]"
       s"($x - ${c(d)}) * ($x - ${c(d)})"
     }.mkString(" + ")
   }
+
+  private def distSql(j: Int, k: Int): String =
+    distSqlWith(j, k, TrainedPqCodebooks.books, "emb")
+
+  /** The argmin code list over arbitrary codebooks/source (shared with the
+    * residual tier so the encode mirroring has ONE rendering). */
+  private[ml] def codesListSqlWith(books: Seq[Seq[Seq[Double]]],
+      src: String): String =
+    (0 until M).map { j =>
+      val dists = (0 until Ksub).map(k => s"(${distSqlWith(j, k, books, src)})")
+        .mkString("[", ",", "]")
+      s"(list_position($dists, list_min($dists)) - 1)"
+    }.mkString("[", ",", "]")
 
   /** The reconstructed vector: per subspace, the first-minimum centroid
     * (list_position ≡ Spark's array_position on identically computed
     * distances), flattened in subspace order — so list_dot_product over it
     * accumulates the exact dimension-ordered IEEE sequence the PqSim
-    * kernel produces. */
-  private def xqSql: String = {
+    * kernel produces. Parameterized like the encode renderings. */
+  private[ml] def xqSqlWith(books: Seq[Seq[Seq[Double]]],
+      src: String): String = {
     val subs = (0 until M).map { j =>
-      val dists = (0 until Ksub).map(k => s"(${distSql(j, k)})")
+      val dists = (0 until Ksub).map(k => s"(${distSqlWith(j, k, books, src)})")
         .mkString("[", ",", "]")
-      s"(${cbListSql(j)})[list_position($dists, list_min($dists))]"
+      s"(${cbListSqlWith(j, books)})[list_position($dists, list_min($dists))]"
     }
     s"flatten([${subs.mkString(",")}])"
   }
+
+  private def xqSql: String = xqSqlWith(TrainedPqCodebooks.books, "emb")
 
   /** The reconstructed-corpus CTE `pxq` both PQ oracles share. */
   private def pxqCteSql: String =
@@ -233,11 +266,7 @@ object Pq {
     * first occurrence) — shared by every PQ store-content oracle so the
     * encode mirroring cannot drift between them. */
   private def codesListSql: String =
-    (0 until M).map { j =>
-      val dists = (0 until Ksub).map(k => s"(${distSql(j, k)})")
-        .mkString("[", ",", "]")
-      s"(list_position($dists, list_min($dists)) - 1)"
-    }.mkString("[", ",", "]")
+    codesListSqlWith(TrainedPqCodebooks.books, "emb")
 
   /** DuckDB mirror of pqCodes (the store's content, exploded to scalar
     * (vec_id, pos, code) so codes pin element-wise). */

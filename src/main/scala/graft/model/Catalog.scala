@@ -884,6 +884,20 @@ object Catalog {
     readImmutable(spark, path)
   }
 
+  /** The MATERIALIZED composed residual-PQ×IVF index — the IVFPQ design
+    * proper (Jégou et al. 2011): M-byte codes of each vector's RESIDUAL
+    * to its coarse centroid, stored cell-partitioned like pqIvfStore.
+    * Encode is one stateless projection over the two committed constant
+    * tables (PqResidual.pqrRows). */
+  def pqrIvfStore(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "pqr_ivf")
+    materializeBy(path, Seq("cell")) {
+      graft.ml.PqResidual.pqrRows(embeddings(spark, dir),
+        ivfCells(spark, dir).select(col("vec_id"), col("cell")))
+    }
+    readImmutable(spark, path)
+  }
+
   /** The MATERIALIZED IVF-FLAT serving store — embeddings re-laid-out
     * hive-partitioned by cell (vec_id, embedding, label, cell), the float
     * tier's composed layout beside sq8IvfStore/pqIvfStore: a real IVF-flat
@@ -975,6 +989,17 @@ object Catalog {
       graft.ml.Pq.pqCodes(plantedEmb(spark, dir))
         .join(plantedCells(spark, dir).select(col("vec_id"), col("cell")),
           Seq("vec_id"))
+    }
+    readImmutable(spark, path)
+  }
+
+  /** pqrIvfStore over the planted corpus (same composed layout). */
+  def plantedPqrIvf(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "planted_pqr_ivf")
+    materializeBy(path, Seq("cell")) {
+      graft.ml.PqResidual.pqrRows(
+        plantedEmb(spark, dir),
+        plantedCells(spark, dir).select(col("vec_id"), col("cell")))
     }
     readImmutable(spark, path)
   }

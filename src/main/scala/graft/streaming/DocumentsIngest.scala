@@ -206,6 +206,36 @@ object DocumentsIngest {
         graft.ml.Selection.scoreRows(stream(spark, dir)))
     }
 
+  /** Streamed DSIR scoring against the FROZEN stored ratio
+    * (Catalog.dsirRatio) — the sq8 frozen-quantizer posture applied to
+    * importance weights: the ratio constants were fixed at store build,
+    * so streaming docs score through the same stateless per-row fold the
+    * batch serving path uses; a ratio refresh is a store rebuild + new
+    * generation, never streaming state. */
+  def dsirScoresOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:dsirscores:$dir") {
+      Sinks.memoryOnce(spark, "graft_stream_dsir",
+        graft.ml.Selection.dsirWeightsFrom(stream(spark, dir),
+          graft.model.Catalog.dsirRatio(spark, dir, "src0")))
+    }
+
+  /** Streamed-then-compacted score sidecar — the lex_compact twin for
+    * the selection store: per-batch parquet appends folded into one
+    * source-sorted generation behind the flipped MANIFEST; must equal the
+    * batch-built Catalog.docScores row-for-row. Source-sorted so the
+    * curation verbs' source-pruned reads keep row-group skipping across
+    * the swap. */
+  def compactedScoresOnce(spark: SparkSession, dir: String,
+      scratchBase: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:scorecompact:$dir:$scratchBase") {
+      graft.ingest.Compact.rmTree(scratchBase)
+      Sinks.parquetOnce(graft.ml.Selection.scoreRows(stream(spark, dir)),
+        s"$scratchBase/raw", s"$scratchBase/ck")
+      graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/raw",
+        s"$scratchBase/idx", "source", Seq("source", "doc_id"),
+        partitions = Some(4))
+    }
+
   /** Incremental maintenance of the additive stats store
     * (Catalog.lexStats): each micro-batch appends its OWN (n_docs, sum_dl)
     * delta row — idempotently, via the per-batch b=<id> overwrite dirs the

@@ -107,6 +107,30 @@ object EmbeddingsIngest {
       Sinks.memoryOnce(spark, "graft_stream_pq", pqRows(stream(spark, dir)))
     }
 
+  /** Stream-derived COMPOSED residual-PQ×IVF rows (vec_id, cell, codes) —
+    * the upkeep of Catalog.pqrIvfStore as one stateless per-row
+    * projection: the coarse argmax (cellExpr), the residual against THAT
+    * cell's committed centroid, and the residual-codebook encode — the
+    * IVFADC ingest path. Both constant tables are frozen at train time,
+    * so like the raw tier there is no quantizer state to ship. */
+  def pqrRows(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cents = typedLit(graft.ml.TrainedCentroids.matrix)
+    emb.select(col("vec_id"), cellExpr(col("embedding")).as("cell"),
+        col("embedding").cast("array<double>").as("e"))
+      .select(col("vec_id"), col("cell"),
+        graft.ml.Pq.codesExprWith(
+          zip_with(col("e"),
+            element_at(cents, col("cell").cast("int")), (a, b) => a - b),
+          graft.ml.TrainedPqrCodebooks.books).as("codes"))
+  }
+
+  /** One-shot streamed residual-PQ-store build. */
+  def pqrOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:pqr:$dir") {
+      Sinks.memoryOnce(spark, "graft_stream_pqr", pqrRows(stream(spark, dir)))
+    }
+
   /** The PQ generation fold — streamed PQ sink → compacted (cell, vec_id)-
     * sorted generation → manifest read-back; the compactedSq8Once shape
     * (probed-cell lookups row-group-prune the sorted generation the way
