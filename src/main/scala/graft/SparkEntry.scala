@@ -1301,6 +1301,34 @@ object SparkEntry {
     // encode in one stateless projection (the IVFADC ingest path)
     "pqr_stream_index" -> ((s, dir) =>
       explodeCodes(graft.streaming.EmbeddingsIngest.pqrOnce(s, dir))),
+    // ...and its generation fold behind the MANIFEST (the pq_compact twin)
+    "pqr_compact" -> ((s, dir) =>
+      explodeCodes(graft.streaming.EmbeddingsIngest.compactedPqrOnce(s, dir,
+        Catalog.scratch(dir, "pqr_compact")))),
+    // filtered serving at the residual tier — the metadata slice
+    // semi-joined on the candidate side (pq_topk_filtered's twin)
+    "pqr_topk_filtered" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ml.PqResidual.pqrIvfTopKAllowed(Catalog.pqrIvfStore(s, dir),
+        Catalog.embeddings(s, dir), 0L,
+        Catalog.docMeta(s, dir).filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id")), 10)
+    }),
+    // the delete lifecycle's masked serve at the residual tier
+    "pqr_masked_serve" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ml.PqResidual.pqrIvfTopKMasked(Catalog.pqrIvfStore(s, dir),
+        Catalog.embeddings(s, dir), 0L,
+        tombstoneLosers(s, dir).select(col("doc_id").as("vec_id")), 10)
+    }),
+    // batched residual-PQ serving — the pq_topk_batch shape with the
+    // candidate's cell feeding the IVFADC reconstruction kernel
+    "pqr_topk_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ml.PqResidual.pqrIvfTopKBatchFrom(Catalog.pqrIvfStore(s, dir),
+        Catalog.embeddings(s, dir),
+        Catalog.embeddings(s, dir).filter(col("vec_id") < 8), 10)
+    }),
     // PQ upkeep: new embeddings encode through the COMMITTED codebooks and
     // assign their IVF cell in one stateless projection (no quantizer to
     // freeze — the codebooks are constants); exploded like sq8_stream_index
@@ -2017,6 +2045,13 @@ object SparkEntry {
     "pqr_recall_planted" -> graft.ml.PqResidual.pqrRecallOracleSql(0L, 10,
       Ann.plantedClusterSrcSql(0L, 10)),
     "pqr_stream_index" -> graft.ml.PqResidual.codesOracleSql(),
+    "pqr_compact" -> graft.ml.PqResidual.codesOracleSql(),
+    "pqr_topk_filtered" -> graft.ml.PqResidual.pqrIvfRestrictedOracleSql(
+      0L, 10, "SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'",
+      masked = false),
+    "pqr_masked_serve" -> graft.ml.PqResidual.pqrIvfRestrictedOracleSql(
+      0L, 10, DeadIdsSql, masked = true),
+    "pqr_topk_batch" -> graft.ml.PqResidual.pqrIvfBatchOracleSql(8, 10),
     "pq_stream_index" -> graft.ml.Pq.pqStreamOracleSql,
     "pq_compact" -> graft.ml.Pq.pqStreamOracleSql,
     "pq_rerank" -> graft.ml.Pq.pqRerankOracleSql(0, 50, 10),

@@ -67,6 +67,42 @@ object PqResidual {
       .limit(k)
   }
 
+  /** Residual-PQ×IVF lookup restricted to an ALLOWED id set — filtered
+    * serving at the residual tier (Pq.pqIvfTopKAllowed's twin: the
+    * semi-join commutes with the probed-cell filters, one scoring
+    * chain). */
+  def pqrIvfTopKAllowed(store: DataFrame, emb: DataFrame, qVecId: Long,
+      allowed: DataFrame, k: Int): DataFrame =
+    pqrIvfTopKFrom(store.join(allowed.select("vec_id"), Seq("vec_id"),
+      "left_semi"), emb, qVecId, k)
+
+  /** Residual-PQ×IVF lookup under a TOMBSTONE mask — the delete
+    * lifecycle's masked serve at the residual tier. */
+  def pqrIvfTopKMasked(store: DataFrame, emb: DataFrame, qVecId: Long,
+      tombstones: DataFrame, k: Int): DataFrame =
+    pqrIvfTopKFrom(store.join(tombstones.select("vec_id"), Seq("vec_id"),
+      "left_anti"), emb, qVecId, k)
+
+  /** BATCHED residual-PQ serving — Pq.pqIvfTopKBatchFrom's shape with the
+    * candidate's cell id feeding the reconstruction kernel: shared probe
+    * stage, broadcast probed-cell semi-join for partition pruning,
+    * PqrSim ranking, per-query top-k riding the rank pushdown.
+    * Returns (qid, vec_id, sim). */
+  def pqrIvfTopKBatchFrom(store: DataFrame, emb: DataFrame,
+      queries: DataFrame, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qemb"))
+    val probed = Ann.probeBatch(q, Ann.centroids(emb))
+    val joined = probed.join(Ann.prunedByProbedCells(store, probed),
+      Seq("cell"))
+    val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("qid"))
+               else joined
+    Ann.topKPerQuery(cand
+      .select(col("qid"), col("vec_id"),
+        pqrSim(col("codes"), col("cell").cast("long"), col("qemb"),
+          col("qn")).as("sim")), k)
+  }
+
   /** The residual gate served from stored fixtures — Pq.recallAtKFrom's
     * twin. Returns (method, hits, recall). */
   def recallAtKFrom(store: DataFrame, emb: DataFrame, exact: DataFrame,
@@ -132,6 +168,46 @@ object PqResidual {
        |FROM pxq JOIN qc USING (cell), q
        |WHERE pxq.vec_id <> $qVecId
        |ORDER BY sim DESC, vec_id LIMIT $k
+       |""".stripMargin.replaceAll("\\s+", " ")
+
+  /** DuckDB mirror of pqrIvfTopKAllowed / pqrIvfTopKMasked:
+    * pqrIvfOracleSql's chain with the caller-supplied id subquery semi-
+    * (allowed) or anti-joined (masked) on the candidate side — the
+    * Pq.pqIvfRestrictedOracleSql shape over the IVFADC reconstruction. */
+  def pqrIvfRestrictedOracleSql(qVecId: Long, k: Int, idsSql: String,
+      masked: Boolean): String = {
+    val (cte, pred) =
+      if (masked) ("dead", "AND pxq.vec_id NOT IN (SELECT vec_id FROM dead)")
+      else ("al", "AND pxq.vec_id IN (SELECT vec_id FROM al)")
+    s"""WITH ${Ann.cellCtesSql(Ann.BaseSrcSql)},
+       |$reconCtesSql,
+       |qc AS (SELECT cent_id AS cell FROM asg WHERE vec_id = $qVecId
+       |       ORDER BY csim DESC, cent_id ASC LIMIT ${Ann.Probes}),
+       |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId),
+       |$cte AS ($idsSql)
+       |SELECT pxq.vec_id AS vec_id,
+       |  round(list_dot_product(pxq.xq, q.qemb) /
+       |    sqrt(list_dot_product(pxq.xq, pxq.xq) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
+       |FROM pxq JOIN qc USING (cell), q
+       |WHERE pxq.vec_id <> $qVecId
+       |  $pred
+       |ORDER BY sim DESC, vec_id LIMIT $k
+       |""".stripMargin.replaceAll("\\s+", " ")
+  }
+
+  /** DuckDB mirror of pqrIvfTopKBatchFrom for the query batch
+    * vec_id < maxQid — the shared batch CTEs over the reconstruction
+    * chain (pxq carries its cell, so the candidate join is direct). */
+  def pqrIvfBatchOracleSql(maxQid: Long, k: Int): String =
+    s"""WITH ${Ann.cellCtesSql(Ann.BaseSrcSql)},
+       |$reconCtesSql,
+       |${Ann.batchQueryCtesSql(maxQid)},
+       |cand AS (SELECT p.qid AS qid, pxq.vec_id AS vec_id,
+       |    round(list_dot_product(pxq.xq, p.qemb) /
+       |      sqrt(list_dot_product(pxq.xq, pxq.xq) * list_dot_product(p.qemb, p.qemb)), 6) AS sim
+       |  FROM pxq JOIN probed p USING (cell)
+       |  WHERE pxq.vec_id <> p.qid)
+       |${Ann.batchRankSql(k)}
        |""".stripMargin.replaceAll("\\s+", " ")
 
   /** DuckDB mirror of recallAtKFrom — the Pq.pqRecallOracleSql shape. */

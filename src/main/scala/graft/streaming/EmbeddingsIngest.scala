@@ -146,6 +146,21 @@ object EmbeddingsIngest {
         partitions = Some(4))
     }
 
+  /** The residual-PQ generation fold — streamed IVFADC sink → compacted
+    * (cell, vec_id)-sorted generation → manifest read-back; the
+    * compactedPqOnce shape for the residual tier (same cell-sorted
+    * layout, so probed-cell lookups row-group-prune the generation). */
+  def compactedPqrOnce(spark: SparkSession, dir: String,
+      scratchBase: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:pqrcompact:$dir:$scratchBase") {
+      graft.ingest.Compact.rmTree(scratchBase)
+      Sinks.parquetOnce(pqrRows(stream(spark, dir)),
+        s"$scratchBase/raw", s"$scratchBase/ck")
+      graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/raw",
+        s"$scratchBase/idx", "cell", Seq("cell", "vec_id"),
+        partitions = Some(4))
+    }
+
   /** The frozen quantizer: the batch store's constant (mn, scale) columns
     * (a one-row bounded lookup — the shipped quantizer, exactly what a
     * deployment distributes to its encoders). */
