@@ -742,6 +742,12 @@ object SparkEntry {
     // with larger budgets raises the threshold alongside)
     "mixture_token_budget" -> ((s, dir) =>
       graft.ml.CorpusOps.tokenBudgetSample(Catalog.documents(s, dir), 800L)),
+    // data-constrained scaling (Muennighoff et al. 2023): per-source
+    // epochs under an equal-split token budget, capped, with the paper's
+    // effective-unique-token decay D' = U + U·R*·(1 − exp(−R/R*))
+    "mixture_epochs" -> ((s, dir) =>
+      graft.ml.CorpusOps.dataConstrainedEpochs(Catalog.documents(s, dir),
+        200000L, maxEpochs = 8.0)),
     // DSIR importance weights (Xie et al. 2023): hashed-gram log-ratio
     // score vs the src0 target slice, add-one smoothed, 256 buckets
     "dsir_weights" -> ((s, dir) =>
@@ -1859,6 +1865,8 @@ object SparkEntry {
     "sample_mixture" -> graft.ml.CorpusOps.mixtureOracleSql(MixtureWeights, MixtureTotal),
     "sample_temperature" -> graft.ml.CorpusOps.temperatureOracleSql(MixtureTotal),
     "mixture_token_budget" -> graft.ml.CorpusOps.tokenBudgetOracleSql(800L),
+    "mixture_epochs" -> graft.ml.CorpusOps.dataConstrainedOracleSql(200000L,
+      maxEpochs = 8.0),
     "dsir_weights" -> graft.ml.Selection.dsirOracleSql("src0"),
     "dsir_select" -> graft.ml.Selection.dsirSelectOracleSql("src0", 100),
     "quality_linear" -> graft.ml.Selection.linearQualityOracleSql(0.5),

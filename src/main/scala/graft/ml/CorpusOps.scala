@@ -207,6 +207,58 @@ object CorpusOps {
       .select(col("doc_id"), col("source"), col("n_tok"))
   }
 
+  /** Data-constrained scaling (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models", NeurIPS): given a total token
+    * budget split EQUALLY across sources (the regime where small sources
+    * must repeat), compute per-source epochs capped at `maxEpochs` and
+    * the paper's effective-unique-token value
+    * D' = U + U·R*·(1 − exp(−R/R*)) with decay constant R* (≈15.4 fitted;
+    * eq. 5) where R = epochs − 1 is the repeat count beyond the first
+    * pass — the "how much is my budget actually worth" number a mixture
+    * recipe is tuned against. One aggregation over (source, n_tok); the
+    * source-count window runs over the ≤|sources|-row aggregate, so the
+    * single-partition exchange is bounded by source cardinality, never
+    * corpus-sized. Returns (source, unique_tok, epochs, served_tok,
+    * effective_tok), math columns rounded to 4. */
+  def dataConstrainedEpochs(docs: DataFrame, budget: Long,
+      maxEpochs: Double = 16.0, rStar: Double = 15.4): DataFrame = {
+    val agg = docs.select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("unique_tok"))
+    val u = col("unique_tok").cast("double")
+    val alloc = lit(budget).cast("double") /
+      count(lit(1)).over(Window.partitionBy()).cast("double")
+    val epochs = least(alloc / u, lit(maxEpochs))
+    agg.withColumn("epochs_raw", epochs)
+      .select(col("source"), col("unique_tok"),
+        round(col("epochs_raw"), 4).as("epochs"),
+        round(col("epochs_raw") * u, 4).as("served_tok"),
+        round(u + u * lit(rStar) *
+          (lit(1.0) - exp((lit(0.0) - greatest(col("epochs_raw") - lit(1.0),
+            lit(0.0))) / lit(rStar))), 4).as("effective_tok"))
+  }
+
+  /** DuckDB mirror of dataConstrainedEpochs — identical IEEE expression
+    * trees (left-associated products, the same (0 − r)/R* negation). */
+  def dataConstrainedOracleSql(budget: Long, maxEpochs: Double = 16.0,
+      rStar: Double = 15.4): String =
+    s"""WITH d AS (SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |a AS (SELECT source, sum(n_tok) AS unique_tok FROM d GROUP BY source),
+       |w AS (SELECT source, unique_tok,
+       |    least((CAST($budget AS DOUBLE) /
+       |      CAST(count(*) OVER () AS DOUBLE)) /
+       |      CAST(unique_tok AS DOUBLE), $maxEpochs) AS er
+       |  FROM a)
+       |SELECT source, unique_tok, round(er, 4) AS epochs,
+       |  round(er * CAST(unique_tok AS DOUBLE), 4) AS served_tok,
+       |  round(CAST(unique_tok AS DOUBLE) +
+       |    CAST(unique_tok AS DOUBLE) * $rStar *
+       |    (1.0 - exp((0.0 - greatest(er - 1.0, 0.0)) / $rStar)), 4)
+       |    AS effective_tok
+       |FROM w""".stripMargin.replaceAll("\\s+", " ")
+
   def tokenBudgetOracleSql(budget: Long): String =
     s"""WITH d AS (SELECT doc_id, source,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

@@ -366,4 +366,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(d5.map(c => (c._2, c._4)).toSeq == Seq((0, 50), (1, 50), (2, 50)))
     assert(d5(2)._3.startsWith("t81 ") && d5(2)._3.endsWith(" t130"))
   }
+
+  test("dataConstrainedEpochs: cap binds, sub-epoch sources keep " +
+      "effective == unique, and repeats discount toward the asymptote") {
+    // three sources, equal budget split 300/source: tiny (10 tok → capped
+    // at 4 epochs), medium (100 tok → 3 epochs, repeats discounted),
+    // large (600 tok → 0.5 epochs, no repeats)
+    val docs = (Seq.fill(1)(("a", 10)) ++ Seq(("b", 100), ("c", 600)))
+      .zipWithIndex
+      .map { case ((s, n), i) => (i.toLong, (1 to n).map(_ => "w").mkString(" "), s) }
+      .toDF("doc_id", "text", "source")
+    val got = CorpusOps.dataConstrainedEpochs(docs, 900L, maxEpochs = 4.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (ua, ea, sa, fa) = got("a")
+    assert(ua == 10L && ea == 4.0 && sa == 40.0, "cap must bind for a")
+    // capped repeats R=3: effective = 10 + 10·15.4·(1−exp(−3/15.4))
+    assert(math.abs(fa - (10 + 10 * 15.4 * (1 - math.exp(-3 / 15.4)))) < 1e-3)
+    val (ub, eb, sb, fb) = got("b")
+    assert(ub == 100L && eb == 3.0 && sb == 300.0)
+    assert(fb > ub && fb < sb, "repeat value must sit between unique and served")
+    val (uc, ec, sc, fc) = got("c")
+    assert(uc == 600L && ec == 0.5 && sc == 300.0)
+    assert(fc == uc.toDouble, "no repeats → effective equals unique")
+  }
 }
