@@ -838,6 +838,12 @@ object SparkEntry {
       graft.ml.CorpusOps.vocabTopK(Catalog.documents(s, dir), 100)),
     "decontaminate" -> ((s, dir) =>
       graft.ml.CorpusOps.decontaminate(Catalog.documents(s, dir), 25L, 3)),
+    // per-suite contamination attribution: which eval suite leaks into the
+    // corpus, how many docs it taints, total overlap mass — the dataset-
+    // card report next to the removal pass
+    "decontaminate_report" -> ((s, dir) =>
+      graft.ml.CorpusOps.decontaminateReport(Catalog.documents(s, dir),
+        25L, 3)),
     // document chunking: overlapping max-50-token training windows with 10
     // tokens of carried context — a pure per-row projection, no shuffle
     "chunk_docs" -> ((s, dir) =>
@@ -1890,6 +1896,8 @@ object SparkEntry {
     "text_logprob" -> graft.ml.CorpusOps.unigramLogProbOracleSql,
     "vocab_topk" -> graft.ml.CorpusOps.vocabOracleSql(100),
     "decontaminate" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),
+    "decontaminate_report" ->
+      graft.ml.CorpusOps.decontaminateReportOracleSql(25L, 3),
     "chunk_docs" -> graft.ml.CorpusOps.chunkOracleSql(50, 10),
     // same oracle as decontaminate BY DESIGN: the bloom prune is invisible
     // in the result, only in the plan

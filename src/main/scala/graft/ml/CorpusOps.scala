@@ -585,6 +585,52 @@ object CorpusOps {
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
 
+  /** Per-SUITE contamination attribution — the report a pipeline
+    * publishes next to its dataset card: which eval suite leaks into the
+    * training corpus, how many docs it taints, and the total overlap
+    * mass. Suites are the benchmark docs' `source`; a corpus doc counts
+    * toward a suite when it shares ≥ minOverlap distinct shingles with
+    * THAT suite (the decontaminate threshold applied per suite, so one
+    * doc can taint several suites — exactly what the removal pass needs
+    * to know). Same broadcast/join shape as `decontaminate`: the bench
+    * side stays eval-corpus-sized, the 100 TB side is one shingle scan
+    * into a two-level aggregation. Returns (suite, n_docs,
+    * total_overlap) sorted by suite. */
+  def decontaminateReport(docs: DataFrame, benchMaxId: Long,
+      minOverlap: Int): DataFrame = {
+    val sh = NearDup.shingles(docs)
+    val bench = broadcast(sh.filter(col("doc_id") < benchMaxId)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("shingle"), col("source").as("suite")).distinct())
+    sh.filter(col("doc_id") >= benchMaxId)
+      .join(bench, Seq("shingle"))
+      .groupBy(col("doc_id"), col("suite"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .groupBy("suite")
+      .agg(count(lit(1)).as("n_docs"), sum("n_overlap").as("total_overlap"))
+  }
+
+  /** DuckDB mirror of decontaminateReport (decontaminateOracleSql's
+    * shingle CTE with the suite carried through the bench side). */
+  def decontaminateReportOracleSql(benchMaxId: Long,
+      minOverlap: Int): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+       |    THEN list_transform(range(1, len(string_split(text,' '))-1),
+       |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+       |    ELSE [] END)) AS shingle
+       |  FROM documents),
+       |bench AS (SELECT DISTINCT sh.shingle AS shingle, d.source AS suite
+       |  FROM sh JOIN documents d USING (doc_id) WHERE sh.doc_id < $benchMaxId),
+       |hits AS (SELECT s.doc_id AS doc_id, b.suite AS suite,
+       |    count(*) AS n_overlap
+       |  FROM sh s JOIN bench b USING (shingle)
+       |  WHERE s.doc_id >= $benchMaxId
+       |  GROUP BY s.doc_id, b.suite HAVING count(*) >= $minOverlap)
+       |SELECT suite, count(*) AS n_docs, sum(n_overlap) AS total_overlap
+       |FROM hits GROUP BY suite""".stripMargin.replaceAll("\\s+", " ")
+
   def decontaminateOracleSql(benchMaxId: Long, minOverlap: Int): String =
     s"""WITH sh AS (
        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
