@@ -35,7 +35,7 @@ object SkewJoin {
       "saltedJoin: big side must carry a row-distinguishing non-key column" +
         " (a key-only projection yields one salt per key - no spread)")
     val salted = big.withColumn("_salt",
-      pmod(hash(big.columns.map(col): _*), lit(salts)))
+      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val replicated = small.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     salted.join(replicated, keys :+ "_salt").drop("_salt")

@@ -49,7 +49,7 @@ object TimeSeriesOps {
         (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
       }
       .filter(col("_side") === 1)
-      .select(left.columns.map(col) ++ matched.map(col): _*)
+      .select((left.columns.toIndexedSeq ++ matched).map(col): _*)
   }
 
   /** Daily resample with forward fill: `series` (key, day: DateType, v) →
