@@ -1108,6 +1108,12 @@ object SparkEntry {
     // cell parquet (AnnIndexSpec asserts the plan reads it)
     "emb_topk_lsh" -> ((s, dir) =>
       Ann.topK(Catalog.embeddings(s, dir), Catalog.annBuckets(s, dir), 0, 10)),
+    // MULTI-PROBE LSH (Lv et al. 2007): per table also probe the bucket
+    // with the lowest-|margin| bit flipped — 2L query-side probes against
+    // the SAME stored index instead of doubling the stored table count
+    "emb_topk_lsh_mp" -> ((s, dir) =>
+      Ann.topKMultiProbe(Catalog.embeddings(s, dir),
+        Catalog.annBuckets(s, dir), 0, 10)),
     // BATCHED LSH serving: each query row hashes itself into its L bucket
     // keys in-plan; candidates arrive through the bucket equi-join against
     // the stored index — zero per-query driver round-trips, the bulk
@@ -2017,6 +2023,7 @@ object SparkEntry {
       FROM e, q WHERE e.vec_id <> 0
       ORDER BY sim DESC, e.vec_id LIMIT 10""".replaceAll("\\s+", " ")),
     "emb_topk_lsh" -> Ann.oracleSql(0, 10),
+    "emb_topk_lsh_mp" -> Ann.multiProbeOracleSql(0, 10),
     "emb_topk_lsh_batch" -> Ann.lshBatchOracleSql(8, 10),
     "ann_stream_index" -> Ann.bucketsOracleSql,
     "emb_topk_ivf" -> Ann.ivfOracleSql(0, 10),

@@ -123,6 +123,20 @@ object Ann {
       s"$t:$bits"
     }
 
+  /** The 2L multi-probe bucket keys: per table, the base key plus the key
+    * with the lowest-|margin| bit flipped (ties → lowest bit index, the
+    * first-occurrence argmin both engines share). Margins are the same
+    * dotConst values the base signature uses — one derivation, two
+    * keys. */
+  private[graft] def queryMultiProbeKeysOf(vec: Array[Double]): Seq[String] =
+    (0 until Tables).flatMap { t =>
+      val dots = (0 until Bits).map(b => dotConst(vec, planes(t * Bits + b)))
+      val bits = dots.map(d => if (d >= 0) '1' else '0')
+      val flip = dots.map(math.abs).zipWithIndex.minBy(_._1)._2
+      val flipped = bits.updated(flip, if (bits(flip) == '1') '0' else '1')
+      Seq(s"$t:${bits.mkString}", s"$t:${flipped.mkString}")
+    }
+
   /** The query's `Probes` nearest cell ids — driver arithmetic against the
     * committed centroid matrix (cosine in kernel op order; (csim DESC,
     * cent_id ASC) tie-break identical to the in-plan ranking). */
@@ -158,9 +172,28 @@ object Ann {
     topKWithVec(emb, bk, queryVec(emb, qVecId), qVecId, k)
 
   private[ml] def topKWithVec(emb: DataFrame, bk: DataFrame,
-      vec: Array[Double], qVecId: Long, k: Int): DataFrame = {
+      vec: Array[Double], qVecId: Long, k: Int): DataFrame =
+    topKWithKeys(emb, bk, vec, queryBucketKeysOf(vec), qVecId, k)
+
+  /** MULTI-PROBE LSH serving (Lv et al., VLDB 2007): probe each table's
+    * base bucket AND the bucket with the query's lowest-|margin| bit
+    * flipped — the bit most likely to land on the other side of its
+    * hyperplane for a true near neighbor. Doubles per-table probes
+    * (2L keys) instead of doubling the STORED table count, which is the
+    * published trade: index size is the 100 TB cost, query-side probes
+    * are nearly free. Same stored index, same ranking chain; the probe
+    * keys are driver arithmetic against the committed plane constants
+    * (the queryBucketKeysOf convention). */
+  def topKMultiProbe(emb: DataFrame, bk: DataFrame, qVecId: Long,
+      k: Int): DataFrame = {
+    val vec = queryVec(emb, qVecId)
+    topKWithKeys(emb, bk, vec, queryMultiProbeKeysOf(vec), qVecId, k)
+  }
+
+  private[ml] def topKWithKeys(emb: DataFrame, bk: DataFrame,
+      vec: Array[Double], qbs: Seq[String], qVecId: Long,
+      k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").as("emb"))
-    val qbs = queryBucketKeysOf(vec)
     val qemb = litVec(vec)
     // candidate ids as an UNHINTED left-semi build side: bounded by the L
     // probed buckets' occupancy in the usual case, so AQE runtime-
@@ -1369,6 +1402,46 @@ object Ann {
         s"(CASE WHEN list_dot_product($src, ${planeSql(planes(t * Bits + b))}) >= 0 THEN '1' ELSE '0' END)"
       }.mkString(" || ")
     }
+
+  /** DuckDB mirror of topKMultiProbe: the single-query LSH oracle with a
+    * per-table FLIPPED signature derived independently in SQL — margins
+    * as a list of abs dot products, argmin via list_position on the list
+    * minimum (first occurrence = lowest bit, queryMultiProbeKeysOf's
+    * tie-break), string surgery for the flip. A candidate matches a
+    * table on the base OR the flipped signature. */
+  def multiProbeOracleSql(qVecId: Long, k: Int,
+      srcSql: String = BaseSrcSql): String = {
+    val eSigs = lshSigExprs("e.emb").zipWithIndex
+      .map { case (s, t) => s"$s AS sig$t" }.mkString(", ")
+    val qSigs = lshSigExprs("q.qemb").zipWithIndex
+      .map { case (s, t) => s"$s AS qsig$t" }.mkString(", ")
+    val margins = (0 until Tables).map { t =>
+      (0 until Bits).map { b =>
+        s"abs(list_dot_product(q.qemb, ${planeSql(planes(t * Bits + b))}))"
+      }.mkString("[", ",", "]") + s" AS m$t"
+    }.mkString(", ")
+    val flips = (0 until Tables).map { t =>
+      s"""substr(qsig$t, 1, list_position(m$t, list_min(m$t)) - 1) ||
+         |(CASE WHEN substr(qsig$t, list_position(m$t, list_min(m$t)), 1) = '1'
+         |  THEN '0' ELSE '1' END) ||
+         |substr(qsig$t, list_position(m$t, list_min(m$t)) + 1) AS qflip$t""".stripMargin
+    }.mkString(", ")
+    val matchCond = (0 until Tables)
+      .map(t => s"es.sig$t = qs.qsig$t OR es.sig$t = qs.qflip$t")
+      .mkString(" OR ")
+    s"""WITH e AS ($srcSql),
+       |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qVecId),
+       |es AS (SELECT e.vec_id, e.emb, $eSigs FROM e),
+       |qs0 AS (SELECT q.qemb, $qSigs, $margins FROM q),
+       |qs AS (SELECT *, $flips FROM qs0),
+       |cand AS (SELECT es.vec_id, es.emb, qs.qemb FROM es, qs
+       |         WHERE ($matchCond) AND es.vec_id <> $qVecId)
+       |SELECT vec_id,
+       |  round(list_dot_product(emb, qemb) /
+       |        sqrt(list_dot_product(emb, emb) * list_dot_product(qemb, qemb)), 6) AS sim
+       |FROM cand ORDER BY sim DESC, vec_id LIMIT $k
+       |""".stripMargin.replaceAll("\\s+", " ")
+  }
 
   /** DuckDB mirror of topK over the `embeddings` view. */
   def oracleSql(qVecId: Long, k: Int,

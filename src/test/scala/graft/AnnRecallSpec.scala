@@ -97,4 +97,23 @@ class AnnRecallSpec extends AnyFunSuite {
           Catalog.ivfCells(spark, dir), 0L, K)))
     } finally graft.util.Caches.drain()
   }
+
+  test("multi-probe top-k dominates single-probe: superset candidates, " +
+      "min similarity never lower") {
+    val emb = Catalog.embeddings(spark, dir)
+    val bk = Catalog.annBuckets(spark, dir)
+    def simsOf(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      df.collect().map(_.getDouble(1)).toSeq.sorted
+    try {
+      val single = simsOf(Ann.topK(emb, bk, 0L, K))
+      val multi = simsOf(Ann.topKMultiProbe(emb, bk, 0L, K))
+      assert(multi.size >= single.size)
+      // pairwise dominance of the sorted similarity lists: with a
+      // candidate superset and the same ranking, every rank's sim can
+      // only improve
+      single.reverse.zip(multi.reverse).foreach { case (s, m) =>
+        assert(m >= s, s"multi-probe sim $m below single-probe $s")
+      }
+    } finally graft.util.Caches.drain()
+  }
 }

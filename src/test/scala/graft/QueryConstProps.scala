@@ -65,4 +65,22 @@ class QueryConstProps extends AnyFunSuite {
         s"vec $id: selfDot $driver != kernel ${engine(id)}")
     }
   }
+
+  test("multi-probe keys: superset of base keys, one flip per table at " +
+      "hamming distance exactly 1") {
+    def hamming(a: String, b: String): Int = a.zip(b).count(p => p._1 != p._2)
+    for ((_, v) <- randomVecs(60)) {
+      val vec = v.map(_.toDouble).toArray
+      val base = Ann.queryBucketKeysOf(vec)
+      val mp = Ann.queryMultiProbeKeysOf(vec)
+      assert(mp.size == 2 * Ann.Tables)
+      assert(base.forall(mp.contains), "multi-probe must include base keys")
+      for (t <- 0 until Ann.Tables) {
+        val (b, f) = (mp(2 * t), mp(2 * t + 1))
+        assert(b == base(t), "even slots are the base keys, in table order")
+        assert(f.startsWith(s"$t:") && hamming(b, f) == 1,
+          s"table $t flip key $f not at hamming distance 1 from $b")
+      }
+    }
+  }
 }
