@@ -1123,6 +1123,14 @@ object SparkEntry {
       Ann.topKBatch(Catalog.embeddings(s, dir), Catalog.annBuckets(s, dir),
         Catalog.embeddings(s, dir).filter(col("vec_id") < 8), 10)
     }),
+    // batched multi-probe: each query row derives its 2L keys in-plan
+    // (margin argmin + bit flip as declarative expressions)
+    "emb_topk_lsh_mp_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Ann.topKBatchMultiProbe(Catalog.embeddings(s, dir),
+        Catalog.annBuckets(s, dir),
+        Catalog.embeddings(s, dir).filter(col("vec_id") < 8), 10)
+    }),
     // incremental index maintenance: new embeddings stream through the SAME
     // signature pipeline the batch build uses and append to the stored
     // bucket index — stateless, no shuffle
@@ -2025,6 +2033,7 @@ object SparkEntry {
     "emb_topk_lsh" -> Ann.oracleSql(0, 10),
     "emb_topk_lsh_mp" -> Ann.multiProbeOracleSql(0, 10),
     "emb_topk_lsh_batch" -> Ann.lshBatchOracleSql(8, 10),
+    "emb_topk_lsh_mp_batch" -> Ann.multiProbeBatchOracleSql(8, 10),
     "ann_stream_index" -> Ann.bucketsOracleSql,
     "emb_topk_ivf" -> Ann.ivfOracleSql(0, 10),
     "emb_topk_filtered" -> Ann.ivfFilteredOracleSql(0, 3, 10),

@@ -235,14 +235,40 @@ object Ann {
     * distinct qids; excludeSelf = false for an external id space.
     * Returns (qid, vec_id, sim), ≤ k rows per query. */
   def topKBatch(emb: DataFrame, bk: DataFrame, queries: DataFrame, k: Int,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true): DataFrame =
+    topKBatchWithKeys(emb, bk, queries, k, excludeSelf,
+      qemb => (0 until Tables).map(t =>
+        concat(lit(s"$t:"), signature(qemb, t))))
+
+  /** BATCHED multi-probe serving: topKBatch with each query row hashing
+    * itself into 2L keys — per table the base signature plus the
+    * lowest-|margin| bit flipped, derived IN-PLAN (margins as an array of
+    * |graft_dot| values, first-occurrence array_position argmin — the
+    * declarative twin of queryMultiProbeKeysOf, so batch == singles holds
+    * key for key). Still zero driver round-trips, |Q| can be
+    * data-scale. */
+  def topKBatchMultiProbe(emb: DataFrame, bk: DataFrame, queries: DataFrame,
+      k: Int, excludeSelf: Boolean = true): DataFrame =
+    topKBatchWithKeys(emb, bk, queries, k, excludeSelf,
+      qemb => (0 until Tables).flatMap { t =>
+        val sig = signature(qemb, t)
+        val margins = array((0 until Bits).map(b =>
+          abs(dot(qemb, planes(t * Bits + b)))): _*)
+        val f = array_position(margins, array_min(margins))
+        val flipped = concat(sig.substr(lit(1), (f - 1).cast("int")),
+          when(sig.substr(f.cast("int"), lit(1)) === "1", "0").otherwise("1"),
+          sig.substr((f + 1).cast("int"), lit(Bits)))
+        Seq(concat(lit(s"$t:"), sig), concat(lit(s"$t:"), flipped))
+      })
+
+  private def topKBatchWithKeys(emb: DataFrame, bk: DataFrame,
+      queries: DataFrame, k: Int, excludeSelf: Boolean,
+      keysOf: Column => Seq[Column]): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").as("emb"))
     val q = queries.select(col("vec_id").as("qid"),
       col("embedding").as("qemb"))
     val qb = q.select(col("qid"),
-      explode(array((0 until Tables).map { t =>
-        concat(lit(s"$t:"), signature(col("qemb"), t))
-      }: _*)).as("bucket"))
+      explode(array(keysOf(col("qemb")): _*)).as("bucket"))
     val hits = qb.join(bk, Seq("bucket")).select("qid", "vec_id")
     val pairs = (if (excludeSelf) hits.filter(col("vec_id") =!= col("qid"))
                  else hits).distinct()
@@ -1479,6 +1505,44 @@ object Ann {
        |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < $maxQid),
        |es AS (SELECT e.vec_id, e.emb, $eSigs FROM e),
        |qs AS (SELECT q.qid, $qSigs FROM q),
+       |pairs AS (SELECT DISTINCT qs.qid, es.vec_id FROM es, qs
+       |          WHERE ($matchCond) AND es.vec_id <> qs.qid),
+       |cand AS (SELECT p.qid, p.vec_id,
+       |    round(list_dot_product(e.emb, q.qemb) /
+       |          sqrt(list_dot_product(e.emb, e.emb) * list_dot_product(q.qemb, q.qemb)), 6) AS sim
+       |  FROM pairs p JOIN e ON e.vec_id = p.vec_id JOIN q ON q.qid = p.qid)
+       |${batchRankSql(k)}
+       |""".stripMargin.replaceAll("\\s+", " ")
+  }
+
+  /** DuckDB mirror of topKBatchMultiProbe: lshBatchOracleSql's chain with
+    * the per-table flipped signature (multiProbeOracleSql's margin-argmin
+    * string surgery) derived per QUERY ROW. */
+  def multiProbeBatchOracleSql(maxQid: Long, k: Int,
+      srcSql: String = BaseSrcSql): String = {
+    val eSigs = lshSigExprs("e.emb").zipWithIndex
+      .map { case (s, t) => s"$s AS sig$t" }.mkString(", ")
+    val qSigs = lshSigExprs("q.qemb").zipWithIndex
+      .map { case (s, t) => s"$s AS qsig$t" }.mkString(", ")
+    val margins = (0 until Tables).map { t =>
+      (0 until Bits).map { b =>
+        s"abs(list_dot_product(q.qemb, ${planeSql(planes(t * Bits + b))}))"
+      }.mkString("[", ",", "]") + s" AS m$t"
+    }.mkString(", ")
+    val flips = (0 until Tables).map { t =>
+      s"""substr(qsig$t, 1, list_position(m$t, list_min(m$t)) - 1) ||
+         |(CASE WHEN substr(qsig$t, list_position(m$t, list_min(m$t)), 1) = '1'
+         |  THEN '0' ELSE '1' END) ||
+         |substr(qsig$t, list_position(m$t, list_min(m$t)) + 1) AS qflip$t""".stripMargin
+    }.mkString(", ")
+    val matchCond = (0 until Tables)
+      .map(t => s"es.sig$t = qs.qsig$t OR es.sig$t = qs.qflip$t")
+      .mkString(" OR ")
+    s"""WITH e AS ($srcSql),
+       |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < $maxQid),
+       |es AS (SELECT e.vec_id, e.emb, $eSigs FROM e),
+       |qs0 AS (SELECT q.qid, $qSigs, $margins FROM q),
+       |qs AS (SELECT *, $flips FROM qs0),
        |pairs AS (SELECT DISTINCT qs.qid, es.vec_id FROM es, qs
        |          WHERE ($matchCond) AND es.vec_id <> qs.qid),
        |cand AS (SELECT p.qid, p.vec_id,

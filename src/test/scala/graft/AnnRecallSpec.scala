@@ -116,4 +116,21 @@ class AnnRecallSpec extends AnyFunSuite {
       }
     } finally graft.util.Caches.drain()
   }
+
+  test("batched multi-probe == per-query multi-probe singles (in-plan " +
+      "flip derivation matches the driver arithmetic)") {
+    val emb = Catalog.embeddings(spark, dir)
+    val bk = Catalog.annBuckets(spark, dir)
+    try {
+      val batch = Ann.topKBatchMultiProbe(emb, bk,
+          emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8), K)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val singles = (0L until 8L).flatMap { qid =>
+        Ann.topKMultiProbe(emb, bk, qid, K).collect()
+          .map(r => (qid, r.getLong(0), r.getDouble(1)))
+      }.toSet
+      assert(batch == singles)
+    } finally graft.util.Caches.drain()
+  }
 }
