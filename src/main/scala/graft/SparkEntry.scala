@@ -1080,6 +1080,11 @@ object SparkEntry {
     // planted source chars, never the bytes
     "mm_features" -> ((s, dir) =>
       Multimodal.documentFeatures(s, Catalog.documents(s, dir))),
+    // perceptual average-hash dedup over the decoded images: bit = pixel
+    // above the image's own mean (exact integer compare); equal hashes =
+    // near-dup image groups — the image-side twin of dedup_exact
+    "mm_phash_dedup" -> ((s, dir) =>
+      Multimodal.phashDedup(s, Catalog.documents(s, dir))),
     // streamed media decode: the same stateless PGM-decode projection over
     // the documents STREAM == the batch features — media is decoded once
     // at ingest, not per analysis query
@@ -2023,6 +2028,7 @@ object SparkEntry {
       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
       FROM documents""".replaceAll("\\s+", " ")),
     "mm_features" -> Multimodal.documentFeaturesOracleSql,
+    "mm_phash_dedup" -> Multimodal.phashOracleSql,
     "emb_topk" -> ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0)
       SELECT e.vec_id AS vec_id,

@@ -61,17 +61,18 @@ object Multimodal {
     }.toDF("doc_id", "width", "height", "n_px", "min_px", "max_px", "sum_px")
   }
 
-  /** The documents table as a planted PGM corpus: each doc's payload is a
-    * valid 8×4 P5 image whose 32 pixels are the first 32 PRINTABLE-ASCII
-    * bytes of the doc's text — the ASCII normalization is part of the
-    * planting on BOTH engines, because the cross-check equates Spark's
-    * UTF-8 payload BYTES with the oracle's per-character code points, which
+  /** The documents table as a planted PGM corpus — the media relation
+    * shared by every decode entry point: each doc's payload is a valid
+    * 8×4 P5 image whose 32 pixels are the first 32 PRINTABLE-ASCII bytes
+    * of the doc's text. The ASCII normalization is part of the planting
+    * on BOTH engines, because the cross-check equates Spark's UTF-8
+    * payload BYTES with the oracle's per-character code points, which
     * only coincide for ASCII (a 'ü' is two bytes but one code point).
-    * Docs with fewer than 32 such bytes are skipped (no full image).
-    * Returns per-image decoded stats + mean pixel value. */
-  def documentFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    * Docs with fewer than 32 such bytes are skipped (no full image). */
+  private def plantedMedia(spark: SparkSession,
+      docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val media = docs
+    docs
       .withColumn("px_src",
         substring(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), 1, 32))
       .filter(length(col("px_src")) >= 32)
@@ -79,9 +80,62 @@ object Multimodal {
         concat(lit("P5\n8 4\n255\n").cast("binary"),
           col("px_src").cast("binary")).as("payload"))
       .as[(Long, Array[Byte])]
-    decodeFeatures(media)
-      .withColumn("mean_px", round(col("sum_px") / col("n_px"), 4))
   }
+
+  def documentFeatures(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeFeatures(plantedMedia(spark, docs))
+      .withColumn("mean_px", round(col("sum_px") / col("n_px"), 4))
+
+  /** Perceptual AVERAGE-HASH dedup (the public aHash family: a pixel's bit
+    * is 1 iff it exceeds the image mean) over the planted PGM corpus:
+    * decode the binary payload (the real codec stage — mapPartitions is
+    * the justified shape for codecs), emit the w·h-bit hash as a bit
+    * string, and count each hash's occupancy — equal hashes are the
+    * near-duplicate image groups (aHash is brightness/contrast-invariant
+    * by construction: the threshold is the image's own mean). The
+    * mean compare is exact integer math (px·n > Σpx), so no float
+    * rounding can flip a bit on either engine. At 100 TB the hash is the
+    * stored sidecar and dedup is one hash-partitioned count — the
+    * image-side twin of dedup_exact's text hash groupBy.
+    * Returns (doc_id, phash, n_dups). */
+  def phashDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val hashed = plantedMedia(spark, docs).mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        decodePgm(bytes).map { case (_, _, px) => (id, aHashBits(px)) }
+      }
+    }.toDF("doc_id", "phash")
+    hashed.withColumn("n_dups", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("phash")))
+  }
+
+  /** The aHash bit string of one decoded image: bit = pixel strictly above
+    * the image mean, as the exact integer compare px·n > Σpx. Uniform
+    * brightness shifts cancel algebraically ((p+c)·n > Σ+c·n ⇔ p·n > Σ),
+    * which MultimodalProps pins — the invariance aHash is FOR. */
+  private[graft] def aHashBits(px: Array[Int]): String = {
+    val s = px.map(_.toLong).sum
+    px.map(p => if (p.toLong * px.length > s) '1' else '0').mkString
+  }
+
+  /** DuckDB mirror of phashDedup — expectations derived from the planted
+    * ASCII source chars, the documentFeaturesOracleSql convention (a
+    * decoder or threshold bug breaks the match). */
+  def phashOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  substring(regexp_replace(text, '[^\x20-\x7e]', '', 'g'), 1, 32) AS px
+      |  FROM documents),
+      |f AS (SELECT doc_id, px FROM d WHERE length(px) >= 32),
+      |p AS (SELECT doc_id,
+      |  list_transform(range(1, 33), i -> ascii(substring(px, i, 1))) AS codes
+      |  FROM f),
+      |h AS (SELECT doc_id, list_aggregate(list_transform(codes,
+      |    c -> CASE WHEN c * 32 > list_sum(codes) THEN '1' ELSE '0' END),
+      |    'string_agg', '') AS phash
+      |  FROM p)
+      |SELECT doc_id, phash,
+      |  count(*) OVER (PARTITION BY phash) AS n_dups
+      |FROM h""".stripMargin.replaceAll("\\s+", " ")
 
   /** DuckDB mirror of documentFeatures: the oracle never sees the PGM bytes —
     * it derives the expected decoded stats straight from the (ASCII-

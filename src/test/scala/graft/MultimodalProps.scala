@@ -63,4 +63,16 @@ object MultimodalProps extends Properties("Multimodal") {
         }
         Multimodal.decodePgm(corrupted).isEmpty
     }
+
+  // aHash's design claim: the bit pattern is invariant under a uniform
+  // brightness shift (the threshold is the image's own mean, and the
+  // compare is exact integer math, so the shift cancels algebraically)
+  property("aHash invariant under uniform brightness shift") =
+    forAll(for {
+      n <- Gen.choose(2, 64)
+      px <- Gen.listOfN(n, Gen.choose(0, 200))
+      c <- Gen.choose(0, 55)
+    } yield (px.toArray, c)) { case (px, c) =>
+      Multimodal.aHashBits(px) == Multimodal.aHashBits(px.map(_ + c))
+    }
 }
