@@ -742,6 +742,11 @@ object SparkEntry {
     // with larger budgets raises the threshold alongside)
     "mixture_token_budget" -> ((s, dir) =>
       graft.ml.CorpusOps.tokenBudgetSample(Catalog.documents(s, dir), 800L)),
+    // A-ES weighted sampling without replacement (Efraimidis-Spirakis
+    // 2006): top-k by ln(u)/w, weight = token count — one projection +
+    // TakeOrdered, the one-pass distributed weighted draw
+    "sample_weighted" -> ((s, dir) =>
+      graft.ml.CorpusOps.weightedSample(Catalog.documents(s, dir), 100)),
     // data-constrained scaling (Muennighoff et al. 2023): per-source
     // epochs under an equal-split token budget, capped, with the paper's
     // effective-unique-token decay D' = U + U·R*·(1 − exp(−R/R*))
@@ -1892,6 +1897,7 @@ object SparkEntry {
     "mixture_token_budget" -> graft.ml.CorpusOps.tokenBudgetOracleSql(800L),
     "mixture_epochs" -> graft.ml.CorpusOps.dataConstrainedOracleSql(200000L,
       maxEpochs = 8.0),
+    "sample_weighted" -> graft.ml.CorpusOps.weightedSampleOracleSql(100),
     "dsir_weights" -> graft.ml.Selection.dsirOracleSql("src0"),
     "dsir_select" -> graft.ml.Selection.dsirSelectOracleSql("src0", 100),
     "quality_linear" -> graft.ml.Selection.linearQualityOracleSql(0.5),

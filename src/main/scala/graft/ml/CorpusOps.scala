@@ -207,6 +207,37 @@ object CorpusOps {
       .select(col("doc_id"), col("source"), col("n_tok"))
   }
 
+  /** Weighted sampling WITHOUT replacement in one pass — the A-ES
+    * reservoir algorithm (Efraimidis & Spirakis 2006): each row draws a
+    * uniform u and keeps key = u^(1/w); the k largest keys are exactly a
+    * weight-proportional sample without replacement. Ranked here in the
+    * equivalent log domain (ln(u)/w — the published numerically-stable
+    * form), weight = token count (longer docs proportionally likelier —
+    * the by-length example). u is the md5 numeric-uniform convention,
+    * offset to (raw + 0.5)/2^24 so it is EXACT in doubles (2^24 divisor)
+    * and never 0 or 1 (Spark's log(0) is NULL while DuckDB's is -inf —
+    * the one value the engines disagree on). One projection +
+    * TakeOrderedAndProject: no shuffle beyond the top-k, any corpus
+    * size. Returns (doc_id, source, skey). */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    val w = size(split(col("text"), " ")).cast("double")
+    val u = (conv(substring(md5(concat(lit("aes:"),
+      col("doc_id").cast("string"))), 1, 6), 16, 10).cast("double") +
+      lit(0.5)) / lit(16777216.0)
+    docs.select(col("doc_id"), col("source"),
+        round(log(u) / w, 6).as("skey"))
+      .orderBy(desc("skey"), asc("doc_id")).limit(k)
+  }
+
+  def weightedSampleOracleSql(k: Int): String =
+    s"""SELECT doc_id, source,
+       |  round(ln((('0x' || substr(md5('aes:' || doc_id), 1, 6))::BIGINT
+       |      + 0.5) / 16777216.0)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS skey
+       |FROM documents
+       |ORDER BY skey DESC, doc_id LIMIT $k""".stripMargin
+      .replaceAll("\\s+", " ")
+
   /** Data-constrained scaling (Muennighoff et al. 2023, "Scaling
     * Data-Constrained Language Models", NeurIPS): given a total token
     * budget split EQUALLY across sources (the regime where small sources

@@ -367,6 +367,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(d5(2)._3.startsWith("t81 ") && d5(2)._3.endsWith(" t130"))
   }
 
+  test("weightedSample == the A-ES reference: top-k by ln(u)/w with " +
+      "md5 uniforms, longer docs proportionally likelier") {
+    val docs = (0L until 40L)
+      .map(i => (i, (1 to (i % 7 + 1).toInt).map(_ => "w").mkString(" "), s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val got = CorpusOps.weightedSample(docs, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    // reference: same md5 uniform, same log-domain key, in plain Scala
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def keyOf(id: Long, w: Int): Double = {
+      val hex = md.digest(s"aes:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 16777216.0
+      BigDecimal(math.log(u) / w).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = (0L until 40L).map(i => (i, keyOf(i, (i % 7 + 1).toInt)))
+      .sortBy { case (id, k) => (-k, id) }.take(10)
+    assert(got.toSeq == want)
+  }
+
   test("dataConstrainedEpochs: cap binds, sub-epoch sources keep " +
       "effective == unique, and repeats discount toward the asymptote") {
     // three sources, equal budget split 300/source: tiny (10 tok → capped
