@@ -170,4 +170,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"page join not broadcast:\n$p")
     assert(df.count() > 0)
   }
+
+  test("multi-probe LSH pushes all 2L bucket keys into the stored-index " +
+      "scan; A-ES sampling is one scan + TakeOrdered") {
+    try {
+      val p = planOf(SparkEntry.queries("emb_topk_lsh_mp")(spark, dir))
+      // the bucket IN (...) filter must carry 2L = 8 keys — base and
+      // flipped per table — and reach the scan (PushedFilters shows the
+      // same In truncated, so count on the full DataFilters rendering)
+      assert(p.contains("PushedFilters: [IsNotNull(vec_id), In(bucket,"),
+        s"bucket In not pushed to the stored-index scan:\n$p")
+      val in = """bucket#\d+ IN \(([^)]*)\)""".r.findFirstMatchIn(p)
+      assert(in.isDefined, s"no bucket IN (...) filter:\n$p")
+      assert(in.get.group(1).split(",").length == 2 * graft.ml.Ann.Tables,
+        s"expected ${2 * graft.ml.Ann.Tables} probe keys in:\n${in.get}")
+      val ws = planOf(SparkEntry.queries("sample_weighted")(spark, dir))
+      assert(ws.contains("TakeOrderedAndProject"),
+        s"A-ES top-k must ride TakeOrderedAndProject, not a global sort:\n$ws")
+      assert(!ws.contains("Exchange hashpartitioning"),
+        s"A-ES draw must not shuffle:\n$ws")
+    } finally graft.util.Caches.drain()
+  }
 }
