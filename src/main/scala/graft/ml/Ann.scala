@@ -1292,6 +1292,8 @@ object Ann {
     // BOTH recall probes — uncached it executes twice per evaluation
     val exact = graft.util.Caches.track(exactTopKIds(e, qVecId, k).cache())
     recallOf(exact, topK(emb, bk, qVecId, k), "lsh", k)
+      .unionByName(recallOf(exact, topKMultiProbe(emb, bk, qVecId, k),
+        "lsh_mp", k))
       .unionByName(recallOf(exact, ivfTopK(emb, cells, qVecId, k), "ivf", k))
   }
 
@@ -1333,11 +1335,14 @@ object Ann {
     // merge their orderings), so the gate schedules one ranking wave
     val both = topKWithVec(emb, bk, vec, qVecId, k)
         .select(lit("lsh").as("method"), col("vec_id"))
+      .unionAll(topKWithKeys(emb, bk, vec, queryMultiProbeKeysOf(vec),
+          qVecId, k)
+        .select(lit("lsh_mp").as("method"), col("vec_id")))
       .unionAll(ivfTopKFromVec(flat, vec, qVecId, k)
         .select(lit("ivf").as("method"), col("vec_id")))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     recallRows(emb.sparkSession, ids,
-      Seq("lsh", "ivf").map(m =>
+      Seq("lsh", "lsh_mp", "ivf").map(m =>
         m -> both.collect { case (`m`, id) => id }.toSeq), k)
   }
 
@@ -1361,10 +1366,15 @@ object Ann {
     val exact = exactTopKSql(qVecId, k, srcSql)
     s"""WITH exact AS ((${exact})),
        |lshr AS ((${oracleSql(qVecId, k, srcSql)})),
+       |lshmpr AS ((${multiProbeOracleSql(qVecId, k, srcSql)})),
        |ivfr AS ((${ivfOracleSql(qVecId, k, srcSql)}))
        |SELECT 'lsh' AS method, count(*) AS hits,
        |  round(count(*) * 1.0 / $k, 4) AS recall
        |FROM lshr WHERE vec_id IN (SELECT vec_id FROM exact)
+       |UNION ALL
+       |SELECT 'lsh_mp' AS method, count(*) AS hits,
+       |  round(count(*) * 1.0 / $k, 4) AS recall
+       |FROM lshmpr WHERE vec_id IN (SELECT vec_id FROM exact)
        |UNION ALL
        |SELECT 'ivf' AS method, count(*) AS hits,
        |  round(count(*) * 1.0 / $k, 4) AS recall
