@@ -1090,6 +1090,14 @@ object SparkEntry {
     // near-dup image groups — the image-side twin of dedup_exact
     "mm_phash_dedup" -> ((s, dir) =>
       Multimodal.phashDedup(s, Catalog.documents(s, dir))),
+    // ...served from the materialized hash sidecar: decode+hash happened
+    // once per sf-dir (at ingest in a deployment); the statement is one
+    // hash-partitioned count over the store — media bytes never touched
+    "mm_phash_stored" -> ((s, dir) =>
+      Multimodal.dupCounts(Catalog.phashStore(s, dir))),
+    // ...and the sidecar's streamed ingest twin (same stateless projection)
+    "mm_phash_stream" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.phashOnce(s, dir)),
     // streamed media decode: the same stateless PGM-decode projection over
     // the documents STREAM == the batch features — media is decoded once
     // at ingest, not per analysis query
@@ -2035,6 +2043,8 @@ object SparkEntry {
       FROM documents""".replaceAll("\\s+", " ")),
     "mm_features" -> Multimodal.documentFeaturesOracleSql,
     "mm_phash_dedup" -> Multimodal.phashOracleSql,
+    "mm_phash_stored" -> Multimodal.phashOracleSql,
+    "mm_phash_stream" -> Multimodal.phashRowsOracleSql,
     "emb_topk" -> ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0)
       SELECT e.vec_id AS vec_id,

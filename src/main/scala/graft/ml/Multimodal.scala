@@ -98,16 +98,27 @@ object Multimodal {
     * stored sidecar and dedup is one hash-partitioned count — the
     * image-side twin of dedup_exact's text hash groupBy.
     * Returns (doc_id, phash, n_dups). */
-  def phashDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def phashDedup(spark: SparkSession, docs: DataFrame): DataFrame =
+    dupCounts(phashRows(spark, docs))
+
+  /** The persistable (doc_id, phash) hash rows — the decode+hash
+    * projection shared by the live entry, the materialized sidecar
+    * (Catalog.phashStore), and the streamed ingest twin: media is hashed
+    * ONCE at ingest; dedup is a read. */
+  def phashRows(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val hashed = plantedMedia(spark, docs).mapPartitions { it =>
+    plantedMedia(spark, docs).mapPartitions { it =>
       it.flatMap { case (id, bytes) =>
         decodePgm(bytes).map { case (_, _, px) => (id, aHashBits(px)) }
       }
     }.toDF("doc_id", "phash")
+  }
+
+  /** The dedup verb over hash rows (live or stored): each hash's
+    * occupancy — one hash-partitioned window count. */
+  def dupCounts(hashed: DataFrame): DataFrame =
     hashed.withColumn("n_dups", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy("phash")))
-  }
 
   /** The aHash bit string of one decoded image: bit = pixel strictly above
     * the image mean, as the exact integer compare px·n > Σpx. Uniform
@@ -117,6 +128,22 @@ object Multimodal {
     val s = px.map(_.toLong).sum
     px.map(p => if (p.toLong * px.length > s) '1' else '0').mkString
   }
+
+  /** DuckDB mirror of the (doc_id, phash) hash rows — the shared CTE
+    * chain of phashOracleSql without the occupancy window (the stream
+    * twin's oracle). */
+  def phashRowsOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  substring(regexp_replace(text, '[^\x20-\x7e]', '', 'g'), 1, 32) AS px
+      |  FROM documents),
+      |f AS (SELECT doc_id, px FROM d WHERE length(px) >= 32),
+      |p AS (SELECT doc_id,
+      |  list_transform(range(1, 33), i -> ascii(substring(px, i, 1))) AS codes
+      |  FROM f)
+      |SELECT doc_id, list_aggregate(list_transform(codes,
+      |    c -> CASE WHEN c * 32 > list_sum(codes) THEN '1' ELSE '0' END),
+      |    'string_agg', '') AS phash
+      |FROM p""".stripMargin.replaceAll("\\s+", " ")
 
   /** DuckDB mirror of phashDedup — expectations derived from the planted
     * ASCII source chars, the documentFeaturesOracleSql convention (a

@@ -779,6 +779,21 @@ object Catalog {
       .select("doc_id", "source", "n_tok", "score", "split")
   }
 
+  /** The MATERIALIZED perceptual-hash sidecar (doc_id, phash): media is
+    * decoded and aHashed once per sf-dir (at ingest in a deployment —
+    * DocumentsIngest.phashOnce streams the same projection); image dedup
+    * statements read this, never the media bytes. Laid out hash-sorted so
+    * group lookups row-group-prune. */
+  def phashStore(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "phash")
+    materialize(path) {
+      graft.ml.Multimodal.phashRows(spark, documents(spark, dir))
+        .repartition(col("phash"))
+        .sortWithinPartitions("phash", "doc_id")
+    }
+    readImmutable(spark, path).select("doc_id", "phash")
+  }
+
   /** The MATERIALIZED DSIR log-ratio table for a target slice — 256 rows
     * (b, lr), the query-independent half of importance scoring
     * (Selection.ratioTable): built once per (sf-dir, target); a serving

@@ -287,6 +287,16 @@ object DocumentsIngest {
         graft.ml.Multimodal.documentFeatures(spark, stream(spark, dir)))
     }
 
+  /** Streamed upkeep of the perceptual-hash sidecar (Catalog.phashStore):
+    * the same stateless decode+aHash projection over the documents
+    * stream — media is hashed once at ingest, dedup statements read the
+    * sidecar. */
+  def phashOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:phash:$dir") {
+      Sinks.memoryOnce(spark, "graft_stream_phash",
+        graft.ml.Multimodal.phashRows(spark, stream(spark, dir)))
+    }
+
   // ---- streamed admission of the near-dup PAIR GRAPH (Catalog.dupPairs) --
 
   /** Incremental maintenance of the stored near-dup pair graph: each
