@@ -833,6 +833,21 @@ object SparkEntry {
     // doc_id-varied planted URLs
     "domain_stats" -> ((s, dir) =>
       graft.ml.TextAnalysis.domainStatsPlanted(Catalog.documents(s, dir), 5)),
+    // planted host link graph: (src, dst, n_docs) edge weights — the
+    // web-curation graph the host-rank tier consumes
+    "link_graph" -> ((s, dir) =>
+      graft.ml.LinkGraph.plantedEdges(Catalog.documents(s, dir))),
+    // host centrality: 5-iteration fixed-point INTEGER PageRank served
+    // from the stored host-rank sidecar (built once per sf-dir;
+    // bit-identical to the oracle's chained-CTE power method — integer
+    // sums are order-independent, no float summation drift)
+    "link_pagerank" -> ((s, dir) => Catalog.pagerankStore(s, dir)),
+    // per-source link-authority mass: docs inherit their host's STORED
+    // rank (the RefinedWeb-style URL-quality prior); exact integer
+    // aggregation, corpus text never scanned
+    "quality_hostrank" -> ((s, dir) =>
+      graft.ml.LinkGraph.sourceRankMass(Catalog.documents(s, dir),
+        Catalog.pagerankStore(s, dir))),
     // per-doc top-3 tf-idf terms over exact corpus document frequencies
     "tfidf_topterms" -> ((s, dir) =>
       graft.ml.CorpusOps.tfidfTopTerms(Catalog.documents(s, dir), 3)),
@@ -1925,6 +1940,9 @@ object SparkEntry {
     "text_repetition" -> graft.ml.TextAnalysis.repetitionOracleSql,
     "text_scrub" -> graft.ml.TextAnalysis.scrubPlantedOracleSql(25),
     "domain_stats" -> graft.ml.TextAnalysis.domainStatsPlantedOracleSql(5),
+    "link_graph" -> graft.ml.LinkGraph.linkGraphOracleSql,
+    "link_pagerank" -> graft.ml.LinkGraph.pageRankOracleSql(),
+    "quality_hostrank" -> graft.ml.LinkGraph.sourceRankMassOracleSql(),
     "tfidf_topterms" -> graft.ml.CorpusOps.tfidfOracleSql(3),
     "text_logprob" -> graft.ml.CorpusOps.unigramLogProbOracleSql,
     "vocab_topk" -> graft.ml.CorpusOps.vocabOracleSql(100),

@@ -794,6 +794,27 @@ object Catalog {
     readImmutable(spark, path).select("doc_id", "phash")
   }
 
+  /** The MATERIALIZED host-rank store — (host, rank_i): fixed-point
+    * integer PageRank over the planted host link graph (LinkGraph), the
+    * Common-Crawl-style host centrality ranking a curation pipeline
+    * consults as a per-document quality prior. The 5-iteration power
+    * method runs ONCE per sf-dir at store build (the host count — the one
+    * scalar the teleport term needs — folds driver-side here, the
+    * lexStatsFolded posture); serving statements read the store and never
+    * touch the graph. Host-sorted single file: the store is
+    * hosts-cardinality (~10^8 at web scale — still ~1 GB, a table, not a
+    * broadcast assumption). */
+  def pagerankStore(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "pagerank_hosts")
+    materialize(path) {
+      val e = graft.ml.LinkGraph.plantedEdges(documents(spark, dir))
+      val n = e.select("src").unionAll(e.select("dst")).distinct().count()
+      graft.ml.LinkGraph.pageRank(e, n)
+        .coalesce(1).sortWithinPartitions("host")
+    }
+    readImmutable(spark, path).select("host", "rank_i")
+  }
+
   /** The MATERIALIZED DSIR log-ratio table for a target slice — 256 rows
     * (b, lr), the query-independent half of importance scoring
     * (Selection.ratioTable): built once per (sf-dir, target); a serving
