@@ -63,29 +63,29 @@ object SpanDedup {
     * document, merged per doc wherever consecutive spans overlap or touch
     * (next.pos ≤ prev.pos + W). Returns (doc_id, span_start, span_end),
     * token offsets inclusive. */
-  def sharedSpans(docs: DataFrame): DataFrame = {
-    // the shingle fan-out feeds BOTH sides of the df self-join through
-    // different exchanges (an aggregation and a probe), so ReuseExchange
-    // cannot dedup them — without the cache the corpus-wide split/slice/md5
-    // projection would execute twice per call
-    val sh = graft.util.Caches.track(spanShingles(docs).cache())
-    sharedSpansFrom(sh)
-  }
+  def sharedSpans(docs: DataFrame): DataFrame =
+    sharedSpansFrom(spanShingles(docs))
 
-  /** sharedSpans over a STORED positional sketch (Catalog.spanSketch): the
-    * df gate and the probe each scan the stored (doc_id, pos, h) table —
-    * column-pruned parquet reads, (h, doc_id) for the aggregation and the
-    * full row for the probe — so an analysis pass at 100 TB never
-    * re-tokenizes the corpus and needs no executor-memory cache of the
-    * fan-out. Same result as the inline path by construction (it IS the
-    * inline path's tail; SpanDedupSpec pins the equivalence through a
-    * parquet round-trip). */
-  def sharedSpansFrom(sketch: DataFrame): DataFrame =
-    mergeIslands(sketch.join(
-        sketch.groupBy("h").agg(countDistinct("doc_id").as("df"))
-          .filter(col("df") > 1).select("h"),
-        Seq("h"))
+  /** sharedSpans over a STORED positional sketch (Catalog.spanSketch) — or
+    * the inline shingle fan-out, which the single-consumer shape below no
+    * longer needs to cache. The df > 1 gate is "more than one distinct
+    * doc_id under this hash", i.e. exactly min(doc_id) ≠ max(doc_id) over
+    * a window partitioned by h: ONE scan and ONE exchange of the sketch
+    * instead of the former aggregate + self-join (two scans, two
+    * exchanges, and a join probe — the r16 bench tail's largest shuffle).
+    * At 100 TB the shared-hash set is corpus-sized (boilerplate is
+    * everywhere), so there is no broadcastable side to exploit — the
+    * window IS the minimal data movement for this gate. Same result by
+    * construction (SpanDedupSpec pins the equivalence through a parquet
+    * round-trip). */
+  def sharedSpansFrom(sketch: DataFrame): DataFrame = {
+    val wh = Window.partitionBy("h")
+    mergeIslands(sketch
+      .withColumn("mn", min("doc_id").over(wh))
+      .withColumn("mx", max("doc_id").over(wh))
+      .filter(col("mn") =!= col("mx"))
       .select("doc_id", "pos"))
+  }
 
   /** The gaps-and-islands merge shared by both span policies: consecutive
     * marked positions closer than a shingle width fold into one maximal
@@ -144,25 +144,24 @@ object SpanDedup {
     * boilerplate and excises every occurrence). Within-document repeats
     * are duplicates too: the second occurrence of a shingle inside the
     * canonical document still marks for cutting. Cost over sharedSpans is
-    * ONE extra min(struct(doc_id, pos)) riding the same df aggregation —
-    * both partial-aggregate map-side, so a boilerplate shingle in every
-    * document is still not a hot key. */
-  def keepFirstSpans(docs: DataFrame): DataFrame = {
-    val sh = graft.util.Caches.track(spanShingles(docs).cache())
-    keepFirstSpansFrom(sh)
-  }
+    * ONE extra min(struct(doc_id, pos)) riding the same single window
+    * pass. */
+  def keepFirstSpans(docs: DataFrame): DataFrame =
+    keepFirstSpansFrom(spanShingles(docs))
 
   /** keepFirstSpans over a STORED positional sketch (Catalog.spanSketch) —
-    * the same two-scan shape as sharedSpansFrom. */
+    * the same one-scan/one-exchange window shape as sharedSpansFrom, with
+    * the canonical occurrence carried as a third window aggregate over the
+    * identical frame (one Window operator, zero extra exchanges). */
   def keepFirstSpansFrom(sketch: DataFrame): DataFrame = {
-    val shared = sketch.groupBy("h")
-      .agg(countDistinct("doc_id").as("df"),
-        min(struct(col("doc_id"), col("pos"))).as("canon"))
-      .filter(col("df") > 1)
-      .select(col("h"), col("canon.doc_id").as("cdoc"),
-        col("canon.pos").as("cpos"))
-    mergeIslands(sketch.join(shared, Seq("h"))
-      .filter(!(col("doc_id") === col("cdoc") && col("pos") === col("cpos")))
+    val wh = Window.partitionBy("h")
+    mergeIslands(sketch
+      .withColumn("mn", min("doc_id").over(wh))
+      .withColumn("mx", max("doc_id").over(wh))
+      .withColumn("canon", min(struct(col("doc_id"), col("pos"))).over(wh))
+      .filter(col("mn") =!= col("mx") &&
+        !(col("doc_id") === col("canon.doc_id") &&
+          col("pos") === col("canon.pos")))
       .select("doc_id", "pos"))
   }
 
