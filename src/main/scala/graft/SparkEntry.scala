@@ -848,6 +848,22 @@ object SparkEntry {
     "quality_hostrank" -> ((s, dir) =>
       graft.ml.LinkGraph.sourceRankMass(Catalog.documents(s, dir),
         Catalog.pagerankStore(s, dir))),
+    // tokenizer TRAINING: the 8 learned BPE merges (Sennrich 2016) read
+    // from the stored table — trained once per sf-dir at store build;
+    // the oracle re-runs all 8 rounds as chained fold CTEs, bit-identical
+    "bpe_train" -> ((s, dir) => Catalog.bpeMerges(s, dir)),
+    // vocabulary encode under the learned merges: per-word subword
+    // sequence + count (driver-known merge constants, chained per-row
+    // folds over the distinct-word table)
+    "bpe_encode" -> ((s, dir) =>
+      graft.ml.Bpe.encodeVocab(Catalog.documents(s, dir),
+        Catalog.bpeMergePairs(s, dir))),
+    // corpus accounting in LEARNED BPE tokens: per-doc subword counts as
+    // a pure per-row fold chain — no vocabulary join, zero exchanges;
+    // the statement IS the corpus scan
+    "bpe_doc_tokens" -> ((s, dir) =>
+      graft.ml.Bpe.docTokens(Catalog.documents(s, dir),
+        Catalog.bpeMergePairs(s, dir))),
     // per-doc top-3 tf-idf terms over exact corpus document frequencies
     "tfidf_topterms" -> ((s, dir) =>
       graft.ml.CorpusOps.tfidfTopTerms(Catalog.documents(s, dir), 3)),
@@ -1940,6 +1956,9 @@ object SparkEntry {
     "text_repetition" -> graft.ml.TextAnalysis.repetitionOracleSql,
     "text_scrub" -> graft.ml.TextAnalysis.scrubPlantedOracleSql(25),
     "domain_stats" -> graft.ml.TextAnalysis.domainStatsPlantedOracleSql(5),
+    "bpe_train" -> graft.ml.Bpe.trainOracleSql(),
+    "bpe_encode" -> graft.ml.Bpe.encodeOracleSql(),
+    "bpe_doc_tokens" -> graft.ml.Bpe.docTokensOracleSql(),
     "link_graph" -> graft.ml.LinkGraph.linkGraphOracleSql,
     "link_pagerank" -> graft.ml.LinkGraph.pageRankOracleSql(),
     "quality_hostrank" -> graft.ml.LinkGraph.sourceRankMassOracleSql(),

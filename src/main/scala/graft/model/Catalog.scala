@@ -815,6 +815,33 @@ object Catalog {
     readImmutable(spark, path).select("host", "rank_i")
   }
 
+  /** The MATERIALIZED learned BPE merge table — (round, pa, pb, pair_n):
+    * tokenizer training (Bpe.train — the per-round argmax driver loop over
+    * the vocabulary-sized state) runs ONCE per sf-dir at store build, the
+    * pagerankStore posture; encode/accounting statements read these M
+    * rows. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "bpe_merges")
+    materialize(path) {
+      val m = graft.ml.Bpe.train(documents(spark, dir))
+      import spark.implicits._
+      m.toDF("round", "pa", "pb", "pair_n")
+        .coalesce(1).sortWithinPartitions("round")
+    }
+    readImmutable(spark, path).select("round", "pa", "pb", "pair_n")
+  }
+
+  /** The stored merge list as driver-side constants (round order) — the
+    * lexStatsFolded memo posture: collected once per (session, sf-dir) so
+    * every encode statement is a pure corpus scan with the M merges folded
+    * into the projection. */
+  private val bpeMergeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, String)]]
+  def bpeMergePairs(spark: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergeMemo.computeIfAbsent((spark, dir), _ =>
+      bpeMerges(spark, dir).orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
   /** The MATERIALIZED DSIR log-ratio table for a target slice — 256 rows
     * (b, lr), the query-independent half of importance scoring
     * (Selection.ratioTable): built once per (sf-dir, target); a serving
