@@ -864,6 +864,18 @@ object SparkEntry {
     "bpe_doc_tokens" -> ((s, dir) =>
       graft.ml.Bpe.docTokens(Catalog.documents(s, dir),
         Catalog.bpeMergePairs(s, dir))),
+    // balanced-LOAD shard assignment: serpentine LPT within hash shards
+    // (zig-zag rank over token count desc) — per-shard windows, no
+    // global sort
+    "pack_lpt" -> ((s, dir) =>
+      graft.ml.CorpusOps.packLpt(Catalog.documents(s, dir), 8, 4)),
+    // the balance report: per-(shard, bin) doc count and token load
+    "pack_lpt_stats" -> ((s, dir) =>
+      graft.ml.CorpusOps.packLptStats(Catalog.documents(s, dir), 8, 4)),
+    // streamed BPE accounting with the FROZEN learned merges (the
+    // dsir_stream_scores posture for the tokenizer)
+    "bpe_stream_tokens" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.bpeTokensOnce(s, dir)),
     // per-doc top-3 tf-idf terms over exact corpus document frequencies
     "tfidf_topterms" -> ((s, dir) =>
       graft.ml.CorpusOps.tfidfTopTerms(Catalog.documents(s, dir), 3)),
@@ -1959,6 +1971,9 @@ object SparkEntry {
     "bpe_train" -> graft.ml.Bpe.trainOracleSql(),
     "bpe_encode" -> graft.ml.Bpe.encodeOracleSql(),
     "bpe_doc_tokens" -> graft.ml.Bpe.docTokensOracleSql(),
+    "bpe_stream_tokens" -> graft.ml.Bpe.docTokensOracleSql(),
+    "pack_lpt" -> graft.ml.CorpusOps.packLptOracleSql(8, 4),
+    "pack_lpt_stats" -> graft.ml.CorpusOps.packLptStatsOracleSql(8, 4),
     "link_graph" -> graft.ml.LinkGraph.linkGraphOracleSql,
     "link_pagerank" -> graft.ml.LinkGraph.pageRankOracleSql(),
     "quality_hostrank" -> graft.ml.LinkGraph.sourceRankMassOracleSql(),

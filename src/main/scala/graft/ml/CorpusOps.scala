@@ -305,6 +305,64 @@ object CorpusOps {
        |SELECT doc_id, source, n_tok FROM c
        |WHERE cum - n_tok < $budget""".stripMargin.replaceAll("\\s+", " ")
 
+  /** Balanced-LOAD shard assignment — Graham's LPT heuristic in its
+    * SQL-expressible serpentine (boustrophedon) form, the balanced-
+    * partitioning scheme training shards use when per-shard LOAD (total
+    * tokens) must equalize, not just row counts: within each hash shard,
+    * docs rank by token count DESCENDING (md5 + id tie-break) and rank r
+    * zig-zags into bins — even passes fill 0..B−1, odd passes B−1..0 —
+    * so the heaviest B docs spread one per bin and every pass
+    * counterbalances the previous one. True LPT (argmin-load bin) is
+    * inherently sequential; serpentine is its one-window approximation
+    * with the same first-order balance. Scale shape: the rank window is
+    * PER-SHARD (packBatches' posture — per-shard sequential, shards
+    * parallel), never a global sort. Returns (doc_id, shard, n_tok,
+    * bin). */
+  def packLpt(docs: DataFrame, bins: Int, shards: Int): DataFrame = {
+    val w = Window.partitionBy("shard")
+      .orderBy(desc("n_tok"),
+        md5(concat(lit("lpt:"), col("doc_id").cast("string"))), col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
+      .withColumn("idx", row_number().over(w) - 1)
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        when((col("idx") / bins).cast("long") % 2 === 0,
+          col("idx") % bins)
+          .otherwise(lit(bins - 1) - col("idx") % bins)
+          .cast("long").as("bin"))
+  }
+
+  /** Per-(shard, bin) load report over packLpt — the figure that shows
+    * the balance: (shard, bin, n_docs, load). */
+  def packLptStats(docs: DataFrame, bins: Int, shards: Int): DataFrame =
+    packLpt(docs, bins, shards)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("load"))
+
+  private def packLptSql(bins: Int, shards: Int): String =
+    s"""d AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    doc_id % $shards AS shard FROM documents),
+       |r AS (SELECT doc_id, shard, n_tok, row_number() OVER (
+       |    PARTITION BY shard
+       |    ORDER BY n_tok DESC, md5('lpt:' || doc_id), doc_id) - 1 AS idx
+       |  FROM d),
+       |p AS (SELECT doc_id, shard, n_tok,
+       |  CAST(CASE WHEN (idx // $bins) % 2 = 0 THEN idx % $bins
+       |    ELSE ${bins - 1} - idx % $bins END AS BIGINT) AS bin FROM r)"""
+      .stripMargin
+
+  def packLptOracleSql(bins: Int, shards: Int): String =
+    s"WITH ${packLptSql(bins, shards)} SELECT doc_id, shard, n_tok, bin FROM p"
+      .replaceAll("\\s+", " ")
+
+  def packLptStatsOracleSql(bins: Int, shards: Int): String =
+    s"""WITH ${packLptSql(bins, shards)}
+       |SELECT shard, bin, count(*) AS n_docs, sum(n_tok) AS load
+       |FROM p GROUP BY shard, bin""".stripMargin.replaceAll("\\s+", " ")
+
   /** Greedy sequence packing — the batch-construction step before training:
     * docs are laid out in a deterministic md5 order and cut into consecutive
     * batches of ~`budget` tokens (a doc lands in the batch its running

@@ -219,6 +219,19 @@ object DocumentsIngest {
           graft.model.Catalog.dsirRatio(spark, dir, "src0")))
     }
 
+  /** Streamed BPE accounting against the FROZEN learned merges
+    * (Catalog.bpeMerges) — the dsirScoresOnce posture for the tokenizer:
+    * the merge list was fixed at store build, so new documents count
+    * their subword tokens through the same stateless per-row fold chain
+    * the batch entry uses (zero joins, zero state); a tokenizer refit is
+    * a store rebuild + re-account, never streaming state. */
+  def bpeTokensOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:bpetokens:$dir") {
+      Sinks.memoryOnce(spark, "graft_stream_bpe",
+        graft.ml.Bpe.docTokens(stream(spark, dir),
+          graft.model.Catalog.bpeMergePairs(spark, dir)))
+    }
+
   /** Streamed-then-compacted score sidecar — the lex_compact twin for
     * the selection store: per-batch parquet appends folded into one
     * source-sorted generation behind the flipped MANIFEST; must equal the
