@@ -191,4 +191,45 @@ class PlanAuditSpec extends AnyFunSuite {
         s"A-ES draw must not shuffle:\n$ws")
     } finally graft.util.Caches.drain()
   }
+
+  test("BPE accounting is a zero-exchange scan; training reads the store; " +
+      "LPT packs per-shard windows") {
+    try {
+      // the per-doc subword count folds the stored merges in-plan: no
+      // vocabulary join, no exchange — the statement IS the corpus scan
+      val pt = planOf(SparkEntry.queries("bpe_doc_tokens")(spark, dir))
+      assert(!pt.contains("Exchange") && !pt.contains("Join"),
+        s"bpe_doc_tokens must be a pure fold scan:\n$pt")
+      // serving the learned merges is a store read, not a training run:
+      // no aggregation anywhere in the statement plan
+      val tr = planOf(SparkEntry.queries("bpe_train")(spark, dir))
+      assert(!tr.contains("Exchange") && !tr.contains("Aggregate"),
+        s"bpe_train must read the stored merge table:\n$tr")
+      // serpentine LPT ranks inside hash shards — the window exchange is
+      // hash partitioning on `shard`, never a single-partition global sort
+      val pl = planOf(SparkEntry.queries("pack_lpt")(spark, dir))
+      assert(pl.contains("hashpartitioning(shard"),
+        s"pack_lpt must window per-shard:\n$pl")
+      assert(!pl.contains("SinglePartition"),
+        s"pack_lpt must not fall back to a global window:\n$pl")
+    } finally graft.util.Caches.drain()
+  }
+
+  test("host-rank serving reads the store; the rank-mass join stays " +
+      "unhinted") {
+    try {
+      // link_pagerank is a store read: the 5-iteration power method ran
+      // at build — no joins, no aggregation in the statement plan
+      val pr = planOf(SparkEntry.queries("link_pagerank")(spark, dir))
+      assert(!pr.contains("Join") && !pr.contains("Aggregate"),
+        s"link_pagerank must read the stored ranks:\n$pr")
+      // quality_hostrank joins docs to the rank store WITHOUT an explicit
+      // broadcast hint (a 10^8-host store exceeds any broadcast bound;
+      // AQE picks broadcast at planted scale on its own)
+      val q = SparkEntry.queries("quality_hostrank")(spark, dir)
+      val logical = q.queryExecution.analyzed.toString
+      assert(!logical.contains("ResolvedHint"),
+        s"quality_hostrank must leave the rank join unhinted:\n$logical")
+    } finally graft.util.Caches.drain()
+  }
 }
