@@ -1150,6 +1150,14 @@ object SparkEntry {
       Multimodal.frameSample(Catalog.documents(s, dir))),
     "mm_resize" -> ((s, dir) =>
       Multimodal.resize(s, Catalog.documents(s, dir))),
+    // audio modality: per-frame energy over planted 8-bit PCM — exact
+    // integer Σs², so silence verdicts cannot drift between engines
+    "mm_audio_energy" -> ((s, dir) =>
+      Multimodal.audioEnergy(Catalog.documents(s, dir))),
+    // voice-activity-style trim accounting: silent-frame counts and the
+    // active [first, last] frame window per doc
+    "mm_audio_trim" -> ((s, dir) =>
+      Multimodal.audioTrim(Catalog.documents(s, dir))),
     "emb_topk" -> ((s, dir) => {
       // exact brute-force baseline; graft_dot is the codegen'd native
       // Expression (expressions.DotProduct) — float arrays in, double out
@@ -2163,6 +2171,8 @@ object SparkEntry {
     "pq_rerank" -> graft.ml.Pq.pqRerankOracleSql(0, 50, 10),
     "mm_stream_features" -> Multimodal.documentFeaturesOracleSql,
     "mm_framesample" -> Multimodal.frameSampleOracleSql(),
+    "mm_audio_energy" -> Multimodal.audioEnergyOracleSql,
+    "mm_audio_trim" -> Multimodal.audioTrimOracleSql,
     "mm_resize" -> Multimodal.resizeOracleSql,
   )
 }

@@ -239,4 +239,95 @@ object Multimodal {
        |  unnest(range(0, ((length(text) - 1) // $frameLen) + 1, $stride)) AS u(frame_idx)
        |WHERE length(text) >= 1
        |""".stripMargin.replaceAll("\\s+", " ")
+
+  // ---- Audio tier ----------------------------------------------------------
+
+  /** Samples per audio frame. */
+  val AudioFrame = 16
+  /** A frame is "silent" when its mean square stays under SilentRms² —
+    * i.e. energy < F·60² in exact integer math (60 ≈ the low end of the
+    * planted 8-bit sample range, so space/punctuation-heavy frames read
+    * as silence). */
+  val SilentRms = 60
+
+  /** Per-frame audio ENERGY over a planted 8-bit PCM corpus — the audio
+    * modality's decode/feature stage (the real pipeline's codec is the
+    * substring decode here; energy/silence math is the genuine part):
+    * each doc's printable-ASCII bytes are its unsigned samples (the
+    * plantedMedia code-point convention), consecutive `AudioFrame`-sample
+    * windows (tail truncated) score Σ s² — EXACT integer math, so no
+    * float rounding can flip a silence verdict on either engine.
+    * Declarative explode: frames of one doc fan out across tasks; at
+    * 100 TB this is a linear scan, no shuffle. Returns
+    * (doc_id, frame_idx, energy, silent). */
+  def audioEnergy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        regexp_replace(col("text"), "[^\\x20-\\x7e]", "").as("pcm"))
+      .filter(length(col("pcm")) >= AudioFrame)
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, CAST(length(pcm) DIV $AudioFrame AS INT) - 1),
+             |  i -> struct(CAST(i AS BIGINT) AS frame_idx,
+             |    aggregate(transform(sequence(1, $AudioFrame),
+             |        j -> ascii(substring(pcm, i * $AudioFrame + j, 1))),
+             |      0L, (a, s) -> a + CAST(s AS BIGINT) * s) AS energy))"""
+            .stripMargin)).as("f"))
+      .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+        col("f.energy").as("energy"),
+        (col("f.energy") < AudioFrame.toLong * SilentRms * SilentRms)
+          .as("silent"))
+
+  /** Silence TRIM report per document — the voice-activity-style
+    * accounting an audio pipeline runs before feature extraction: frame
+    * counts, silent-frame count, and the [first, last] active frame
+    * window (−1/empty when everything is silent). One partial-aggregating
+    * groupBy on doc_id over the energy rows. Returns (doc_id, n_frames,
+    * n_silent, first_active, last_active, active_frames). */
+  def audioTrim(docs: DataFrame): DataFrame =
+    audioEnergy(docs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"),
+        coalesce(min(when(!col("silent"), col("frame_idx"))), lit(-1L))
+          .as("first_active"),
+        coalesce(max(when(!col("silent"), col("frame_idx"))), lit(-1L))
+          .as("last_active"))
+      .withColumn("active_frames",
+        when(col("first_active") < 0, lit(0L))
+          .otherwise(col("last_active") - col("first_active") + 1))
+
+  private def audioCtesSql: String =
+    s"""a AS (SELECT doc_id,
+       |    regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS pcm
+       |  FROM documents),
+       |e AS (SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+       |    CAST(list_aggregate(list_transform(
+       |      string_split(substring(pcm, i * $AudioFrame + 1, $AudioFrame), ''),
+       |      c -> ascii(c) * ascii(c)), 'sum') AS BIGINT) AS energy
+       |  FROM a, unnest(range(0, length(pcm) // $AudioFrame)) AS u(i)
+       |  WHERE length(pcm) >= $AudioFrame)""".stripMargin
+
+  def audioEnergyOracleSql: String =
+    s"""WITH $audioCtesSql
+       |SELECT doc_id, frame_idx, energy,
+       |  energy < ${AudioFrame.toLong * SilentRms * SilentRms} AS silent
+       |FROM e""".stripMargin.replaceAll("\\s+", " ")
+
+  def audioTrimOracleSql: String =
+    s"""WITH $audioCtesSql,
+       |s AS (SELECT doc_id, frame_idx,
+       |    energy < ${AudioFrame.toLong * SilentRms * SilentRms} AS silent
+       |  FROM e),
+       |g AS (SELECT doc_id, count(*) AS n_frames,
+       |    sum(CASE WHEN silent THEN 1 ELSE 0 END) AS n_silent,
+       |    coalesce(min(CASE WHEN NOT silent THEN frame_idx END), -1)
+       |      AS first_active,
+       |    coalesce(max(CASE WHEN NOT silent THEN frame_idx END), -1)
+       |      AS last_active
+       |  FROM s GROUP BY doc_id)
+       |SELECT doc_id, n_frames, CAST(n_silent AS BIGINT) AS n_silent,
+       |  first_active, last_active,
+       |  CASE WHEN first_active < 0 THEN 0
+       |    ELSE last_active - first_active + 1 END AS active_frames
+       |FROM g""".stripMargin.replaceAll("\\s+", " ")
 }
