@@ -858,6 +858,16 @@ object SparkEntry {
     "bpe_encode" -> ((s, dir) =>
       graft.ml.Bpe.encodeVocab(Catalog.documents(s, dir),
         Catalog.bpeMergePairs(s, dir))),
+    // the released vocabulary artifact: surviving tokens with corpus
+    // frequencies under the learned merges
+    "bpe_vocab" -> ((s, dir) =>
+      graft.ml.Bpe.vocab(Catalog.documents(s, dir),
+        Catalog.bpeMergePairs(s, dir))),
+    // two-phase curriculum: breadth pretrain draw ∪ quality-gated anneal
+    // draw off the stored sidecar (the staged-pretraining schedule)
+    "mixture_curriculum" -> ((s, dir) =>
+      graft.ml.Selection.curriculum(Catalog.documents(s, dir),
+        Catalog.docScores(s, dir), MixtureTotal, 0.5, 40)),
     // corpus accounting in LEARNED BPE tokens: per-doc subword counts as
     // a pure per-row fold chain — no vocabulary join, zero exchanges;
     // the statement IS the corpus scan
@@ -1980,6 +1990,9 @@ object SparkEntry {
     "bpe_encode" -> graft.ml.Bpe.encodeOracleSql(),
     "bpe_doc_tokens" -> graft.ml.Bpe.docTokensOracleSql(),
     "bpe_stream_tokens" -> graft.ml.Bpe.docTokensOracleSql(),
+    "bpe_vocab" -> graft.ml.Bpe.vocabOracleSql(),
+    "mixture_curriculum" ->
+      graft.ml.Selection.curriculumOracleSql(MixtureTotal, 0.5, 40),
     "pack_lpt" -> graft.ml.CorpusOps.packLptOracleSql(8, 4),
     "pack_lpt_stats" -> graft.ml.CorpusOps.packLptStatsOracleSql(8, 4),
     "link_graph" -> graft.ml.LinkGraph.linkGraphOracleSql,

@@ -172,6 +172,26 @@ object Bpe {
       (acc, w) => acc + perWord(w)).as("n_tok_bpe")
   }
 
+  /** The final VOCABULARY under the learned merges — each surviving token
+    * with its corpus frequency (occurrences weighted by word count): the
+    * artifact a tokenizer release ships beside the merge table. One fold
+    * per distinct word, one explode, one partial-aggregating groupBy on
+    * the (bounded) token key. Returns (token, freq). */
+  def vocab(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val toks = merges.foldLeft(initTokExpr(col("word"))) {
+      case (c, (pa, pb)) => foldMerge(c, pa, pb)
+    }
+    wordCounts(docs).select(col("n"), toks.as("tk"))
+      .select(col("n"), explode(split(col("tk"), Sep)).as("token"))
+      .groupBy("token").agg(sum("n").as("freq"))
+  }
+
+  def vocabOracleSql(rounds: Int = Rounds): String =
+    s"""WITH ${roundCtes(rounds)}
+       |SELECT token, sum(n) AS freq FROM (
+       |  SELECT n, unnest(string_split(toks, chr(1))) AS token FROM s$rounds)
+       |GROUP BY token""".stripMargin.replaceAll("\\s+", " ")
+
   // ---- DuckDB mirrors ------------------------------------------------------
 
   /** Shared SQL fragments: s0 is the initial state over the weighted

@@ -375,6 +375,33 @@ object Selection {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Two-phase data CURRICULUM — the staged-pretraining schedule
+    * (pretrain broadly, then anneal on a quality-gated slice — the
+    * published midtraining/decay-phase recipe): phase 'pretrain' is the
+    * α = 0.5 temperature draw over the whole corpus (breadth); phase
+    * 'anneal' is the quality-bar-gated curate draw off the stored score
+    * sidecar (the anneal phase deliberately REVISITS high-quality data —
+    * overlap between phases is the published behavior, not a bug). Pure
+    * composition of the two existing draws, so every determinism and
+    * WindowGroupLimit property they pin carries over; the schedule is
+    * the new operator, the draws are shared machinery. Returns
+    * (phase, doc_id, source). */
+  def curriculum(docs: DataFrame, scores: DataFrame, totalPre: Int,
+      tau: Double, totalAnneal: Int): DataFrame =
+    CorpusOps.temperatureSample(docs, 0.5, totalPre)
+      .select(lit("pretrain").as("phase"), col("doc_id"), col("source"))
+      .unionAll(curate(scores, tau, totalAnneal)
+        .select(lit("anneal").as("phase"), col("doc_id"), col("source")))
+
+  def curriculumOracleSql(totalPre: Int, tau: Double,
+      totalAnneal: Int): String =
+    s"""SELECT 'pretrain' AS phase, doc_id, source FROM (
+       |  ${CorpusOps.temperatureOracleSql(totalPre)})
+       |UNION ALL
+       |SELECT 'anneal' AS phase, doc_id, source FROM (
+       |  ${curateOracleSql(tau, totalAnneal)})"""
+      .stripMargin.replaceAll("\\s+", " ")
+
   /** The dataset-card report — per source: volume (docs, tokens), mean
     * classifier score, and split composition — entirely off the stored
     * sidecar (one partial-aggregating groupBy over (doc_id, source,

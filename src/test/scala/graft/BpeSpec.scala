@@ -73,6 +73,17 @@ class BpeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("vocab frequency mass equals the corpus BPE token count") {
+    val d = docs(Seq("low low new", "wide new lowest", "low wide wide"))
+    val merges = Bpe.train(d, 5).map(m => (m._2, m._3))
+    val vocabMass = Bpe.vocab(d, merges)
+      .agg(sum("freq")).collect().head.getLong(0)
+    val docMass = Bpe.docTokens(d, merges)
+      .agg(sum("n_tok_bpe")).collect().head.getLong(0)
+    assert(vocabMass == docMass,
+      "every encoded occurrence must appear in exactly one vocab bucket")
+  }
+
   test("more merges never increase a document's token count") {
     val d = docs(Seq("low low low lower newest", "new newer newest wide"))
     val m8 = Bpe.train(d, 8).map(m => (m._2, m._3))

@@ -209,4 +209,21 @@ class SelectionSpec extends AnyFunSuite {
       assert(ds.map(_._1).sorted.toSeq == expect.sorted)
     }
   }
+
+  test("curriculum stacks the breadth draw and the quality-gated anneal") {
+    val d = docs(60)
+    val sc = Selection.scoreRows(d)
+    val cur = Selection.curriculum(d, sc, 20, 0.0, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val pre = cur.filter(_._1 == "pretrain").map(r => (r._2, r._3)).toSet
+    val ann = cur.filter(_._1 == "anneal").map(r => (r._2, r._3)).toSet
+    // each phase equals its standalone draw -- the schedule composes, it
+    // does not re-derive
+    val wantPre = CorpusOps.temperatureSample(d, 0.5, 20).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val wantAnn = Selection.curate(sc, 0.0, 10).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pre == wantPre && ann == wantAnn)
+    assert(cur.length == pre.size + ann.size)
+  }
 }
