@@ -264,13 +264,19 @@ object Multimodal {
     docs.select(col("doc_id"),
         regexp_replace(col("text"), "[^\\x20-\\x7e]", "").as("pcm"))
       .filter(length(col("pcm")) >= AudioFrame)
+      // decode the sample array ONCE per doc (split is linear; a
+      // per-sample substring(pcm, k, 1) seeks from the string start and
+      // makes the scan quadratic in doc length), then frame by slicing.
+      // split("", -1) appends a trailing empty string — filtered.
+      .select(col("doc_id"), expr(
+        "transform(filter(split(pcm, ''), c -> c != ''), " +
+          "c -> CAST(ascii(c) AS BIGINT))").as("s"))
       .select(col("doc_id"),
         explode(expr(
-          s"""transform(sequence(0, CAST(length(pcm) DIV $AudioFrame AS INT) - 1),
+          s"""transform(sequence(0, CAST(size(s) DIV $AudioFrame AS INT) - 1),
              |  i -> struct(CAST(i AS BIGINT) AS frame_idx,
-             |    aggregate(transform(sequence(1, $AudioFrame),
-             |        j -> ascii(substring(pcm, i * $AudioFrame + j, 1))),
-             |      0L, (a, s) -> a + CAST(s AS BIGINT) * s) AS energy))"""
+             |    aggregate(slice(s, i * $AudioFrame + 1, $AudioFrame), 0L,
+             |      (a, x) -> a + x * x) AS energy))"""
             .stripMargin)).as("f"))
       .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
         col("f.energy").as("energy"),
