@@ -882,6 +882,11 @@ object SparkEntry {
     // the balance report: per-(shard, bin) doc count and token load
     "pack_lpt_stats" -> ((s, dir) =>
       graft.ml.CorpusOps.packLptStats(Catalog.documents(s, dir), 8, 4)),
+    // the release manifest: per-(shard, bin) counts, loads, and an
+    // order-independent BIT_XOR content checksum (cannot overflow at any
+    // bin size, unlike a summed hash)
+    "export_manifest" -> ((s, dir) =>
+      graft.ml.CorpusOps.exportManifest(Catalog.documents(s, dir), 8, 4)),
     // streamed BPE accounting with the FROZEN learned merges (the
     // dsir_stream_scores posture for the tokenizer)
     "bpe_stream_tokens" -> ((s, dir) =>
@@ -1995,6 +2000,7 @@ object SparkEntry {
       graft.ml.Selection.curriculumOracleSql(MixtureTotal, 0.5, 40),
     "pack_lpt" -> graft.ml.CorpusOps.packLptOracleSql(8, 4),
     "pack_lpt_stats" -> graft.ml.CorpusOps.packLptStatsOracleSql(8, 4),
+    "export_manifest" -> graft.ml.CorpusOps.exportManifestOracleSql(8, 4),
     "link_graph" -> graft.ml.LinkGraph.linkGraphOracleSql,
     "link_pagerank" -> graft.ml.LinkGraph.pageRankOracleSql(),
     "quality_hostrank" -> graft.ml.LinkGraph.sourceRankMassOracleSql(),

@@ -363,6 +363,54 @@ object CorpusOps {
        |SELECT shard, bin, count(*) AS n_docs, sum(n_tok) AS load
        |FROM p GROUP BY shard, bin""".stripMargin.replaceAll("\\s+", " ")
 
+  /** Shard RELEASE MANIFEST over the serpentine-LPT layout — the artifact
+    * a dataset release ships beside its shards: per (shard, bin) the doc
+    * count, token load, and a content checksum. The checksum is a BIT_XOR
+    * fold of each doc's 60-bit content hash (first 15 md5 hex chars via
+    * the shared conv ≡ ('0x'||hex)::BIGINT convention): XOR is
+    * commutative, associative, and cannot overflow, so the fold is exact
+    * and order-independent at ANY bin size — a summed checksum would wrap
+    * engine-dependently once bins hold enough docs. One scan + the LPT
+    * window + one partial-aggregating groupBy. */
+  def exportManifest(docs: DataFrame, bins: Int, shards: Int): DataFrame = {
+    val w = Window.partitionBy("shard")
+      .orderBy(desc("n_tok"),
+        md5(concat(lit("lpt:"), col("doc_id").cast("string"))), col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        conv(substring(md5(concat(lit("doc:"),
+            col("doc_id").cast("string"), lit(":"), col("text"))), 1, 15),
+          16, 10).cast("long").as("h"))
+      .withColumn("idx", row_number().over(w) - 1)
+      .select(col("shard"), col("n_tok"), col("h"),
+        when((col("idx") / bins).cast("long") % 2 === 0, col("idx") % bins)
+          .otherwise(lit(bins - 1) - col("idx") % bins)
+          .cast("long").as("bin"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"),
+        expr("bit_xor(h)").as("checksum"))
+  }
+
+  def exportManifestOracleSql(bins: Int, shards: Int): String =
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    doc_id % $shards AS shard,
+       |    CAST('0x' || substring(md5('doc:' || doc_id || ':' || text), 1, 15)
+       |      AS BIGINT) AS h
+       |  FROM documents),
+       |r AS (SELECT shard, n_tok, h, row_number() OVER (
+       |    PARTITION BY shard
+       |    ORDER BY n_tok DESC, md5('lpt:' || doc_id), doc_id) - 1 AS idx
+       |  FROM d),
+       |p AS (SELECT shard, n_tok, h,
+       |  CAST(CASE WHEN (idx // $bins) % 2 = 0 THEN idx % $bins
+       |    ELSE ${bins - 1} - idx % $bins END AS BIGINT) AS bin FROM r)
+       |SELECT shard, bin, count(*) AS n_docs, sum(n_tok) AS n_tok,
+       |  bit_xor(h) AS checksum
+       |FROM p GROUP BY shard, bin""".stripMargin.replaceAll("\\s+", " ")
+
   /** Greedy sequence packing — the batch-construction step before training:
     * docs are laid out in a deterministic md5 order and cut into consecutive
     * batches of ~`budget` tokens (a doc lands in the batch its running

@@ -50,6 +50,18 @@ class PackLptSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest checksums XOR-fold to the corpus checksum") {
+    // partition independence: XORing every bin's checksum must equal the
+    // XOR over all docs, however the layout assigned them
+    val d = docs(80)
+    val m = CorpusOps.exportManifest(d, 8, 4).collect()
+    val folded = m.map(_.getLong(4)).reduce(_ ^ _)
+    val whole = CorpusOps.exportManifest(d, 1, 1).collect()
+    assert(whole.length == 1)
+    assert(folded == whole.head.getLong(4))
+    assert(m.map(_.getLong(2)).sum == 80L)
+  }
+
   test("serpentine load spread is bounded by one document") {
     // equal-size case: loads must be EXACTLY equal when every doc has the
     // same token count and the shard count divides evenly
