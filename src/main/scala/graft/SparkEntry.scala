@@ -887,6 +887,10 @@ object SparkEntry {
     // bin size, unlike a summed hash)
     "export_manifest" -> ((s, dir) =>
       graft.ml.CorpusOps.exportManifest(Catalog.documents(s, dir), 8, 4)),
+    // content-defined chunking (rolling-hash boundaries) — insertions
+    // re-chunk only up to the next surviving boundary, unlike chunk_docs
+    "chunk_cdc" -> ((s, dir) =>
+      graft.ml.CorpusOps.chunkCdc(Catalog.documents(s, dir))),
     // streamed BPE accounting with the FROZEN learned merges (the
     // dsir_stream_scores posture for the tokenizer)
     "bpe_stream_tokens" -> ((s, dir) =>
@@ -2001,6 +2005,7 @@ object SparkEntry {
     "pack_lpt" -> graft.ml.CorpusOps.packLptOracleSql(8, 4),
     "pack_lpt_stats" -> graft.ml.CorpusOps.packLptStatsOracleSql(8, 4),
     "export_manifest" -> graft.ml.CorpusOps.exportManifestOracleSql(8, 4),
+    "chunk_cdc" -> graft.ml.CorpusOps.chunkCdcOracleSql(),
     "link_graph" -> graft.ml.LinkGraph.linkGraphOracleSql,
     "link_pagerank" -> graft.ml.LinkGraph.pageRankOracleSql(),
     "quality_hostrank" -> graft.ml.LinkGraph.sourceRankMassOracleSql(),

@@ -363,6 +363,64 @@ object CorpusOps {
        |SELECT shard, bin, count(*) AS n_docs, sum(n_tok) AS load
        |FROM p GROUP BY shard, bin""".stripMargin.replaceAll("\\s+", " ")
 
+  /** CONTENT-DEFINED chunking (the FastCDC/rolling-hash family,
+    * token-aligned): a chunk boundary falls BEFORE every position whose
+    * k-token gram hashes to 0 mod `mod` — so boundaries follow content,
+    * not offsets, and an insertion near the head re-chunks only up to the
+    * first surviving boundary (the property fixed-size chunk_docs cannot
+    * have, and the reason storage/dedup systems chunk this way). Expected
+    * chunk length ≈ `mod` tokens. Shape: one positional explode (the
+    * spanSketch fan-out), the boundary prefix-sum as a per-doc bounded
+    * window, one partial-aggregating groupBy for bounds, and ONE join
+    * back to the tokenized doc for the chunk fingerprint — all linear;
+    * nothing global. Returns (doc_id, chunk_id, tok_start, n_tok, fp). */
+  def chunkCdc(docs: DataFrame, k: Int = 4, mod: Int = 16): DataFrame = {
+    val tokd = docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+    val cuts = tokd
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(tok)), i -> struct(i AS pos,
+           |  CASE WHEN i + ${k - 1} <= size(tok)
+           |    THEN concat_ws(' ', slice(tok, i, $k)) END AS gram))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"),
+        when(col("g.pos") > 1 && col("g.gram").isNotNull &&
+            conv(substring(md5(col("g.gram")), 1, 8), 16, 10)
+              .cast("long") % mod === 0, 1L)
+          .otherwise(0L).as("cut"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = cuts
+      .withColumn("chunk_id", sum("cut").over(w))
+      .groupBy("doc_id", "chunk_id")
+      .agg(min("pos").cast("long").as("tok_start"),
+        count(lit(1)).as("n_tok"))
+    bounds.join(tokd, Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_id"), col("tok_start"), col("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("tok"), col("tok_start"), col("n_tok")))).as("fp"))
+  }
+
+  def chunkCdcOracleSql(k: Int = 4, mod: Int = 16): String =
+    s"""WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS tok
+       |  FROM documents),
+       |p AS (SELECT doc_id, i AS pos,
+       |    CASE WHEN i + ${k - 1} <= len(tok)
+       |      THEN array_to_string(tok[i:i+${k - 1}], ' ') END AS gram
+       |  FROM tokd, unnest(range(1, len(tok) + 1)) AS u(i)),
+       |c AS (SELECT doc_id, pos,
+       |    CASE WHEN pos > 1 AND gram IS NOT NULL AND
+       |      ('0x' || substring(md5(gram), 1, 8))::BIGINT % $mod = 0
+       |    THEN 1 ELSE 0 END AS cut
+       |  FROM p),
+       |ch AS (SELECT doc_id, pos, sum(cut) OVER (PARTITION BY doc_id
+       |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS chunk_id FROM c),
+       |b AS (SELECT doc_id, chunk_id, min(pos) AS tok_start,
+       |    count(*) AS n_tok FROM ch GROUP BY doc_id, chunk_id)
+       |SELECT b.doc_id, chunk_id, tok_start, n_tok,
+       |  md5(array_to_string(tok[tok_start:tok_start+n_tok-1], ' ')) AS fp
+       |FROM b JOIN tokd USING (doc_id)""".stripMargin
+      .replaceAll("\\s+", " ")
+
   /** Shard RELEASE MANIFEST over the serpentine-LPT layout — the artifact
     * a dataset release ships beside its shards: per (shard, bin) the doc
     * count, token load, and a content checksum. The checksum is a BIT_XOR

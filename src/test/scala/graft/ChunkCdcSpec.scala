@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.CorpusOps
+
+class ChunkCdcSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: Seq[(Long, String)]) = rows.map { case (id, t) =>
+    (id, t, "en", "s0", t.length.toLong)
+  }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def chunksOf(text: String): Seq[(Long, Long, Long, String)] =
+    CorpusOps.chunkCdc(docs(Seq(1L -> text))).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+
+  test("chunks partition the token sequence exactly") {
+    val text = (0 until 200).map(i => s"tok${i % 23}").mkString(" ")
+    val ch = chunksOf(text)
+    assert(ch.map(_._3).sum == 200L, "chunk lengths must sum to the doc")
+    // consecutive: each chunk starts where the previous ended
+    val starts = ch.map(_._2)
+    val ends = ch.map(c => c._2 + c._3)
+    assert(starts.head == 1L)
+    assert(starts.tail == ends.init, s"chunks must tile the doc: $ch")
+  }
+
+  test("boundaries are content-defined: a head insertion re-chunks only " +
+      "the head") {
+    val base = (0 until 160).map(i => s"w${i % 19}").mkString(" ")
+    val shifted = "INSERTED " + base
+    val a = chunksOf(base).map(_._4)
+    val b = chunksOf(shifted).map(_._4)
+    // everything after the first surviving boundary re-aligns: the chunk
+    // fingerprint suffix is shared (fixed-size chunking would shift every
+    // chunk and share nothing)
+    val common = a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }
+    assert(common.nonEmpty,
+      s"shifted doc must share a chunk suffix with the original\n$a\n$b")
+    assert(a.takeRight(common.size) == b.takeRight(common.size))
+  }
+
+  test("identical docs chunk identically (fp is content-only)") {
+    val text = (0 until 120).map(i => s"q${i % 13}").mkString(" ")
+    val two = docs(Seq(1L -> text, 2L -> text))
+    val by = CorpusOps.chunkCdc(two).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getLong(1), r.getString(4))).sortBy(_._1).toSeq
+      }
+    assert(by(1L) == by(2L))
+  }
+}
