@@ -1177,6 +1177,14 @@ object SparkEntry {
     // active [first, last] frame window per doc
     "mm_audio_trim" -> ((s, dir) =>
       Multimodal.audioTrim(Catalog.documents(s, dir))),
+    // streamed audio energy: the same stateless exact-integer projection
+    // at ingest
+    "mm_stream_audio" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.audioOnce(s, dir)),
+    // storage-dedup rate over content-defined chunks: per-source chunk
+    // instances vs distinct fingerprints
+    "dedup_cdc" -> ((s, dir) =>
+      graft.ml.CorpusOps.dedupCdcReport(Catalog.documents(s, dir))),
     "emb_topk" -> ((s, dir) => {
       // exact brute-force baseline; graft_dot is the codegen'd native
       // Expression (expressions.DotProduct) — float arrays in, double out
@@ -2006,6 +2014,8 @@ object SparkEntry {
     "pack_lpt_stats" -> graft.ml.CorpusOps.packLptStatsOracleSql(8, 4),
     "export_manifest" -> graft.ml.CorpusOps.exportManifestOracleSql(8, 4),
     "chunk_cdc" -> graft.ml.CorpusOps.chunkCdcOracleSql(),
+    "dedup_cdc" -> graft.ml.CorpusOps.dedupCdcReportOracleSql(),
+    "mm_stream_audio" -> Multimodal.audioEnergyOracleSql,
     "link_graph" -> graft.ml.LinkGraph.linkGraphOracleSql,
     "link_pagerank" -> graft.ml.LinkGraph.pageRankOracleSql(),
     "quality_hostrank" -> graft.ml.LinkGraph.sourceRankMassOracleSql(),

@@ -232,6 +232,17 @@ object DocumentsIngest {
           graft.model.Catalog.bpeMergePairs(spark, dir)))
     }
 
+  /** Streamed audio frame energy — the audio tier's ingest twin: new
+    * media scores its frames through the same stateless exact-integer
+    * projection the batch entry uses (decode → frame → Σs² — a
+    * per-row explode, no state, no shuffle), so silence verdicts are
+    * available the moment a document lands. */
+  def audioOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:audio:$dir") {
+      Sinks.memoryOnce(spark, "graft_stream_audio",
+        graft.ml.Multimodal.audioEnergy(stream(spark, dir)))
+    }
+
   /** Streamed-then-compacted score sidecar — the lex_compact twin for
     * the selection store: per-batch parquet appends folded into one
     * source-sorted generation behind the flipped MANIFEST; must equal the
