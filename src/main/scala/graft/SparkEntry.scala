@@ -901,6 +901,14 @@ object SparkEntry {
     // unigram log-prob scoring (perplexity-filter analogue)
     "text_logprob" -> ((s, dir) =>
       graft.ml.CorpusOps.unigramLogProb(Catalog.documents(s, dir))),
+    // bigram LM training: the stored count table (trained once per
+    // sf-dir; the CCNet-tier model artifact)
+    "lm_train" -> ((s, dir) => Catalog.lmStore(s, dir)),
+    // perplexity scoring against the FROZEN stored bigram LM (add-one
+    // smoothing; unhinted model join — AQE broadcasts a small LM)
+    "ppl_bigram" -> ((s, dir) =>
+      graft.ml.CorpusOps.pplBigram(Catalog.documents(s, dir),
+        Catalog.lmStore(s, dir), Catalog.lmVocab(s, dir))),
     "vocab_topk" -> ((s, dir) =>
       graft.ml.CorpusOps.vocabTopK(Catalog.documents(s, dir), 100)),
     "decontaminate" -> ((s, dir) =>
@@ -2015,6 +2023,8 @@ object SparkEntry {
     "export_manifest" -> graft.ml.CorpusOps.exportManifestOracleSql(8, 4),
     "chunk_cdc" -> graft.ml.CorpusOps.chunkCdcOracleSql(),
     "dedup_cdc" -> graft.ml.CorpusOps.dedupCdcReportOracleSql(),
+    "lm_train" -> graft.ml.CorpusOps.lmTrainOracleSql,
+    "ppl_bigram" -> graft.ml.CorpusOps.pplBigramOracleSql,
     "mm_stream_audio" -> Multimodal.audioEnergyOracleSql,
     "link_graph" -> graft.ml.LinkGraph.linkGraphOracleSql,
     "link_pagerank" -> graft.ml.LinkGraph.pageRankOracleSql(),

@@ -596,6 +596,75 @@ object CorpusOps {
         sum("tf"), 4).as("mean_logprob"))
   }
 
+  /** Bigram language-model TRAINING — the stored-LM upgrade of the
+    * unigram stand-in (the CCNet tier trains a real n-gram LM on the
+    * target corpus and scores candidates against it): one corpus scan
+    * explodes adjacent token pairs, one partial-aggregating groupBy
+    * yields the count table. Returns (w1, w2, c) — the persistable model
+    * (Catalog.lmStore). */
+  def lmBigramCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(explode(expr(
+        """CASE WHEN size(tok) >= 2
+          |THEN transform(sequence(1, size(tok) - 1),
+          |  i -> struct(element_at(tok, i) AS w1, element_at(tok, i + 1) AS w2))
+          |ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"""
+          .stripMargin)).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Per-document mean bigram log-probability under add-one smoothing
+    * against a FROZEN stored model: p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V),
+    * context totals derived from the store, V = the store's token
+    * vocabulary (driver-folded constant — the lexStatsFolded posture).
+    * Bigrams joined LEFT against the model (vocabulary is unbounded, so
+    * the join stays unhinted — AQE broadcasts a small LM, shuffles a web-
+    * scale one), then one per-doc aggregation; round(…, 4) absorbs the
+    * engine sum-order ulps (the logprob convention). Docs with < 2
+    * tokens carry no bigrams and drop out on both engines. Returns
+    * (doc_id, n_bigrams, mean_lp). */
+  def pplBigram(docs: DataFrame, lm: DataFrame, vocab: Long): DataFrame = {
+    val c1 = lm.groupBy("w1").agg(sum("c").as("c1"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(tok) >= 2
+          |THEN transform(sequence(1, size(tok) - 1),
+          |  i -> struct(element_at(tok, i) AS w1, element_at(tok, i + 1) AS w2))
+          |ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)) + vocab))) /
+          count(lit(1)), 4).as("mean_lp"))
+  }
+
+  private val LmCtesSql: String =
+    """tokd AS (SELECT doc_id, string_split(text, ' ') AS tok
+      |  FROM documents),
+      |bg AS (SELECT doc_id, tok[i] AS w1, tok[i+1] AS w2
+      |  FROM tokd, unnest(range(1, len(tok))) AS u(i)),
+      |bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2)"""
+      .stripMargin
+
+  def lmTrainOracleSql: String =
+    s"WITH $LmCtesSql SELECT w1, w2, c FROM bc".replaceAll("\\s+", " ")
+
+  def pplBigramOracleSql: String =
+    s"""WITH $LmCtesSql,
+       |c1 AS (SELECT w1, sum(c) AS c1 FROM bc GROUP BY w1),
+       |v AS (SELECT count(*) AS v FROM (
+       |  SELECT w1 AS t FROM bc UNION SELECT w2 FROM bc))
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  round(sum(ln((coalesce(bc.c, 0) + 1.0) /
+       |    (coalesce(c1.c1, 0) + (SELECT v FROM v)))) / count(*), 4)
+       |    AS mean_lp
+       |FROM bg LEFT JOIN bc USING (w1, w2) LEFT JOIN c1 USING (w1)
+       |GROUP BY doc_id""".stripMargin.replaceAll("\\s+", " ")
+
   def unigramLogProbOracleSql: String =
     """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
       |  FROM documents),

@@ -831,6 +831,33 @@ object Catalog {
     readImmutable(spark, path).select("round", "pa", "pb", "pair_n")
   }
 
+  /** The MATERIALIZED bigram language model — (w1, w2, c): the CCNet-tier
+    * LM trained once per sf-dir (CorpusOps.lmBigramCounts), laid out by
+    * w1 so the scoring join shuffles pre-grouped contexts. Perplexity
+    * statements join this store; the model refreshes by rebuild, never
+    * in-statement. */
+  def lmStore(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "lm_bigrams")
+    materialize(path) {
+      graft.ml.CorpusOps.lmBigramCounts(documents(spark, dir))
+        .repartition(col("w1"))
+        .sortWithinPartitions("w1", "w2")
+    }
+    readImmutable(spark, path).select("w1", "w2", "c")
+  }
+
+  /** The LM's token-vocabulary size (distinct w1 ∪ w2 of the store) as a
+    * driver-side constant — the lexStatsFolded memo posture: the add-one
+    * denominator needs one scalar, folded once per (session, sf-dir). */
+  private val lmVocabMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]
+  def lmVocab(spark: SparkSession, dir: String): Long =
+    lmVocabMemo.computeIfAbsent((spark, dir), _ => {
+      val lm = lmStore(spark, dir)
+      lm.select(col("w1").as("t"))
+        .unionAll(lm.select(col("w2").as("t"))).distinct().count()
+    })
+
   /** The stored merge list as driver-side constants (round order) — the
     * lexStatsFolded memo posture: collected once per (session, sf-dir) so
     * every encode statement is a pure corpus scan with the M merges folded

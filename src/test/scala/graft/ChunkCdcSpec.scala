@@ -52,4 +52,23 @@ class ChunkCdcSpec extends AnyFunSuite {
       }
     assert(by(1L) == by(2L))
   }
+
+  test("stored-LM perplexity ranks in-domain text above alien text") {
+    val train = docs(Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick red fox jumps over the brown dog",
+      3L -> "the lazy brown dog sleeps under the quick fox"))
+    val lm = CorpusOps.lmBigramCounts(train)
+    val v = {
+      val rows = lm.collect()
+      (rows.map(_.getString(0)) ++ rows.map(_.getString(1))).distinct.length
+    }
+    val probe = docs(Seq(
+      10L -> "the quick brown fox jumps",
+      11L -> "zebra xylophone quantum entropy vortex"))
+    val got = CorpusOps.pplBigram(probe, lm, v.toLong).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(10L) > got(11L),
+      s"in-domain mean log-prob must exceed the alien doc: $got")
+  }
 }
