@@ -909,6 +909,10 @@ object SparkEntry {
     "ppl_bigram" -> ((s, dir) =>
       graft.ml.CorpusOps.pplBigram(Catalog.documents(s, dir),
         Catalog.lmStore(s, dir), Catalog.lmVocab(s, dir))),
+    // streamed perplexity scoring: the same stream-static join against
+    // the frozen model at ingest
+    "lm_stream_scores" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.pplOnce(s, dir)),
     "vocab_topk" -> ((s, dir) =>
       graft.ml.CorpusOps.vocabTopK(Catalog.documents(s, dir), 100)),
     "decontaminate" -> ((s, dir) =>
@@ -2025,6 +2029,7 @@ object SparkEntry {
     "dedup_cdc" -> graft.ml.CorpusOps.dedupCdcReportOracleSql(),
     "lm_train" -> graft.ml.CorpusOps.lmTrainOracleSql,
     "ppl_bigram" -> graft.ml.CorpusOps.pplBigramOracleSql,
+    "lm_stream_scores" -> graft.ml.CorpusOps.pplBigramOracleSql,
     "mm_stream_audio" -> Multimodal.audioEnergyOracleSql,
     "link_graph" -> graft.ml.LinkGraph.linkGraphOracleSql,
     "link_pagerank" -> graft.ml.LinkGraph.pageRankOracleSql(),

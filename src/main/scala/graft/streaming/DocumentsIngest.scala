@@ -243,6 +243,42 @@ object DocumentsIngest {
         graft.ml.Multimodal.audioEnergy(stream(spark, dir)))
     }
 
+  /** Streamed perplexity scoring against the FROZEN stored bigram LM —
+    * the dsirScoresOnce posture for the CCNet tier: the model was trained
+    * at store build; new documents' bigrams score through a STATELESS
+    * stream-static join against the store (append-safe — a per-doc
+    * aggregation inside the stream would need a watermark the ingest has
+    * no event time for), and the per-doc mean folds at READ over the
+    * scored sink — score at ingest, aggregate at serve. Matches the batch
+    * entry row-for-row (same join, same fold, same rounding). A model
+    * refresh is a store rebuild, never streaming state. */
+  def pplOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:ppl:$dir") {
+      import org.apache.spark.sql.functions._
+      val lm = graft.model.Catalog.lmStore(spark, dir)
+      val v = graft.model.Catalog.lmVocab(spark, dir)
+      val c1 = lm.groupBy("w1").agg(sum("c").as("c1"))
+      val scored = stream(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tok"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(tok) >= 2
+            |THEN transform(sequence(1, size(tok) - 1),
+            |  i -> struct(element_at(tok, i) AS w1,
+            |    element_at(tok, i + 1) AS w2))
+            |ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"""
+            .stripMargin)).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .join(lm, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .select(col("doc_id"),
+          log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)) + v)).as("lp"))
+      Sinks.memoryOnce(spark, "graft_stream_ppl", scored)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum("lp") / count(lit(1)), 4).as("mean_lp"))
+    }
+
   /** Streamed-then-compacted score sidecar — the lex_compact twin for
     * the selection store: per-batch parquet appends folded into one
     * source-sorted generation behind the flipped MANIFEST; must equal the
