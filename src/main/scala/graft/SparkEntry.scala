@@ -28,6 +28,10 @@ object SparkEntry {
   private val SUMMC = Catalog.summariesSql.stripPrefix("WITH ")
   private val OVR = Catalog.overridesSql
 
+  /** The planted blocklist (real corpus words, so the filter is
+    * non-vacuous) — same constants in the oracle SQL. */
+  private val BlockWords: Seq[String] = Seq("slow", "dup", "legacy")
+
   /** Mixture-sampling target composition: fractions of `MixtureTotal` drawn
     * per source (same constants embedded in the oracle SQL). */
   private val MixtureWeights: Seq[(String, Double)] =
@@ -829,6 +833,15 @@ object SparkEntry {
     // PII/URL masking pass over a planted fixture (corpus has no real PII)
     "text_scrub" -> ((s, dir) =>
       graft.ml.TextAnalysis.scrubPlanted(Catalog.documents(s, dir), 25)),
+    // C4-style blocklist word filter: per-doc verdict + matched terms as
+    // a zero-join array-literal overlap (the list is a bounded artifact)
+    "filter_blocklist" -> ((s, dir) =>
+      graft.ml.TextAnalysis.blocklistFilter(Catalog.documents(s, dir),
+        BlockWords)),
+    // the removal accounting the C4 paper reports: per-source drop ratio
+    "filter_blocklist_report" -> ((s, dir) =>
+      graft.ml.TextAnalysis.blocklistReport(Catalog.documents(s, dir),
+        BlockWords)),
     // per-domain doc/char volume (blocklist & per-domain-quota signal) over
     // doc_id-varied planted URLs
     "domain_stats" -> ((s, dir) =>
@@ -2014,6 +2027,10 @@ object SparkEntry {
     "sample_domain_cap" -> graft.ml.TextAnalysis.domainCapOracleSql(5, 3),
     "text_repetition" -> graft.ml.TextAnalysis.repetitionOracleSql,
     "text_scrub" -> graft.ml.TextAnalysis.scrubPlantedOracleSql(25),
+    "filter_blocklist" ->
+      graft.ml.TextAnalysis.blocklistFilterOracleSql(BlockWords),
+    "filter_blocklist_report" ->
+      graft.ml.TextAnalysis.blocklistReportOracleSql(BlockWords),
     "domain_stats" -> graft.ml.TextAnalysis.domainStatsPlantedOracleSql(5),
     "bpe_train" -> graft.ml.Bpe.trainOracleSql(),
     "bpe_encode" -> graft.ml.Bpe.encodeOracleSql(),

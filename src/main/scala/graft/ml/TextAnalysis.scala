@@ -243,6 +243,60 @@ object TextAnalysis {
        |      '$UrlRe', '<URL>', 'g')) AS scrubbed_md5
        |FROM d""".stripMargin.replaceAll("\\s+", " ")
 
+  /** C4-style BLOCKLIST word filter — the published "bad words" pass
+    * (C4 drops any page containing a listed term): the list is a BOUNDED
+    * published artifact, so it folds into the projection as an array
+    * literal and the verdict is a per-row arrays_overlap over the token
+    * set — zero joins, zero exchanges for the verdict itself; the
+    * statement is the corpus scan. Returns every doc with its verdict
+    * plus the matched terms (the audit trail a removal pass logs).
+    * The planted list holds real corpus words so the entry is
+    * non-vacuous. */
+  def blocklistFilter(docs: DataFrame, blocked: Seq[String]): DataFrame = {
+    val bl = array(blocked.map(lit): _*)
+    docs.select(col("doc_id"),
+        split(col("text"), " ").as("tok"))
+      .select(col("doc_id"),
+        array_sort(array_intersect(array_distinct(col("tok")), bl))
+          .as("matched"))
+      .select(col("doc_id"),
+        (size(col("matched")) > 0).as("blocked"),
+        concat_ws(",", col("matched")).as("matched"))
+  }
+
+  /** The removal accounting — per source: docs checked, docs dropped,
+    * drop ratio (what the C4 paper reports per list). */
+  def blocklistReport(docs: DataFrame, blocked: Seq[String]): DataFrame = {
+    val bl = array(blocked.map(lit): _*)
+    docs.select(col("source"),
+        arrays_overlap(split(col("text"), " "), bl).as("hit"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_blocked"))
+      .select(col("source"), col("n_docs"), col("n_blocked"),
+        round(col("n_blocked") / col("n_docs"), 6).as("block_ratio"))
+  }
+
+  private def blockedSqlList(blocked: Seq[String]): String =
+    blocked.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def blocklistFilterOracleSql(blocked: Seq[String]): String =
+    s"""SELECT doc_id, len(m) > 0 AS blocked,
+       |  coalesce(array_to_string(m, ','), '') AS matched FROM (
+       |  SELECT doc_id, list_sort(list_distinct(list_intersect(
+       |    string_split(text, ' '), ${blockedSqlList(blocked)}))) AS m
+       |  FROM documents)""".stripMargin.replaceAll("\\s+", " ")
+
+  def blocklistReportOracleSql(blocked: Seq[String]): String =
+    s"""SELECT source, count(*) AS n_docs,
+       |  CAST(sum(hit) AS BIGINT) AS n_blocked,
+       |  round(sum(hit) * 1.0 / count(*), 6) AS block_ratio
+       |FROM (SELECT source,
+       |  CASE WHEN len(list_intersect(string_split(text, ' '),
+       |    ${blockedSqlList(blocked)})) > 0 THEN 1 ELSE 0 END AS hit
+       |  FROM documents)
+       |GROUP BY source""".stripMargin.replaceAll("\\s+", " ")
+
   /** Per-domain corpus stats — the signal behind domain blocklists and
     * per-domain quotas (a web corpus is curated per REGISTRAR domain, not
     * per page): extract each doc's first URL host, aggregate doc count and
