@@ -1194,6 +1194,11 @@ object SparkEntry {
       Multimodal.frameSample(Catalog.documents(s, dir))),
     "mm_resize" -> ((s, dir) =>
       Multimodal.resize(s, Catalog.documents(s, dir))),
+    // JL random projection (Achlioptas ±1 via md5 parity): 64 → 16 dims,
+    // constant sign matrix folded into the scan — zero joins; output
+    // exploded to scalar for the content pin
+    "emb_randproj" -> ((s, dir) =>
+      graft.ml.Quant.randProject(Catalog.embeddings(s, dir), 64, 16)),
     // audio modality: per-frame energy over planted 8-bit PCM — exact
     // integer Σs², so silence verdicts cannot drift between engines
     "mm_audio_energy" -> ((s, dir) =>
@@ -2237,6 +2242,7 @@ object SparkEntry {
     "pq_rerank" -> graft.ml.Pq.pqRerankOracleSql(0, 50, 10),
     "mm_stream_features" -> Multimodal.documentFeaturesOracleSql,
     "mm_framesample" -> Multimodal.frameSampleOracleSql(),
+    "emb_randproj" -> graft.ml.Quant.randProjectOracleSql(64, 16),
     "mm_audio_energy" -> Multimodal.audioEnergyOracleSql,
     "mm_audio_trim" -> Multimodal.audioTrimOracleSql,
     "mm_resize" -> Multimodal.resizeOracleSql,

@@ -340,4 +340,52 @@ object Quant {
        |  WHERE cq.vec_id <> p.qid)
        |${Ann.batchRankSql(k)}
        |""".stripMargin.replaceAll("\\s+", " ")
+
+  // ---- Johnson-Lindenstrauss random projection -----------------------------
+
+  /** JL RANDOM PROJECTION (Achlioptas 2003's database-friendly ±1 variant):
+    * project the d-dim embedding corpus to `outDim` dimensions through a
+    * sign matrix S with s(k,i) = ±1 decided by an md5 parity — the
+    * published data-INDEPENDENT dimensionality reduction (no training
+    * pass, unlike PCA), whose distance-preservation guarantee is what
+    * makes a 100 TB embedding store shrink 4x before any quantizer runs.
+    * The sign matrix is a pure function of (k, i): precomputed driver-side
+    * and folded into the projection as a constant literal (the PQ-codebook
+    * posture — the oracle re-derives the SAME signs from md5 in SQL), and
+    * the per-row compute is an ORDERED fold over the embedding array, so
+    * both engines accumulate in the identical IEEE sequence. Zero joins,
+    * zero exchanges: the statement is the corpus scan. Output exploded to
+    * scalar (vec_id, k, v) — the store-codes content-pin convention. */
+  def randProject(emb: DataFrame, inDim: Int, outDim: Int): DataFrame = {
+    def md5hex(t: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val signs: Seq[Seq[Double]] = (0 until outDim).map { k =>
+      (1 to inDim).map(i => if (md5hex(s"rp:$k:$i").head < '8') 1.0 else -1.0)
+    }
+    val sLit = typedLit(signs)
+    val inv = 1.0 / math.sqrt(inDim.toDouble)
+    emb.select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(outDim - 1)), k =>
+          struct(k.cast("long").as("k"),
+            round(
+              aggregate(sequence(lit(1), lit(inDim)), lit(0.0),
+                (a, i) => a +
+                  element_at(col("embedding"), i).cast("double") *
+                    element_at(element_at(sLit, k + 1), i)) * inv,
+              6).as("v")))).as("p"))
+      .select(col("vec_id"), col("p.k").as("k"), col("p.v").as("v"))
+  }
+
+  def randProjectOracleSql(inDim: Int, outDim: Int): String = {
+    val inv = s"sqrt(CAST($inDim AS DOUBLE))"
+    s"""SELECT vec_id, CAST(k AS BIGINT) AS k,
+       |  round(list_aggregate(list_transform(range(1, $inDim + 1),
+       |    i -> embedding[i] * (CASE WHEN substring(
+       |      md5('rp:' || k || ':' || i), 1, 1) < '8'
+       |      THEN 1.0 ELSE -1.0 END)), 'sum') / $inv, 6) AS v
+       |FROM embeddings, unnest(range(0, $outDim)) AS u(k)"""
+      .stripMargin.replaceAll("\\s+", " ")
+  }
 }
