@@ -112,7 +112,15 @@ object Bpe {
       "corpus words must not contain the BPE state separators \\u0001/\\u0002")
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to rounds) {
-      val row = topPair(state).collect()(0)
+      val top = topPair(state).collect()
+      // fail loudly, not with an opaque index error: a corpus whose every
+      // word is fully merged before `rounds` cannot satisfy the fixed
+      // round contract the oracle mirrors (its round-r CTE would go empty
+      // and zero the state)
+      require(top.nonEmpty,
+        s"BPE merges exhausted at round $r of $rounds — corpus too small " +
+          "for the configured round count")
+      val row = top(0)
       val (pa, pb, pn) = (row.getString(0), row.getString(1), row.getLong(2))
       merges += ((r, pa, pb, pn))
       val next = applyMerge(state, pa, pb).cache()
