@@ -1199,6 +1199,12 @@ object SparkEntry {
     // exploded to scalar for the content pin
     "emb_randproj" -> ((s, dir) =>
       graft.ml.Quant.randProject(Catalog.embeddings(s, dir), 64, 16)),
+    // two-stage retrieval through the stored JL sketch: coarse cosine in
+    // the 16-dim projected store, exact 64-dim rerank of the bounded
+    // candidate set
+    "emb_topk_proj" -> ((s, dir) =>
+      graft.ml.Quant.projTopK(Catalog.projStore(s, dir),
+        Catalog.embeddings(s, dir), 0, 50, 10, 16)),
     // audio modality: per-frame energy over planted 8-bit PCM — exact
     // integer Σs², so silence verdicts cannot drift between engines
     "mm_audio_energy" -> ((s, dir) =>
@@ -2243,6 +2249,7 @@ object SparkEntry {
     "mm_stream_features" -> Multimodal.documentFeaturesOracleSql,
     "mm_framesample" -> Multimodal.frameSampleOracleSql(),
     "emb_randproj" -> graft.ml.Quant.randProjectOracleSql(64, 16),
+    "emb_topk_proj" -> graft.ml.Quant.projTopKOracleSql(0, 50, 10, 64, 16),
     "mm_audio_energy" -> Multimodal.audioEnergyOracleSql,
     "mm_audio_trim" -> Multimodal.audioTrimOracleSql,
     "mm_resize" -> Multimodal.resizeOracleSql,

@@ -356,27 +356,102 @@ object Quant {
     * both engines accumulate in the identical IEEE sequence. Zero joins,
     * zero exchanges: the statement is the corpus scan. Output exploded to
     * scalar (vec_id, k, v) — the store-codes content-pin convention. */
-  def randProject(emb: DataFrame, inDim: Int, outDim: Int): DataFrame = {
-    def md5hex(t: String): String = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    }
+  private def md5hex(t: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** The unrounded projected VECTOR (vec_id, proj DOUBLE[outDim]) — the
+    * persistable form (Catalog.projStore) the two-stage retrieval tier
+    * reads; both engines build it with the identical ordered fold, so the
+    * stored doubles are bit-equal. */
+  def randProjectVec(emb: DataFrame, inDim: Int, outDim: Int): DataFrame = {
     val signs: Seq[Seq[Double]] = (0 until outDim).map { k =>
       (1 to inDim).map(i => if (md5hex(s"rp:$k:$i").head < '8') 1.0 else -1.0)
     }
     val sLit = typedLit(signs)
     val inv = 1.0 / math.sqrt(inDim.toDouble)
     emb.select(col("vec_id"),
-        explode(transform(sequence(lit(0), lit(outDim - 1)), k =>
-          struct(k.cast("long").as("k"),
-            round(
-              aggregate(sequence(lit(1), lit(inDim)), lit(0.0),
-                (a, i) => a +
-                  element_at(col("embedding"), i).cast("double") *
-                    element_at(element_at(sLit, k + 1), i)) * inv,
-              6).as("v")))).as("p"))
-      .select(col("vec_id"), col("p.k").as("k"), col("p.v").as("v"))
+      transform(sequence(lit(0), lit(outDim - 1)), k =>
+        aggregate(sequence(lit(1), lit(inDim)), lit(0.0),
+          (a, i) => a +
+            element_at(col("embedding"), i).cast("double") *
+              element_at(element_at(sLit, k + 1), i)) * inv).as("proj"))
   }
+
+  def randProject(emb: DataFrame, inDim: Int, outDim: Int): DataFrame =
+    randProjectVec(emb, inDim, outDim)
+      .select(col("vec_id"),
+        explode(expr("transform(sequence(0, size(proj) - 1), " +
+          "j -> struct(CAST(j AS BIGINT) AS k, round(element_at(proj, j + 1), 6) AS v))"))
+          .as("p"))
+      .select(col("vec_id"), col("p.k").as("k"), col("p.v").as("v"))
+
+  /** Ordered-fold dot product over fixed-width DOUBLE arrays — identical
+    * IEEE sequence on both engines (mirrored by list_dot_product in the
+    * oracle, with round(6) masking any last-ulp library drift). */
+  private def dotArr(a: Column, b: Column, d: Int): Column =
+    aggregate(sequence(lit(1), lit(d)), lit(0.0),
+      (acc, i) => acc + element_at(a, i) * element_at(b, i))
+
+  /** TWO-STAGE retrieval through the projection — the published use of a
+    * JL sketch: stage 1 ranks the corpus by cosine in the 16-dim
+    * PROJECTED space (4x less data touched per candidate) and keeps
+    * `coarseK`; stage 2 re-ranks only those candidates with the exact
+    * 64-dim cosine. The coarse cut is total-ordered (rounded sim + id),
+    * so the candidate set — and therefore the final top-k — is engine-
+    * stable. Candidate set is bounded by the coarseK constant, so its
+    * re-join into the float corpus broadcasts at any corpus size. */
+  def projTopK(proj: DataFrame, emb: DataFrame, qid: Long, coarseK: Int,
+      k: Int, outDim: Int): DataFrame = {
+    val qp = proj.filter(col("vec_id") === qid).select(col("proj").as("qp"))
+    val cand = proj.filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(qp))
+      .select(col("vec_id"),
+        round(dotArr(col("proj"), col("qp"), outDim) /
+          sqrt(dotArr(col("proj"), col("proj"), outDim) *
+            dotArr(col("qp"), col("qp"), outDim)), 6).as("psim"))
+      .orderBy(desc("psim"), asc("vec_id")).limit(coarseK)
+    val e = emb.select(col("vec_id"), col("embedding").as("emb"))
+    val q = e.filter(col("vec_id") === qid).select(col("emb").as("qemb"))
+    val dot = call_function("graft_dot", col("emb"), col("qemb"))
+    val na = call_function("graft_dot", col("emb"), col("emb"))
+    val nb = call_function("graft_dot", col("qemb"), col("qemb"))
+    cand.select("vec_id").join(e, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(dot / sqrt(na * nb), 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id")).limit(k)
+  }
+
+  private def projCteSql(inDim: Int, outDim: Int): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |p AS (SELECT vec_id, list_transform(range(0, $outDim), k ->
+       |    list_aggregate(list_transform(range(1, $inDim + 1), i ->
+       |      emb[i] * (CASE WHEN substring(md5('rp:' || k || ':' || i), 1, 1)
+       |        < '8' THEN 1.0 ELSE -1.0 END)), 'sum')
+       |      / sqrt(CAST($inDim AS DOUBLE))) AS proj
+       |  FROM e)""".stripMargin
+
+  def projTopKOracleSql(qid: Long, coarseK: Int, k: Int, inDim: Int,
+      outDim: Int): String =
+    s"""WITH ${projCteSql(inDim, outDim)},
+       |qp AS (SELECT proj AS qp FROM p WHERE vec_id = $qid),
+       |c AS (SELECT vec_id,
+       |    round(list_dot_product(proj, qp) /
+       |      sqrt(list_dot_product(proj, proj) *
+       |        list_dot_product(qp, qp)), 6) AS psim
+       |  FROM p, qp WHERE vec_id <> $qid),
+       |cand AS (SELECT vec_id FROM c ORDER BY psim DESC, vec_id
+       |  LIMIT $coarseK),
+       |q AS (SELECT emb AS qemb FROM e WHERE vec_id = $qid)
+       |SELECT vec_id,
+       |  round(list_dot_product(emb, qemb) /
+       |    sqrt(list_dot_product(emb, emb) *
+       |      list_dot_product(qemb, qemb)), 6) AS sim
+       |FROM cand JOIN e USING (vec_id), q
+       |ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
+      .replaceAll("\\s+", " ")
 
   def randProjectOracleSql(inDim: Int, outDim: Int): String = {
     val inv = s"sqrt(CAST($inDim AS DOUBLE))"

@@ -831,6 +831,21 @@ object Catalog {
     readImmutable(spark, path).select("round", "pa", "pb", "pair_n")
   }
 
+  /** The MATERIALIZED JL projection sidecar — (vec_id, proj DOUBLE[16]):
+    * the 4× sketch of the float corpus (Quant.randProjectVec), built once
+    * per sf-dir; the two-stage retrieval tier's coarse stage reads this
+    * and touches the full vectors only for the bounded candidate
+    * re-rank. Parquet doubles round-trip exactly, so stored == fresh
+    * bit-for-bit. */
+  def projStore(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "proj_jl16")
+    materialize(path) {
+      graft.ml.Quant.randProjectVec(embeddings(spark, dir), 64, 16)
+        .repartition(1).sortWithinPartitions("vec_id")
+    }
+    readImmutable(spark, path).select("vec_id", "proj")
+  }
+
   /** The MATERIALIZED bigram language model — (w1, w2, c): the CCNet-tier
     * LM trained once per sf-dir (CorpusOps.lmBigramCounts), laid out by
     * w1 so the scoring join shuffles pre-grouped contexts. Perplexity

@@ -44,4 +44,39 @@ class RandProjSpec extends AnyFunSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
+
+  test("the coarse stage preserves a planted near-duplicate at rank 1") {
+    // JL's guarantee is about STRONG similarities: a scaled copy of the
+    // query (cosine exactly 1) must survive the projected cut and win the
+    // exact rerank. A random corpus is the worst case — its neighbors are
+    // all near-equidistant, which no 4x sketch can separate — so the
+    // strong-pair pin is the meaningful one (the ann recall gates use the
+    // same planted-fixture reasoning).
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.model.Catalog.embeddings(spark, dir)
+    val planted = base.filter(col("vec_id") === 0)
+      .select(lit(9999L).as("vec_id"),
+        expr("transform(embedding, x -> x * CAST(0.5 AS FLOAT))")
+          .as("embedding"),
+        col("label"))
+    val emb = base.unionByName(planted)
+    val proj = Quant.randProjectVec(emb, 64, 16)
+    val top = Quant.projTopK(proj, emb, 0, 50, 10, 16).collect()
+    assert(top.head.getLong(0) == 9999L,
+      s"scaled twin must win: ${top.map(_.getLong(0)).toSeq}")
+    assert(top.head.getDouble(1) == 1.0)
+  }
+
+  test("random-corpus coarse recall stays above the observed floor") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.model.Catalog.embeddings(spark, dir)
+    val proj = Quant.randProjectVec(emb, 64, 16)
+    val twoStage = Quant.projTopK(proj, emb, 0, 50, 10, 16).collect()
+      .map(_.getLong(0)).toSet
+    val exact = SparkEntry.queries("emb_topk")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert((twoStage & exact).size >= 3,
+      s"even the equidistant worst case keeps a few exact winners")
+  }
 }
