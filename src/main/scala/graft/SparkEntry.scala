@@ -536,6 +536,15 @@ object SparkEntry {
         .agg(sum("value").as("v"))
       TimeSeriesOps.movingAvgDaily(d, "user_id", "dnum", "v", 7)
     }),
+    // simple exponential smoothing at α = 1/2: per-key one-step forecast
+    // state, bit-identical across engines (every update an exact halving)
+    "ts_ewma" -> ((s, dir) => {
+      val d = Catalog.events(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+          unix_date(to_date(col("ts"))).cast("long").as("dnum"))
+        .agg(sum("value").as("v"))
+      TimeSeriesOps.ewmaLast(d, "user_id", "dnum", "v")
+    }),
     // salted join: lineitem spread over (key, salt) reducers against an
     // 8×-replicated orders side — identical result to the plain join, the
     // manual hot-key treatment when the build side can't broadcast
@@ -1199,6 +1208,10 @@ object SparkEntry {
     // exploded to scalar for the content pin
     "emb_randproj" -> ((s, dir) =>
       graft.ml.Quant.randProject(Catalog.embeddings(s, dir), 64, 16)),
+    // streamed JL-projection upkeep: the same constant-sign-matrix fold
+    // at ingest (stateless)
+    "proj_stream_index" -> ((s, dir) =>
+      graft.streaming.EmbeddingsIngest.projOnce(s, dir)),
     // two-stage retrieval through the stored JL sketch: coarse cosine in
     // the 16-dim projected store, exact 64-dim rerank of the bounded
     // candidate set
@@ -1956,6 +1969,15 @@ object SparkEntry {
         PARTITION BY user_id ORDER BY dnum
         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg7
       FROM d""".replaceAll("\\s+", " ")),
+    "ts_ewma" -> ("""WITH d AS (
+        SELECT user_id,
+          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dnum,
+          sum(value) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT user_id, CAST(len(vals) AS BIGINT) AS n_points,
+        list_reduce(vals, (s, x) -> (x + s) / 2) AS ewma
+      FROM (SELECT user_id, list(CAST(v AS DOUBLE) ORDER BY dnum) AS vals
+        FROM d GROUP BY user_id)""".replaceAll("\\s+", " ")),
     "join_salted" -> ("""SELECT o_orderpriority, count(*) AS cnt
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1""".replaceAll("\\s+", " ")),
@@ -2250,6 +2272,7 @@ object SparkEntry {
     "mm_framesample" -> Multimodal.frameSampleOracleSql(),
     "emb_randproj" -> graft.ml.Quant.randProjectOracleSql(64, 16),
     "emb_topk_proj" -> graft.ml.Quant.projTopKOracleSql(0, 50, 10, 64, 16),
+    "proj_stream_index" -> graft.ml.Quant.randProjectOracleSql(64, 16),
     "mm_audio_energy" -> Multimodal.audioEnergyOracleSql,
     "mm_audio_trim" -> Multimodal.audioTrimOracleSql,
     "mm_resize" -> Multimodal.resizeOracleSql,

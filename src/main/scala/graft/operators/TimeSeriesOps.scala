@@ -87,6 +87,25 @@ object TimeSeriesOps {
       round(avg(col(v)).over(w), 4).as(s"avg$days"))
   }
 
+  /** Simple exponential smoothing (the classic one-step forecast state):
+    * s₁ = x₁, sₜ = (xₜ + sₜ₋₁)/2 — α pinned to 1/2 so every update is an
+    * IEEE-exact halving and the smoothed state is bit-identical across
+    * engines with NO rounding mask (the integer-PageRank exactness idea
+    * applied to a float recurrence). The recurrence is inherently
+    * sequential PER KEY, so each key's (bounded) series folds inside one
+    * row: collect + sort by day, then an ordered fold — per-key state
+    * never crosses rows and keys stay parallel (the mapGroups shape as a
+    * declarative aggregate; a 100 TB corpus has many keys, not long
+    * keys). Returns (key, n_points, ewma). */
+  def ewmaLast(series: DataFrame, key: String, dnum: String,
+      v: String): DataFrame =
+    series.groupBy(col(key))
+      .agg(sort_array(collect_list(struct(col(dnum), col(v)))).as("pts"))
+      .select(col(key), size(col("pts")).cast("long").as("n_points"),
+        aggregate(col("pts"), lit(null).cast("double"),
+          (s, p) => when(s.isNull, p.getField(v).cast("double"))
+            .otherwise((p.getField(v).cast("double") + s) / 2)).as("ewma"))
+
   /** Date-range join via fixed-width bucketing: returns every (range row,
     * point row) pair with `startDay <= pDay < endDayExcl` (dates, end
     * exclusive). The non-equi BETWEEN predicate rides on an equi-join over

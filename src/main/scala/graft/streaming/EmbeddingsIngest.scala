@@ -273,4 +273,14 @@ object EmbeddingsIngest {
       Sinks.memoryOnce(spark, "graft_stream_ivf",
         cellRows(stream(spark, dir)))
     }
+
+  /** Streamed JL-projection upkeep: new vectors project through the SAME
+    * constant sign matrix the batch store build uses (a pure per-row
+    * ordered fold — stateless, exploded to the content-pin shape), so the
+    * 4× sketch sidecar grows with the corpus at ingest. */
+  def projOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:proj:$dir") {
+      Sinks.memoryOnce(spark, "graft_stream_proj",
+        graft.ml.Quant.randProject(stream(spark, dir), 64, 16))
+    }
 }
