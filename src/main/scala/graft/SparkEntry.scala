@@ -913,6 +913,18 @@ object SparkEntry {
     // re-chunk only up to the next surviving boundary, unlike chunk_docs
     "chunk_cdc" -> ((s, dir) =>
       graft.ml.CorpusOps.chunkCdc(Catalog.documents(s, dir))),
+    // the END-TO-END release: clean (dedup+lang+quality) ∩ not-blocklisted
+    // ∩ train split → LPT layout → the shipped manifest, one composed plan
+    "pipeline_release" -> ((s, dir) => {
+      val docs = Catalog.documents(s, dir)
+      val survivors = graft.ml.TextAnalysis
+        .cleanCorpus(docs, 0.5, "en").select("doc_id")
+      val kept = docs.join(survivors, Seq("doc_id"), "left_semi")
+        .filter(!arrays_overlap(split(col("text"), " "),
+          array(BlockWords.map(lit): _*)))
+        .filter(graft.ml.Selection.splitCol === "train")
+      graft.ml.CorpusOps.exportManifest(kept, 8, 4)
+    }),
     // streamed BPE accounting with the FROZEN learned merges (the
     // dsir_stream_scores posture for the tokenizer)
     "bpe_stream_tokens" -> ((s, dir) =>
@@ -2075,6 +2087,16 @@ object SparkEntry {
     "pack_lpt" -> graft.ml.CorpusOps.packLptOracleSql(8, 4),
     "pack_lpt_stats" -> graft.ml.CorpusOps.packLptStatsOracleSql(8, 4),
     "export_manifest" -> graft.ml.CorpusOps.exportManifestOracleSql(8, 4),
+    "pipeline_release" -> {
+      val bl = BlockWords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH cc AS (${graft.ml.TextAnalysis.cleanCorpusSql(0.5, "en")}),
+         |rel AS (SELECT documents.* FROM documents
+         |  JOIN (SELECT doc_id FROM cc) c USING (doc_id)
+         |  WHERE len(list_intersect(string_split(text, ' '), $bl)) = 0
+         |    AND ${graft.ml.Selection.SplitSql} = 'train'),
+         |${graft.ml.CorpusOps.exportManifestBodySql(8, 4, "rel")}"""
+        .stripMargin.replaceAll("\\s+", " ")
+    },
     "chunk_cdc" -> graft.ml.CorpusOps.chunkCdcOracleSql(),
     "dedup_cdc" -> graft.ml.CorpusOps.dedupCdcReportOracleSql(),
     "lm_train" -> graft.ml.CorpusOps.lmTrainOracleSql,

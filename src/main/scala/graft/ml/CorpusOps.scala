@@ -476,12 +476,18 @@ object CorpusOps {
   }
 
   def exportManifestOracleSql(bins: Int, shards: Int): String =
-    s"""WITH d AS (SELECT doc_id,
+    s"WITH ${exportManifestBodySql(bins, shards, "documents")}"
+
+  /** The manifest derivation as chained CTEs over an arbitrary source
+    * relation (so composed pipelines can manifest their RELEASED subset);
+    * prefix with WITH (and any upstream CTEs) at the call site. */
+  def exportManifestBodySql(bins: Int, shards: Int, src: String): String =
+    s"""d AS (SELECT doc_id,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
        |    doc_id % $shards AS shard,
        |    CAST('0x' || substring(md5('doc:' || doc_id || ':' || text), 1, 15)
        |      AS BIGINT) AS h
-       |  FROM documents),
+       |  FROM $src),
        |r AS (SELECT shard, n_tok, h, row_number() OVER (
        |    PARTITION BY shard
        |    ORDER BY n_tok DESC, md5('lpt:' || doc_id), doc_id) - 1 AS idx

@@ -298,13 +298,13 @@ object Selection {
 
   // ---- the stored selection sidecar ---------------------------------------
 
-  private def splitCol: Column = {
+  private[graft] def splitCol: Column = {
     val c = substring(md5(concat(lit("split:"),
       col("doc_id").cast("string"))), 1, 1)
     when(c < "c", "train").when(c < "e", "val").otherwise("test")
   }
 
-  private val SplitSql: String =
+  private[graft] val SplitSql: String =
     """CASE WHEN substr(md5('split:' || doc_id), 1, 1) < 'c' THEN 'train'
       |     WHEN substr(md5('split:' || doc_id), 1, 1) < 'e' THEN 'val'
       |     ELSE 'test' END""".stripMargin
