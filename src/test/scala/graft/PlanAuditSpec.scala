@@ -215,6 +215,24 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally graft.util.Caches.drain()
   }
 
+  test("blocklist verdict never joins; LM scoring join stays unhinted; " +
+      "the release manifest windows per shard") {
+    try {
+      val bf = planOf(SparkEntry.queries("filter_blocklist")(spark, dir))
+      assert(!bf.contains("Join"),
+        s"the bounded blocklist folds into the scan, never joins:\n$bf")
+      val lm = SparkEntry.queries("ppl_bigram")(spark, dir)
+      assert(!lm.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        "a web-scale LM exceeds any broadcast bound — the model join " +
+          "must stay unhinted for AQE to decide")
+      val pr = planOf(SparkEntry.queries("pipeline_release")(spark, dir))
+      assert(pr.contains("hashpartitioning(shard"),
+        s"the release layout must window per-shard, never globally:\n$pr")
+      assert(!pr.contains("SinglePartition"),
+        s"no global window in the release chain:\n$pr")
+    } finally graft.util.Caches.drain()
+  }
+
   test("host-rank serving reads the store; the rank-mass join stays " +
       "unhinted") {
     try {
