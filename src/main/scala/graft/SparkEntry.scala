@@ -949,6 +949,20 @@ object SparkEntry {
       graft.streaming.DocumentsIngest.pplOnce(s, dir)),
     "vocab_topk" -> ((s, dir) =>
       graft.ml.CorpusOps.vocabTopK(Catalog.documents(s, dir), 100)),
+    // mergeable sketches — the bounded-size summaries a 100 TB deployment
+    // aggregates INSTEAD of exact distincts. Deterministic md5 hashing:
+    // sketch contents, not just estimates, match the oracle bit-for-bit.
+    // KMV min-k rides WindowGroupLimit (per-partition min-k IS the merge)
+    "sketch_kmv" -> ((s, dir) =>
+      graft.ml.Sketches.kmvDistinct(Catalog.events(s, dir))),
+    // HLL p=8: max-rho registers merge in the partial aggregate; the
+    // 256-term harmonic sum is exact in doubles (all terms 2^-r, r<=41)
+    "sketch_hll" -> ((s, dir) =>
+      graft.ml.Sketches.hllDistinct(Catalog.events(s, dir))),
+    // count-min heavy hitters: 4x512 counter grid + point-query min,
+    // exact freq alongside as the overestimate audit
+    "sketch_cms" -> ((s, dir) =>
+      graft.ml.Sketches.cmsHeavyHitters(Catalog.documents(s, dir), 40)),
     "decontaminate" -> ((s, dir) =>
       graft.ml.CorpusOps.decontaminate(Catalog.documents(s, dir), 25L, 3)),
     // per-suite contamination attribution: which eval suite leaks into the
@@ -2109,6 +2123,9 @@ object SparkEntry {
     "tfidf_topterms" -> graft.ml.CorpusOps.tfidfOracleSql(3),
     "text_logprob" -> graft.ml.CorpusOps.unigramLogProbOracleSql,
     "vocab_topk" -> graft.ml.CorpusOps.vocabOracleSql(100),
+    "sketch_kmv" -> graft.ml.Sketches.kmvOracleSql,
+    "sketch_hll" -> graft.ml.Sketches.hllOracleSql,
+    "sketch_cms" -> graft.ml.Sketches.cmsOracleSql(40),
     "decontaminate" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),
     "decontaminate_report" ->
       graft.ml.CorpusOps.decontaminateReportOracleSql(25L, 3),

@@ -1,0 +1,190 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality / frequency sketches — the aggregation primitives a
+  * 100 TB deployment runs INSTEAD of exact distinct-counts and exact
+  * heavy-hitter tables. All three sketches here are deterministic: element
+  * hashes derive from md5 (the repo-wide uniform-hash convention, exactly
+  * reproducible in the DuckDB oracle), so the sketch CONTENTS — not just the
+  * estimates — are bit-identical across engines, runs, and partitionings.
+  *
+  * Scale posture: each sketch is a bounded-size mergeable summary, which is
+  * the whole point — partial aggregation combines per-partition sketches
+  * map-side (max for HLL registers, min-k for KMV, counter-sum for CMS), so
+  * the shuffle carries kilobytes per group no matter how many terabytes were
+  * scanned. SketchesSpec pins the merge laws (split-then-merge == global).
+  *
+  * References: KMV / k-minimum-values (Bar-Yossef et al., RANDOM 2002;
+  * Beyer et al., SIGMOD 2007), HyperLogLog (Flajolet et al., AofA 2007),
+  * count-min sketch (Cormode & Muthukrishnan, J.Alg 2005). The reference
+  * engine keeps exact per-key counts (/root/reference/src/query.cc result
+  * counting); these are the published approximations that replace them once
+  * a key's cardinality no longer fits a node.
+  */
+object Sketches {
+
+  /** KMV k = 64: estimate = (k-1) * 2^48 div h_k. 48-bit hashes (12 md5 hex
+    * chars) keep every intermediate exact in BIGINT arithmetic — the
+    * estimate itself is an integer division, so cross-engine equality is
+    * exact, no rounding mask. */
+  val KmvK = 64
+
+  /** HLL p = 8: m = 256 registers; rho counted over the next 40 hash bits.
+    * alpha_m * m^2 as one Scala-computed double constant, embedded verbatim
+    * into the oracle via toString (shortest round-trip repr → the identical
+    * double on the DuckDB side). */
+  val HllM = 256
+  val HllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+
+  /** CMS: d = 4 rows × w = 512 counters; point query = min over the d rows. */
+  val CmsD = 4
+  val CmsW = 512
+
+  private def hash48(salt: String, c: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(salt), c.cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+
+  /** Distinct users per event_type via a k-minimum-values sketch.
+    *
+    * One distinct-aggregation of (type, hash) pairs (map-side combined),
+    * then a rank<=k window that Spark rewrites into WindowGroupLimit — each
+    * executor forwards at most k hashes per group, which IS the KMV merge
+    * step: the union of per-partition min-k sets contains the global min-k.
+    * A group with fewer than k distinct hashes reports its exact count
+    * (max rn < k ⇒ the sketch saw everything). */
+  def kmvDistinct(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("h")
+    events
+      .select(col("event_type"), hash48("kmv:", col("user_id")).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+      .groupBy("event_type")
+      .agg(max("rn").as("n_kept"), max("h").as("kth_hash"))
+      .select(col("event_type"), col("n_kept"), col("kth_hash"),
+        when(col("n_kept") < KmvK, col("n_kept").cast("long"))
+          .otherwise(expr(
+            s"CAST(${KmvK - 1} AS BIGINT) * 281474976710656 div kth_hash"))
+          .as("est_distinct"))
+  }
+
+  def kmvOracleSql: String =
+    s"""WITH d AS (SELECT DISTINCT event_type,
+       |    ('0x'||substr(md5('kmv:'||user_id),1,12))::BIGINT AS h FROM events),
+       |  r AS (SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM d)
+       |SELECT event_type, max(rn) AS n_kept, max(h) AS kth_hash,
+       |  CASE WHEN max(rn) < $KmvK THEN max(rn)
+       |       ELSE (${KmvK - 1} * 281474976710656) // max(h) END AS est_distinct
+       |FROM r WHERE rn <= $KmvK GROUP BY 1""".stripMargin
+      .replaceAll("\\s+", " ")
+
+  /** Distinct users per event_type via HyperLogLog (p = 8).
+    *
+    * Register index = first 2 md5 hex chars; rho = leading-zero count of the
+    * next 40 bits + 1, computed as 41 - bit_length via `bin()` (minimal-width
+    * binary string in BOTH engines). Two aggregations: max rho per (group,
+    * register) — the HLL merge law, so partial aggregation IS sketch merge —
+    * then the harmonic fold. Every 2^-rho term is an exact power of two with
+    * granularity >= 2^-41, so the 256-term sum is EXACT in doubles
+    * regardless of accumulation order; only the final ln/divide needs the
+    * round-4 mask. Small-range (linear counting) correction included, and
+    * the branch condition is computed from exact inputs, so both engines
+    * take the same branch. */
+  /** The sketch proper: max rho per (group, register). Mergeable by
+    * construction — max-merging two register frames is the HLL union. */
+  def hllRegisters(events: DataFrame): DataFrame = {
+    val hx = md5(concat(lit("hll:"), col("user_id").cast("string")))
+    val reg = conv(substring(hx, 1, 2), 16, 10).cast("int")
+    val w = conv(substring(hx, 3, 10), 16, 10).cast("long")
+    val rho = when(w === 0, lit(41)).otherwise(lit(41) - length(bin(w)))
+    events
+      .select(col("event_type"), reg.as("reg"), rho.as("rho"))
+      .groupBy("event_type", "reg").agg(max("rho").as("mr"))
+  }
+
+  /** Harmonic fold + linear-counting correction over a register frame. */
+  def hllFold(regs: DataFrame): DataFrame = {
+    val raw = lit(HllAlphaM2) / col("sinv")
+    regs
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("int").as("present"),
+        (lit(HllM) - count(lit(1)) +
+          sum(pow(lit(2.0), -col("mr")))).as("sinv"))
+      .select(col("event_type"), col("present"),
+        round(
+          when(raw <= lit(2.5 * HllM) && col("present") < HllM,
+            lit(HllM.toDouble) * log(lit(HllM.toDouble) /
+              (lit(HllM) - col("present"))))
+            .otherwise(raw), 4).as("est_distinct"))
+  }
+
+  def hllDistinct(events: DataFrame): DataFrame =
+    hllFold(hllRegisters(events))
+
+  def hllOracleSql: String =
+    s"""WITH h AS (SELECT event_type,
+       |    ('0x'||substr(md5('hll:'||user_id),1,2))::BIGINT AS reg,
+       |    ('0x'||substr(md5('hll:'||user_id),3,10))::BIGINT AS w FROM events),
+       |  r AS (SELECT event_type, reg,
+       |    max(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS mr
+       |    FROM h GROUP BY 1, 2),
+       |  a AS (SELECT event_type, CAST(count(*) AS INTEGER) AS present,
+       |    $HllM - count(*) + sum(power(2.0::DOUBLE, -mr)) AS sinv
+       |    FROM r GROUP BY 1)
+       |SELECT event_type, present,
+       |  round(CASE WHEN ${HllAlphaM2}::DOUBLE / sinv <= ${2.5 * HllM}::DOUBLE
+       |               AND present < $HllM
+       |         THEN ${HllM.toDouble}::DOUBLE
+       |              * ln(${HllM.toDouble}::DOUBLE / ($HllM - present))
+       |         ELSE ${HllAlphaM2}::DOUBLE / sinv END, 4) AS est_distinct
+       |FROM a""".stripMargin
+      .replaceAll("\\s+", " ")
+
+  /** Heavy hitters with a count-min frequency audit: the top 40 corpus
+    * tokens with their exact frequency next to the CMS point estimate
+    * (est >= freq always; equality when the token's d counters saw no
+    * collisions). Counter build = one exploded aggregation of (row, col)
+    * scalars — 2048 cells total, mergeable by plain summation; the point
+    * query is a d-row equi-join against those cells followed by a min. */
+  def cmsHeavyHitters(docs: DataFrame, topN: Int = 40): DataFrame = {
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+    val cells = (0 until CmsD).map { j =>
+      struct(lit(j).as("j"),
+        (conv(substring(md5(concat(lit(s"cms$j:"), col("token"))), 1, 6),
+          16, 10).cast("long") % CmsW).as("c"))
+    }
+    val counters = toks
+      .select(explode(array(cells: _*)).as("rc"))
+      .groupBy(col("rc.j").as("j"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+    val keys = freq.select(col("token"), col("freq"),
+      explode(array(cells: _*)).as("rc"))
+    keys
+      .join(counters, keys("rc.j") === counters("j") &&
+        keys("rc.c") === counters("c"))
+      .groupBy("token", "freq").agg(min("cnt").as("cms_est"))
+      .orderBy(desc("freq"), asc("token"))
+      .limit(topN)
+  }
+
+  def cmsOracleSql(topN: Int = 40): String =
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+       |    FROM documents),
+       |  k AS (SELECT token, j,
+       |    ('0x'||substr(md5('cms'||j||':'||token),1,6))::BIGINT % $CmsW AS c
+       |    FROM (SELECT DISTINCT token FROM t),
+       |         (SELECT unnest(generate_series(0, ${CmsD - 1})) AS j)),
+       |  cnt AS (SELECT j, c, count(*) AS cnt FROM t JOIN k USING (token)
+       |    GROUP BY 1, 2),
+       |  f AS (SELECT token, count(*) AS freq FROM t GROUP BY 1)
+       |SELECT f.token AS token, f.freq AS freq, min(cnt.cnt) AS cms_est
+       |FROM f JOIN k ON f.token = k.token
+       |  JOIN cnt ON k.j = cnt.j AND k.c = cnt.c
+       |GROUP BY 1, 2 ORDER BY freq DESC, f.token LIMIT $topN""".stripMargin
+      .replaceAll("\\s+", " ")
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ml.Sketches
+
+class SketchesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def events(n: Int, types: Int, users: Int) =
+    (0 until n).map { i =>
+      (s"t${i % types}", (i * 7919) % users)
+    }.toDF("event_type", "user_id")
+
+  test("KMV merge law: union of per-split min-k sets contains the global " +
+    "min-k, so split-then-merge == whole-corpus sketch") {
+    val df = events(4000, 3, 900)
+    val whole = Sketches.kmvDistinct(df).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // split on a hash of user_id — both halves see every event_type
+    val a = df.filter(pmod(col("user_id"), lit(2)) === 0)
+    val b = df.filter(pmod(col("user_id"), lit(2)) =!= 0)
+    // merge = min-k over the union of the two sketches' kept hashes; the
+    // kept hashes are exactly rows of the pre-agg frame, so re-running
+    // kmvDistinct on the union of kept (type, h) pairs is the merge
+    val keptOf = (d: org.apache.spark.sql.DataFrame) => d
+      .select(col("event_type"),
+        conv(substring(md5(concat(lit("kmv:"),
+          col("user_id").cast("string"))), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= Sketches.KmvK)
+      .select("event_type", "h")
+    val merged = keptOf(a).union(keptOf(b))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= Sketches.KmvK)
+      .groupBy("event_type")
+      .agg(max("rn").as("n_kept"), max("h").as("kth_hash"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(merged.keySet == whole.keySet)
+    for ((t, (nk, kh, _)) <- whole)
+      assert(merged(t) == ((nk, kh)),
+        s"merged sketch for $t diverged from whole-corpus sketch")
+  }
+
+  test("KMV estimate: exact below k, within 30% relative error above it") {
+    // 40 distinct users in one type (< k=64 → exact), 800 in the other
+    val small = (0 until 400).map(i => ("few", i % 40))
+    val big = (0 until 4000).map(i => ("many", 1000 + i % 800))
+    val out = Sketches.kmvDistinct((small ++ big).toDF("event_type", "user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("few") == 40L)
+    assert(math.abs(out("many") - 800.0) / 800.0 < 0.30,
+      s"KMV estimate ${out("many")} too far from 800")
+  }
+
+  test("HLL merge law: registers max-merge across splits == whole sketch, " +
+    "and the estimate is within 20% on 800 distinct") {
+    val df = events(4000, 1, 800)
+    val whole = Sketches.hllDistinct(df).collect().head
+    // genuine register-level merge: per-split sketches, max-merged
+    val ra = Sketches.hllRegisters(df.filter(pmod(col("user_id"), lit(2)) === 0))
+    val rb = Sketches.hllRegisters(df.filter(pmod(col("user_id"), lit(2)) =!= 0))
+    val merged = Sketches.hllFold(
+      ra.union(rb).groupBy("event_type", "reg").agg(max("mr").as("mr")))
+      .collect().head
+    assert(whole.getDouble(2) == merged.getDouble(2))
+    assert(math.abs(whole.getDouble(2) - 800.0) / 800.0 < 0.20,
+      s"HLL estimate ${whole.getDouble(2)} too far from 800")
+  }
+
+  test("HLL harmonic sum is exact: estimate invariant under repartition") {
+    val df = events(3000, 2, 500)
+    val e1 = Sketches.hllDistinct(df.repartition(1)).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val e32 = Sketches.hllDistinct(df.repartition(32)).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(e1 == e32)
+  }
+
+  test("CMS never underestimates, and unique-hash tokens are exact") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta beta delta"),
+      (3L, "alpha epsilon zeta eta theta")).toDF("doc_id", "text")
+    val out = Sketches.cmsHeavyHitters(docs, 40).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    for ((tok, freq, est) <- out)
+      assert(est >= freq, s"CMS underestimated $tok: $est < $freq")
+    // 8 distinct tokens in 4x512 cells: collisions essentially impossible,
+    // every estimate is exact — the audit column earns its keep on real data
+    assert(out.forall { case (_, f, e) => e == f })
+  }
+
+  test("kmv plan: the rank filter rewrites into WindowGroupLimit " +
+    "(per-partition min-k, the merge step, happens before the shuffle)") {
+    val df = events(1000, 2, 300)
+    val plan = Sketches.kmvDistinct(df).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
+}
