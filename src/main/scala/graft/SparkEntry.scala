@@ -947,6 +947,16 @@ object SparkEntry {
     // the frozen model at ingest
     "lm_stream_scores" -> ((s, dir) =>
       graft.streaming.DocumentsIngest.pplOnce(s, dir)),
+    // interpolated Kneser-Ney per-context parameters off the frozen store
+    // (KenLM's smoothing family — the CCNet filter's actual model): one
+    // aggregation of the model table, corpus never touched
+    "lm_kn_params" -> ((s, dir) =>
+      graft.ml.CorpusOps.knParams(Catalog.lmStore(s, dir))),
+    // KN-smoothed per-doc scoring: discounted ML + released-mass
+    // interpolation against the add-one continuation distribution
+    "ppl_kn" -> ((s, dir) =>
+      graft.ml.CorpusOps.pplKn(Catalog.documents(s, dir),
+        Catalog.lmStore(s, dir), Catalog.lmVocab(s, dir))),
     "vocab_topk" -> ((s, dir) =>
       graft.ml.CorpusOps.vocabTopK(Catalog.documents(s, dir), 100)),
     // mergeable sketches — the bounded-size summaries a 100 TB deployment
@@ -963,6 +973,11 @@ object SparkEntry {
     // exact freq alongside as the overestimate audit
     "sketch_cms" -> ((s, dir) =>
       graft.ml.Sketches.cmsHeavyHitters(Catalog.documents(s, dir), 40)),
+    // streamed register upkeep: bounded (types x 256) streaming state,
+    // max IS the merge law; fold-to-estimate happens at read
+    "sketch_hll_stream" -> ((s, dir) =>
+      graft.ml.Sketches.hllFold(
+        graft.streaming.EventsIngest.hllRegistersOnce(s, dir))),
     "decontaminate" -> ((s, dir) =>
       graft.ml.CorpusOps.decontaminate(Catalog.documents(s, dir), 25L, 3)),
     // per-suite contamination attribution: which eval suite leaks into the
@@ -2116,6 +2131,8 @@ object SparkEntry {
     "lm_train" -> graft.ml.CorpusOps.lmTrainOracleSql,
     "ppl_bigram" -> graft.ml.CorpusOps.pplBigramOracleSql,
     "lm_stream_scores" -> graft.ml.CorpusOps.pplBigramOracleSql,
+    "lm_kn_params" -> graft.ml.CorpusOps.knParamsOracleSql(),
+    "ppl_kn" -> graft.ml.CorpusOps.pplKnOracleSql(),
     "mm_stream_audio" -> Multimodal.audioEnergyOracleSql,
     "link_graph" -> graft.ml.LinkGraph.linkGraphOracleSql,
     "link_pagerank" -> graft.ml.LinkGraph.pageRankOracleSql(),
@@ -2125,6 +2142,9 @@ object SparkEntry {
     "vocab_topk" -> graft.ml.CorpusOps.vocabOracleSql(100),
     "sketch_kmv" -> graft.ml.Sketches.kmvOracleSql,
     "sketch_hll" -> graft.ml.Sketches.hllOracleSql,
+    // stream == batch by construction: the streamed registers fold to the
+    // identical estimate, so the batch oracle IS the stream oracle
+    "sketch_hll_stream" -> graft.ml.Sketches.hllOracleSql,
     "sketch_cms" -> graft.ml.Sketches.cmsOracleSql(40),
     "decontaminate" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),
     "decontaminate_report" ->

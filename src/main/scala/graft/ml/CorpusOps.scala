@@ -671,6 +671,87 @@ object CorpusOps {
        |FROM bg LEFT JOIN bc USING (w1, w2) LEFT JOIN c1 USING (w1)
        |GROUP BY doc_id""".stripMargin.replaceAll("\\s+", " ")
 
+  /** Interpolated Kneser-Ney parameters per context, derived from the
+    * FROZEN stored bigram counts (Kneser & Ney 1995; Chen & Goodman 1998
+    * — the smoothing family KenLM implements, i.e. the CCNet perplexity
+    * filter's actual model): c1 = context total, n1f = distinct
+    * continuations of w1 (the rows of the store per w1 — the store holds
+    * distinct pairs), lambda = D·n1f/c1, the discount mass released for
+    * interpolation. One aggregation of the model table — never touches
+    * the corpus. */
+  def knParams(lm: DataFrame, discount: Double = 0.75): DataFrame =
+    lm.groupBy("w1")
+      .agg(sum("c").as("c1"), count(lit(1)).as("n1f"))
+      .select(col("w1"), col("c1"), col("n1f"),
+        round(lit(discount) * col("n1f") / col("c1"), 6).as("lambda"))
+
+  /** Per-document mean bigram log-probability under INTERPOLATED
+    * KNESER-NEY against the frozen store:
+    *   p(w2|w1) = max(c - D, 0)/c1 + D·n1f/c1 · pcont(w2)
+    * with the continuation distribution add-one smoothed over the
+    * store's bigram-type table so unseen words keep positive mass:
+    *   pcont(w2) = (N1+(·,w2) + 1) / (T + V),
+    * T = total bigram types, V = the store vocabulary (the same
+    * driver-folded constant pplBigram uses). An unseen CONTEXT backs off
+    * to pcont alone (lambda-less, the standard unseen-history case).
+    * Every input to the CASE is exact integer-derived arithmetic, so
+    * both engines take identical branches; round(…, 4) absorbs the
+    * sum-order ulps as everywhere else. The bigram-type total rides a
+    * broadcast 1-row frame (the sizesOf posture) — no driver action. */
+  def pplKn(docs: DataFrame, lm: DataFrame, vocab: Long,
+      discount: Double = 0.75): DataFrame = {
+    val ctx = lm.groupBy("w1").agg(sum("c").as("c1"), count(lit(1)).as("n1f"))
+    val cont = lm.groupBy("w2").agg(count(lit(1)).as("n1p"))
+    val types = lm.agg(count(lit(1)).as("t_types"))
+    val pcont = (coalesce(col("n1p"), lit(0L)) + lit(1.0)) /
+      (col("t_types") + lit(vocab.toDouble))
+    val p = when(col("c1").isNotNull,
+      greatest(coalesce(col("c"), lit(0L)) - lit(discount), lit(0.0)) /
+        col("c1") + lit(discount) * col("n1f") / col("c1") * pcont)
+      .otherwise(pcont)
+    docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(tok) >= 2
+          |THEN transform(sequence(1, size(tok) - 1),
+          |  i -> struct(element_at(tok, i) AS w1, element_at(tok, i + 1) AS w2))
+          |ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(types))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log(p)) / count(lit(1)), 4).as("mean_lp_kn"))
+  }
+
+  def knParamsOracleSql(discount: Double = 0.75): String =
+    s"""WITH $LmCtesSql
+       |SELECT w1, sum(c) AS c1, count(*) AS n1f,
+       |  round($discount * count(*) / sum(c), 6) AS lambda
+       |FROM bc GROUP BY 1""".stripMargin.replaceAll("\\s+", " ")
+
+  def pplKnOracleSql(discount: Double = 0.75): String =
+    s"""WITH $LmCtesSql,
+       |ctx AS (SELECT w1, sum(c) AS c1, count(*) AS n1f FROM bc GROUP BY 1),
+       |cont AS (SELECT w2, count(*) AS n1p FROM bc GROUP BY 1),
+       |ty AS (SELECT count(*) AS t FROM bc),
+       |v AS (SELECT count(*) AS v FROM (
+       |  SELECT w1 AS t FROM bc UNION SELECT w2 FROM bc))
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  round(sum(ln(CASE WHEN ctx.c1 IS NOT NULL
+       |    THEN greatest(coalesce(bc.c, 0) - $discount, 0.0) / ctx.c1
+       |      + $discount * ctx.n1f / ctx.c1
+       |      * ((coalesce(cont.n1p, 0) + 1.0)
+       |         / ((SELECT t FROM ty) + (SELECT v FROM v)))
+       |    ELSE (coalesce(cont.n1p, 0) + 1.0)
+       |         / ((SELECT t FROM ty) + (SELECT v FROM v)) END))
+       |    / count(*), 4) AS mean_lp_kn
+       |FROM bg LEFT JOIN bc USING (w1, w2) LEFT JOIN ctx USING (w1)
+       |  LEFT JOIN cont USING (w2)
+       |GROUP BY doc_id""".stripMargin.replaceAll("\\s+", " ")
+
   def unigramLogProbOracleSql: String =
     """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
       |  FROM documents),

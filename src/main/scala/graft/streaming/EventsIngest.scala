@@ -333,4 +333,16 @@ object EventsIngest {
       memorySinkOnce(spark, 8, "graft_stream_daily", "complete")(s =>
         dailyCounts(stream(s, dir)))
     }
+
+  /** Streamed HLL register upkeep: the sketch's max-rho registers ARE the
+    * ideal streaming state — bounded at (event_types × 256) rows however
+    * many events flow through, and max is the merge law, so the streaming
+    * aggregation's state update is exactly the batch partial aggregate.
+    * Sketch at ingest, estimate at serve: the fold to an estimate happens
+    * at read (Sketches.hllFold over the sink), never inside the stream. */
+  def hllRegistersOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:hllregs:$dir") {
+      memorySinkOnce(spark, 8, "graft_stream_hllregs", "complete")(s =>
+        graft.ml.Sketches.hllRegisters(stream(s, dir)))
+    }
 }

@@ -71,4 +71,38 @@ class ChunkCdcSpec extends AnyFunSuite {
     assert(got(10L) > got(11L),
       s"in-domain mean log-prob must exceed the alien doc: $got")
   }
+
+  test("Kneser-Ney scoring: in-domain > alien, unseen-context branch " +
+    "backs off to the continuation distribution, and every p is in (0,1)") {
+    val train = docs(Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick red fox jumps over the brown dog",
+      3L -> "the lazy brown dog sleeps under the quick fox"))
+    val lm = CorpusOps.lmBigramCounts(train)
+    val v = {
+      val rows = lm.collect()
+      (rows.map(_.getString(0)) ++ rows.map(_.getString(1))).distinct.length
+    }
+    // doc 11 is all-unseen: every bigram exercises the unseen-context
+    // (lambda-less) back-off — the branch the self-trained corpus
+    // entries never fire
+    val probe = docs(Seq(
+      10L -> "the quick brown fox jumps",
+      11L -> "zebra xylophone quantum entropy vortex"))
+    val got = CorpusOps.pplKn(probe, lm, v.toLong).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(10L) > got(11L),
+      s"KN in-domain mean log-prob must exceed the alien doc: $got")
+    // log p < 0 ⇔ p in (0,1): the add-one continuation floor keeps the
+    // alien doc finite (no -inf), the discount keeps seen mass below 1
+    assert(got.values.forall(lp => lp < 0.0 && !lp.isNegInfinity), got)
+    // KN parameters: lambda = D*n1f/c1 is in (0, 1] and c1 >= n1f
+    val params = CorpusOps.knParams(lm).collect()
+    assert(params.nonEmpty)
+    for (r <- params) {
+      assert(r.getLong(1) >= r.getLong(2))
+      val lam = r.getDouble(3)
+      assert(lam > 0.0 && lam <= 1.0, s"lambda out of range: $r")
+    }
+  }
 }
