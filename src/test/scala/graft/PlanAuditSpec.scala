@@ -233,6 +233,34 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally graft.util.Caches.drain()
   }
 
+  test("sketch family keeps its scale shapes: HLL is pure aggregation, " +
+      "CMS joins stay unhinted, KN scoring hints ONLY the 1-row type total") {
+    try {
+      // HLL: two aggregations, no join anywhere — the register sketch is
+      // the shuffle payload
+      val hll = planOf(SparkEntry.queries("sketch_hll")(spark, dir))
+      assert(!hll.contains("Join"), s"HLL must never join:\n$hll")
+      // CMS: counter/freq joins are vocabulary-sized — unbounded at 100 TB,
+      // so no explicit broadcast hint (AQE decides)
+      val cms = SparkEntry.queries("sketch_cms")(spark, dir)
+      assert(!cms.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        "CMS joins must stay unhinted")
+      // lm_kn_params derives from the MODEL store only — the corpus is
+      // never scanned
+      val kp = planOf(SparkEntry.queries("lm_kn_params")(spark, dir))
+      assert(!kp.contains("documents"),
+        s"KN parameters must read the store, not the corpus:\n$kp")
+      // ppl_kn: model joins unhinted (web-scale LM), and exactly ONE hint
+      // in the statement — the broadcast 1-row bigram-type total (the
+      // sizesOf posture)
+      val kn = SparkEntry.queries("ppl_kn")(spark, dir)
+      val hints = "ResolvedHint".r
+        .findAllIn(kn.queryExecution.analyzed.toString).length
+      assert(hints == 1,
+        s"ppl_kn must hint only the 1-row type total, found $hints hints")
+    } finally graft.util.Caches.drain()
+  }
+
   test("host-rank serving reads the store; the rank-mass join stays " +
       "unhinted") {
     try {
