@@ -957,6 +957,15 @@ object SparkEntry {
     "ppl_kn" -> ((s, dir) =>
       graft.ml.CorpusOps.pplKn(Catalog.documents(s, dir),
         Catalog.lmStore(s, dir), Catalog.lmVocab(s, dir))),
+    // MODIFIED KN (Chen-Goodman counts-of-counts discounts — the KenLM
+    // default): the 1-row global discount table off the frozen store
+    "lm_kn_discounts" -> ((s, dir) =>
+      graft.ml.CorpusOps.knDiscountsRounded(Catalog.lmStore(s, dir))),
+    // scoring under the three count-class discounts; discounts ride the
+    // broadcast 1-row frame, unseen pairs can never mint mass
+    "ppl_kn_mod" -> ((s, dir) =>
+      graft.ml.CorpusOps.pplKnMod(Catalog.documents(s, dir),
+        Catalog.lmStore(s, dir), Catalog.lmVocab(s, dir))),
     "vocab_topk" -> ((s, dir) =>
       graft.ml.CorpusOps.vocabTopK(Catalog.documents(s, dir), 100)),
     // mergeable sketches — the bounded-size summaries a 100 TB deployment
@@ -978,6 +987,10 @@ object SparkEntry {
     "sketch_hll_stream" -> ((s, dir) =>
       graft.ml.Sketches.hllFold(
         graft.streaming.EventsIngest.hllRegistersOnce(s, dir))),
+    // stored-sketch serving: the fold reads (types x 256) rows — the
+    // serving cadence never re-touches the event volume
+    "sketch_hll_stored" -> ((s, dir) =>
+      graft.ml.Sketches.hllFold(Catalog.hllStore(s, dir))),
     "decontaminate" -> ((s, dir) =>
       graft.ml.CorpusOps.decontaminate(Catalog.documents(s, dir), 25L, 3)),
     // per-suite contamination attribution: which eval suite leaks into the
@@ -2133,6 +2146,8 @@ object SparkEntry {
     "lm_stream_scores" -> graft.ml.CorpusOps.pplBigramOracleSql,
     "lm_kn_params" -> graft.ml.CorpusOps.knParamsOracleSql(),
     "ppl_kn" -> graft.ml.CorpusOps.pplKnOracleSql(),
+    "lm_kn_discounts" -> graft.ml.CorpusOps.knDiscountsOracleSql,
+    "ppl_kn_mod" -> graft.ml.CorpusOps.pplKnModOracleSql,
     "mm_stream_audio" -> Multimodal.audioEnergyOracleSql,
     "link_graph" -> graft.ml.LinkGraph.linkGraphOracleSql,
     "link_pagerank" -> graft.ml.LinkGraph.pageRankOracleSql(),
@@ -2145,6 +2160,7 @@ object SparkEntry {
     // stream == batch by construction: the streamed registers fold to the
     // identical estimate, so the batch oracle IS the stream oracle
     "sketch_hll_stream" -> graft.ml.Sketches.hllOracleSql,
+    "sketch_hll_stored" -> graft.ml.Sketches.hllOracleSql,
     "sketch_cms" -> graft.ml.Sketches.cmsOracleSql(40),
     "decontaminate" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),
     "decontaminate_report" ->

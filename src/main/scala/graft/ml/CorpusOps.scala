@@ -726,6 +726,136 @@ object CorpusOps {
         round(sum(log(p)) / count(lit(1)), 4).as("mean_lp_kn"))
   }
 
+  /** MODIFIED Kneser-Ney global discounts (Chen & Goodman 1998 §3 — the
+    * KenLM default): three count-class discounts derived from the store's
+    * counts-of-counts, Y = n1/(n1 + 2·n2), D1 = 1 − 2Y·n2/n1,
+    * D2 = 2 − 3Y·n3/n2, D3+ = 3 − 4Y·n4/n3. A count class that is EMPTY
+    * (n_k = 0) zeroes its discount instead of dividing by zero — that
+    * class has no types to discount and its γ contribution is 0·N_k, so
+    * the zero is exact, not an approximation. One aggregation of the
+    * model table into a 1-row frame; every op sequence matches the SQL
+    * mirror so the doubles agree bit-for-bit before the round. */
+  def knDiscounts(lm: DataFrame): DataFrame = {
+    val g = lm.agg(count(lit(1)).as("t_types"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("g1"),
+      sum(when(col("c") === 2, 1L).otherwise(0L)).as("g2"),
+      sum(when(col("c") === 3, 1L).otherwise(0L)).as("g3"),
+      sum(when(col("c") === 4, 1L).otherwise(0L)).as("g4"))
+    val y = when(col("g1") + lit(2.0) * col("g2") > 0,
+      col("g1") / (col("g1") + lit(2.0) * col("g2"))).otherwise(lit(0.0))
+    g.select(col("t_types"), col("g1"), col("g2"), col("g3"), col("g4"),
+      y.as("y"))
+      .select(col("t_types"), col("g1"), col("g2"), col("g3"), col("g4"),
+        col("y"),
+        when(col("g1") > 0,
+          lit(1.0) - lit(2.0) * col("y") * col("g2") / col("g1"))
+          .otherwise(lit(0.0)).as("d1"),
+        when(col("g2") > 0,
+          lit(2.0) - lit(3.0) * col("y") * col("g3") / col("g2"))
+          .otherwise(lit(0.0)).as("d2"),
+        when(col("g3") > 0,
+          lit(3.0) - lit(4.0) * col("y") * col("g4") / col("g3"))
+          .otherwise(lit(0.0)).as("d3"))
+  }
+
+  /** The 1-row discount table as a CORRECTNESS entry (rounded for the
+    * hash gate; the scorer consumes the unrounded frame). */
+  def knDiscountsRounded(lm: DataFrame): DataFrame =
+    knDiscounts(lm).select(col("t_types"), col("g1"), col("g2"),
+      col("g3"), col("g4"), round(col("y"), 6).as("y"),
+      round(col("d1"), 6).as("d1"), round(col("d2"), 6).as("d2"),
+      round(col("d3"), 6).as("d3"))
+
+  /** Per-document scoring under MODIFIED Kneser-Ney: count-class
+    * discounts D1/D2/D3+ instead of the single D, released mass
+    * γ(w1) = (D1·N1 + D2·N2 + D3+·N3+)/c1, the same add-one continuation
+    * floor as pplKn. The discounts ride the broadcast 1-row frame; the
+    * discount term applies only when the bigram was SEEN (c > 0), so a
+    * negative discount in a degenerate corpus can never mint probability
+    * mass out of an unseen pair. */
+  def pplKnMod(docs: DataFrame, lm: DataFrame, vocab: Long): DataFrame = {
+    val ctx = lm.groupBy("w1").agg(sum("c").as("c1"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("nn1"),
+      sum(when(col("c") === 2, 1L).otherwise(0L)).as("nn2"),
+      sum(when(col("c") >= 3, 1L).otherwise(0L)).as("nn3"))
+    val cont = lm.groupBy("w2").agg(count(lit(1)).as("n1p"))
+    val gl = knDiscounts(lm)
+    val pcont = (coalesce(col("n1p"), lit(0L)) + lit(1.0)) /
+      (col("t_types") + lit(vocab.toDouble))
+    val dOfC = when(col("c") >= 3, col("d3"))
+      .when(col("c") === 2, col("d2")).otherwise(col("d1"))
+    val seenTerm = when(coalesce(col("c"), lit(0L)) > 0,
+      greatest(col("c") - dOfC, lit(0.0)) / col("c1")).otherwise(lit(0.0))
+    val gamma = (col("d1") * col("nn1") + col("d2") * col("nn2") +
+      col("d3") * col("nn3")) / col("c1")
+    val p = when(col("c1").isNotNull, seenTerm + gamma * pcont)
+      .otherwise(pcont)
+    docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(tok) >= 2
+          |THEN transform(sequence(1, size(tok) - 1),
+          |  i -> struct(element_at(tok, i) AS w1, element_at(tok, i + 1) AS w2))
+          |ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(gl))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log(p)) / count(lit(1)), 4).as("mean_lp_knm"))
+  }
+
+  private def KnGlCteSql: String =
+    """gl AS (SELECT t_types, g1, g2, g3, g4, y,
+      |  CASE WHEN g1 > 0 THEN 1.0 - 2.0 * y * g2 / g1 ELSE 0.0 END AS d1,
+      |  CASE WHEN g2 > 0 THEN 2.0 - 3.0 * y * g3 / g2 ELSE 0.0 END AS d2,
+      |  CASE WHEN g3 > 0 THEN 3.0 - 4.0 * y * g4 / g3 ELSE 0.0 END AS d3
+      |  FROM (SELECT t_types, g1, g2, g3, g4,
+      |    CASE WHEN g1 + 2.0 * g2 > 0 THEN g1 / (g1 + 2.0 * g2)
+      |         ELSE 0.0 END AS y
+      |  FROM (SELECT count(*) AS t_types,
+      |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS g1,
+      |    sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS g2,
+      |    sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS g3,
+      |    sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS g4 FROM bc)))"""
+      .stripMargin
+
+  def knDiscountsOracleSql: String =
+    s"""WITH $LmCtesSql, $KnGlCteSql
+       |SELECT t_types, CAST(g1 AS BIGINT) AS g1, CAST(g2 AS BIGINT) AS g2,
+       |  CAST(g3 AS BIGINT) AS g3, CAST(g4 AS BIGINT) AS g4,
+       |  round(y, 6) AS y, round(d1, 6) AS d1, round(d2, 6) AS d2,
+       |  round(d3, 6) AS d3
+       |FROM gl""".stripMargin.replaceAll("\\s+", " ")
+
+  def pplKnModOracleSql: String =
+    s"""WITH $LmCtesSql, $KnGlCteSql,
+       |ctx AS (SELECT w1, sum(c) AS c1,
+       |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS nn1,
+       |  sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS nn2,
+       |  sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS nn3 FROM bc GROUP BY 1),
+       |cont AS (SELECT w2, count(*) AS n1p FROM bc GROUP BY 1),
+       |v AS (SELECT count(*) AS v FROM (
+       |  SELECT w1 AS t FROM bc UNION SELECT w2 FROM bc))
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  round(sum(ln(CASE WHEN ctx.c1 IS NOT NULL
+       |    THEN (CASE WHEN coalesce(bc.c, 0) > 0
+       |      THEN greatest(bc.c - (CASE WHEN bc.c >= 3 THEN gl.d3
+       |        WHEN bc.c = 2 THEN gl.d2 ELSE gl.d1 END), 0.0) / ctx.c1
+       |      ELSE 0.0 END)
+       |      + (gl.d1 * ctx.nn1 + gl.d2 * ctx.nn2 + gl.d3 * ctx.nn3)
+       |        / ctx.c1
+       |      * ((coalesce(cont.n1p, 0) + 1.0)
+       |         / (gl.t_types + (SELECT v FROM v)))
+       |    ELSE (coalesce(cont.n1p, 0) + 1.0)
+       |         / (gl.t_types + (SELECT v FROM v)) END))
+       |    / count(*), 4) AS mean_lp_knm
+       |FROM bg LEFT JOIN bc USING (w1, w2) LEFT JOIN ctx USING (w1)
+       |  LEFT JOIN cont USING (w2), gl
+       |GROUP BY doc_id""".stripMargin.replaceAll("\\s+", " ")
+
   def knParamsOracleSql(discount: Double = 0.75): String =
     s"""WITH $LmCtesSql
        |SELECT w1, sum(c) AS c1, count(*) AS n1f,

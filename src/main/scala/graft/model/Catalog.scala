@@ -846,6 +846,21 @@ object Catalog {
     readImmutable(spark, path).select("vec_id", "proj")
   }
 
+  /** The MATERIALIZED HLL register sketch — (event_type, reg, mr): the
+    * distinct-user summary maintained at whatever cadence the deployment
+    * ingests (sketch_hll_stream is the live twin) and SERVED as a read of
+    * (types × 256) rows — the serving cadence never re-touches the event
+    * volume. Registers max-merge, so a rebuild and an incremental append
+    * fold to the same store. */
+  def hllStore(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "hll_regs")
+    materialize(path) {
+      graft.ml.Sketches.hllRegisters(events(spark, dir))
+        .repartition(1).sortWithinPartitions("event_type", "reg")
+    }
+    readImmutable(spark, path).select("event_type", "reg", "mr")
+  }
+
   /** The MATERIALIZED bigram language model — (w1, w2, c): the CCNet-tier
     * LM trained once per sf-dir (CorpusOps.lmBigramCounts), laid out by
     * w1 so the scoring join shuffles pre-grouped contexts. Perplexity

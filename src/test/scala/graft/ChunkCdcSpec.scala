@@ -105,4 +105,31 @@ class ChunkCdcSpec extends AnyFunSuite {
       assert(lam > 0.0 && lam <= 1.0, s"lambda out of range: $r")
     }
   }
+
+  test("modified KN: empty count classes zero their discounts (no NaN), " +
+    "scoring stays finite, and the alien doc still ranks below in-domain") {
+    val train = docs(Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick red fox jumps over the brown dog",
+      3L -> "the lazy brown dog sleeps under the quick fox"))
+    val lm = CorpusOps.lmBigramCounts(train)
+    // this tiny corpus has NO bigram with count 4 (g4 = 0 feeds d3) —
+    // exactly the degenerate class the CASE guards exist for
+    val d = CorpusOps.knDiscounts(lm).collect().head
+    for (i <- 5 until 9) { // y, d1, d2, d3
+      val v = d.getDouble(i)
+      assert(!v.isNaN && !v.isInfinite, s"non-finite discount col $i: $d")
+    }
+    val v = {
+      val rows = lm.collect()
+      (rows.map(_.getString(0)) ++ rows.map(_.getString(1))).distinct.length
+    }
+    val probe = docs(Seq(
+      10L -> "the quick brown fox jumps",
+      11L -> "zebra xylophone quantum entropy vortex"))
+    val got = CorpusOps.pplKnMod(probe, lm, v.toLong).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(10L) > got(11L), s"modified-KN ranking inverted: $got")
+    assert(got.values.forall(lp => lp < 0.0 && !lp.isNegInfinity), got)
+  }
 }
