@@ -157,16 +157,17 @@ object Sketches {
         (conv(substring(md5(concat(lit(s"cms$j:"), col("token"))), 1, 6),
           16, 10).cast("long") % CmsW).as("c"))
     }
-    val counters = toks
-      .select(explode(array(cells: _*)).as("rc"))
-      .groupBy(col("rc.j").as("j"), col("rc.c").as("c"))
-      .agg(count(lit(1)).as("cnt"))
+    // ONE corpus-shaped aggregation; the counter grid folds the
+    // VOCAB-sized freq table (sum of freq per cell == count of raw
+    // occurrences, exactly), so the 4x explode never touches corpus rows
     val freq = toks.groupBy("token").agg(count(lit(1)).as("freq"))
     val keys = freq.select(col("token"), col("freq"),
       explode(array(cells: _*)).as("rc"))
+      .select(col("token"), col("freq"),
+        col("rc.j").as("j"), col("rc.c").as("c"))
+    val counters = keys.groupBy("j", "c").agg(sum("freq").as("cnt"))
     keys
-      .join(counters, keys("rc.j") === counters("j") &&
-        keys("rc.c") === counters("c"))
+      .join(counters, Seq("j", "c"))
       .groupBy("token", "freq").agg(min("cnt").as("cms_est"))
       .orderBy(desc("freq"), asc("token"))
       .limit(topN)
