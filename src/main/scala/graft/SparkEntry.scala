@@ -991,6 +991,14 @@ object SparkEntry {
     // serving cadence never re-touches the event volume
     "sketch_hll_stored" -> ((s, dir) =>
       graft.ml.Sketches.hllFold(Catalog.hllStore(s, dir))),
+    // KMV set algebra: union/intersection/Jaccard of click-users vs
+    // high-value users estimated from the two min-k sketches alone
+    "sketch_kmv_setops" -> ((s, dir) => {
+      val ev = Catalog.events(s, dir)
+      graft.ml.Sketches.kmvSetOps(
+        ev.filter(col("event_type") === "click").select("user_id"),
+        ev.filter(col("value") >= 240).select("user_id"))
+    }),
     "decontaminate" -> ((s, dir) =>
       graft.ml.CorpusOps.decontaminate(Catalog.documents(s, dir), 25L, 3)),
     // per-suite contamination attribution: which eval suite leaks into the
@@ -2161,6 +2169,7 @@ object SparkEntry {
     // identical estimate, so the batch oracle IS the stream oracle
     "sketch_hll_stream" -> graft.ml.Sketches.hllOracleSql,
     "sketch_hll_stored" -> graft.ml.Sketches.hllOracleSql,
+    "sketch_kmv_setops" -> graft.ml.Sketches.kmvSetOpsOracleSql(240),
     "sketch_cms" -> graft.ml.Sketches.cmsOracleSql(40),
     "decontaminate" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),
     "decontaminate_report" ->

@@ -71,6 +71,63 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  /** KMV SET OPERATIONS (Beyer et al., SIGMOD 2007 §4): union size,
+    * intersection size, and Jaccard estimated from two per-set min-k
+    * sketches alone. min-k of the union is computable from the two kept
+    * sets (the merge law), the Jaccard estimator is the intersection
+    * fraction WITHIN the union's min-k, and the intersection estimate is
+    * the integer product ρ·|A∪B| — every step exact BIGINT arithmetic
+    * except the reported ρ itself. Per-set min-k uses orderBy+limit,
+    * which Spark executes as TakeOrdered (per-partition top-k, then a
+    * k-bounded merge — no single-partition window, no full sort), so
+    * each set contributes at most k rows to everything downstream. */
+  def kmvSetOps(usersA: DataFrame, usersB: DataFrame): DataFrame = {
+    def kept(u: DataFrame) = u
+      .select(hash48("kmv:", col("user_id")).as("h")).distinct()
+      .orderBy("h").limit(KmvK)
+    val ka = kept(usersA)
+    val kb = kept(usersB)
+    val uk = ka.unionByName(kb).distinct().orderBy("h").limit(KmvK)
+    uk.join(ka.select(col("h").as("ha")), col("h") === col("ha"), "left")
+      .join(kb.select(col("h").as("hb")), col("h") === col("hb"), "left")
+      .agg(count(lit(1)).as("n_kept"), max("h").as("kth_hash"),
+        sum(when(col("ha").isNotNull && col("hb").isNotNull, 1L)
+          .otherwise(0L)).as("inter_cnt"))
+      .withColumn("est_union",
+        when(col("n_kept") < KmvK, col("n_kept"))
+          .otherwise(expr(
+            s"CAST(${KmvK - 1} AS BIGINT) * 281474976710656 div kth_hash")))
+      .select(col("n_kept"), col("kth_hash"), col("inter_cnt"),
+        col("est_union"),
+        expr("inter_cnt * est_union div n_kept").as("est_intersection"),
+        round(col("inter_cnt") / col("n_kept"), 6).as("jaccard"))
+  }
+
+  /** Oracle for kmvSetOps over A = click users, B = high-value users. */
+  def kmvSetOpsOracleSql(minValueB: Int): String =
+    s"""WITH ha AS (SELECT DISTINCT
+       |    ('0x'||substr(md5('kmv:'||user_id),1,12))::BIGINT AS h
+       |    FROM events WHERE event_type = 'click'),
+       |  hb AS (SELECT DISTINCT
+       |    ('0x'||substr(md5('kmv:'||user_id),1,12))::BIGINT AS h
+       |    FROM events WHERE value >= $minValueB),
+       |  ka AS (SELECT h FROM ha ORDER BY h LIMIT $KmvK),
+       |  kb AS (SELECT h FROM hb ORDER BY h LIMIT $KmvK),
+       |  uk AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+       |    ORDER BY h LIMIT $KmvK),
+       |  agg AS (SELECT count(*) AS n_kept, max(h) AS kth_hash,
+       |    sum(CASE WHEN h IN (SELECT h FROM ka)
+       |          AND h IN (SELECT h FROM kb) THEN 1 ELSE 0 END) AS ic
+       |    FROM uk),
+       |  est AS (SELECT n_kept, kth_hash, CAST(ic AS BIGINT) AS inter_cnt,
+       |    CASE WHEN n_kept < $KmvK THEN n_kept
+       |         ELSE (${KmvK - 1} * 281474976710656) // kth_hash
+       |    END AS est_union FROM agg)
+       |SELECT n_kept, kth_hash, inter_cnt, est_union,
+       |  inter_cnt * est_union // n_kept AS est_intersection,
+       |  round(inter_cnt / n_kept, 6) AS jaccard
+       |FROM est""".stripMargin.replaceAll("\\s+", " ")
+
   def kmvOracleSql: String =
     s"""WITH d AS (SELECT DISTINCT event_type,
        |    ('0x'||substr(md5('kmv:'||user_id),1,12))::BIGINT AS h FROM events),

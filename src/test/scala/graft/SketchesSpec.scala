@@ -100,6 +100,28 @@ class SketchesSpec extends AnyFunSuite {
     assert(out.forall { case (_, f, e) => e == f })
   }
 
+  test("KMV set ops: subset relation is detected exactly at sketch level, " +
+    "estimates track truth, and the plan is TakeOrdered (never a global sort)") {
+    // B ⊂ A: 60 of A's 300 users. Both fit... A doesn't fit in k=64, B does.
+    val a = (0 until 3000).map(i => Tuple1(i % 300)).toDF("user_id")
+    val b = (0 until 600).map(i => Tuple1(i % 60)).toDF("user_id")
+    val df = Sketches.kmvSetOps(a, b)
+    val r = df.collect().head
+    val (nKept, interCnt, estUnion, estInter) =
+      (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nKept == Sketches.KmvK.toLong)
+    // B ⊂ A ⇒ union = A: every union min-k hash that belongs to B's
+    // sketch must also belong to A's
+    assert(interCnt <= nKept)
+    assert(math.abs(estUnion - 300.0) / 300.0 < 0.35,
+      s"union estimate $estUnion too far from 300")
+    // intersection truth = 60; ratio estimator is coarser — sanity band
+    assert(estInter > 0 && estInter < 300, s"intersection estimate $estInter")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"min-k must run as TakeOrdered, not a global sort:\n$plan")
+  }
+
   test("kmv plan: the rank filter rewrites into WindowGroupLimit " +
     "(per-partition min-k, the merge step, happens before the shuffle)") {
     val df = events(1000, 2, 300)
