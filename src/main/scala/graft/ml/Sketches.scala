@@ -85,13 +85,16 @@ object Sketches {
     def kept(u: DataFrame) = u
       .select(hash48("kmv:", col("user_id")).as("h")).distinct()
       .orderBy("h").limit(KmvK)
-    val ka = kept(usersA)
-    val kb = kept(usersB)
-    val uk = ka.unionByName(kb).distinct().orderBy("h").limit(KmvK)
-    uk.join(ka.select(col("h").as("ha")), col("h") === col("ha"), "left")
-      .join(kb.select(col("h").as("hb")), col("h") === col("hb"), "left")
-      .agg(count(lit(1)).as("n_kept"), max("h").as("kth_hash"),
-        sum(when(col("ha").isNotNull && col("hb").isNotNull, 1L)
+    // membership rides provenance flags through the union (max-merged per
+    // hash), so each slice is scanned exactly ONCE — no join back against
+    // the slice, the sketches themselves carry the set algebra
+    val ka = kept(usersA).select(col("h"), lit(1L).as("ina"), lit(0L).as("inb"))
+    val kb = kept(usersB).select(col("h"), lit(0L).as("ina"), lit(1L).as("inb"))
+    val uk = ka.unionByName(kb)
+      .groupBy("h").agg(max("ina").as("ina"), max("inb").as("inb"))
+      .orderBy("h").limit(KmvK)
+    uk.agg(count(lit(1)).as("n_kept"), max("h").as("kth_hash"),
+        sum(when(col("ina") === 1 && col("inb") === 1, 1L)
           .otherwise(0L)).as("inter_cnt"))
       .withColumn("est_union",
         when(col("n_kept") < KmvK, col("n_kept"))
