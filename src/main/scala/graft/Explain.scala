@@ -15,7 +15,9 @@ object Explain {
         "emb_topk_filtered_batch", "rrf_stored_filtered_batch",
         "ann_masked_serve", "emb_topk_adaptive", "rrf_stored_masked",
         "dsir_stored", "quality_stored", "sample_pareto", "pipeline_curate",
-        "mixture_token_budget", "sample_domain_cap")
+        "mixture_token_budget", "sample_domain_cap",
+        "sketch_kmv", "sketch_kmv_setops", "sketch_hll_stored",
+        "sketch_cms", "ppl_kn_mod", "pipeline_release")
     val spark = GraftSession.local()
     for (n <- names) {
       println(s"\n========== $n ==========")

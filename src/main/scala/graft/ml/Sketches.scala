@@ -217,9 +217,12 @@ object Sketches {
         (conv(substring(md5(concat(lit(s"cms$j:"), col("token"))), 1, 6),
           16, 10).cast("long") % CmsW).as("c"))
     }
-    // ONE corpus-shaped aggregation; the counter grid folds the
-    // VOCAB-sized freq table (sum of freq per cell == count of raw
-    // occurrences, exactly), so the 4x explode never touches corpus rows
+    // the counter grid folds the VOCAB-sized freq table (sum of freq per
+    // cell == count of raw occurrences, exactly), so the 4x explode never
+    // touches corpus rows. The freq aggregation is re-evaluated on the
+    // join's build side when exchange reuse doesn't fire — the same
+    // documented second-scan trade as bm25_topk_batch; a deployment
+    // serving CMS repeatedly stores freq as a sidecar and pays neither
     val freq = toks.groupBy("token").agg(count(lit(1)).as("freq"))
     val keys = freq.select(col("token"), col("freq"),
       explode(array(cells: _*)).as("rc"))
