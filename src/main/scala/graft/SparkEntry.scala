@@ -991,6 +991,10 @@ object SparkEntry {
     // serving cadence never re-touches the event volume
     "sketch_hll_stored" -> ((s, dir) =>
       graft.ml.Sketches.hllFold(Catalog.hllStore(s, dir))),
+    // the ann_recall pattern for sketches: exact vs KMV vs HLL with both
+    // relative errors, driver-checked
+    "sketch_error_gate" -> ((s, dir) =>
+      graft.ml.Sketches.errorGate(Catalog.events(s, dir))),
     // KMV set algebra: union/intersection/Jaccard of click-users vs
     // high-value users estimated from the two min-k sketches alone
     "sketch_kmv_setops" -> ((s, dir) => {
@@ -2170,6 +2174,7 @@ object SparkEntry {
     "sketch_hll_stream" -> graft.ml.Sketches.hllOracleSql,
     "sketch_hll_stored" -> graft.ml.Sketches.hllOracleSql,
     "sketch_kmv_setops" -> graft.ml.Sketches.kmvSetOpsOracleSql(240),
+    "sketch_error_gate" -> graft.ml.Sketches.errorGateOracleSql,
     "sketch_cms" -> graft.ml.Sketches.cmsOracleSql(40),
     "decontaminate" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),
     "decontaminate_report" ->

@@ -204,6 +204,41 @@ object Sketches {
        |FROM a""".stripMargin
       .replaceAll("\\s+", " ")
 
+  /** The sketch-accuracy gate — the ann_recall pattern applied to
+    * cardinality sketches: exact distinct, KMV estimate, HLL estimate,
+    * and both relative errors side by side, per group, as a
+    * driver-checked entry. The exact side is the expensive path the
+    * sketches exist to replace; keeping it in the gate (only) is what
+    * makes the error claim auditable. */
+  def errorGate(events: DataFrame): DataFrame = {
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_n"))
+    val kmv = kmvDistinct(events)
+      .select(col("event_type"), col("est_distinct").as("kmv_est"))
+    val hll = hllDistinct(events)
+      .select(col("event_type"), col("est_distinct").as("hll_est"))
+    exact.join(kmv, Seq("event_type")).join(hll, Seq("event_type"))
+      .select(col("event_type"), col("exact_n"), col("kmv_est"),
+        round(abs(col("kmv_est") - col("exact_n")) / col("exact_n"), 4)
+          .as("kmv_err"),
+        col("hll_est"),
+        round(abs(col("hll_est") - col("exact_n")) / col("exact_n"), 4)
+          .as("hll_err"))
+  }
+
+  def errorGateOracleSql: String =
+    s"""WITH k AS ($kmvOracleSql), h AS ($hllOracleSql),
+       |e AS (SELECT event_type, count(DISTINCT user_id) AS exact_n
+       |      FROM events GROUP BY 1)
+       |SELECT e.event_type AS event_type, e.exact_n,
+       |  k.est_distinct AS kmv_est,
+       |  round(abs(k.est_distinct - e.exact_n) / e.exact_n, 4) AS kmv_err,
+       |  h.est_distinct AS hll_est,
+       |  round(abs(h.est_distinct - e.exact_n) / e.exact_n, 4) AS hll_err
+       |FROM e JOIN k ON e.event_type = k.event_type
+       |  JOIN h ON e.event_type = h.event_type""".stripMargin
+      .replaceAll("\\s+", " ")
+
   /** Heavy hitters with a count-min frequency audit: the top 40 corpus
     * tokens with their exact frequency next to the CMS point estimate
     * (est >= freq always; equality when the token's d counters saw no

@@ -100,6 +100,18 @@ class SketchesSpec extends AnyFunSuite {
     assert(out.forall { case (_, f, e) => e == f })
   }
 
+  test("error gate: KMV within 35% and HLL within 20% of exact on a " +
+    "400-distinct-per-type fixture (the sketch-tier recall-gate floor)") {
+    val df = events(6000, 2, 800) // interleaving → 400 distinct per type
+    val rows = Sketches.errorGate(df).collect()
+    assert(rows.length == 2)
+    for (r <- rows) {
+      assert(r.getLong(1) == 400L, s"fixture drifted: $r")
+      assert(r.getDouble(3) < 0.35, s"KMV error too high: $r")
+      assert(r.getDouble(5) < 0.20, s"HLL error too high: $r")
+    }
+  }
+
   test("KMV set ops: subset relation is detected exactly at sketch level, " +
     "estimates track truth, and the plan is TakeOrdered (never a global sort)") {
     // B ⊂ A: 60 of A's 300 users. Both fit... A doesn't fit in k=64, B does.
