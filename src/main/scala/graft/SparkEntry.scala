@@ -995,6 +995,11 @@ object SparkEntry {
     // relative errors, driver-checked
     "sketch_error_gate" -> ((s, dir) =>
       graft.ml.Sketches.errorGate(Catalog.events(s, dir))),
+    // time-windowed sketch: distinct users per day from daily register
+    // rows (max-merge any window range at serve; contrast the exact
+    // rolling distinct ev_active_users pays)
+    "sketch_hll_daily" -> ((s, dir) =>
+      graft.ml.Sketches.hllDaily(Catalog.events(s, dir))),
     // KMV set algebra: union/intersection/Jaccard of click-users vs
     // high-value users estimated from the two min-k sketches alone
     "sketch_kmv_setops" -> ((s, dir) => {
@@ -2175,6 +2180,7 @@ object SparkEntry {
     "sketch_hll_stored" -> graft.ml.Sketches.hllOracleSql,
     "sketch_kmv_setops" -> graft.ml.Sketches.kmvSetOpsOracleSql(240),
     "sketch_error_gate" -> graft.ml.Sketches.errorGateOracleSql,
+    "sketch_hll_daily" -> graft.ml.Sketches.hllDailyOracleSql,
     "sketch_cms" -> graft.ml.Sketches.cmsOracleSql(40),
     "decontaminate" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),
     "decontaminate_report" ->

@@ -154,33 +154,72 @@ object Sketches {
     * round-4 mask. Small-range (linear counting) correction included, and
     * the branch condition is computed from exact inputs, so both engines
     * take the same branch. */
-  /** The sketch proper: max rho per (group, register). Mergeable by
-    * construction — max-merging two register frames is the HLL union. */
-  def hllRegisters(events: DataFrame): DataFrame = {
+  /** The sketch proper: max rho per (group, register), for an arbitrary
+    * group key. Mergeable by construction — max-merging two register
+    * frames is the HLL union. */
+  def hllRegistersKeyed(events: DataFrame, keys: Seq[String]): DataFrame = {
     val hx = md5(concat(lit("hll:"), col("user_id").cast("string")))
     val reg = conv(substring(hx, 1, 2), 16, 10).cast("int")
     val w = conv(substring(hx, 3, 10), 16, 10).cast("long")
     val rho = when(w === 0, lit(41)).otherwise(lit(41) - length(bin(w)))
     events
-      .select(col("event_type"), reg.as("reg"), rho.as("rho"))
-      .groupBy("event_type", "reg").agg(max("rho").as("mr"))
+      .select(keys.map(col) :+ reg.as("reg") :+ rho.as("rho"): _*)
+      .groupBy((keys :+ "reg").map(col): _*).agg(max("rho").as("mr"))
   }
 
+  def hllRegisters(events: DataFrame): DataFrame =
+    hllRegistersKeyed(events, Seq("event_type"))
+
   /** Harmonic fold + linear-counting correction over a register frame. */
-  def hllFold(regs: DataFrame): DataFrame = {
+  def hllFoldKeyed(regs: DataFrame, keys: Seq[String]): DataFrame = {
     val raw = lit(HllAlphaM2) / col("sinv")
     regs
-      .groupBy("event_type")
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).cast("int").as("present"),
         (lit(HllM) - count(lit(1)) +
           sum(pow(lit(2.0), -col("mr")))).as("sinv"))
-      .select(col("event_type"), col("present"),
+      .select(keys.map(col) :+ col("present") :+
         round(
           when(raw <= lit(2.5 * HllM) && col("present") < HllM,
             lit(HllM.toDouble) * log(lit(HllM.toDouble) /
               (lit(HllM) - col("present"))))
-            .otherwise(raw), 4).as("est_distinct"))
+            .otherwise(raw), 4).as("est_distinct"): _*)
   }
+
+  def hllFold(regs: DataFrame): DataFrame =
+    hllFoldKeyed(regs, Seq("event_type"))
+
+  /** Distinct users per DAY estimated from daily register sketches — the
+    * time-windowed composition (a deployment keeps one 256-register row
+    * set per (window, key) and answers any distinct-users-over-time
+    * question by max-merging the windows it needs; contrast
+    * ev_active_users, which pays the exact rolling distinct). */
+  def hllDaily(events: DataFrame): DataFrame =
+    hllFoldKeyed(
+      hllRegistersKeyed(
+        events.withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+        Seq("day")),
+      Seq("day"))
+
+  def hllDailyOracleSql: String =
+    s"""WITH h AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+       |    ('0x'||substr(md5('hll:'||user_id),1,2))::BIGINT AS reg,
+       |    ('0x'||substr(md5('hll:'||user_id),3,10))::BIGINT AS w
+       |    FROM events),
+       |  r AS (SELECT day, reg,
+       |    max(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS mr
+       |    FROM h GROUP BY 1, 2),
+       |  a AS (SELECT day, CAST(count(*) AS INTEGER) AS present,
+       |    $HllM - count(*) + sum(power(2.0::DOUBLE, -mr)) AS sinv
+       |    FROM r GROUP BY 1)
+       |SELECT day, present,
+       |  round(CASE WHEN ${HllAlphaM2}::DOUBLE / sinv <= ${2.5 * HllM}::DOUBLE
+       |               AND present < $HllM
+       |         THEN ${HllM.toDouble}::DOUBLE
+       |              * ln(${HllM.toDouble}::DOUBLE / ($HllM - present))
+       |         ELSE ${HllAlphaM2}::DOUBLE / sinv END, 4) AS est_distinct
+       |FROM a""".stripMargin
+      .replaceAll("\\s+", " ")
 
   def hllDistinct(events: DataFrame): DataFrame =
     hllFold(hllRegisters(events))
