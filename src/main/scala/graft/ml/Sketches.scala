@@ -142,21 +142,12 @@ object Sketches {
        |FROM r WHERE rn <= $KmvK GROUP BY 1""".stripMargin
       .replaceAll("\\s+", " ")
 
-  /** Distinct users per event_type via HyperLogLog (p = 8).
-    *
-    * Register index = first 2 md5 hex chars; rho = leading-zero count of the
-    * next 40 bits + 1, computed as 41 - bit_length via `bin()` (minimal-width
-    * binary string in BOTH engines). Two aggregations: max rho per (group,
-    * register) — the HLL merge law, so partial aggregation IS sketch merge —
-    * then the harmonic fold. Every 2^-rho term is an exact power of two with
-    * granularity >= 2^-41, so the 256-term sum is EXACT in doubles
-    * regardless of accumulation order; only the final ln/divide needs the
-    * round-4 mask. Small-range (linear counting) correction included, and
-    * the branch condition is computed from exact inputs, so both engines
-    * take the same branch. */
-  /** The sketch proper: max rho per (group, register), for an arbitrary
-    * group key. Mergeable by construction — max-merging two register
-    * frames is the HLL union. */
+  /** HyperLogLog registers (p = 8) for an arbitrary group key: max rho per
+    * (group, register). Mergeable by construction — max-merging two
+    * register frames is the HLL union, so partial aggregation IS sketch
+    * merge. Register index = first 2 md5 hex chars; rho = leading-zero
+    * count of the next 40 bits + 1, computed as 41 - bit_length via
+    * `bin()` (minimal-width binary string in BOTH engines). */
   def hllRegistersKeyed(events: DataFrame, keys: Seq[String]): DataFrame = {
     val hx = md5(concat(lit("hll:"), col("user_id").cast("string")))
     val reg = conv(substring(hx, 1, 2), 16, 10).cast("int")
@@ -170,7 +161,12 @@ object Sketches {
   def hllRegisters(events: DataFrame): DataFrame =
     hllRegistersKeyed(events, Seq("event_type"))
 
-  /** Harmonic fold + linear-counting correction over a register frame. */
+  /** Harmonic fold + linear-counting correction over a register frame.
+    * Every 2^-rho term is an exact power of two with granularity >= 2^-41,
+    * so the 256-term sum is EXACT in doubles regardless of accumulation
+    * order; only the final ln/divide needs the round-4 mask, and the
+    * small-range branch condition is computed from exact inputs, so both
+    * engines take the same branch. */
   def hllFoldKeyed(regs: DataFrame, keys: Seq[String]): DataFrame = {
     val raw = lit(HllAlphaM2) / col("sinv")
     regs
