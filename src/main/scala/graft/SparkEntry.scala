@@ -1000,6 +1000,10 @@ object SparkEntry {
     // rolling distinct ev_active_users pays)
     "sketch_hll_daily" -> ((s, dir) =>
       graft.ml.Sketches.hllDaily(Catalog.events(s, dir))),
+    // rolling 7-day distinct via daily-register max-merge — the sketch
+    // twin of ev_active_users: calendar-sized shuffle, not audience-sized
+    "sketch_hll_rolling" -> ((s, dir) =>
+      graft.ml.Sketches.hllRolling(Catalog.events(s, dir))),
     // KMV set algebra: union/intersection/Jaccard of click-users vs
     // high-value users estimated from the two min-k sketches alone
     "sketch_kmv_setops" -> ((s, dir) => {
@@ -2181,6 +2185,7 @@ object SparkEntry {
     "sketch_kmv_setops" -> graft.ml.Sketches.kmvSetOpsOracleSql(240),
     "sketch_error_gate" -> graft.ml.Sketches.errorGateOracleSql,
     "sketch_hll_daily" -> graft.ml.Sketches.hllDailyOracleSql,
+    "sketch_hll_rolling" -> graft.ml.Sketches.hllRollingOracleSql(),
     "sketch_cms" -> graft.ml.Sketches.cmsOracleSql(40),
     "decontaminate" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),
     "decontaminate_report" ->

@@ -217,6 +217,58 @@ object Sketches {
        |FROM a""".stripMargin
       .replaceAll("\\s+", " ")
 
+  /** Rolling `days`-day distinct users from the DAILY register sketches —
+    * the sketch answer to the exact question rollingActiveUsers pays for
+    * (same dense-grid window semantics: every day in [min, max], trailing
+    * window, zero-filled gaps). The exact rewrite explodes |user-day| ×
+    * days rows; this explodes |day × <=256 registers| × days — the
+    * shuffle is calendar-sized, not audience-sized, which is the entire
+    * reason a 100 TB deployment keeps daily sketch rows. */
+  def hllRolling(events: DataFrame, days: Int = 7): DataFrame = {
+    val regs = hllRegistersKeyed(
+      events.withColumn("day", unix_date(to_date(col("ts"))).cast("long")),
+      Seq("day"))
+    val grid = regs.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val merged = regs
+      .select(col("reg"), col("mr"),
+        explode(sequence(col("day"), col("day") + (days - 1))).as("d"))
+      .groupBy("d", "reg").agg(max("mr").as("mr"))
+    hllFoldKeyed(merged, Seq("d"))
+      .join(grid, Seq("d"), "right")
+      .select(col("d"), coalesce(col("present"), lit(0)).as("present"),
+        coalesce(col("est_distinct"), lit(0.0)).as("est_distinct"))
+  }
+
+  def hllRollingOracleSql(days: Int = 7): String =
+    s"""WITH h AS (SELECT
+       |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+       |    ('0x'||substr(md5('hll:'||user_id),1,2))::BIGINT AS reg,
+       |    ('0x'||substr(md5('hll:'||user_id),3,10))::BIGINT AS w
+       |    FROM events),
+       |  r AS (SELECT day, reg,
+       |    max(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS mr
+       |    FROM h GROUP BY 1, 2),
+       |  x AS (SELECT u.d, reg, max(mr) AS mr FROM r,
+       |    unnest(generate_series(day, day + ${days - 1})) AS u(d)
+       |    GROUP BY 1, 2),
+       |  a AS (SELECT d, CAST(count(*) AS INTEGER) AS present,
+       |    $HllM - count(*) + sum(power(2.0::DOUBLE, -mr)) AS sinv
+       |    FROM x GROUP BY 1),
+       |  f AS (SELECT d, present,
+       |    round(CASE WHEN ${HllAlphaM2}::DOUBLE / sinv
+       |                 <= ${2.5 * HllM}::DOUBLE AND present < $HllM
+       |           THEN ${HllM.toDouble}::DOUBLE
+       |                * ln(${HllM.toDouble}::DOUBLE / ($HllM - present))
+       |           ELSE ${HllAlphaM2}::DOUBLE / sinv END, 4) AS est_distinct
+       |    FROM a),
+       |  grid AS (SELECT unnest(generate_series(lo, hi)) AS d
+       |    FROM (SELECT min(day) AS lo, max(day) AS hi FROM r))
+       |SELECT grid.d AS d, coalesce(f.present, 0) AS present,
+       |  coalesce(f.est_distinct, 0.0) AS est_distinct
+       |FROM grid LEFT JOIN f ON grid.d = f.d""".stripMargin
+      .replaceAll("\\s+", " ")
+
   def hllDistinct(events: DataFrame): DataFrame =
     hllFold(hllRegisters(events))
 

@@ -112,6 +112,28 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling HLL tracks the exact rolling distinct on the same dense " +
+    "grid: identical day span, zero-fill agreement, error within 20%") {
+    import java.sql.Timestamp
+    val rows = (0 until 2000).map { i =>
+      val day = i % 10
+      // days 0-9, user pool rotates so windows overlap partially
+      (new Timestamp(86400000L * day + 3600000L), (i * 13) % 500)
+    }.toDF("ts", "user_id")
+    val exact = graft.operators.EventAnalytics
+      .rollingActiveUsers(rows, 7).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = Sketches.hllRolling(rows, 7).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(est.map(_._1).toSet == exact.keySet,
+      "sketch and exact must cover the identical dense day grid")
+    for ((d, _, e) <- est) {
+      val t = exact(d)
+      if (t == 0L) assert(e == 0.0, s"day $d: zero-fill diverged")
+      else assert(math.abs(e - t) / t < 0.20, s"day $d: est $e vs exact $t")
+    }
+  }
+
   test("KMV set ops: subset relation is detected exactly at sketch level, " +
     "estimates track truth, and the plan is TakeOrdered (never a global sort)") {
     // B ⊂ A: 60 of A's 300 users. Both fit... A doesn't fit in k=64, B does.
