@@ -1004,6 +1004,11 @@ object SparkEntry {
     // twin of ev_active_users: calendar-sized shuffle, not audience-sized
     "sketch_hll_rolling" -> ((s, dir) =>
       graft.ml.Sketches.hllRolling(Catalog.events(s, dir))),
+    // CMS ingest end: counters folded from the document stream (bounded
+    // sum-typed state), served by the same heavy-hitter join
+    "sketch_cms_stream" -> ((s, dir) =>
+      graft.ml.Sketches.cmsHeavyHittersFrom(Catalog.documents(s, dir),
+        graft.streaming.DocumentsIngest.cmsCountersOnce(s, dir), 40)),
     // KMV set algebra: union/intersection/Jaccard of click-users vs
     // high-value users estimated from the two min-k sketches alone
     "sketch_kmv_setops" -> ((s, dir) => {
@@ -2186,6 +2191,9 @@ object SparkEntry {
     "sketch_error_gate" -> graft.ml.Sketches.errorGateOracleSql,
     "sketch_hll_daily" -> graft.ml.Sketches.hllDailyOracleSql,
     "sketch_hll_rolling" -> graft.ml.Sketches.hllRollingOracleSql(),
+    // stream == batch by construction: the streamed counter grid sums to
+    // the identical cells, so the batch oracle IS the stream oracle
+    "sketch_cms_stream" -> graft.ml.Sketches.cmsOracleSql(40),
     "sketch_cms" -> graft.ml.Sketches.cmsOracleSql(40),
     "decontaminate" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),
     "decontaminate_report" ->

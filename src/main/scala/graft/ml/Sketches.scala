@@ -332,13 +332,40 @@ object Sketches {
     * collisions). Counter build = one exploded aggregation of (row, col)
     * scalars — 2048 cells total, mergeable by plain summation; the point
     * query is a d-row equi-join against those cells followed by a min. */
+  private def cmsCellExprs = (0 until CmsD).map { j =>
+    struct(lit(j).as("j"),
+      (conv(substring(md5(concat(lit(s"cms$j:"), col("token"))), 1, 6),
+        16, 10).cast("long") % CmsW).as("c"))
+  }
+
+  /** Counter grid from RAW token occurrences — the streaming build shape
+    * (sum-typed state, bounded at d×w = 2048 rows however much text flows
+    * through; contrast the HLL registers' max-typed state). Values are
+    * identical to the freq-folded batch build. */
+  def cmsCells(toks: DataFrame): DataFrame =
+    toks.select(explode(array(cmsCellExprs: _*)).as("rc"))
+      .groupBy(col("rc.j").as("j"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Heavy-hitter report against an EXTERNALLY-maintained counter grid
+    * (e.g. the streamed one) — the serve end of the CMS lifecycle. */
+  def cmsHeavyHittersFrom(docs: DataFrame, counters: DataFrame,
+      topN: Int): DataFrame = {
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+    val keys = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      .select(col("token"), col("freq"),
+        explode(array(cmsCellExprs: _*)).as("rc"))
+      .select(col("token"), col("freq"),
+        col("rc.j").as("j"), col("rc.c").as("c"))
+    keys.join(counters, Seq("j", "c"))
+      .groupBy("token", "freq").agg(min("cnt").as("cms_est"))
+      .orderBy(desc("freq"), asc("token"))
+      .limit(topN)
+  }
+
   def cmsHeavyHitters(docs: DataFrame, topN: Int = 40): DataFrame = {
     val toks = docs.select(explode(split(col("text"), " ")).as("token"))
-    val cells = (0 until CmsD).map { j =>
-      struct(lit(j).as("j"),
-        (conv(substring(md5(concat(lit(s"cms$j:"), col("token"))), 1, 6),
-          16, 10).cast("long") % CmsW).as("c"))
-    }
+    val cells = cmsCellExprs
     // the counter grid folds the VOCAB-sized freq table (sum of freq per
     // cell == count of raw occurrences, exactly), so the 4x explode never
     // touches corpus rows. The freq aggregation is re-evaluated on the

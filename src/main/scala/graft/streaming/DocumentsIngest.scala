@@ -194,6 +194,19 @@ object DocumentsIngest {
         graft.ml.Retrieval.metaRows(stream(spark, dir)))
     }
 
+  /** Streamed count-min counter grid: token occurrences from newly
+    * ingested documents fold into the d×w cell sums — bounded sum-typed
+    * streaming state (2048 rows however much text flows), the CMS
+    * lifecycle's ingest end. Complete-mode one-shot; the serve end
+    * (Sketches.cmsHeavyHittersFrom) joins this grid. */
+  def cmsCountersOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:cmscells:$dir") {
+      Sinks.memoryCompleteOnce(spark, "graft_stream_cms",
+        graft.ml.Sketches.cmsCells(stream(spark, dir).select(
+          org.apache.spark.sql.functions.expr(
+            "explode(split(text, ' '))").as("token"))))
+    }
+
   /** Incremental maintenance of the selection-score sidecar
     * (Catalog.docScores): new documents stream through the SAME stateless
     * scoring projection the batch store build uses (Selection.scoreRows —

@@ -48,4 +48,21 @@ object Sinks {
     graft.util.Caches.trackSinkTable(spark, name)
     spark.table(name)
   }
+
+  /** Complete-mode one-shot for streaming AGGREGATIONS whose state is
+    * bounded by construction (sketch grids, register sets) — append mode
+    * would never emit rows that keep updating. */
+  def memoryCompleteOnce(spark: SparkSession, prefix: String,
+      rows: DataFrame): DataFrame = {
+    val name = s"${prefix}_${runId.incrementAndGet()}"
+    val q = rows.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.util.Caches.trackSinkTable(spark, name)
+    spark.table(name)
+  }
 }
