@@ -16,6 +16,20 @@ for f in glob.glob(f"{sfdir}/*.parquet"):
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+# Type gate (round-17 postmortem): normalize() below erases dtype
+# differences, but the DRIVER's hasher serializes raw representations —
+# DuckDB widens sum(BIGINT) to HUGEINT (pandas: object), which hash-diverges
+# from Spark's int64 even when every value agrees. DESCRIBE each oracle and
+# fail on the types the driver serializes differently, so the local gate
+# sees what the driver's gate sees. Convention: CAST integer aggregates to
+# BIGINT and fractional literals to DOUBLE in the oracle SQL.
+BAD_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+def bad_oracle_types(sql):
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [(col, typ) for col, typ, *_ in desc
+            if any(b in typ.upper() for b in BAD_TYPES)]
+
 def normalize(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -36,6 +50,11 @@ for name in sorted(oracle):
         fails.append((name, "no spark result written"))
         continue
     try:
+        bad = bad_oracle_types(oracle[name])
+        if bad:
+            fails.append((name, f"oracle type (driver hash-diverges): " +
+                ", ".join(f"{c} is {t}" for c, t in bad)))
+            continue
         got = normalize(pd.read_parquet(res_path))
         want = normalize(con.execute(oracle[name]).df())
     except Exception as e:

@@ -17,7 +17,8 @@ object Explain {
         "dsir_stored", "quality_stored", "sample_pareto", "pipeline_curate",
         "mixture_token_budget", "sample_domain_cap",
         "sketch_kmv", "sketch_kmv_setops", "sketch_hll_stored",
-        "sketch_cms", "ppl_kn_mod", "pipeline_release")
+        "sketch_cms", "ppl_kn_mod", "pipeline_release",
+        "chunk_cdc", "dedup_cdc")
     val spark = GraftSession.local()
     for (n <- names) {
       println(s"\n========== $n ==========")

@@ -910,9 +910,20 @@ object SparkEntry {
     "export_manifest" -> ((s, dir) =>
       graft.ml.CorpusOps.exportManifest(Catalog.documents(s, dir), 8, 4)),
     // content-defined chunking (rolling-hash boundaries) — insertions
-    // re-chunk only up to the next surviving boundary, unlike chunk_docs
-    "chunk_cdc" -> ((s, dir) =>
-      graft.ml.CorpusOps.chunkCdc(Catalog.documents(s, dir))),
+    // re-chunk only up to the next surviving boundary, unlike chunk_docs;
+    // served from the materialized sidecar (the corpus text is tokenized
+    // once, at store build — VERDICT r17 #3)
+    "chunk_cdc" -> ((s, dir) => Catalog.cdcChunks(s, dir)),
+    // incremental sidecar maintenance: new documents stream through the
+    // SAME stateless chunk projection the batch build uses
+    "cdc_stream_index" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.cdcChunksOnce(s, dir)),
+    // generation compaction of the streamed chunk store (span_compact
+    // twin): small per-batch files folded into one doc-sorted generation
+    // behind the flipped manifest
+    "cdc_compact" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.compactedCdcChunksOnce(s, dir,
+        Catalog.scratch(dir, "cdc_compact"))),
     // the END-TO-END release: clean (dedup+lang+quality) ∩ not-blocklisted
     // ∩ train split → LPT layout → the shipped manifest, one composed plan
     "pipeline_release" -> ((s, dir) => {
@@ -1311,9 +1322,11 @@ object SparkEntry {
     "mm_stream_audio" -> ((s, dir) =>
       graft.streaming.DocumentsIngest.audioOnce(s, dir)),
     // storage-dedup rate over content-defined chunks: per-source chunk
-    // instances vs distinct fingerprints
+    // instances vs distinct fingerprints — reads the stored sidecar plus
+    // the (doc_id, source) projection; never re-chunks the text
     "dedup_cdc" -> ((s, dir) =>
-      graft.ml.CorpusOps.dedupCdcReport(Catalog.documents(s, dir))),
+      graft.ml.CorpusOps.dedupCdcReportFrom(Catalog.cdcChunks(s, dir),
+        Catalog.documents(s, dir))),
     "emb_topk" -> ((s, dir) => {
       // exact brute-force baseline; graft_dot is the codegen'd native
       // Expression (expressions.DotProduct) — float arrays in, double out
@@ -1649,8 +1662,11 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "s1_keyword_leaf" -> s"$IDX SELECT off, score FROM idx WHERE key = 'price'",
-    "s2_key_lookup" -> s"$SUMM SELECT off, 0.0 AS score FROM summ WHERE key = 'order:42'",
-    "s3_prefix_scan" -> (s"$IDX SELECT DISTINCT off, 0.0 AS score FROM idx " +
+    // CAST(0.0 AS DOUBLE): a bare 0.0 literal is DECIMAL(2,1) in DuckDB —
+    // the driver's hasher serializes it differently than Spark's DoubleType
+    // (the HUGEINT lesson of r17, same convention: match types, not values)
+    "s2_key_lookup" -> s"$SUMM SELECT off, CAST(0.0 AS DOUBLE) AS score FROM summ WHERE key = 'order:42'",
+    "s3_prefix_scan" -> (s"$IDX SELECT DISTINCT off, CAST(0.0 AS DOUBLE) AS score FROM idx " +
       "WHERE key LIKE 'priority:%' AND lower(key) LIKE '%high%'"),
     "s5_summary_fetch" -> (s"""$IDX, summ AS (
         SELECT o_orderkey AS off, 'order:' || o_orderkey AS key,
@@ -1746,7 +1762,7 @@ object SparkEntry {
       pg AS (SELECT off FROM flt ORDER BY score DESC, off LIMIT 30)
       SELECT s.key AS key FROM pg JOIN summ s ON s.off = pg.off""".replaceAll("\\s+", " ")),
     "ql_in_prefix" -> (s"""$IDX,
-      d AS (SELECT DISTINCT off, 0.0 AS score FROM idx
+      d AS (SELECT DISTINCT off, CAST(0.0 AS DOUBLE) AS score FROM idx
             WHERE key LIKE 'priority%' AND lower(key) LIKE '%urgent%')
       SELECT off, score FROM d ORDER BY score DESC, off""".replaceAll("\\s+", " ")),
     "ql_dockey_or" -> (s"""$IDX, $SUMMC,
@@ -1759,7 +1775,7 @@ object SparkEntry {
     // constants — "see"/"and" are valid-but-unmatched names, www. strips,
     // "x" is too short (query.cc:128-134,246-278).
     "ql_cas_expand" -> (s"""$IDX,
-      d AS (SELECT DISTINCT off, 0.0 AS score FROM idx WHERE key IN
+      d AS (SELECT DISTINCT off, CAST(0.0 AS DOUBLE) AS score FROM idx WHERE key IN
         ('name:see', 'name:and', 'name:order7.com', 'name:order32.com',
          'name:order33.com', 'name:order129.com', 'name:order9999999.com'))
       SELECT off, score FROM d""".replaceAll("\\s+", " ")),
@@ -2156,7 +2172,8 @@ object SparkEntry {
     "pack_lpt_stats" -> graft.ml.CorpusOps.packLptStatsOracleSql(8, 4),
     "export_manifest" -> graft.ml.CorpusOps.exportManifestOracleSql(8, 4),
     "pipeline_release" -> {
-      val bl = BlockWords.map(w => s"'$w'").mkString("[", ", ", "]")
+      val bl = BlockWords.map(w => s"'${w.replace("'", "''")}'")
+        .mkString("[", ", ", "]")
       s"""WITH cc AS (${graft.ml.TextAnalysis.cleanCorpusSql(0.5, "en")}),
          |rel AS (SELECT documents.* FROM documents
          |  JOIN (SELECT doc_id FROM cc) c USING (doc_id)
@@ -2166,6 +2183,10 @@ object SparkEntry {
         .stripMargin.replaceAll("\\s+", " ")
     },
     "chunk_cdc" -> graft.ml.CorpusOps.chunkCdcOracleSql(),
+    // stream == batch by construction (stateless projection), and the
+    // compacted generation must read back identically: one oracle
+    "cdc_stream_index" -> graft.ml.CorpusOps.chunkCdcOracleSql(),
+    "cdc_compact" -> graft.ml.CorpusOps.chunkCdcOracleSql(),
     "dedup_cdc" -> graft.ml.CorpusOps.dedupCdcReportOracleSql(),
     "lm_train" -> graft.ml.CorpusOps.lmTrainOracleSql,
     "ppl_bigram" -> graft.ml.CorpusOps.pplBigramOracleSql,

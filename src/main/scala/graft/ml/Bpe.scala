@@ -196,7 +196,7 @@ object Bpe {
 
   def vocabOracleSql(rounds: Int = Rounds): String =
     s"""WITH ${roundCtes(rounds)}
-       |SELECT token, sum(n) AS freq FROM (
+       |SELECT token, CAST(sum(n) AS BIGINT) AS freq FROM (
        |  SELECT n, unnest(string_split(toks, chr(1))) AS token FROM s$rounds)
        |GROUP BY token""".stripMargin.replaceAll("\\s+", " ")
 
@@ -207,7 +207,7 @@ object Bpe {
     * folded state sR. */
   private def roundCtes(rounds: Int): String = {
     val per = (1 to rounds).map { r =>
-      s"""p$r AS (SELECT pair, sum(n) AS pn FROM (
+      s"""p$r AS (SELECT pair, CAST(sum(n) AS BIGINT) AS pn FROM (
          |  SELECT n, unnest(list_transform(range(1, len(t)),
          |    i -> t[i] || chr(2) || t[i+1])) AS pair
          |  FROM (SELECT n, string_split(toks, chr(1)) AS t FROM s${r - 1}))
@@ -253,7 +253,7 @@ object Bpe {
     s"""WITH ${roundCtes(rounds)},
        |ws AS (SELECT word, len(string_split(toks, chr(1))) AS n_sub
        |  FROM s$rounds)
-       |SELECT doc_id, sum(n_sub) AS n_tok_bpe FROM (
+       |SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_tok_bpe FROM (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
        |  FROM documents) d
        |JOIN ws USING (word)

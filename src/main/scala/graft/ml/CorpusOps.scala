@@ -276,7 +276,8 @@ object CorpusOps {
     s"""WITH d AS (SELECT source,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
        |  FROM documents),
-       |a AS (SELECT source, sum(n_tok) AS unique_tok FROM d GROUP BY source),
+       |a AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS unique_tok
+       |  FROM d GROUP BY source),
        |w AS (SELECT source, unique_tok,
        |    least((CAST($budget AS DOUBLE) /
        |      CAST(count(*) OVER () AS DOUBLE)) /
@@ -360,7 +361,8 @@ object CorpusOps {
 
   def packLptStatsOracleSql(bins: Int, shards: Int): String =
     s"""WITH ${packLptSql(bins, shards)}
-       |SELECT shard, bin, count(*) AS n_docs, sum(n_tok) AS load
+       |SELECT shard, bin, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS load
        |FROM p GROUP BY shard, bin""".stripMargin.replaceAll("\\s+", " ")
 
   /** CONTENT-DEFINED chunking (the FastCDC/rolling-hash family,
@@ -412,8 +414,9 @@ object CorpusOps {
        |      ('0x' || substring(md5(gram), 1, 8))::BIGINT % $mod = 0
        |    THEN 1 ELSE 0 END AS cut
        |  FROM p),
-       |ch AS (SELECT doc_id, pos, sum(cut) OVER (PARTITION BY doc_id
-       |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS chunk_id FROM c),
+       |ch AS (SELECT doc_id, pos, CAST(sum(cut) OVER (PARTITION BY doc_id
+       |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chunk_id
+       |  FROM c),
        |b AS (SELECT doc_id, chunk_id, min(pos) AS tok_start,
        |    count(*) AS n_tok FROM ch GROUP BY doc_id, chunk_id)
        |SELECT b.doc_id, chunk_id, tok_start, n_tok,
@@ -444,6 +447,57 @@ object CorpusOps {
        |  count(DISTINCT fp) AS n_unique,
        |  round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 6) AS dup_ratio
        |FROM j GROUP BY source""".stripMargin.replaceAll("\\s+", " ")
+
+  /** chunkCdc as a STATELESS PER-ROW projection — the store/stream build
+    * shape (the one derived index that lacked a sidecar, VERDICT r17 #3):
+    * a document's chunks are derivable from that document alone, so the
+    * build computes each doc's cut positions with one higher-order filter
+    * over its token array and emits the chunk rows directly — ZERO
+    * exchanges, where the analysis form (chunkCdc above, kept as the
+    * spec's reference) pays a positional explode, a per-doc window, and a
+    * join back. Because it is stateless it doubles as the streaming
+    * upkeep projection (a doc's chunks are complete within its
+    * micro-batch; no state store) — the spanShingles posture. Output ==
+    * chunkCdc row-for-row (CdcStoreSpec pin). */
+  def cdcChunkRows(docs: DataFrame, k: Int = 4, mod: Int = 16): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      // cut BEFORE every position i>1 whose k-gram hashes 0 mod `mod`
+      // (identical predicate to chunkCdc's `cut`); greatest() keeps the
+      // sequence ascending for 1-token docs, where the i+k-1 bound
+      // empties the filter anyway
+      .withColumn("starts", expr(
+        s"""concat(array(1), filter(sequence(2, greatest(size(tok), 2)),
+           |  i -> i + ${k - 1} <= size(tok) AND
+           |    CAST(conv(substring(md5(concat_ws(' ', slice(tok, i, $k))),
+           |      1, 8), 16, 10) AS BIGINT) % $mod = 0))""".stripMargin))
+      .select(col("doc_id"), expr(
+        """explode(transform(sequence(0, size(starts) - 1), j -> struct(
+          |  CAST(j AS BIGINT) AS chunk_id,
+          |  CAST(starts[j] AS BIGINT) AS tok_start,
+          |  CAST((CASE WHEN j = size(starts) - 1 THEN size(tok) + 1
+          |        ELSE starts[j + 1] END) - starts[j] AS BIGINT) AS n_tok,
+          |  md5(concat_ws(' ', slice(tok, starts[j],
+          |    (CASE WHEN j = size(starts) - 1 THEN size(tok) + 1
+          |     ELSE starts[j + 1] END) - starts[j]))) AS fp)))""".stripMargin)
+        .as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("c.tok_start").as("tok_start"), col("c.n_tok").as("n_tok"),
+        col("c.fp").as("fp"))
+
+  /** The dedup-rate report SERVED FROM the materialized chunk store —
+    * chunk statements read the sidecar, never the corpus text: one join
+    * of the store against the (doc_id, source) projection plus one
+    * partial-aggregating groupBy. */
+  def dedupCdcReportFrom(chunks: DataFrame, docs: DataFrame): DataFrame =
+    chunks
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct("fp").as("n_unique"))
+      .select(col("source"), col("n_chunks"), col("n_unique"),
+        round(lit(1.0) - col("n_unique") / col("n_chunks"), 6)
+          .as("dup_ratio"))
 
   /** Shard RELEASE MANIFEST over the serpentine-LPT layout — the artifact
     * a dataset release ships beside its shards: per (shard, bin) the doc
@@ -495,7 +549,8 @@ object CorpusOps {
        |p AS (SELECT shard, n_tok, h,
        |  CAST(CASE WHEN (idx // $bins) % 2 = 0 THEN idx % $bins
        |    ELSE ${bins - 1} - idx % $bins END AS BIGINT) AS bin FROM r)
-       |SELECT shard, bin, count(*) AS n_docs, sum(n_tok) AS n_tok,
+       |SELECT shard, bin, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
        |  bit_xor(h) AS checksum
        |FROM p GROUP BY shard, bin""".stripMargin.replaceAll("\\s+", " ")
 
@@ -858,7 +913,7 @@ object CorpusOps {
 
   def knParamsOracleSql(discount: Double = 0.75): String =
     s"""WITH $LmCtesSql
-       |SELECT w1, sum(c) AS c1, count(*) AS n1f,
+       |SELECT w1, CAST(sum(c) AS BIGINT) AS c1, count(*) AS n1f,
        |  round($discount * count(*) / sum(c), 6) AS lambda
        |FROM bc GROUP BY 1""".stripMargin.replaceAll("\\s+", " ")
 
@@ -965,7 +1020,8 @@ object CorpusOps {
       |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS tg
       |  FROM tok),
       |c AS (SELECT source, tg, count(*) AS c FROM tg GROUP BY 1, 2)
-      |SELECT source, count(*) AS n_distinct, sum(c) AS n_total,
+      |SELECT source, count(*) AS n_distinct,
+      |  CAST(sum(c) AS BIGINT) AS n_total,
       |  round(count(*) * 1.0 / sum(c), 6) AS diversity
       |FROM c GROUP BY source""".stripMargin.replaceAll("\\s+", " ")
 
@@ -1133,7 +1189,8 @@ object CorpusOps {
        |  FROM sh s JOIN bench b USING (shingle)
        |  WHERE s.doc_id >= $benchMaxId
        |  GROUP BY s.doc_id, b.suite HAVING count(*) >= $minOverlap)
-       |SELECT suite, count(*) AS n_docs, sum(n_overlap) AS total_overlap
+       |SELECT suite, count(*) AS n_docs,
+       |  CAST(sum(n_overlap) AS BIGINT) AS total_overlap
        |FROM hits GROUP BY suite""".stripMargin.replaceAll("\\s+", " ")
 
   def decontaminateOracleSql(benchMaxId: Long, minOverlap: Int): String =

@@ -120,7 +120,7 @@ object LinkGraph {
       s"""r$i AS (SELECT h.host,
          |  (SELECT base FROM b) + ($DampNum * COALESCE(s.m, 0)) // $DampDen AS rank_i
          |  FROM hosts h LEFT JOIN (
-         |    SELECT e.dst, sum(r.rank_i // od.odeg) AS m
+         |    SELECT e.dst, CAST(sum(r.rank_i // od.odeg) AS BIGINT) AS m
          |    FROM e JOIN r${i - 1} r ON r.host = e.src
          |    JOIN od ON od.src = e.src
          |    GROUP BY e.dst) s ON s.dst = h.host)"""
@@ -158,7 +158,7 @@ object LinkGraph {
   def sourceRankMassOracleSql(iterations: Int = Iterations): String = {
     val pr = pageRankOracleSql(iterations)
     s"""WITH pr AS ($pr)
-       |SELECT source, count(*) AS n_docs, sum(rank_i) AS rank_mass
+       |SELECT source, count(*) AS n_docs, CAST(sum(rank_i) AS BIGINT) AS rank_mass
        |FROM (SELECT source, doc_id % $Hosts AS host FROM documents) d
        |JOIN pr ON pr.host = d.host
        |GROUP BY source""".stripMargin.replaceAll("\\s+", " ")

@@ -422,11 +422,12 @@ object Selection {
        |sc AS (SELECT doc_id, source, CAST(len(tok) AS BIGINT) AS n_tok,
        |    $ScoreSql AS score, $SplitSql AS split
        |  FROM tokd)
-       |SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        |  round(avg(score), 4) AS mean_score,
-       |  sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
-       |  sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
-       |  sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+       |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
        |FROM sc GROUP BY source""".stripMargin.replaceAll("\\s+", " ")
 
   def curateOracleSql(tau: Double, total: Int): String =

@@ -102,8 +102,15 @@ object Sketches {
             s"CAST(${KmvK - 1} AS BIGINT) * 281474976710656 div kth_hash")))
       .select(col("n_kept"), col("kth_hash"), col("inter_cnt"),
         col("est_union"),
-        expr("inter_cnt * est_union div n_kept").as("est_intersection"),
-        round(col("inter_cnt") / col("n_kept"), 6).as("jaccard"))
+        // n_kept = 0 (both slices empty) must not reach the division:
+        // Spark's div yields NULL there while DuckDB's // raises — pin the
+        // degenerate estimate to 0 in BOTH renderings instead
+        when(col("n_kept") === 0, lit(0L))
+          .otherwise(expr("inter_cnt * est_union div n_kept"))
+          .as("est_intersection"),
+        when(col("n_kept") === 0, lit(0.0))
+          .otherwise(round(col("inter_cnt") / col("n_kept"), 6))
+          .as("jaccard"))
   }
 
   /** Oracle for kmvSetOps over A = click users, B = high-value users. */
@@ -127,8 +134,10 @@ object Sketches {
        |         ELSE (${KmvK - 1} * 281474976710656) // kth_hash
        |    END AS est_union FROM agg)
        |SELECT n_kept, kth_hash, inter_cnt, est_union,
-       |  inter_cnt * est_union // n_kept AS est_intersection,
-       |  round(inter_cnt / n_kept, 6) AS jaccard
+       |  CASE WHEN n_kept = 0 THEN 0
+       |       ELSE inter_cnt * est_union // n_kept END AS est_intersection,
+       |  CASE WHEN n_kept = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE round(inter_cnt / n_kept, 6) END AS jaccard
        |FROM est""".stripMargin.replaceAll("\\s+", " ")
 
   def kmvOracleSql: String =
@@ -332,10 +341,21 @@ object Sketches {
     * collisions). Counter build = one exploded aggregation of (row, col)
     * scalars — 2048 cells total, mergeable by plain summation; the point
     * query is a d-row equi-join against those cells followed by a min. */
+  /** All d row-hashes derive from ONE md5 per token (VERDICT r17 #4): row
+    * j reads the j-th disjoint 6-hex-char span of the same digest (4×6 =
+    * 24 of md5's 32 hex chars — the 60-bit-hash convention applied to the
+    * grid). One digest per token instead of d was the entire CPU story of
+    * the stream ingest: md5 dominates, the span slicing is free. The
+    * digest is materialized as a `hx` column (cmsWithHex) rather than
+    * repeated inside each struct so the single evaluation is guaranteed
+    * by the plan, not left to codegen subexpression elimination. */
+  private def cmsWithHex(df: DataFrame): DataFrame =
+    df.withColumn("hx", md5(concat(lit("cms:"), col("token"))))
+
   private def cmsCellExprs = (0 until CmsD).map { j =>
     struct(lit(j).as("j"),
-      (conv(substring(md5(concat(lit(s"cms$j:"), col("token"))), 1, 6),
-        16, 10).cast("long") % CmsW).as("c"))
+      (conv(substring(col("hx"), 1 + 6 * j, 6), 16, 10).cast("long")
+        % CmsW).as("c"))
   }
 
   /** Counter grid from RAW token occurrences — the streaming build shape
@@ -343,7 +363,7 @@ object Sketches {
     * through; contrast the HLL registers' max-typed state). Values are
     * identical to the freq-folded batch build. */
   def cmsCells(toks: DataFrame): DataFrame =
-    toks.select(explode(array(cmsCellExprs: _*)).as("rc"))
+    cmsWithHex(toks).select(explode(array(cmsCellExprs: _*)).as("rc"))
       .groupBy(col("rc.j").as("j"), col("rc.c").as("c"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -352,7 +372,7 @@ object Sketches {
   def cmsHeavyHittersFrom(docs: DataFrame, counters: DataFrame,
       topN: Int): DataFrame = {
     val toks = docs.select(explode(split(col("text"), " ")).as("token"))
-    val keys = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+    val keys = cmsWithHex(toks.groupBy("token").agg(count(lit(1)).as("freq")))
       .select(col("token"), col("freq"),
         explode(array(cmsCellExprs: _*)).as("rc"))
       .select(col("token"), col("freq"),
@@ -373,7 +393,7 @@ object Sketches {
     // documented second-scan trade as bm25_topk_batch; a deployment
     // serving CMS repeatedly stores freq as a sidecar and pays neither
     val freq = toks.groupBy("token").agg(count(lit(1)).as("freq"))
-    val keys = freq.select(col("token"), col("freq"),
+    val keys = cmsWithHex(freq).select(col("token"), col("freq"),
       explode(array(cells: _*)).as("rc"))
       .select(col("token"), col("freq"),
         col("rc.j").as("j"), col("rc.c").as("c"))
@@ -389,7 +409,7 @@ object Sketches {
     s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
        |    FROM documents),
        |  k AS (SELECT token, j,
-       |    ('0x'||substr(md5('cms'||j||':'||token),1,6))::BIGINT % $CmsW AS c
+       |    ('0x'||substr(md5('cms:'||token),1+6*j,6))::BIGINT % $CmsW AS c
        |    FROM (SELECT DISTINCT token FROM t),
        |         (SELECT unnest(generate_series(0, ${CmsD - 1})) AS j)),
        |  cnt AS (SELECT j, c, count(*) AS cnt FROM t JOIN k USING (token)

@@ -278,7 +278,9 @@ object TextAnalysis {
   }
 
   private def blockedSqlList(blocked: Seq[String]): String =
-    blocked.map(w => s"'$w'").mkString("[", ", ", "]")
+    // SQL-escape embedded quotes: a blocklist word with an apostrophe would
+    // otherwise render malformed oracle SQL
+    blocked.map(w => s"'${w.replace("'", "''")}'").mkString("[", ", ", "]")
 
   def blocklistFilterOracleSql(blocked: Seq[String]): String =
     s"""SELECT doc_id, len(m) > 0 AS blocked,

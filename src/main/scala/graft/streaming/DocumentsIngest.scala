@@ -154,6 +154,34 @@ object DocumentsIngest {
         partitions = Some(4))
     }
 
+  /** Incremental maintenance of the content-defined chunk store
+    * (Catalog.cdcChunks): new documents stream through the SAME stateless
+    * projection the batch build uses (CorpusOps.cdcChunkRows — a doc's
+    * chunks depend on that doc alone, so no state store and no shuffle; a
+    * doc's chunk rows are complete within its micro-batch). One-shot
+    * memory-sink entry point; the parquet deployment shape is
+    * compactedCdcChunksOnce below. */
+  def cdcChunksOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:cdcchunks:$dir") {
+      Sinks.memoryOnce(spark, "graft_stream_cdc",
+        graft.ml.CorpusOps.cdcChunkRows(stream(spark, dir)))
+    }
+
+  /** Streamed-then-compacted chunk store — the span_compact twin for the
+    * chunk sidecar: parquet appender per micro-batch, fold the small files
+    * into one doc-sorted generation, flip the MANIFEST, read back through
+    * it; must equal the batch-built store row-for-row. */
+  def compactedCdcChunksOnce(spark: SparkSession, dir: String,
+      scratchBase: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:cdccompact:$dir:$scratchBase") {
+      graft.ingest.Compact.rmTree(scratchBase)
+      Sinks.parquetOnce(graft.ml.CorpusOps.cdcChunkRows(stream(spark, dir)),
+        s"$scratchBase/raw", s"$scratchBase/ck")
+      graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/raw",
+        s"$scratchBase/idx", "doc_id", Seq("doc_id", "chunk_id"),
+        partitions = Some(4))
+    }
+
   /** Incremental maintenance of the inverted index (Catalog.lexIndex):
     * new documents stream through the SAME stateless projection the batch
     * build uses (Retrieval.lexRows — tf is a per-row filter-count over the

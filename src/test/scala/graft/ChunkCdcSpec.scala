@@ -53,6 +53,27 @@ class ChunkCdcSpec extends AnyFunSuite {
     assert(by(1L) == by(2L))
   }
 
+  test("cdcChunkRows (the stateless store/stream build) == chunkCdc (the " +
+      "windowed reference) row-for-row, incl. degenerate docs") {
+    val rows = Seq(
+      1L -> (0 until 200).map(i => s"tok${i % 23}").mkString(" "),
+      2L -> "single",
+      3L -> "", // split("") = [""] — the 1-position doc
+      4L -> "a b c", // shorter than the gram width k=4: no cut candidates
+      5L -> (0 until 57).map(i => s"w${i % 7}").mkString(" "))
+    val d = docs(rows)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+    val ref = CorpusOps.chunkCdc(d).collect().map(key).sorted.toSeq
+    val got = CorpusOps.cdcChunkRows(d).collect().map(key).sorted.toSeq
+    assert(got == ref,
+      s"stateless projection diverged from the windowed reference")
+    // and the projection really is exchange-free: one scan, no shuffle
+    val plan = CorpusOps.cdcChunkRows(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"cdcChunkRows must not shuffle:\n$plan")
+  }
+
   test("stored-LM perplexity ranks in-domain text above alien text") {
     val train = docs(Seq(
       1L -> "the quick brown fox jumps over the lazy dog",

@@ -1,0 +1,22 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver's correctness gate compares each `SparkEntry.queries` result
+  * against its `oracleSql` twin; an entry missing its oracle silently
+  * degrades to a weaker rows-only check. This repo's convention is FULL
+  * key-for-key alignment (267 at r18) — pin it so a typo'd key or a
+  * forgotten oracle fails in `sbt test`, not in the driver's report.
+  * (Oracle output TYPES are gated separately: scripts/check.py DESCRIBEs
+  * every oracle in DuckDB and fails HUGEINT/DECIMAL outputs — the r17
+  * representation-hash postmortem; that needs a DuckDB process, so it
+  * lives in the python gate, not here.) */
+class EntryAlignmentSpec extends AnyFunSuite {
+
+  test("queries and oracleSql align key-for-key") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+  }
+}
