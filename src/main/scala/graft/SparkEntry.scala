@@ -1020,6 +1020,26 @@ object SparkEntry {
     "sketch_cms_stream" -> ((s, dir) =>
       graft.ml.Sketches.cmsHeavyHittersFrom(Catalog.documents(s, dir),
         graft.streaming.DocumentsIngest.cmsCountersOnce(s, dir), 40)),
+    // log-linear quantile sketch (the HdrHistogram bucket law): exact
+    // integer bit-length buckets keep the top 5 significant bits, so the
+    // bounded mergeable grid answers any rank query within 1/16 relative
+    // error — the quantile member of the sketch tier (CMS=frequency,
+    // HLL/KMV=distinct). p50/p95/p99 per event_type, in integer cents
+    "sketch_hdr" -> ((s, dir) =>
+      graft.ml.Sketches.hdrReport(Catalog.events(s, dir))),
+    // ingest end: bucket counts as bounded SUM-typed streaming state
+    // (count addition IS the merge); quantile fold happens at read
+    "sketch_hdr_stream" -> ((s, dir) =>
+      graft.ml.Sketches.hdrQuantilesFrom(
+        graft.streaming.EventsIngest.hdrGridOnce(s, dir))),
+    // stored-sketch serving: the fold reads the grid rows — the serving
+    // cadence never re-touches the event volume
+    "sketch_hdr_stored" -> ((s, dir) =>
+      graft.ml.Sketches.hdrQuantilesFrom(Catalog.hdrStore(s, dir))),
+    // honesty gate: exact discrete p95 (the window the sketch avoids)
+    // beside the estimate; bucket law bounds rel_err by 2^-4
+    "sketch_hdr_gate" -> ((s, dir) =>
+      graft.ml.Sketches.hdrErrorGate(Catalog.events(s, dir))),
     // KMV set algebra: union/intersection/Jaccard of click-users vs
     // high-value users estimated from the two min-k sketches alone
     "sketch_kmv_setops" -> ((s, dir) => {
@@ -2210,6 +2230,12 @@ object SparkEntry {
     "sketch_hll_stored" -> graft.ml.Sketches.hllOracleSql,
     "sketch_kmv_setops" -> graft.ml.Sketches.kmvSetOpsOracleSql(240),
     "sketch_error_gate" -> graft.ml.Sketches.errorGateOracleSql,
+    "sketch_hdr" -> graft.ml.Sketches.hdrOracleSql,
+    // stream == batch == stored by construction (count addition is the
+    // merge law; the grid is the state): one oracle serves all three
+    "sketch_hdr_stream" -> graft.ml.Sketches.hdrOracleSql,
+    "sketch_hdr_stored" -> graft.ml.Sketches.hdrOracleSql,
+    "sketch_hdr_gate" -> graft.ml.Sketches.hdrErrorGateOracleSql,
     "sketch_hll_daily" -> graft.ml.Sketches.hllDailyOracleSql,
     "sketch_hll_rolling" -> graft.ml.Sketches.hllRollingOracleSql(),
     // stream == batch by construction: the streamed counter grid sums to

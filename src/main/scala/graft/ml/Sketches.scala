@@ -420,4 +420,125 @@ object Sketches {
        |  JOIN cnt ON k.j = cnt.j AND k.c = cnt.c
        |GROUP BY 1, 2 ORDER BY freq DESC, f.token LIMIT $topN""".stripMargin
       .replaceAll("\\s+", " ")
+
+  // ---- Log-linear quantile sketch (the HdrHistogram bucket law) -----------
+
+  /** Sub-bucket bits for the LOG-LINEAR QUANTILE SKETCH (the HdrHistogram
+    * family; the log-linear histograms of Masson et al. VLDB 2019 §related):
+    * a value keeps its top s+1 significant bits, so every bucket spans at
+    * most a 2^-s fraction of its lower bound and ANY rank query answers
+    * within 1/16 relative error from bounded state. Chosen over DDSketch's
+    * ceil(log_γ x) indexing because bit-length bucketing is EXACT INTEGER
+    * arithmetic — ln() is not identically rounded across libms, and a
+    * 1-ulp flip at a bucket boundary would hash-diverge the oracle. */
+  val HdrSubBits = 4
+
+  /** `value` as exact integer cents. The inputs are 2-decimal money-style
+    * doubles, so value*100 lands within a few ulps of an integer — never
+    * near a .5 boundary — and round() is engine-identical. */
+  private def centsCol =
+    expr("CAST(round(value * 100) AS BIGINT)")
+
+  /** The sketch state — (event_type, shift, w, cnt): m = bit-length(cents)
+    * via bin() (the HLL rho convention: minimal-width binary in BOTH
+    * engines), shift = max(m−(s+1), 0), w = cents >> shift. Values under
+    * 2^(s+1) are EXACT (shift 0); larger ones keep their top s+1 bits.
+    * Bucketing is monotone in the value and lower bounds (w << shift) are
+    * globally unique, so bucket order IS value order. Mergeable by plain
+    * count addition — partial aggregation is the sketch merge, and the
+    * state is bounded at ~(s+1)·2^s·64 rows per group however many events
+    * flow through (the CMS posture with a quantile answer). */
+  def hdrGrid(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), centsCol.as("c"))
+      .withColumn("shift",
+        greatest(length(bin(col("c"))) - lit(HdrSubBits + 1), lit(0)))
+      .select(col("event_type"), col("shift"),
+        expr("shiftright(c, shift)").as("w"))
+      .groupBy("event_type", "shift", "w")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Discrete quantile report from a bucket grid (possibly streamed or
+    * stored): per event_type, the sketch's p50/p95/p99 in cents — the
+    * lower bound of the first bucket whose cumulative count reaches the
+    * Bands rank rule ceil(k·n/100) = (k·n+99) div 100 (pure integer, the
+    * repo's discrete-quantile convention). The window runs over the
+    * BOUNDED grid (≤ a few hundred rows per group), never the events. */
+  def hdrQuantilesFrom(grid: DataFrame): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val g = grid
+      .select(col("event_type"), expr("shiftleft(w, shift)").as("lb"),
+        col("cnt"))
+      .withColumn("cum", sum("cnt").over(byType.orderBy("lb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("cnt").over(byType))
+    def pick(k: Int, name: String) =
+      min(when(col("cum") >= greatest(lit(1L), expr(s"($k * n + 99) div 100")),
+        col("lb"))).as(name)
+    g.groupBy("event_type").agg(max("n").as("n"),
+      pick(50, "p50_c"), pick(95, "p95_c"), pick(99, "p99_c"))
+  }
+
+  def hdrReport(events: DataFrame): DataFrame =
+    hdrQuantilesFrom(hdrGrid(events))
+
+  /** The ann_recall/sketch_error_gate pattern for quantiles: per
+    * event_type, the EXACT discrete p95 (Bands rank rule over the raw
+    * values) beside the sketch's estimate and the relative error — which
+    * the bucket law bounds by 2^-s, spec-floored and driver-checked. The
+    * exact side pays the per-group rank window the sketch exists to avoid;
+    * it stays in the suite as the honesty gate. */
+  def hdrErrorGate(events: DataFrame): DataFrame = {
+    val grp = Window.partitionBy("event_type")
+    val exact = events.select(col("event_type"), centsCol.as("c"))
+      .withColumn("rn", row_number().over(grp.orderBy("c")))
+      .withColumn("n", count(lit(1)).over(grp))
+      .groupBy("event_type")
+      .agg(max(when(col("rn") ===
+          greatest(lit(1L), expr("(95 * n + 99) div 100")), col("c")))
+        .as("p95_exact"))
+    exact.join(hdrReport(events).select(col("event_type"),
+        col("p95_c").as("p95_sketch")), Seq("event_type"))
+      .select(col("event_type"), col("p95_exact"), col("p95_sketch"),
+        round((col("p95_exact") - col("p95_sketch")) / col("p95_exact"), 6)
+          .as("rel_err"))
+  }
+
+  private val HdrGridSql: String =
+    s"""e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+       |    FROM events),
+       |  b AS (SELECT event_type,
+       |    greatest(length(bin(c)) - ${HdrSubBits + 1}, 0) AS shift,
+       |    c >> greatest(length(bin(c)) - ${HdrSubBits + 1}, 0) AS w
+       |    FROM e),
+       |  g AS (SELECT event_type, shift, w, count(*) AS cnt
+       |    FROM b GROUP BY 1, 2, 3),
+       |  q AS (SELECT event_type, (w << shift) AS lb, cnt,
+       |    sum(cnt) OVER (PARTITION BY event_type ORDER BY (w << shift)
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM g),
+       |  r AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       |    min(CASE WHEN cum >= greatest(1, (50*n+99)//100) THEN lb END) AS p50_c,
+       |    min(CASE WHEN cum >= greatest(1, (95*n+99)//100) THEN lb END) AS p95_c,
+       |    min(CASE WHEN cum >= greatest(1, (99*n+99)//100) THEN lb END) AS p99_c
+       |    FROM q GROUP BY event_type)""".stripMargin
+
+  def hdrOracleSql: String =
+    s"""WITH $HdrGridSql
+       |SELECT event_type, n, p50_c, p95_c, p99_c FROM r""".stripMargin
+      .replaceAll("\\s+", " ")
+
+  def hdrErrorGateOracleSql: String =
+    s"""WITH $HdrGridSql,
+       |  rk AS (SELECT event_type, c,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS nn FROM e),
+       |  ex AS (SELECT event_type,
+       |    max(CASE WHEN rn = greatest(1, (95*nn+99)//100) THEN c END)
+       |      AS p95_exact
+       |    FROM rk GROUP BY event_type)
+       |SELECT ex.event_type AS event_type, p95_exact, p95_c AS p95_sketch,
+       |  round((p95_exact - p95_c) * 1.0 / p95_exact, 6) AS rel_err
+       |FROM ex JOIN r ON ex.event_type = r.event_type""".stripMargin
+      .replaceAll("\\s+", " ")
 }

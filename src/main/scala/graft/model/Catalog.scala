@@ -881,6 +881,20 @@ object Catalog {
     readImmutable(spark, path).select("event_type", "reg", "mr")
   }
 
+  /** The MATERIALIZED log-linear quantile grid — (event_type, shift, w,
+    * cnt), hllStore's sibling for rank questions: built once from the
+    * event volume, merged by plain count addition, served by a window
+    * over the bounded grid (Sketches.hdrQuantilesFrom). The serving
+    * cadence never re-touches the events. */
+  def hdrStore(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "hdr_grid")
+    materialize(path) {
+      graft.ml.Sketches.hdrGrid(events(spark, dir))
+        .repartition(1).sortWithinPartitions("event_type", "shift", "w")
+    }
+    readImmutable(spark, path).select("event_type", "shift", "w", "cnt")
+  }
+
   /** The MATERIALIZED bigram language model — (w1, w2, c): the CCNet-tier
     * LM trained once per sf-dir (CorpusOps.lmBigramCounts), laid out by
     * w1 so the scoring join shuffles pre-grouped contexts. Perplexity

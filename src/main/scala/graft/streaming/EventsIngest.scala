@@ -345,4 +345,16 @@ object EventsIngest {
       memorySinkOnce(spark, 8, "graft_stream_hllregs", "complete")(s =>
         graft.ml.Sketches.hllRegisters(stream(s, dir)))
     }
+
+  /** Streamed log-linear quantile grid upkeep: the bucket counts are
+    * SUM-typed streaming state bounded at the grid size however many
+    * events flow (the CMS-counter posture applied to rank questions);
+    * count addition is the merge law, so the streaming aggregation's
+    * state update IS the batch partial aggregate. Quantile folds happen
+    * at read (Sketches.hdrQuantilesFrom), never inside the stream. */
+  def hdrGridOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:hdrgrid:$dir") {
+      memorySinkOnce(spark, 8, "graft_stream_hdrgrid", "complete")(s =>
+        graft.ml.Sketches.hdrGrid(stream(s, dir)))
+    }
 }

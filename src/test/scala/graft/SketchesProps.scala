@@ -107,4 +107,37 @@ object SketchesProps extends Properties("Sketches") {
       freq == truth(tok) && est >= freq
     }
   }
+
+  private val valuesGen: Gen[Vector[(String, Double)]] = for {
+    n <- Gen.choose(1, 300)
+    ts <- Gen.choose(1, 3)
+    rows <- Gen.listOfN(n, for {
+      t <- Gen.choose(0, ts - 1)
+      c <- Gen.choose(1L, 60000L) // cents, 2-decimal money shape
+    } yield (s"t$t", c / 100.0))
+  } yield rows.toVector
+
+  property("HDR quantile sketch == plain-Scala bucket/rank reference " +
+    "exactly, on arbitrary positive 2-decimal multisets") =
+    forAll(valuesGen) { rows =>
+      // independent reference: the rank-k value's bucket lower bound under
+      // the same bit-length law — the sketch must pick EXACTLY this bucket
+      // (values in earlier buckets are all strictly below the ranked value)
+      val ref = rows.groupBy(_._1).map { case (t, rs) =>
+        val cents = rs.map(r => math.round(r._2 * 100)).sorted
+        def est(k: Int): Long = {
+          val rank = math.max(1L, (k.toLong * cents.size + 99) / 100)
+          val v = cents(rank.toInt - 1)
+          val m = if (v == 0) 1
+            else 64 - java.lang.Long.numberOfLeadingZeros(v)
+          val shift = math.max(m - (Sketches.HdrSubBits + 1), 0)
+          (v >> shift) << shift
+        }
+        t -> ((cents.size.toLong, est(50), est(95), est(99)))
+      }
+      val got = Sketches.hdrReport(rows.toDF("event_type", "value"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      got == ref
+    }
 }

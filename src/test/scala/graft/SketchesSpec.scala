@@ -163,4 +163,53 @@ class SketchesSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"expected WindowGroupLimit in:\n$plan")
   }
+
+  private def valued(rows: Seq[(String, Double)]) =
+    rows.toDF("event_type", "value")
+
+  test("HDR merge law: summed per-split grids == whole grid, and the " +
+    "quantile fold over the merged grid == whole-corpus report") {
+    val rows = (0 until 3000).map(i =>
+      (s"t${i % 2}", ((i * 7919) % 40000 + 1) / 100.0))
+    val df = valued(rows)
+    val whole = Sketches.hdrGrid(df).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val a = Sketches.hdrGrid(valued(rows.zipWithIndex
+      .collect { case (r, i) if i % 2 == 0 => r }))
+    val b = Sketches.hdrGrid(valued(rows.zipWithIndex
+      .collect { case (r, i) if i % 2 == 1 => r }))
+    val merged = a.unionByName(b)
+      .groupBy("event_type", "shift", "w")
+      .agg(sum("cnt").as("cnt"))
+    val mergedMap = merged.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(mergedMap == whole, "count-addition must BE the sketch merge")
+    val rep = Sketches.hdrQuantilesFrom(merged).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val repWhole = Sketches.hdrReport(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rep == repWhole)
+  }
+
+  test("HDR error law: estimates never exceed the exact discrete quantile " +
+    "and stay within 2^-4 relative error; sub-32-cent values are exact") {
+    val rows = (0 until 5000).map(i =>
+      ("big", ((i * 104729) % 3000000 + 50) / 100.0)) ++
+      (0 until 500).map(i => ("small", ((i * 31) % 30 + 1) / 100.0))
+    val got = Sketches.hdrErrorGate(valued(rows)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    for ((t, (exact, est, err)) <- got) {
+      assert(est <= exact, s"$t: sketch lower bound above the exact value")
+      assert(err >= 0.0 && err <= 1.0 / 16 + 1e-9,
+        s"$t: rel_err $err outside the bucket law's 2^-4 bound")
+    }
+    // every "small" value has fewer than 6 significant bits → shift 0 →
+    // the sketch IS the exact multiset
+    assert(got("small")._3 == 0.0, s"sub-32-cent quantiles must be exact")
+  }
 }
