@@ -536,6 +536,16 @@ object SparkEntry {
         .agg(sum("value").as("v"))
       TimeSeriesOps.movingAvgDaily(d, "user_id", "dnum", "v", 7)
     }),
+    // z-score control chart over each type's own daily-count series:
+    // moments from exact integer sums (order-invariant), so the float
+    // tree is engine-identical; flags |z| > 2
+    "ts_anomaly" -> ((s, dir) => {
+      val d = Catalog.events(s, dir)
+        .groupBy(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("dnum"))
+        .agg(count(lit(1)).as("v"))
+      TimeSeriesOps.zscoreDaily(d, "event_type", "dnum", "v", 2.0)
+    }),
     // simple exponential smoothing at α = 1/2: per-key one-step forecast
     // state, bit-identical across engines (every update an exact halving)
     "ts_ewma" -> ((s, dir) => {
@@ -716,6 +726,12 @@ object SparkEntry {
     "span_compact" -> ((s, dir) =>
       graft.streaming.DocumentsIngest.compactedSpanSketchOnce(s, dir,
         Catalog.scratch(dir, "span_compact"))),
+    // source-pair shingle overlap from the STORED sketch: the
+    // cross-source syndication audit (between-sources complement of
+    // decontaminate's train-vs-bench axis); text never re-tokenized
+    "source_overlap" -> ((s, dir) =>
+      graft.ml.SpanDedup.sourceOverlapFrom(Catalog.spanSketch(s, dir),
+        Catalog.documents(s, dir))),
     // span SURGERY: the cut that consumes span_dedup's output — excise
     // every shared span, pass untouched docs through verbatim
     "span_cut" -> ((s, dir) =>
@@ -884,6 +900,12 @@ object SparkEntry {
     // frequencies under the learned merges
     "bpe_vocab" -> ((s, dir) =>
       graft.ml.Bpe.vocab(Catalog.documents(s, dir),
+        Catalog.bpeMergePairs(s, dir))),
+    // tokenizer fertility per source (BPE tokens per word): the
+    // vocabulary-fit audit a tokenizer release reports per domain —
+    // rides the same zero-exchange fold as bpe_doc_tokens
+    "bpe_fertility" -> ((s, dir) =>
+      graft.ml.Bpe.fertility(Catalog.documents(s, dir),
         Catalog.bpeMergePairs(s, dir))),
     // two-phase curriculum: breadth pretrain draw ∪ quality-gated anneal
     // draw off the stored sidecar (the staged-pretraining schedule)
@@ -2085,6 +2107,26 @@ object SparkEntry {
         PARTITION BY user_id ORDER BY dnum
         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg7
       FROM d""".replaceAll("\\s+", " ")),
+    // moments from integer sums so the float tree is identical in both
+    // engines; CAST(... AS DOUBLE) keeps the division trees in lockstep
+    // with the Spark rendering (and out of HUGEINT)
+    "ts_anomaly" -> ("""WITH d AS (
+        SELECT event_type,
+          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dnum,
+          CAST(count(*) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2),
+      s AS (SELECT event_type, dnum, v,
+        CAST(count(*) OVER w AS DOUBLE) AS n,
+        CAST(CAST(sum(v) OVER w AS BIGINT) AS DOUBLE) AS s1,
+        CAST(CAST(sum(v*v) OVER w AS BIGINT) AS DOUBLE) AS s2
+        FROM d WINDOW w AS (PARTITION BY event_type)),
+      t AS (SELECT event_type, dnum, v,
+        s1 / n AS mean,
+        sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sd FROM s)
+      SELECT event_type, dnum, v,
+        CASE WHEN sd > 0.0 THEN round((v - mean) / sd, 4) ELSE 0.0 END AS z,
+        (sd > 0.0 AND abs(v - mean) > sd * 2.0) AS is_anomaly
+      FROM t""".replaceAll("\\s+", " ")),
     "ts_ewma" -> ("""WITH d AS (
         SELECT user_id,
           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dnum,
@@ -2146,6 +2188,7 @@ object SparkEntry {
     "decontaminate_spans" -> graft.ml.SpanDedup.benchSpansOracleSql(25L),
     "span_stream_index" -> graft.ml.SpanDedup.sketchOracleSql,
     "span_compact" -> graft.ml.SpanDedup.sketchOracleSql,
+    "source_overlap" -> graft.ml.SpanDedup.sourceOverlapOracleSql,
     "span_cut" -> graft.ml.SpanDedup.cutOracleSql,
     "span_cut_keep_first" -> graft.ml.SpanDedup.cutKeepFirstOracleSql,
     "span_coverage" -> graft.ml.SpanDedup.coverageOracleSql,
@@ -2186,6 +2229,7 @@ object SparkEntry {
     "bpe_doc_tokens" -> graft.ml.Bpe.docTokensOracleSql(),
     "bpe_stream_tokens" -> graft.ml.Bpe.docTokensOracleSql(),
     "bpe_vocab" -> graft.ml.Bpe.vocabOracleSql(),
+    "bpe_fertility" -> graft.ml.Bpe.fertilityOracleSql(),
     "mixture_curriculum" ->
       graft.ml.Selection.curriculumOracleSql(MixtureTotal, 0.5, 40),
     "pack_lpt" -> graft.ml.CorpusOps.packLptOracleSql(8, 4),

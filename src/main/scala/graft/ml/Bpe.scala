@@ -180,6 +180,40 @@ object Bpe {
       (acc, w) => acc + perWord(w)).as("n_tok_bpe")
   }
 
+  /** Tokenizer FERTILITY per source — BPE tokens per whitespace word, the
+    * figure tokenizer evaluations report per language/domain (Rust et al.,
+    * ACL 2021 "How Good is Your Tokenizer?"): fertility near 1 means the
+    * learned vocabulary fits the domain; high fertility means
+    * over-segmentation (and a silently larger token budget for that
+    * source). Rides the same ZERO-EXCHANGE per-row fold as docTokens —
+    * the merges are driver constants, words count through the identical
+    * non-empty filter the fold uses — plus one partial-aggregating
+    * groupBy on the bounded source key. */
+  def fertility(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    docs.select(col("source"),
+        size(filter(split(col("text"), " "), w => w =!= ""))
+          .cast("long").as("n_words"),
+        bpeLenExpr(col("text"), merges))
+      .groupBy("source")
+      .agg(sum("n_words").as("n_words"), sum("n_tok_bpe").as("n_bpe"))
+      .select(col("source"), col("n_words"), col("n_bpe"),
+        round(col("n_bpe") / col("n_words"), 4).as("fertility"))
+
+  /** DuckDB mirror of fertility: the inner join against the encoded
+    * vocabulary drops empty words exactly like the fold's filter, so
+    * count(*) IS the non-empty word count. */
+  def fertilityOracleSql(rounds: Int = Rounds): String =
+    s"""WITH ${roundCtes(rounds)},
+       |ws AS (SELECT word, len(string_split(toks, chr(1))) AS n_sub
+       |  FROM s$rounds)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_bpe,
+       |  round(CAST(sum(n_sub) AS BIGINT) * 1.0 / count(*), 4) AS fertility
+       |FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+       |  FROM documents) d
+       |JOIN ws USING (word)
+       |GROUP BY source""".stripMargin.replaceAll("\\s+", " ")
+
   /** The final VOCABULARY under the learned merges — each surviving token
     * with its corpus frequency (occurrences weighted by word count): the
     * artifact a tokenizer release ships beside the merge table. One fold

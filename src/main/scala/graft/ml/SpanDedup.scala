@@ -219,6 +219,53 @@ object SpanDedup {
           .as("coverage"))
   }
 
+  /** SOURCE-PAIR shingle overlap — the corpus-card "how much does source A
+    * repeat source B" figure (cross-source syndication/boilerplate audit;
+    * the between-sources complement of decontaminate's train-vs-bench
+    * axis): distinct W-token shingle hashes per source, intersected per
+    * source pair, with containment = shared / min(|A|, |B|). Served FROM
+    * the stored positional sketch (Catalog.spanSketch) joined to the
+    * (doc_id, source) projection — the corpus text is never re-tokenized.
+    * Scale shape: the pair intersection is a self equi-join on the hash
+    * (shuffle-keyed; the sketch is h-sorted so pushed h stats help), and
+    * with S bounded sources a shingle fans out to at most S(S−1)/2 pair
+    * rows; the output is S×S-bounded. Returns (src_a, src_b, n_shared,
+    * n_a, n_b, containment), zero-overlap pairs absent. */
+  def sourceOverlapFrom(sketch: DataFrame, docs: DataFrame): DataFrame = {
+    val ss = sketch
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("h")).distinct()
+    val tot = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    ss.select(col("source").as("src_a"), col("h"))
+      .join(ss.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(tot.select(col("source").as("src_a"), col("n").as("n_a")),
+        Seq("src_a"))
+      .join(tot.select(col("source").as("src_b"), col("n").as("n_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        round(col("n_shared") / least(col("n_a"), col("n_b")), 6)
+          .as("containment"))
+  }
+
+  /** DuckDB mirror of sourceOverlapFrom over the same shingle CTEs. */
+  def sourceOverlapOracleSql: String =
+    s"""WITH $shingleCtesSql,
+       |ss AS (SELECT DISTINCT d.source AS source, p.h AS h
+       |  FROM p JOIN documents d USING (doc_id)),
+       |tot AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+       |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+       |    count(*) AS n_shared
+       |  FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+       |  round(n_shared * 1.0 / least(ta.n, tb.n), 6) AS containment
+       |FROM pr JOIN tot ta ON ta.source = pr.src_a
+       |  JOIN tot tb ON tb.source = pr.src_b""".stripMargin
+      .replaceAll("\\s+", " ")
+
   /** DuckDB mirror of sharedSpans: the same positional shingle hash (list
     * slice is 1-based inclusive, so tok[i+1 : i+W] is the Spark
     * slice(tok, pos+1, W) at pos = i), the same df > 1 gate, the same

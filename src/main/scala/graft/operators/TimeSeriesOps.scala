@@ -106,6 +106,35 @@ object TimeSeriesOps {
           (s, p) => when(s.isNull, p.getField(v).cast("double"))
             .otherwise((p.getField(v).cast("double") + s) / 2)).as("ewma"))
 
+  /** Per-point anomaly flags over a keyed daily series — the classic
+    * z-score control chart: z = (x − mean)/σ against the key's OWN series
+    * statistics, flagged when |z| exceeds `threshold`. The moments come
+    * from EXACT integer sums (n, Σx, Σx² — order-invariant BIGINTs), so
+    * mean = Σx/n and var = Σx²/n − mean² are ONE identical float
+    * expression tree in both engines; the textbook Σ(x−mean)² form would
+    * accumulate doubles in partition order and drift. greatest(var, 0)
+    * absorbs the cancellation ulp a constant-ish series can produce; a
+    * constant series (σ = 0) flags nothing and reports z = 0. One hash
+    * exchange on the key; the stats window runs over the bounded daily
+    * grid. `v` must be integer-typed (daily counts — exactness is the
+    * contract). Returns (key, dnum, v, z, is_anomaly). */
+  def zscoreDaily(series: DataFrame, key: String, dnum: String, v: String,
+      threshold: Double = 2.0): DataFrame = {
+    val byKey = Window.partitionBy(key)
+    val mean = col("_s1").cast("double") / col("_n")
+    val varr = greatest(
+      col("_s2").cast("double") / col("_n") - mean * mean, lit(0.0))
+    val sd = sqrt(varr)
+    series
+      .withColumn("_n", count(lit(1)).over(byKey))
+      .withColumn("_s1", sum(col(v)).over(byKey))
+      .withColumn("_s2", sum(col(v) * col(v)).over(byKey))
+      .select(col(key), col(dnum), col(v),
+        when(sd > 0.0, round((col(v) - mean) / sd, 4))
+          .otherwise(lit(0.0)).as("z"),
+        (sd > 0.0 && abs(col(v) - mean) > sd * threshold).as("is_anomaly"))
+  }
+
   /** Date-range join via fixed-width bucketing: returns every (range row,
     * point row) pair with `startDay <= pDay < endDayExcl` (dates, end
     * exclusive). The non-equi BETWEEN predicate rides on an equi-join over

@@ -84,6 +84,27 @@ class BpeSpec extends AnyFunSuite {
       "every encoded occurrence must appear in exactly one vocab bucket")
   }
 
+  test("fertility: n_bpe mass == docTokens mass per source, words count " +
+    "non-empty, and fertility is never below 1") {
+    val rows = Seq(
+      (0L, "low low new", "s0"), (1L, "wide new lowest", "s0"),
+      (2L, "low  wide", "s1")) // double space → an empty split token
+    val d = rows.map { case (id, t, src) => (id, t, "en", src, 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val merges = Bpe.train(d, 4).map(m => (m._2, m._3))
+    val got = Bpe.fertility(d, merges).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val docToks = Bpe.docTokens(d, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got("s0")._2 == docToks(0L) + docToks(1L))
+    assert(got("s1")._2 == docToks(2L))
+    assert(got("s1")._1 == 2L, "the empty split token must not count")
+    got.values.foreach { case (w, b, f) =>
+      assert(b >= w && f >= 1.0, "every word encodes to at least one token")
+    }
+  }
+
   test("more merges never increase a document's token count") {
     val d = docs(Seq("low low low lower newest", "new newer newest wide"))
     val m8 = Bpe.train(d, 8).map(m => (m._2, m._3))

@@ -189,4 +189,31 @@ class SpanDedupSpec extends AnyFunSuite {
       assert(shared.exists(_._1 == 11L) && shared.exists(_._1 == 12L))
     } finally graft.util.Caches.drain()
   }
+
+  test("sourceOverlapFrom: shared shingles count once per source pair, " +
+    "identical sources reach containment 1, disjoint pairs are absent") {
+    val x = (1 to 20).map(i => s"x$i")   // shared between s0 and s1
+    val a = (1 to 20).map(i => s"a$i")   // s0 only
+    val z = (1 to 30).map(i => s"z$i")   // s2, disjoint from everything
+    val docs = Seq(
+      (0L, (a ++ x).mkString(" "), "s0"),
+      (1L, x.mkString(" "), "s1"),
+      (2L, x.mkString(" "), "s1"),       // duplicate doc: DISTINCT per source
+      (3L, z.mkString(" "), "s2"))
+      .map { case (id, t, s) => (id, t, "en", s, 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    try {
+      val sketch = SpanDedup.spanShingles(docs)
+      val got = SpanDedup.sourceOverlapFrom(sketch, docs).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+      // s1's sketch is exactly X's 13 shingles (|X|−W+1), all inside s0
+      val nx = x.length - W + 1
+      assert(got.keySet == Set(("s0", "s1")), s"got $got")
+      val (shared, nA, nB, cont) = got(("s0", "s1"))
+      assert(shared == nx && nB == nx, "duplicate doc must not double-count")
+      assert(nA > nB && cont == 1.0,
+        "s1 fully contained in s0 must read containment 1")
+    } finally graft.util.Caches.drain()
+  }
 }

@@ -117,6 +117,27 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert("Window ".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("zscoreDaily: a planted spike flags, the rest of its series and a " +
+    "constant series do not, and z matches the hand-computed moments") {
+    // key "a": nine 10s and one 100 — mean 19, var = E[x²]−mean² = 729
+    val a = (1L to 9L).map(d => ("a", d, 10L)) :+ (("a", 10L, 100L))
+    // key "b": constant — σ = 0 must flag nothing and report z = 0
+    val b = (1L to 5L).map(d => ("b", d, 7L))
+    val got = TimeSeriesOps.zscoreDaily(
+        (a ++ b).toDF("k", "dnum", "v"), "k", "dnum", "v", 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getBoolean(4))).toMap
+    val sd = math.sqrt(729.0)
+    assert(got(("a", 10L)) == (BigDecimal((100 - 19) / sd)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, true))
+    for (d <- 1L to 9L) {
+      val (z, flag) = got(("a", d))
+      assert(!flag && math.abs(z - BigDecimal((10 - 19) / sd)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    for (d <- 1L to 5L) assert(got(("b", d)) == (0.0, false))
+  }
+
   test("movingAvgDaily: RANGE frame shrinks over gap days (calendar-aware)") {
     val s = Seq((1L, 0L, 10.0), (1L, 1L, 20.0), (1L, 9L, 30.0))
       .toDF("k", "dnum", "v")
