@@ -1467,6 +1467,11 @@ object SparkEntry {
     "emb_topk_ivf" -> ((s, dir) =>
       Ann.ivfTopKFrom(Catalog.ivfFlat(s, dir), Catalog.embeddings(s, dir),
         0, 10)),
+    // index-health audit: per-cell population + load factor from the
+    // STORED assignment (hot cell = probe becomes a scan; empty cell =
+    // wasted centroid — the IVF rebalance trigger)
+    "ivf_balance" -> ((s, dir) =>
+      Ann.ivfBalanceFrom(Catalog.ivfCells(s, dir))),
     // metadata-constrained ANN: nearest neighbours among label = 3 only —
     // the predicate reaches the flat store's parquet scan as a pushed
     // EqualTo beside the partition pruning; probe stage identical
@@ -2416,6 +2421,7 @@ object SparkEntry {
     "emb_topk_lsh_mp_batch" -> Ann.multiProbeBatchOracleSql(8, 10),
     "ann_stream_index" -> Ann.bucketsOracleSql,
     "emb_topk_ivf" -> Ann.ivfOracleSql(0, 10),
+    "ivf_balance" -> Ann.ivfBalanceOracleSql,
     "emb_topk_filtered" -> Ann.ivfFilteredOracleSql(0, 3, 10),
     "ann_recall" -> Ann.recallOracleSql(0, 10),
     "ann_recall_filtered" -> Ann.recallFilteredOracleSql(0, 3, 10),

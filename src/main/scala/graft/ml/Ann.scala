@@ -1408,6 +1408,37 @@ object Ann {
        |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM cell
        |""".stripMargin.replaceAll("\\s+", " ")
 
+  /** INDEX-HEALTH audit of the coarse quantizer — per-cell population and
+    * load factor (n_vecs / mean cell size), the figure an ANN deployment
+    * alarms on: a hot cell turns every probe into a scan, an empty one
+    * wastes a centroid (the rebalance trigger in IVF practice; Jégou et
+    * al. 2011 §5 discuss the imbalance cost). Reads the STORED assignment
+    * — one partial-aggregating groupBy of (vec_id, cell), embeddings never
+    * re-quantized; the 1-row stats frame rides a broadcast crossJoin (the
+    * sizesOf posture). */
+  def ivfBalanceFrom(cells: DataFrame): DataFrame = {
+    // the store is PARTITIONED by cell, so the read-back column is the
+    // inferred int32 partition value — widen to match the oracle's BIGINT
+    val per = cells.groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val stats = per.agg(count(lit(1)).as("n_cells"),
+      sum("n_vecs").as("n_total"))
+    per.crossJoin(broadcast(stats))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs") * col("n_cells") / col("n_total"), 4)
+          .as("load_factor"))
+  }
+
+  def ivfBalanceOracleSql: String =
+    s"""WITH ${cellCtesSql(BaseSrcSql)},
+       |per AS (SELECT cell, count(*) AS n_vecs FROM cell GROUP BY cell),
+       |st AS (SELECT count(*) AS n_cells,
+       |  CAST(sum(n_vecs) AS BIGINT) AS n_total FROM per)
+       |SELECT CAST(cell AS BIGINT) AS cell, n_vecs,
+       |  round(n_vecs * (SELECT n_cells FROM st) * 1.0 /
+       |    (SELECT n_total FROM st), 4) AS load_factor
+       |FROM per""".stripMargin.replaceAll("\\s+", " ")
+
   /** The un-augmented oracle source relation (doubles widened first). */
   val BaseSrcSql = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings"
 

@@ -287,4 +287,22 @@ class AnnIndexSpec extends AnyFunSuite {
     graft.util.Caches.drain()
     assert(stored == adhoc)
   }
+
+  test("ivf_balance: populations partition the corpus, load factors " +
+    "average to 1, and the plan reads the stored assignment") {
+    val df = SparkEntry.queries("ivf_balance")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("ivf_cells"), s"plan does not scan ivf_cells:\n$p")
+    assert(!p.toLowerCase.contains("graft_dot"),
+      s"the audit must not re-quantize embeddings:\n$p")
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nVecs = Catalog.embeddings(spark, dir).count()
+    graft.util.Caches.drain()
+    assert(rows.map(_._2).sum == nVecs, "every vector lives in one cell")
+    // identity: sum over cells of n_vecs·n_cells/n_total == n_cells,
+    // i.e. the unweighted mean load factor is 1 up to the round-4 mask
+    val lfMean = rows.map(_._3).sum / rows.length
+    assert(math.abs(lfMean - 1.0) < 5e-4, s"mean load factor $lfMean != 1")
+  }
 }
