@@ -226,20 +226,30 @@ object SpanDedup {
     * source pair, with containment = shared / min(|A|, |B|). Served FROM
     * the stored positional sketch (Catalog.spanSketch) joined to the
     * (doc_id, source) projection — the corpus text is never re-tokenized.
-    * Scale shape: the pair intersection is a self equi-join on the hash
-    * (shuffle-keyed; the sketch is h-sorted so pushed h stats help), and
-    * with S bounded sources a shingle fans out to at most S(S−1)/2 pair
-    * rows; the output is S×S-bounded. Returns (src_a, src_b, n_shared,
-    * n_a, n_b, containment), zero-overlap pairs absent. */
+    * Scale shape: the sketch shuffles ONCE on the hash into a per-hash
+    * source SET (bounded by S, partial-aggregated map-side); pair counts
+    * and per-source totals both explode from that one grouped frame
+    * in-row — no self-join, so the sketch is never derived twice (the
+    * first cut's a⋈b formulation re-derived the distinct frame on both
+    * join sides AND for the totals: three sketch scans where one
+    * suffices). With S bounded sources a hash emits at most S(S−1)/2
+    * pair rows; the output is S×S-bounded. Returns (src_a, src_b,
+    * n_shared, n_a, n_b, containment), zero-overlap pairs absent. */
   def sourceOverlapFrom(sketch: DataFrame, docs: DataFrame): DataFrame = {
-    val ss = sketch
+    val byH = sketch
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("source"), col("h")).distinct()
-    val tot = ss.groupBy("source").agg(count(lit(1)).as("n"))
-    ss.select(col("source").as("src_a"), col("h"))
-      .join(ss.select(col("source").as("src_b"), col("h")), Seq("h"))
-      .filter(col("src_a") < col("src_b"))
-      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .groupBy("h").agg(array_sort(collect_set("source")).as("srcs"))
+    val pairs = byH
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |    b -> struct(a AS src_a, b AS src_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val tot = byH.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    pairs
       .join(tot.select(col("source").as("src_a"), col("n").as("n_a")),
         Seq("src_a"))
       .join(tot.select(col("source").as("src_b"), col("n").as("n_b")),
