@@ -291,6 +291,13 @@ object SparkEntry {
           Catalog.tsvTimeSeriesFixture(s, dir))
         .select("key", "off", "score")),
 
+    // ---- S8 sibling: JSONL ingest (the LLM-corpus interchange format) —
+    // pinned schema, FAILFAST on malformed lines; the round-trip through a
+    // JSONL scratch must reproduce the parquet corpus row-for-row ----
+    "ingest_jsonl" -> ((s, dir) =>
+      graft.ingest.JsonlLoader.documentsRoundTrip(s, dir,
+        Catalog.scratch(dir, "jsonl_docs"))),
+
     // ---- S11: table copy with rewrites (ca-load.cc:543-568) — write through
     // SortedWriter (regex filter + strip/add prefix), read the table back ----
     "copy_rewrite" -> ((s, dir) => {
@@ -1952,6 +1959,8 @@ object SparkEntry {
       "CASE WHEN off % 3 = 0 THEN score * 2 ELSE score END AS score, " +
       "off % 3 <> 0 AS has_pct FROM idx WHERE key = 'price'"),
 
+    "ingest_jsonl" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "tsv_load_index" -> ("""SELECT 'price' AS key, o_orderkey AS off,
       o_totalprice AS score FROM orders""".replaceAll("\\s+", " ")),
     "tsv_load_timeseries" -> ("""SELECT 'event:' || event_type AS key,
