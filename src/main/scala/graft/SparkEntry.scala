@@ -1031,6 +1031,19 @@ object SparkEntry {
     // serving cadence never re-touches the event volume
     "sketch_hll_stored" -> ((s, dir) =>
       graft.ml.Sketches.hllFold(Catalog.hllStore(s, dir))),
+    // generational end of the register lifecycle: per-batch deltas
+    // max-folded into one sorted generation behind the MANIFEST flip
+    // (max is idempotent — replay-safe by algebra, not just layout)
+    "sketch_hll_compact" -> ((s, dir) =>
+      graft.ml.Sketches.hllFold(
+        graft.streaming.EventsIngest.hllCompactOnce(s, dir,
+          Catalog.scratch(dir, "hll_compact")))),
+    // the additive sibling: per-batch quantile-grid deltas sum-folded
+    // into one generation; the fold must equal the batch report
+    "sketch_hdr_compact" -> ((s, dir) =>
+      graft.ml.Sketches.hdrQuantilesFrom(
+        graft.streaming.EventsIngest.hdrCompactOnce(s, dir,
+          Catalog.scratch(dir, "hdr_compact")))),
     // the ann_recall pattern for sketches: exact vs KMV vs HLL with both
     // relative errors, driver-checked
     "sketch_error_gate" -> ((s, dir) =>
@@ -2286,6 +2299,9 @@ object SparkEntry {
     // identical estimate, so the batch oracle IS the stream oracle
     "sketch_hll_stream" -> graft.ml.Sketches.hllOracleSql,
     "sketch_hll_stored" -> graft.ml.Sketches.hllOracleSql,
+    // the compacted generation must fold to the identical estimate
+    "sketch_hll_compact" -> graft.ml.Sketches.hllOracleSql,
+    "sketch_hdr_compact" -> graft.ml.Sketches.hdrOracleSql,
     "sketch_kmv_setops" -> graft.ml.Sketches.kmvSetOpsOracleSql(240),
     "sketch_error_gate" -> graft.ml.Sketches.errorGateOracleSql,
     "sketch_hdr" -> graft.ml.Sketches.hdrOracleSql,

@@ -346,6 +346,77 @@ object EventsIngest {
         graft.ml.Sketches.hllRegisters(stream(s, dir)))
     }
 
+  /** Per-batch HLL register delta writer — IDEMPOTENT twice over: the
+    * b=<batchId> overwrite dirs absorb foreachBatch's at-least-once replay
+    * (the dfDelta convention), and max-merge is idempotent anyway (a
+    * replayed register can only re-assert the same max — the property
+    * that makes max-typed sketch state the easiest to maintain
+    * incrementally, vs the additive deltas below which NEED the overwrite
+    * discipline). Each batch writes ITS OWN registers; nothing rescans
+    * the stored sketch. */
+  private[graft] def hllDeltaBatchWriter(
+      deltaPath: String): (DataFrame, Long) => Unit = (batch, id) => {
+    graft.ml.Sketches.hllRegisters(batch)
+      .write.mode("overwrite").parquet(s"$deltaPath/b=$id")
+    ()
+  }
+
+  /** Streamed-then-compacted HLL register store — the generational end of
+    * the sketch lifecycle (winnow_compact's posture with a NON-ADDITIVE
+    * merge law): per-batch register deltas accumulate as small files, and
+    * compaction max-folds them into ONE sorted generation behind the
+    * MANIFEST flip. Reading the compacted store and folding to an
+    * estimate must equal the whole-corpus batch sketch exactly (max is
+    * associative/commutative and every event lands in some batch). */
+  def hllCompactOnce(spark: SparkSession, dir: String,
+      scratchBase: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:hllcompact:$dir:$scratchBase") {
+      graft.ingest.Compact.rmTree(scratchBase)
+      val q = stream(spark, dir).writeStream
+        .option("checkpointLocation", s"$scratchBase/ck")
+        .foreachBatch(hllDeltaBatchWriter(s"$scratchBase/deltas"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.ingest.Compact.writeGenerationAndFlip(spark,
+        spark.read.parquet(s"$scratchBase/deltas")
+          .groupBy("event_type", "reg").agg(max("mr").as("mr")),
+        s"$scratchBase/idx", "event_type", Seq("event_type", "reg"),
+        partitions = Some(1))
+    }
+
+  /** Per-batch HDR quantile-grid delta writer — additive counts, so the
+    * b=<batchId> overwrite is what makes at-least-once replay safe (a
+    * replayed additive delta would otherwise double-count; contrast the
+    * idempotent max deltas above). */
+  private[graft] def hdrDeltaBatchWriter(
+      deltaPath: String): (DataFrame, Long) => Unit = (batch, id) => {
+    graft.ml.Sketches.hdrGrid(batch)
+      .write.mode("overwrite").parquet(s"$deltaPath/b=$id")
+    ()
+  }
+
+  /** Streamed-then-compacted quantile grid — hllCompactOnce's additive
+    * sibling: per-batch bucket-count deltas sum-fold into one sorted
+    * generation behind the MANIFEST flip; the quantile fold over the
+    * compacted grid must equal the whole-corpus batch report. */
+  def hdrCompactOnce(spark: SparkSession, dir: String,
+      scratchBase: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:hdrcompact:$dir:$scratchBase") {
+      graft.ingest.Compact.rmTree(scratchBase)
+      val q = stream(spark, dir).writeStream
+        .option("checkpointLocation", s"$scratchBase/ck")
+        .foreachBatch(hdrDeltaBatchWriter(s"$scratchBase/deltas"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.ingest.Compact.writeGenerationAndFlip(spark,
+        spark.read.parquet(s"$scratchBase/deltas")
+          .groupBy("event_type", "shift", "w").agg(sum("cnt").as("cnt")),
+        s"$scratchBase/idx", "event_type",
+        Seq("event_type", "shift", "w"), partitions = Some(1))
+    }
+
   /** Streamed log-linear quantile grid upkeep: the bucket counts are
     * SUM-typed streaming state bounded at the grid size however many
     * events flow (the CMS-counter posture applied to rank questions);

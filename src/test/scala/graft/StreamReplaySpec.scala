@@ -68,6 +68,38 @@ class StreamReplaySpec extends AnyFunSuite {
     } finally graft.ingest.Compact.rmTree(base)
   }
 
+  test("sketch delta sinks: replayed micro-batch converges for BOTH merge " +
+    "algebras (idempotent max registers, overwrite-guarded additive grid)") {
+    val base = scratch("sketch")
+    try {
+      val ev = Catalog.events(spark, dir)
+      val hllDeltas = s"$base/hll"
+      val wHll = graft.streaming.EventsIngest.hllDeltaBatchWriter(hllDeltas)
+      wHll(ev, 0L);
+      val hllOnce = spark.read.parquet(hllDeltas)
+        .groupBy("event_type", "reg").agg(max("mr").as("mr")).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+      wHll(ev, 0L)
+      val hllTwice = spark.read.parquet(hllDeltas)
+        .groupBy("event_type", "reg").agg(max("mr").as("mr")).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+      assert(hllTwice == hllOnce, "register replay changed the max-merge")
+      val hdrDeltas = s"$base/hdr"
+      val wHdr = graft.streaming.EventsIngest.hdrDeltaBatchWriter(hdrDeltas)
+      wHdr(ev, 0L)
+      val hdrOnce = spark.read.parquet(hdrDeltas)
+        .agg(sum("cnt")).collect()(0).getLong(0)
+      wHdr(ev, 0L)
+      val hdrTwice = spark.read.parquet(hdrDeltas)
+        .agg(sum("cnt")).collect()(0).getLong(0)
+      assert(hdrTwice == hdrOnce, "additive grid replay double-counted")
+      // a LATER batch still accumulates
+      wHdr(ev, 1L)
+      assert(spark.read.parquet(hdrDeltas).agg(sum("cnt")).collect()(0)
+        .getLong(0) == 2 * hdrOnce)
+    } finally graft.ingest.Compact.rmTree(base)
+  }
+
   /** The file-sink generations: an aborted/replayed batch attempt leaves
     * part-files that never committed to the sink's _spark_metadata log;
     * readers (including compaction) must not see them. */
