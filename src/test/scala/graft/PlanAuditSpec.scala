@@ -278,4 +278,35 @@ class PlanAuditSpec extends AnyFunSuite {
         s"quality_hostrank must leave the rank join unhinted:\n$logical")
     } finally graft.util.Caches.drain()
   }
+
+  test("CDC chunk family serves from the materialized sidecar, never " +
+    "re-tokenizing the corpus text") {
+    try {
+      // chunk_cdc is a pure store read: no aggregate, no join, no explode
+      val c = planOf(SparkEntry.queries("chunk_cdc")(spark, dir))
+      assert(c.contains("cdc_chunks"), s"plan does not scan cdc_chunks:\n$c")
+      assert(!c.contains("Generate") && !c.contains("Aggregate"),
+        s"chunk_cdc must be a plain store read:\n$c")
+      // dedup_cdc joins the sidecar to the (doc_id, source) projection —
+      // the documents scan must NOT read the text column
+      val d = SparkEntry.queries("dedup_cdc")(spark, dir)
+      val p = planOf(d)
+      assert(p.contains("cdc_chunks"), s"plan does not scan cdc_chunks:\n$p")
+      val docScans = p.linesIterator
+        .filter(l => l.contains("documents.parquet") ||
+          (l.contains("ReadSchema") && l.contains("source")))
+        .mkString("\n")
+      assert(!docScans.contains("text"),
+        s"dedup_cdc read the corpus text:\n$docScans")
+    } finally graft.util.Caches.drain()
+  }
+
+  test("ingest_jsonl is a single pinned-schema json scan (no inference " +
+    "subtree, no shuffle)") {
+    try {
+      val p = planOf(SparkEntry.queries("ingest_jsonl")(spark, dir))
+      assert(p.contains("Scan json"), s"expected a json scan:\n$p")
+      assert(!p.contains("Exchange"), s"round-trip read must not shuffle:\n$p")
+    } finally graft.util.Caches.drain()
+  }
 }
