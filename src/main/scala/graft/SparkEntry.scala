@@ -1044,6 +1044,15 @@ object SparkEntry {
       graft.ml.Sketches.hdrQuantilesFrom(
         graft.streaming.EventsIngest.hdrCompactOnce(s, dir,
           Catalog.scratch(dir, "hdr_compact")))),
+    // time-sliced quantiles: per-day grids (bounded state per day),
+    // folded per (type, day) — daily latency/size percentiles
+    "sketch_hdr_daily" -> ((s, dir) =>
+      graft.ml.Sketches.hdrDaily(Catalog.events(s, dir))),
+    // trailing-7-day quantiles from the daily grids: grid rows explode
+    // to their anchors and SUM-merge — calendar-sized shuffle, the
+    // hll_rolling posture for rank questions
+    "sketch_hdr_rolling" -> ((s, dir) =>
+      graft.ml.Sketches.hdrRolling(Catalog.events(s, dir))),
     // the ann_recall pattern for sketches: exact vs KMV vs HLL with both
     // relative errors, driver-checked
     "sketch_error_gate" -> ((s, dir) =>
@@ -2302,6 +2311,8 @@ object SparkEntry {
     // the compacted generation must fold to the identical estimate
     "sketch_hll_compact" -> graft.ml.Sketches.hllOracleSql,
     "sketch_hdr_compact" -> graft.ml.Sketches.hdrOracleSql,
+    "sketch_hdr_daily" -> graft.ml.Sketches.hdrDailyOracleSql,
+    "sketch_hdr_rolling" -> graft.ml.Sketches.hdrRollingOracleSql(),
     "sketch_kmv_setops" -> graft.ml.Sketches.kmvSetOpsOracleSql(240),
     "sketch_error_gate" -> graft.ml.Sketches.errorGateOracleSql,
     "sketch_hdr" -> graft.ml.Sketches.hdrOracleSql,

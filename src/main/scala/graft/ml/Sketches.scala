@@ -449,13 +449,19 @@ object Sketches {
     * state is bounded at ~(s+1)·2^s·64 rows per group however many events
     * flow through (the CMS posture with a quantile answer). */
   def hdrGrid(events: DataFrame): DataFrame =
-    events
-      .select(col("event_type"), centsCol.as("c"))
+    hdrGridKeyed(events, Seq("event_type"))
+
+  /** The grid under ARBITRARY grouping keys (e.g. event_type × day) — the
+    * time-sliceable layout: per-key bounded state, sum-mergeable across
+    * any key range at serve (the hllRegistersKeyed posture). */
+  private def hdrGridKeyed(df: DataFrame, keys: Seq[String]): DataFrame =
+    df
+      .select(keys.map(col) :+ centsCol.as("c"): _*)
       .withColumn("shift",
         greatest(length(bin(col("c"))) - lit(HdrSubBits + 1), lit(0)))
-      .select(col("event_type"), col("shift"),
-        expr("shiftright(c, shift)").as("w"))
-      .groupBy("event_type", "shift", "w")
+      .select(keys.map(col) :+ col("shift") :+
+        expr("shiftright(c, shift)").as("w"): _*)
+      .groupBy((keys :+ "shift" :+ "w").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
 
   /** Discrete quantile report from a bucket grid (possibly streamed or
@@ -464,19 +470,57 @@ object Sketches {
     * Bands rank rule ceil(k·n/100) = (k·n+99) div 100 (pure integer, the
     * repo's discrete-quantile convention). The window runs over the
     * BOUNDED grid (≤ a few hundred rows per group), never the events. */
-  def hdrQuantilesFrom(grid: DataFrame): DataFrame = {
-    val byType = Window.partitionBy("event_type")
+  def hdrQuantilesFrom(grid: DataFrame): DataFrame =
+    hdrQuantilesKeyed(grid, Seq("event_type"))
+
+  private def hdrQuantilesKeyed(grid: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val byKey = Window.partitionBy(keys.map(col): _*)
     val g = grid
-      .select(col("event_type"), expr("shiftleft(w, shift)").as("lb"),
-        col("cnt"))
-      .withColumn("cum", sum("cnt").over(byType.orderBy("lb")
+      .select(keys.map(col) :+ expr("shiftleft(w, shift)").as("lb") :+
+        col("cnt"): _*)
+      .withColumn("cum", sum("cnt").over(byKey.orderBy("lb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n", sum("cnt").over(byType))
+      .withColumn("n", sum("cnt").over(byKey))
     def pick(k: Int, name: String) =
       min(when(col("cum") >= greatest(lit(1L), expr(s"($k * n + 99) div 100")),
         col("lb"))).as(name)
-    g.groupBy("event_type").agg(max("n").as("n"),
+    g.groupBy(keys.map(col): _*).agg(max("n").as("n"),
       pick(50, "p50_c"), pick(95, "p95_c"), pick(99, "p99_c"))
+  }
+
+  /** DAILY quantiles — the grid keyed by (event_type, epoch-day): per-day
+    * p50/p95/p99 from per-day bounded state, the hll_daily posture for
+    * rank questions (daily latency/size quantiles are the observability
+    * figure this exists for). */
+  def hdrDaily(events: DataFrame): DataFrame =
+    hdrQuantilesKeyed(
+      hdrGridKeyed(events.withColumn("day",
+        unix_date(to_date(col("ts"))).cast("long")), Seq("event_type", "day")),
+      Seq("event_type", "day"))
+
+  /** Rolling `days`-day quantiles from the DAILY grids — the hll_rolling
+    * posture: each day's (bounded) grid rows explode to the ≤`days`
+    * trailing anchors they serve and SUM-merge per anchor (count addition
+    * is the sketch union), then the quantile folds per anchor. The
+    * shuffle is calendar×grid-sized, never event-sized — the reason a
+    * deployment keeps daily grid rows. Dense over the observed span;
+    * gap anchors zero-fill (n = 0, quantiles 0). */
+  def hdrRolling(events: DataFrame, days: Int = 7): DataFrame = {
+    val grid = hdrGridKeyed(events.withColumn("day",
+      unix_date(to_date(col("ts"))).cast("long")), Seq("day"))
+    val span = grid.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val merged = grid
+      .select(col("shift"), col("w"), col("cnt"),
+        explode(sequence(col("day"), col("day") + (days - 1))).as("d"))
+      .groupBy("d", "shift", "w").agg(sum("cnt").as("cnt"))
+    hdrQuantilesKeyed(merged, Seq("d"))
+      .join(span, Seq("d"), "right")
+      .select(col("d"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("p50_c"), lit(0L)).as("p50_c"),
+        coalesce(col("p95_c"), lit(0L)).as("p95_c"),
+        coalesce(col("p99_c"), lit(0L)).as("p99_c"))
   }
 
   def hdrReport(events: DataFrame): DataFrame =
@@ -526,6 +570,56 @@ object Sketches {
   def hdrOracleSql: String =
     s"""WITH $HdrGridSql
        |SELECT event_type, n, p50_c, p95_c, p99_c FROM r""".stripMargin
+      .replaceAll("\\s+", " ")
+
+  def hdrDailyOracleSql: String =
+    s"""WITH e AS (SELECT event_type,
+       |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+       |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+       |  b AS (SELECT event_type, day,
+       |    greatest(length(bin(c)) - ${HdrSubBits + 1}, 0) AS shift,
+       |    c >> greatest(length(bin(c)) - ${HdrSubBits + 1}, 0) AS w
+       |    FROM e),
+       |  g AS (SELECT event_type, day, shift, w, count(*) AS cnt
+       |    FROM b GROUP BY 1, 2, 3, 4),
+       |  q AS (SELECT event_type, day, (w << shift) AS lb, cnt,
+       |    sum(cnt) OVER (PARTITION BY event_type, day
+       |      ORDER BY (w << shift) ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(cnt) OVER (PARTITION BY event_type, day) AS n FROM g)
+       |SELECT event_type, day, CAST(max(n) AS BIGINT) AS n,
+       |  min(CASE WHEN cum >= greatest(1, (50*n+99)//100) THEN lb END) AS p50_c,
+       |  min(CASE WHEN cum >= greatest(1, (95*n+99)//100) THEN lb END) AS p95_c,
+       |  min(CASE WHEN cum >= greatest(1, (99*n+99)//100) THEN lb END) AS p99_c
+       |FROM q GROUP BY event_type, day""".stripMargin
+      .replaceAll("\\s+", " ")
+
+  def hdrRollingOracleSql(days: Int = 7): String =
+    s"""WITH e AS (SELECT
+       |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+       |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+       |  b AS (SELECT day,
+       |    greatest(length(bin(c)) - ${HdrSubBits + 1}, 0) AS shift,
+       |    c >> greatest(length(bin(c)) - ${HdrSubBits + 1}, 0) AS w
+       |    FROM e),
+       |  g AS (SELECT day, shift, w, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+       |  x AS (SELECT u.d, shift, w, CAST(sum(cnt) AS BIGINT) AS cnt
+       |    FROM g, unnest(generate_series(day, day + ${days - 1})) AS u(d)
+       |    GROUP BY 1, 2, 3),
+       |  q AS (SELECT d, (w << shift) AS lb, cnt,
+       |    sum(cnt) OVER (PARTITION BY d ORDER BY (w << shift)
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(cnt) OVER (PARTITION BY d) AS n FROM x),
+       |  r AS (SELECT d, CAST(max(n) AS BIGINT) AS n,
+       |    min(CASE WHEN cum >= greatest(1, (50*n+99)//100) THEN lb END) AS p50_c,
+       |    min(CASE WHEN cum >= greatest(1, (95*n+99)//100) THEN lb END) AS p95_c,
+       |    min(CASE WHEN cum >= greatest(1, (99*n+99)//100) THEN lb END) AS p99_c
+       |    FROM q GROUP BY d),
+       |  grid AS (SELECT unnest(generate_series(lo, hi)) AS d
+       |    FROM (SELECT min(day) AS lo, max(day) AS hi FROM g))
+       |SELECT grid.d AS d, coalesce(n, 0) AS n,
+       |  coalesce(p50_c, 0) AS p50_c, coalesce(p95_c, 0) AS p95_c,
+       |  coalesce(p99_c, 0) AS p99_c
+       |FROM grid LEFT JOIN r ON grid.d = r.d""".stripMargin
       .replaceAll("\\s+", " ")
 
   def hdrErrorGateOracleSql: String =

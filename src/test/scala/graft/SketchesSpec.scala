@@ -195,6 +195,36 @@ class SketchesSpec extends AnyFunSuite {
     assert(rep == repWhole)
   }
 
+  test("HDR rolling: every anchor equals the from-scratch sketch of its " +
+    "trailing window's raw values, and gap anchors zero-fill") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(
+      java.time.LocalDate.of(1970, 1, 1).plusDays(d).atStartOfDay())
+    val rows = Seq(0 -> Seq(1.00, 2.00, 3.00), 3 -> Seq(5.00))
+      .flatMap { case (d, vs) => vs.map(v => ("t", ts(d), v)) }
+      .toDF("event_type", "ts", "value")
+    val got = Sketches.hdrRolling(rows, days = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def ref(vals: Seq[Double]) = {
+      val cents = vals.map(v => math.round(v * 100)).sorted
+      def est(k: Int): Long = if (cents.isEmpty) 0L else {
+        val rank = math.max(1L, (k.toLong * cents.size + 99) / 100)
+        val v = cents(rank.toInt - 1)
+        val m = if (v == 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+        val sh = math.max(m - (Sketches.HdrSubBits + 1), 0)
+        (v >> sh) << sh
+      }
+      (cents.size.toLong, est(50), est(95), est(99))
+    }
+    // days=2: anchor d merges the grids of days d-1 and d
+    assert(got(0L) == ref(Seq(1.0, 2.0, 3.0)))
+    assert(got(1L) == ref(Seq(1.0, 2.0, 3.0)))
+    assert(got(2L) == ((0L, 0L, 0L, 0L)), "empty window must zero-fill")
+    assert(got(3L) == ref(Seq(5.0)))
+    assert(got.keySet == Set(0L, 1L, 2L, 3L), "dense over the span")
+  }
+
   test("HDR error law: estimates never exceed the exact discrete quantile " +
     "and stay within 2^-4 relative error; sub-32-cent values are exact") {
     val rows = (0 until 5000).map(i =>
