@@ -1356,6 +1356,11 @@ object SparkEntry {
     // ...and the sidecar's streamed ingest twin (same stateless projection)
     "mm_phash_stream" -> ((s, dir) =>
       graft.streaming.DocumentsIngest.phashOnce(s, dir)),
+    // Hamming-radius near-dup from the stored hashes: 4-band multi-index
+    // buckets (pigeonhole-total recall at k<=3) + exact per-candidate
+    // verify — catches the few-bit flips exact-equal aHash misses
+    "mm_phash_near" -> ((s, dir) =>
+      Multimodal.phashNearFrom(Catalog.phashStore(s, dir))),
     // streamed media decode: the same stateless PGM-decode projection over
     // the documents STREAM == the batch features — media is decoded once
     // at ingest, not per analysis query
@@ -2444,6 +2449,9 @@ object SparkEntry {
     "mm_phash_dedup" -> Multimodal.phashOracleSql,
     "mm_phash_stored" -> Multimodal.phashOracleSql,
     "mm_phash_stream" -> Multimodal.phashRowsOracleSql,
+    // brute-force oracle: the banded plan's pigeonhole recall guarantee
+    // is exactly what comparing against the unbanded truth checks
+    "mm_phash_near" -> Multimodal.phashNearOracleSql(),
     "emb_topk" -> ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0)
       SELECT e.vec_id AS vec_id,

@@ -120,6 +120,40 @@ object Multimodal {
     hashed.withColumn("n_dups", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy("phash")))
 
+  /** Hamming-RADIUS image near-dup over hash rows (live or stored) —
+    * exact-equal aHash (mm_phash_dedup) misses the few-bit flips
+    * re-encoding/resizing produces; the scale answer is multi-index
+    * hashing (Norouzi et al., CVPR 2012): split the 32-bit hash into
+    * B = 4 bands, and any pair within Hamming distance k ≤ B − 1 = 3
+    * shares AT LEAST one band EXACTLY (pigeonhole), so candidates come
+    * from band-bucket equi-joins — the banded-MinHash posture; no
+    * all-pairs anywhere — and the exact distance verifies per candidate
+    * (a 32-position scan). The B/k pair makes the recall guarantee
+    * EXACT, which is what the brute-force oracle checks. Returns
+    * (doc_a, doc_b, hamming), hamming ≤ k. */
+  def phashNearFrom(hashed: DataFrame, k: Int = 3): DataFrame = {
+    val bands = 4
+    val width = 32 / bands
+    val keyed = hashed.select(col("doc_id"), col("phash"),
+        explode(expr(
+          s"""transform(sequence(0, ${bands - 1}), b -> struct(b AS band,
+             |  substring(phash, b * $width + 1, $width) AS bits))"""
+            .stripMargin)).as("bk"))
+      .select(col("doc_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    keyed.select(col("doc_id").as("doc_a"), col("phash").as("ha"),
+        col("band"), col("bits"))
+      .join(keyed.select(col("doc_id").as("doc_b"), col("phash").as("hb"),
+        col("band"), col("bits")), Seq("band", "bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("""size(filter(sequence(1, 32),
+          i -> substring(ha, i, 1) != substring(hb, i, 1)))""")
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= k)
+  }
+
   /** The aHash bit string of one decoded image: bit = pixel strictly above
     * the image mean, as the exact integer compare px·n > Σpx. Uniform
     * brightness shifts cancel algebraically ((p+c)·n > Σ+c·n ⇔ p·n > Σ),
@@ -163,6 +197,32 @@ object Multimodal {
       |SELECT doc_id, phash,
       |  count(*) OVER (PARTITION BY phash) AS n_dups
       |FROM h""".stripMargin.replaceAll("\\s+", " ")
+
+  /** DuckDB mirror of phashNearFrom — deliberately BRUTE-FORCE (all pairs
+    * + exact distance): with B = 4 bands and k = 3 the banded plan's
+    * recall is exactly total by pigeonhole, so the oracle checking the
+    * banded result against the unbanded ground truth IS the check of
+    * that guarantee. */
+  def phashNearOracleSql(k: Int = 3): String =
+    s"""WITH d AS (SELECT doc_id,
+       |  substring(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'), 1, 32) AS px
+       |  FROM documents),
+       |f AS (SELECT doc_id, px FROM d WHERE length(px) >= 32),
+       |p AS (SELECT doc_id,
+       |  list_transform(range(1, 33), i -> ascii(substring(px, i, 1))) AS codes
+       |  FROM f),
+       |h AS (SELECT doc_id, list_aggregate(list_transform(codes,
+       |    c -> CASE WHEN c * 32 > list_sum(codes) THEN '1' ELSE '0' END),
+       |    'string_agg', '') AS phash
+       |  FROM p)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_filter(range(1, 33),
+       |    i -> substring(a.phash, i, 1) <> substring(b.phash, i, 1)))
+       |    AS BIGINT) AS hamming
+       |FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |WHERE len(list_filter(range(1, 33),
+       |  i -> substring(a.phash, i, 1) <> substring(b.phash, i, 1))) <= $k"""
+      .stripMargin.replaceAll("\\s+", " ")
 
   /** DuckDB mirror of documentFeatures: the oracle never sees the PGM bytes —
     * it derives the expected decoded stats straight from the (ASCII-

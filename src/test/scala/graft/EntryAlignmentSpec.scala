@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The driver's correctness gate compares each `SparkEntry.queries` result
   * against its `oracleSql` twin; an entry missing its oracle silently
   * degrades to a weaker rows-only check. This repo's convention is FULL
-  * key-for-key alignment (280 at r18) — pin it so a typo'd key or a
+  * key-for-key alignment (281 at r18) — pin it so a typo'd key or a
   * forgotten oracle fails in `sbt test`, not in the driver's report.
   * (Oracle output TYPES are gated separately: scripts/check.py DESCRIBEs
   * every oracle in DuckDB and fails HUGEINT/DECIMAL outputs — the r17

@@ -75,4 +75,35 @@ object MultimodalProps extends Properties("Multimodal") {
     } yield (px.toArray, c)) { case (px, c) =>
       Multimodal.aHashBits(px) == Multimodal.aHashBits(px.map(_ + c))
     }
+
+  // clustered hashes (a base string plus few-bit mutants) so the generator
+  // actually produces pairs on BOTH sides of the k = 3 radius
+  private val hashSetGen: Gen[Vector[String]] = for {
+    base <- Gen.listOfN(32, Gen.oneOf('0', '1')).map(_.mkString)
+    n <- Gen.choose(2, 12)
+    rows <- Gen.listOfN(n, for {
+      nf <- Gen.choose(0, 6)
+      idx <- Gen.pick(nf, 0 until 32)
+    } yield base.zipWithIndex
+      .map { case (ch, i) =>
+        if (idx.contains(i)) (if (ch == '0') '1' else '0') else ch }
+      .mkString)
+  } yield rows.toVector
+
+  property("phash Hamming banding finds EXACTLY the distance<=3 pairs " +
+    "(pigeonhole recall is total; no false positives survive the verify)") =
+    forAll(hashSetGen) { hs =>
+      import TestSpark.spark
+      import spark.implicits._
+      val df = hs.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+        .toDF("doc_id", "phash")
+      val got = Multimodal.phashNearFrom(df, 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val ref = (for {
+        a <- hs.indices; b <- hs.indices if a < b
+        d = hs(a).zip(hs(b)).count { case (x, y) => x != y }
+        if d <= 3
+      } yield (a.toLong, b.toLong, d.toLong)).toSet
+      got == ref
+    }
 }
