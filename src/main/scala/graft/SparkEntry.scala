@@ -1356,11 +1356,13 @@ object SparkEntry {
     // ...and the sidecar's streamed ingest twin (same stateless projection)
     "mm_phash_stream" -> ((s, dir) =>
       graft.streaming.DocumentsIngest.phashOnce(s, dir)),
-    // Hamming-radius near-dup from the stored hashes: 4-band multi-index
-    // buckets (pigeonhole-total recall at k<=3) + exact per-candidate
-    // verify — catches the few-bit flips exact-equal aHash misses
+    // Hamming-radius near-dup from the stored 63-bit composite hashes
+    // (aHash ++ dHash): 4-band multi-index buckets (pigeonhole-total
+    // recall at k<=3, ~15-bit bands keep buckets collision-sized) +
+    // exact per-candidate verify — catches the few-bit flips
+    // exact-equal aHash misses
     "mm_phash_near" -> ((s, dir) =>
-      Multimodal.phashNearFrom(Catalog.phashStore(s, dir))),
+      Multimodal.phashNearFrom(Catalog.phashNearStore(s, dir))),
     // streamed media decode: the same stateless PGM-decode projection over
     // the documents STREAM == the batch features — media is decoded once
     // at ingest, not per analysis query

@@ -120,38 +120,70 @@ object Multimodal {
     hashed.withColumn("n_dups", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy("phash")))
 
-  /** Hamming-RADIUS image near-dup over hash rows (live or stored) —
-    * exact-equal aHash (mm_phash_dedup) misses the few-bit flips
-    * re-encoding/resizing produces; the scale answer is multi-index
-    * hashing (Norouzi et al., CVPR 2012): split the 32-bit hash into
-    * B = 4 bands, and any pair within Hamming distance k ≤ B − 1 = 3
+  /** The dHash gradient bits of one decoded image — bit i = pixel i
+    * strictly above pixel i+1: brightness-shift invariant like aHash
+    * ((p+c) > (q+c) ⇔ p > q), but sensitive to local structure where
+    * aHash only sees the global mean. */
+  private[graft] def dHashBits(px: Array[Int]): String =
+    px.sliding(2).map { case Array(a, b) => if (a > b) '1' else '0' }
+      .mkString
+
+  /** The 63-bit COMPOSITE hash rows (doc_id, ph = aHash ++ dHash) the
+    * Hamming near-dup index stores. The 32-bit aHash alone is too short
+    * for radius search at corpus scale: its 8-bit bands have only 256
+    * values, so band buckets grow linearly with the corpus and the
+    * candidate set quadratically (measured: 63 s at sf0.1). The
+    * composite's ~16-bit bands keep buckets collision-sized — the same
+    * reason production pHashes are 64+ bits. */
+  def phashNearRows(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    plantedMedia(spark, docs).mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        decodePgm(bytes).map { case (_, _, px) =>
+          (id, aHashBits(px) + dHashBits(px)) }
+      }
+    }.toDF("doc_id", "ph")
+  }
+
+  /** Hamming-RADIUS image near-dup over composite-hash rows (live or
+    * stored) — exact-equal aHash (mm_phash_dedup) misses the few-bit
+    * flips re-encoding/resizing produces; the scale answer is
+    * multi-index hashing (Norouzi et al., CVPR 2012): split the hash
+    * into B = 4 bands, and any pair within Hamming distance k ≤ B − 1 = 3
     * shares AT LEAST one band EXACTLY (pigeonhole), so candidates come
     * from band-bucket equi-joins — the banded-MinHash posture; no
-    * all-pairs anywhere — and the exact distance verifies per candidate
-    * (a 32-position scan). The B/k pair makes the recall guarantee
-    * EXACT, which is what the brute-force oracle checks. Returns
-    * (doc_a, doc_b, hamming), hamming ≤ k. */
-  def phashNearFrom(hashed: DataFrame, k: Int = 3): DataFrame = {
+    * all-pairs anywhere — and the exact distance verifies per candidate.
+    * The B/k pair makes the recall guarantee EXACT, which is what the
+    * brute-force oracle checks. Returns (doc_a, doc_b, hamming ≤ k). */
+  def phashNearFrom(hashed: DataFrame, k: Int = 3,
+      hashLen: Int = 63): DataFrame = {
     val bands = 4
-    val width = 32 / bands
-    val keyed = hashed.select(col("doc_id"), col("phash"),
-        explode(expr(
-          s"""transform(sequence(0, ${bands - 1}), b -> struct(b AS band,
-             |  substring(phash, b * $width + 1, $width) AS bits))"""
-            .stripMargin)).as("bk"))
-      .select(col("doc_id"), col("phash"),
+    val width = hashLen / bands // last band absorbs the remainder
+    val starts = (0 until bands).map(b => b * width + 1)
+    val lens = starts.map(s =>
+      if (s == starts.last) hashLen - s + 1 else width)
+    val bandStructs = starts.zip(lens).zipWithIndex.map {
+      case ((s, l), b) => s"struct($b AS band, substring(ph, $s, $l) AS bits)"
+    }.mkString(", ")
+    // the bit string folds to ONE long per row (63 bits fit signed
+    // BIGINT), so the per-candidate verify is codegen'd integer xor +
+    // popcount — the interpreted per-position higher-order string
+    // compare this replaced was the whole cost of the entry (14 s → sub-
+    // second statement work at sf0.1)
+    val keyed = hashed.select(col("doc_id"),
+        conv(col("ph"), 2, 10).cast("long").as("hl"),
+        explode(expr(s"array($bandStructs)")).as("bk"))
+      .select(col("doc_id"), col("hl"),
         col("bk.band").as("band"), col("bk.bits").as("bits"))
-    keyed.select(col("doc_id").as("doc_a"), col("phash").as("ha"),
+    keyed.select(col("doc_id").as("doc_a"), col("hl").as("la"),
         col("band"), col("bits"))
-      .join(keyed.select(col("doc_id").as("doc_b"), col("phash").as("hb"),
+      .join(keyed.select(col("doc_id").as("doc_b"), col("hl").as("lb"),
         col("band"), col("bits")), Seq("band", "bits"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ha", "hb").distinct()
       .select(col("doc_a"), col("doc_b"),
-        expr("""size(filter(sequence(1, 32),
-          i -> substring(ha, i, 1) != substring(hb, i, 1)))""")
-          .cast("long").as("hamming"))
+        bit_count(expr("la ^ lb")).cast("long").as("hamming"))
       .filter(col("hamming") <= k)
+      .distinct()
   }
 
   /** The aHash bit string of one decoded image: bit = pixel strictly above
@@ -199,10 +231,10 @@ object Multimodal {
       |FROM h""".stripMargin.replaceAll("\\s+", " ")
 
   /** DuckDB mirror of phashNearFrom — deliberately BRUTE-FORCE (all pairs
-    * + exact distance): with B = 4 bands and k = 3 the banded plan's
-    * recall is exactly total by pigeonhole, so the oracle checking the
-    * banded result against the unbanded ground truth IS the check of
-    * that guarantee. */
+    * + exact distance over the composite hash): with B = 4 bands and
+    * k = 3 the banded plan's recall is exactly total by pigeonhole, so
+    * the oracle checking the banded result against the unbanded ground
+    * truth IS the check of that guarantee. */
   def phashNearOracleSql(k: Int = 3): String =
     s"""WITH d AS (SELECT doc_id,
        |  substring(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'), 1, 32) AS px
@@ -213,15 +245,18 @@ object Multimodal {
        |  FROM f),
        |h AS (SELECT doc_id, list_aggregate(list_transform(codes,
        |    c -> CASE WHEN c * 32 > list_sum(codes) THEN '1' ELSE '0' END),
-       |    'string_agg', '') AS phash
+       |    'string_agg', '')
+       |  || list_aggregate(list_transform(range(1, 32),
+       |    i -> CASE WHEN codes[i] > codes[i+1] THEN '1' ELSE '0' END),
+       |    'string_agg', '') AS ph
        |  FROM p)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(len(list_filter(range(1, 33),
-       |    i -> substring(a.phash, i, 1) <> substring(b.phash, i, 1)))
+       |  CAST(len(list_filter(range(1, 64),
+       |    i -> substring(a.ph, i, 1) <> substring(b.ph, i, 1)))
        |    AS BIGINT) AS hamming
        |FROM h a JOIN h b ON a.doc_id < b.doc_id
-       |WHERE len(list_filter(range(1, 33),
-       |  i -> substring(a.phash, i, 1) <> substring(b.phash, i, 1))) <= $k"""
+       |WHERE len(list_filter(range(1, 64),
+       |  i -> substring(a.ph, i, 1) <> substring(b.ph, i, 1))) <= $k"""
       .stripMargin.replaceAll("\\s+", " ")
 
   /** DuckDB mirror of documentFeatures: the oracle never sees the PGM bytes —

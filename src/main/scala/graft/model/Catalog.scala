@@ -814,6 +814,22 @@ object Catalog {
     readImmutable(spark, path).select("doc_id", "phash")
   }
 
+  /** The MATERIALIZED composite-hash store for Hamming-radius image
+    * near-dup — (doc_id, ph = aHash ++ dHash, 63 bits): the 32-bit aHash
+    * sidecar above is enough for exact-equal grouping but too short for
+    * radius search (its 8-bit band buckets grow linearly with the
+    * corpus); this store is the near-dup index proper. Media decoded
+    * once, at build. */
+  def phashNearStore(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "phash_near")
+    materialize(path) {
+      graft.ml.Multimodal.phashNearRows(spark, documents(spark, dir))
+        .repartition(col("ph"))
+        .sortWithinPartitions("ph", "doc_id")
+    }
+    readImmutable(spark, path).select("doc_id", "ph")
+  }
+
   /** The MATERIALIZED host-rank store — (host, rank_i): fixed-point
     * integer PageRank over the planted host link graph (LinkGraph), the
     * Common-Crawl-style host centrality ranking a curation pipeline

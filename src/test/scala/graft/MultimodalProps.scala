@@ -76,14 +76,14 @@ object MultimodalProps extends Properties("Multimodal") {
       Multimodal.aHashBits(px) == Multimodal.aHashBits(px.map(_ + c))
     }
 
-  // clustered hashes (a base string plus few-bit mutants) so the generator
-  // actually produces pairs on BOTH sides of the k = 3 radius
+  // clustered 63-bit hashes (a base string plus few-bit mutants) so the
+  // generator actually produces pairs on BOTH sides of the k = 3 radius
   private val hashSetGen: Gen[Vector[String]] = for {
-    base <- Gen.listOfN(32, Gen.oneOf('0', '1')).map(_.mkString)
+    base <- Gen.listOfN(63, Gen.oneOf('0', '1')).map(_.mkString)
     n <- Gen.choose(2, 12)
     rows <- Gen.listOfN(n, for {
       nf <- Gen.choose(0, 6)
-      idx <- Gen.pick(nf, 0 until 32)
+      idx <- Gen.pick(nf, 0 until 63)
     } yield base.zipWithIndex
       .map { case (ch, i) =>
         if (idx.contains(i)) (if (ch == '0') '1' else '0') else ch }
@@ -96,7 +96,7 @@ object MultimodalProps extends Properties("Multimodal") {
       import TestSpark.spark
       import spark.implicits._
       val df = hs.zipWithIndex.map { case (h, i) => (i.toLong, h) }
-        .toDF("doc_id", "phash")
+        .toDF("doc_id", "ph")
       val got = Multimodal.phashNearFrom(df, 3).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val ref = (for {
@@ -105,5 +105,17 @@ object MultimodalProps extends Properties("Multimodal") {
         if d <= 3
       } yield (a.toLong, b.toLong, d.toLong)).toSet
       got == ref
+    }
+
+  property("composite hash: aHash AND dHash are brightness-shift " +
+    "invariant together") =
+    forAll(for {
+      n <- Gen.choose(2, 64)
+      px <- Gen.listOfN(n, Gen.choose(0, 200))
+      c <- Gen.choose(0, 55)
+    } yield (px.toArray, c)) { case (px, c) =>
+      Multimodal.aHashBits(px) + Multimodal.dHashBits(px) ==
+        Multimodal.aHashBits(px.map(_ + c)) +
+        Multimodal.dHashBits(px.map(_ + c))
     }
 }
