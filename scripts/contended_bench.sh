@@ -18,10 +18,16 @@ SF="${1:-/root/testdata/sf0.1}"
 LOAD="${LOAD:-8}"
 # r18 set: the r17 list plus the round's four slowest driver entries
 # (dedup_cdc, chunk_cdc, sketch_cms_stream, dsir_weights — VERDICT r17 #5;
-# cms_stream/dsir were already covered) and the new CDC store lifecycle
-# (cdc_stream_index, cdc_compact), so next round's ambient-vs-structural
-# calls are pre-decided (the r15 #8 contract).
-FAMILY="${FAMILY:-correlate_full,correlate_logodds,correlate_leakage_one,join_salted,bm25_topk_batch,rrf_stored_batch,decontaminate_bloom,tfidf_topterms,pipeline_clean_corpus,span_dedup,span_dedup_stored,dedup_minhash,bm25_topk_filtered_batch,bm25_stored_filtered_batch,rrf_stored_filtered_batch,ann_masked_serve,rrf_stored_filtered_masked,dedup_semantic_real,range_join_days,dsir_weights,dsir_select,dsir_stored,sample_pareto,pipeline_curate,quality_stored,mixture_token_budget,pqr_topk_batch,pqr_topk_filtered,emb_topk_lsh_mp_batch,mm_phash_dedup,decontaminate_report,mixture_epochs,sample_weighted,bpe_doc_tokens,bpe_encode,quality_hostrank,pack_lpt,mm_audio_trim,mixture_curriculum,sketch_kmv,sketch_hll,sketch_cms,sketch_hll_rolling,sketch_cms_stream,sketch_kmv_setops,ppl_kn,ppl_kn_mod,pipeline_release,emb_topk_proj,ts_ewma,dedup_cdc,chunk_cdc,cdc_stream_index,cdc_compact,ql_dockey_or}"
+# cms_stream/dsir were already covered), the new CDC store lifecycle
+# (cdc_stream_index, cdc_compact), and ql_dockey_or (a cheap single-lookup
+# CONTROL: if the control inflates too, the drift is ambient, not
+# structural — ADVICE r18 asked the rationale to name it).
+# r19 additions (VERDICT r18 #2): the r18 tail the artifact predated —
+# the HDR sketch family, mm_phash_near, source_overlap, ts_anomaly,
+# ivf_balance, ingest_jsonl, bpe_fertility, the new compactions — plus
+# this round's cdc_cut and the mm_phash cluster lifecycle, so the next
+# ambient-vs-structural call is pre-decided for every current family.
+FAMILY="${FAMILY:-correlate_full,correlate_logodds,correlate_leakage_one,join_salted,bm25_topk_batch,rrf_stored_batch,decontaminate_bloom,tfidf_topterms,pipeline_clean_corpus,span_dedup,span_dedup_stored,dedup_minhash,bm25_topk_filtered_batch,bm25_stored_filtered_batch,rrf_stored_filtered_batch,ann_masked_serve,rrf_stored_filtered_masked,dedup_semantic_real,range_join_days,dsir_weights,dsir_select,dsir_stored,sample_pareto,pipeline_curate,quality_stored,mixture_token_budget,pqr_topk_batch,pqr_topk_filtered,emb_topk_lsh_mp_batch,mm_phash_dedup,decontaminate_report,mixture_epochs,sample_weighted,bpe_doc_tokens,bpe_encode,quality_hostrank,pack_lpt,mm_audio_trim,mixture_curriculum,sketch_kmv,sketch_hll,sketch_cms,sketch_hll_rolling,sketch_cms_stream,sketch_kmv_setops,ppl_kn,ppl_kn_mod,pipeline_release,emb_topk_proj,ts_ewma,dedup_cdc,chunk_cdc,cdc_stream_index,cdc_compact,ql_dockey_or,sketch_hdr,sketch_hdr_stream,sketch_hdr_stored,sketch_hdr_daily,sketch_hdr_rolling,sketch_hdr_compact,sketch_hdr_gate,sketch_hll_compact,mm_phash_near,source_overlap,ts_anomaly,ivf_balance,ingest_jsonl,bpe_fertility,cdc_cut,mm_phash_clusters,mm_phash_removal}"
 OUT="${OUT:-bench_contended.json}"
 
 # Background load: LOAD python workers repeatedly full-reading every parquet
@@ -48,5 +54,6 @@ trap 'kill "${PIDS[@]}" 2>/dev/null || true; wait 2>/dev/null || true' EXIT
 
 echo "[contended] load=$LOAD workers over $SF; benching: $FAMILY" >&2
 GRAFT_BENCH_ONLY="$FAMILY" GRAFT_BENCH_OUT="$OUT" SPARK_GRAFT_SF_DIR="$SF" \
+  GRAFT_BENCH_CONTENDED=1 \
   sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' | tail -1
 echo "[contended] full-precision artifact: $OUT" >&2

@@ -58,6 +58,17 @@ object Bench {
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"errors":$nErr,"reps":$reps,"sf":${jstr(sfDir)}$extra}"""
   }
 
+  /** Ambient-load fragment stamped into every bench record (VERDICT r18
+    * #7): r13/r17/r18 each spent a round-trip deciding ambient-vs-
+    * structural drift because the artifact carried no machine-load
+    * context. `load1` = the 1-minute loadavg at capture (−1 where the JVM
+    * can't read it), `contended` = the contended-harness flag
+    * (GRAFT_BENCH_CONTENDED, set by scripts/contended_bench.sh). Leading
+    * comma so it splices into record()'s tail. */
+  private[graft] def loadFragment(load1: Double, contended: Boolean): String =
+    s""","load1":${String.format(java.util.Locale.ROOT, "%.2f",
+      Double.box(load1))},"contended":$contended"""
+
   /** The per-entry scheduler-counter fragment for the SLOWEST `take`
     * queries (the ones perf grading reads): steady-state job counts, so a
     * many-short-waves entry is distinguishable from a data-volume entry
@@ -156,11 +167,18 @@ object Bench {
       ListMap.from(measured.map { case (n, r, _) => n -> r })
     val perQuery: Map[String, graft.util.BenchCounters.Snap] =
       measured.map { case (n, _, c) => n -> c }.toMap
+    // ambient context: 1-min loadavg AT THE END of the run (the bench's
+    // own work dominates the window either way — what the field decides
+    // is whether OTHER load shared the machine) + the contended flag
+    val load1 = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val contended = sys.env.get("GRAFT_BENCH_CONTENDED").exists(_ == "1")
+    val ambient = loadFragment(load1, contended)
     // stdout gets the guarded COMPACT line (see guardedLine) + steady-state
     // job counts for the slowest entries; bench_last.json below keeps full
     // precision and the complete counter set for offline analysis.
     val line: String = guardedLine(results, reps, sfDir,
-      extra = jobsFragment(results, perQuery))
+      extra = ambient + jobsFragment(results, perQuery))
     println(line)
     System.out.flush()
     // Persist full precision: the driver captures stdout tails, and r4's
@@ -171,7 +189,8 @@ object Bench {
     }.mkString(""","counters":{""", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_last.json")),
-      record(results, results, reps, sfDir, _.toString, countersJson) + "\n")
+      record(results, results, reps, sfDir, _.toString,
+        ambient + countersJson) + "\n")
     catch { case _: Throwable => () }
     try spark.stop() catch { case _: Throwable => () }
     // Re-print as the ABSOLUTE last stdout line: if anything (a shutdown

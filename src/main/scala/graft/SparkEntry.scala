@@ -790,15 +790,18 @@ object SparkEntry {
       graft.ml.CorpusOps.dataConstrainedEpochs(Catalog.documents(s, dir),
         200000L, maxEpochs = 8.0)),
     // DSIR importance weights (Xie et al. 2023): hashed-gram log-ratio
-    // score vs the src0 target slice, add-one smoothed, 256 buckets
+    // score vs the src0 target slice, add-one smoothed, 256 buckets —
+    // served from the MEMOIZED stored ratio (one corpus scan, zero ratio
+    // jobs; the live ratio build runs once at store build and stays
+    // spec-pinned against the store in SelectionSpec)
     "dsir_weights" -> ((s, dir) =>
-      graft.ml.Selection.dsirWeights(Catalog.documents(s, dir), "src0")),
+      graft.ml.Selection.dsirWeightsFolded(Catalog.documents(s, dir),
+        Catalog.dsirRatioFolded(s, dir, "src0"))),
     // the deterministic DSIR draw: top-100 by (score DESC, doc_id),
-    // served from the stored ratio (the build path stays covered by
-    // dsir_weights)
+    // against the same memoized ratio constants
     "dsir_select" -> ((s, dir) =>
-      graft.ml.Selection.dsirSelectFrom(Catalog.documents(s, dir),
-        Catalog.dsirRatio(s, dir, "src0"), 100)),
+      graft.ml.Selection.dsirSelectFolded(Catalog.documents(s, dir),
+        Catalog.dsirRatioFolded(s, dir, "src0"), 100)),
     // hashed-feature linear quality classifier (fixed 256-bucket feature
     // hash, weights a pure function of the bucket — zero joins)
     "quality_linear" -> ((s, dir) =>
@@ -953,6 +956,13 @@ object SparkEntry {
     "cdc_compact" -> ((s, dir) =>
       graft.streaming.DocumentsIngest.compactedCdcChunksOnce(s, dir,
         Catalog.scratch(dir, "cdc_compact"))),
+    // CDC dedup SURGERY: keep each duplicate chunk's first (doc_id,
+    // chunk_id) occurrence and rewrite trailing copies out of the text —
+    // the span_cut_keep_first policy over the chunk STORE (one window
+    // argmin + the shared array surgery; the corpus is never re-chunked)
+    "cdc_cut" -> ((s, dir) =>
+      graft.ml.CorpusOps.cdcCutKeepFirstFrom(Catalog.cdcChunks(s, dir),
+        Catalog.documents(s, dir))),
     // the END-TO-END release: clean (dedup+lang+quality) ∩ not-blocklisted
     // ∩ train split → LPT layout → the shipped manifest, one composed plan
     "pipeline_release" -> ((s, dir) => {
@@ -1159,10 +1169,16 @@ object SparkEntry {
     // BATCHED BM25 serving: a whole query table scored in one plan — the
     // lexical twin of emb_topk_ivf_batch (one corpus pass, dl carried
     // through the explode, per-query top-k via WindowGroupLimit)
+    // N/avgdl fold from the memoized immutable stats store instead of a
+    // second corpus scan (the stored tier's posture applied to the
+    // corpus-side batch — VERDICT r18 #3): the statement pays ONE text
+    // pass (the term-bounded tf scan)
     "bm25_topk_batch" -> ((s, dir) => {
       import s.implicits._
       graft.ml.Retrieval.bm25TopKBatch(Catalog.documents(s, dir),
-        BatchQueries.toDF("qid", "terms"), 5)
+        BatchQueries.toDF("qid", "terms"), 5,
+        stats = Some(Catalog.lexStatsFolded(s, dir)),
+        termDict = BatchTermDict)
     }),
     // the same batch FROM the stored index — store pruned to the batch's
     // term dictionary by a bounded broadcast semi-join, no re-tokenization
@@ -1192,7 +1208,9 @@ object SparkEntry {
     "bm25_topk_filtered_batch" -> ((s, dir) => {
       import s.implicits._
       graft.ml.Retrieval.bm25TopKBatchFiltered(Catalog.documents(s, dir),
-        BatchQueries.toDF("qid", "terms"), 5, "en")
+        BatchQueries.toDF("qid", "terms"), 5, "en",
+        stats = Some(Catalog.metaStatsFolded(s, dir, "en")),
+        termDict = BatchTermDict)
     }),
     "bm25_stored_filtered_batch" -> ((s, dir) => {
       import s.implicits._
@@ -1363,6 +1381,18 @@ object SparkEntry {
     // exact-equal aHash misses
     "mm_phash_near" -> ((s, dir) =>
       Multimodal.phashNearFrom(Catalog.phashNearStore(s, dir))),
+    // the image near-dup CLUSTER table: connected components over the
+    // STORED verified pair graph (the dedup_clusters posture for images —
+    // pairs alone under-delete: A~B, B~C is one cluster); the label loop
+    // ran once at store build, the statement is a read
+    "mm_phash_clusters" -> ((s, dir) => Catalog.phashClusters(s, dir)),
+    // image near-dup REMOVAL: hashed docs minus the clustered
+    // non-canonical members — one anti-join against the cluster store
+    // (the dedup_removal verb over the image modality)
+    "mm_phash_removal" -> ((s, dir) =>
+      graft.ml.Clusters.removalFrom(
+        Catalog.phashNearStore(s, dir).select("doc_id"),
+        Catalog.phashClusters(s, dir))),
     // streamed media decode: the same stateless PGM-decode projection over
     // the documents STREAM == the batch features — media is decoded once
     // at ingest, not per analysis query
@@ -2295,6 +2325,7 @@ object SparkEntry {
     "cdc_stream_index" -> graft.ml.CorpusOps.chunkCdcOracleSql(),
     "cdc_compact" -> graft.ml.CorpusOps.chunkCdcOracleSql(),
     "dedup_cdc" -> graft.ml.CorpusOps.dedupCdcReportOracleSql(),
+    "cdc_cut" -> graft.ml.CorpusOps.cdcCutKeepFirstOracleSql(),
     "lm_train" -> graft.ml.CorpusOps.lmTrainOracleSql,
     "ppl_bigram" -> graft.ml.CorpusOps.pplBigramOracleSql,
     "lm_stream_scores" -> graft.ml.CorpusOps.pplBigramOracleSql,
@@ -2454,6 +2485,10 @@ object SparkEntry {
     // brute-force oracle: the banded plan's pigeonhole recall guarantee
     // is exactly what comparing against the unbanded truth checks
     "mm_phash_near" -> Multimodal.phashNearOracleSql(),
+    // recursive-CTE closure over the same brute-force pair truth: the
+    // banded+components pipeline must reproduce the exact component map
+    "mm_phash_clusters" -> Multimodal.phashClustersOracleSql(),
+    "mm_phash_removal" -> Multimodal.phashRemovalOracleSql(),
     "emb_topk" -> ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0)
       SELECT e.vec_id AS vec_id,

@@ -34,6 +34,26 @@ object Verify {
         .map(b => s"$name: $jobs jobs vs committed $b (+tol $tol)")
     }
 
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness. */
+  private[graft] def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** The oracle_sql.json payload — ONE rendering, shared by the Verify
+    * dump and the in-suite oracle-type gate (OracleTypesSpec), so the gate
+    * DESCRIBEs exactly what the driver will run. */
+  private[graft] def oracleSqlJson: String = SparkEntry.oracleSql
+    .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }
+    .mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val countersPath = sys.env.getOrElse("GRAFT_VERIFY_COUNTERS",
@@ -86,20 +106,8 @@ object Verify {
         perEntry += name -> (snap() - c0)
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val q = jsonStr _
+    val json = oracleSqlJson
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // NOTE: the warmup pass above absorbed one-time store materialization,
     // so these counters are STEADY-STATE statement shape at any cache

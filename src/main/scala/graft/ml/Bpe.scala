@@ -196,6 +196,11 @@ object Bpe {
         bpeLenExpr(col("text"), merges))
       .groupBy("source")
       .agg(sum("n_words").as("n_words"), sum("n_tok_bpe").as("n_bpe"))
+      // a source whose documents contain NO non-empty words has no
+      // fertility (0/0): drop it, matching the oracle's inner join
+      // against the encoded vocabulary, which never emits such a source
+      // (ADVICE r18: Spark emitted (source, 0, 0, null) there)
+      .filter(col("n_words") > 0)
       .select(col("source"), col("n_words"), col("n_bpe"),
         round(col("n_bpe") / col("n_words"), 4).as("fertility"))
 

@@ -499,6 +499,48 @@ object CorpusOps {
         round(lit(1.0) - col("n_unique") / col("n_chunks"), 6)
           .as("dup_ratio"))
 
+  /** CDC dedup SURGERY — the verb a content-addressed store actually runs
+    * over the chunk index (dedup_cdc only REPORTS the duplicate rate):
+    * keep each duplicate chunk fingerprint's FIRST (doc_id, chunk_id)
+    * occurrence and rewrite every trailing copy out of the text — the
+    * span_cut_keep_first policy applied to Catalog.cdcChunks (VERDICT r18
+    * #4). One window argmin over the STORE (min(struct(doc_id, chunk_id))
+    * per fp — chunk_id is tok_start-ordered within a doc, so the argmin
+    * is the earliest occurrence corpus-wide), then the shared per-row
+    * array-surgery rendering (SpanDedup.cutBySpans): non-canonical chunk
+    * occurrences become 0-based inclusive token spans (tok_start is
+    * 1-based) and excise in one codegen'd filter; untouched docs pass
+    * through verbatim. The corpus is never re-chunked — the statement is
+    * the store window + one doc-keyed join. A single-occurrence fp cuts
+    * nothing (its only row IS the canonical one). Returns
+    * (doc_id, clean_text). */
+  def cdcCutKeepFirstFrom(chunks: DataFrame, docs: DataFrame): DataFrame = {
+    val wf = Window.partitionBy("fp")
+    val spans = chunks
+      .withColumn("canon",
+        min(struct(col("doc_id"), col("chunk_id"))).over(wf))
+      .filter(!(col("doc_id") === col("canon.doc_id") &&
+        col("chunk_id") === col("canon.chunk_id")))
+      .select(col("doc_id"),
+        (col("tok_start") - 1).cast("int").as("span_start"),
+        (col("tok_start") + col("n_tok") - 2).cast("int").as("span_end"))
+    SpanDedup.cutBySpans(docs, spans)
+  }
+
+  /** DuckDB mirror of cdcCutKeepFirstFrom: the chunk derivation
+    * (chunkCdcOracleSql — the store's pinned definition), row_number over
+    * (doc_id, chunk_id) per fp as the argmin rendering, 1-based chunk
+    * starts mapped to the 0-based inclusive spans, then the shared
+    * surgery template (SpanDedup.cutSqlOver). */
+  def cdcCutKeepFirstOracleSql(k: Int = 4, mod: Int = 16): String =
+    SpanDedup.cutSqlOver(
+      s"""WITH ch AS (${chunkCdcOracleSql(k, mod)}),
+         |r AS (SELECT doc_id, tok_start, n_tok, row_number() OVER (
+         |    PARTITION BY fp ORDER BY doc_id, chunk_id) AS rn FROM ch)
+         |SELECT doc_id, CAST(tok_start - 1 AS INT) AS span_start,
+         |  CAST(tok_start + n_tok - 2 AS INT) AS span_end
+         |FROM r WHERE rn > 1""".stripMargin.replaceAll("\\s+", " "))
+
   /** Shard RELEASE MANIFEST over the serpentine-LPT layout — the artifact
     * a dataset release ships beside its shards: per (shard, bin) the doc
     * count, token load, and a content checksum. The checksum is a BIT_XOR

@@ -125,8 +125,11 @@ object Multimodal {
     * ((p+c) > (q+c) ⇔ p > q), but sensitive to local structure where
     * aHash only sees the global mean. */
   private[graft] def dHashBits(px: Array[Int]): String =
-    px.sliding(2).map { case Array(a, b) => if (a > b) '1' else '0' }
-      .mkString
+    // iterator zip (not sliding(2)) so the helper is TOTAL: sliding yields
+    // a final short window on a 1-pixel array, which the partial match
+    // would MatchError on (ADVICE r18); zip just ends
+    px.iterator.zip(px.iterator.drop(1))
+      .map { case (a, b) => if (a > b) '1' else '0' }.mkString
 
   /** The 63-bit COMPOSITE hash rows (doc_id, ph = aHash ++ dHash) the
     * Hamming near-dup index stores. The 32-bit aHash alone is too short
@@ -230,34 +233,80 @@ object Multimodal {
       |  count(*) OVER (PARTITION BY phash) AS n_dups
       |FROM h""".stripMargin.replaceAll("\\s+", " ")
 
+  /** The ONE DuckDB rendering of the composite-hash rows, as CTEs d/f/p/h
+    * (h = (doc_id, ph), the 63-bit aHash ++ dHash string) — shared by the
+    * near-pair, cluster, and removal oracles so the hash definition
+    * cannot drift between them. */
+  private def phashNearCtesSql: String =
+    """d AS (SELECT doc_id,
+      |  substring(regexp_replace(text, '[^\x20-\x7e]', '', 'g'), 1, 32) AS px
+      |  FROM documents),
+      |f AS (SELECT doc_id, px FROM d WHERE length(px) >= 32),
+      |p AS (SELECT doc_id,
+      |  list_transform(range(1, 33), i -> ascii(substring(px, i, 1))) AS codes
+      |  FROM f),
+      |h AS (SELECT doc_id, list_aggregate(list_transform(codes,
+      |    c -> CASE WHEN c * 32 > list_sum(codes) THEN '1' ELSE '0' END),
+      |    'string_agg', '')
+      |  || list_aggregate(list_transform(range(1, 32),
+      |    i -> CASE WHEN codes[i] > codes[i+1] THEN '1' ELSE '0' END),
+      |    'string_agg', '') AS ph
+      |  FROM p)""".stripMargin
+
+  /** The brute-force verified pair CTE `dup` over `h` — all pairs + exact
+    * Hamming distance (quadratic; exactly what the Spark side must NOT
+    * do at scale — the oracle's ground-truth role). */
+  private def phashDupCteSql(k: Int): String =
+    s"""dup AS (SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_filter(range(1, 64),
+       |      i -> substring(a.ph, i, 1) <> substring(b.ph, i, 1)))
+       |      AS BIGINT) AS hamming
+       |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+       |  WHERE hamming <= $k)""".stripMargin
+
   /** DuckDB mirror of phashNearFrom — deliberately BRUTE-FORCE (all pairs
     * + exact distance over the composite hash): with B = 4 bands and
     * k = 3 the banded plan's recall is exactly total by pigeonhole, so
     * the oracle checking the banded result against the unbanded ground
     * truth IS the check of that guarantee. */
+  // NOTE: the composed oracles below concatenate ALREADY-stripped
+  // fragments — a second outer stripMargin would eat the first pipe of
+  // the `||` concat operators at fragment line starts
   def phashNearOracleSql(k: Int = 3): String =
-    s"""WITH d AS (SELECT doc_id,
-       |  substring(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'), 1, 32) AS px
-       |  FROM documents),
-       |f AS (SELECT doc_id, px FROM d WHERE length(px) >= 32),
-       |p AS (SELECT doc_id,
-       |  list_transform(range(1, 33), i -> ascii(substring(px, i, 1))) AS codes
-       |  FROM f),
-       |h AS (SELECT doc_id, list_aggregate(list_transform(codes,
-       |    c -> CASE WHEN c * 32 > list_sum(codes) THEN '1' ELSE '0' END),
-       |    'string_agg', '')
-       |  || list_aggregate(list_transform(range(1, 32),
-       |    i -> CASE WHEN codes[i] > codes[i+1] THEN '1' ELSE '0' END),
-       |    'string_agg', '') AS ph
-       |  FROM p)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(len(list_filter(range(1, 64),
-       |    i -> substring(a.ph, i, 1) <> substring(b.ph, i, 1)))
-       |    AS BIGINT) AS hamming
-       |FROM h a JOIN h b ON a.doc_id < b.doc_id
-       |WHERE len(list_filter(range(1, 64),
-       |  i -> substring(a.ph, i, 1) <> substring(b.ph, i, 1))) <= $k"""
-      .stripMargin.replaceAll("\\s+", " ")
+    (s"WITH $phashNearCtesSql, ${phashDupCteSql(k)} " +
+      "SELECT doc_a, doc_b, hamming FROM dup")
+      .replaceAll("\\s+", " ")
+
+  /** DuckDB mirror of the image duplicate-CLUSTER table: transitive
+    * closure by recursive CTE over the brute-force verified pair set,
+    * then component-min per node — the Clusters.oracleSql rendering over
+    * the phash pair graph. */
+  private def phashClosureCtesSql: String =
+    """edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+      |          UNION SELECT doc_b, doc_a FROM dup),
+      |reach AS (SELECT a, b FROM edges
+      |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)"""
+      .stripMargin
+
+  def phashClustersOracleSql(k: Int = 3): String =
+    (s"WITH RECURSIVE $phashNearCtesSql, ${phashDupCteSql(k)}, " +
+      s"$phashClosureCtesSql " +
+      "SELECT a AS doc_id, least(a, min(b)) AS cluster_id " +
+      "FROM reach GROUP BY a").replaceAll("\\s+", " ")
+
+  /** DuckDB mirror of image near-dup REMOVAL: every hashed doc except the
+    * clustered non-canonical members (the Clusters.removalOracleSql shape
+    * with the hashed-media universe — docs too short to plant an image
+    * have no phash and are out of scope on both engines). */
+  def phashRemovalOracleSql(k: Int = 3): String =
+    (s"WITH RECURSIVE $phashNearCtesSql, ${phashDupCteSql(k)}, " +
+      s"$phashClosureCtesSql, " +
+      "cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id " +
+      "FROM reach GROUP BY a) " +
+      "SELECT doc_id FROM h WHERE doc_id NOT IN (" +
+      "SELECT doc_id FROM cl WHERE doc_id <> cluster_id)")
+      .replaceAll("\\s+", " ")
 
   /** DuckDB mirror of documentFeatures: the oracle never sees the PGM bytes —
     * it derives the expected decoded stats straight from the (ASCII-

@@ -249,23 +249,42 @@ object Retrieval {
     * a bag-of-DISTINCT-terms query, matching bm25TopK's term list).
     * Returns (qid, doc_id, bm25), ≤ k rows per query — docs sharing no
     * term with a query never appear, as in the single-query path. */
-  def bm25TopKBatch(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bm25TopKBatch(docs: DataFrame, queries: DataFrame, k: Int,
+      stats: Option[DataFrame] = None,
+      termDict: Option[Seq[String]] = None): DataFrame = {
     val qt = queries.select(col("qid"), explode(col("terms")).as("token"))
-    val tset = qt.select("token").distinct()
-    val tf = docs
+    val exploded = docs
       .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
         explode(split(col("text"), " ")).as("token"))
-      .join(tset, Seq("token"))
+    // term restriction: a driver-held literal batch prunes the token
+    // stream with a static isin folded into the scan stage (the stored
+    // batch's termDict posture — no dictionary broadcast-build wave); a
+    // data-scale batch keeps the unhinted equi-join (AQE broadcasts the
+    // dictionary while it fits). The dict must equal the queries' distinct
+    // terms — the batch==singles specs pin the equivalence.
+    val pruned = termDict match {
+      case Some(dict) => exploded.filter(col("token").isin(dict: _*))
+      case None => exploded.join(qt.select("token").distinct(), Seq("token"))
+    }
+    val tf = pruned
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
     // window-count df over the term-bounded tf rows (the stored paths'
     // shape): one token exchange instead of re-evaluating the corpus-pass
     // tf subtree for a df aggregate and joining it back
     val tfd = tf.withColumn("df", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy("token")))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      avg(size(split(col("text"), " "))).as("avgdl"))
+    // (n_docs, avgdl): the caller passes the corpus' PRE-FOLDED stats when
+    // they're immutable per sf-dir (Catalog.lexStatsFolded /
+    // metaStatsFolded — a local 1-row frame, so this entry's former
+    // second corpus scan disappears; VERDICT r18 #3). An ad-hoc corpus
+    // keeps the in-plan fallback: a second text scan is still cheaper
+    // than folding the no-term docs back through a vocabulary shuffle.
+    // Same value either way — both render Σdl/N as one exact-integer
+    // double division (Spark's avg over a long column does the same).
+    val st = stats.getOrElse(docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(split(col("text"), " "))).as("avgdl")))
     perQueryTopK(qt.join(tfd, Seq("token"))
-      .crossJoin(broadcast(stats))
+      .crossJoin(statsFold(st))
       .groupBy("qid", "doc_id")
       .agg(round(sum(contribExpr), 4).as("bm25")), k)
   }
@@ -480,10 +499,15 @@ object Retrieval {
       "left_anti"), terms, k)
 
   /** Corpus-side filtered BATCH — the filter composes with the batch
-    * operator; the slice predicate prunes the corpus pass itself. */
+    * operator; the slice predicate prunes the corpus pass itself. The
+    * optional `stats` is the SLICE's pre-folded (n_docs, avgdl)
+    * (Catalog.metaStatsFolded) — it must describe the same slice the
+    * filter cuts. */
   def bm25TopKBatchFiltered(docs: DataFrame, queries: DataFrame, k: Int,
-      lang: String): DataFrame =
-    bm25TopKBatch(docs.filter(col("lang") === lang), queries, k)
+      lang: String, stats: Option[DataFrame] = None,
+      termDict: Option[Seq[String]] = None): DataFrame =
+    bm25TopKBatch(docs.filter(col("lang") === lang), queries, k, stats,
+      termDict)
 
   /** Filtered BATCH from the stored index — the matrix's last corner:
     * bm25StoredTopKBatch's plan with the postings additionally semi-joined

@@ -127,9 +127,26 @@ object Selection {
     * tfidf/logprob convention). A bucket absent from the stored table
     * (impossible when serving the build corpus, possible for a foreign
     * doc) contributes the neutral log-ratio 0. */
-  def dsirWeightsFrom(docs: DataFrame, ratio: DataFrame): DataFrame = {
-    val byBucket = ratio.collect()
+  def dsirWeightsFrom(docs: DataFrame, ratio: DataFrame): DataFrame =
+    dsirWeightsFolded(docs, foldRatio(ratio))
+
+  /** Collect a (b, lr) ratio frame to the bucket→log-ratio map the scoring
+    * fold embeds — the one rendering of the hex-bucket parse, shared by the
+    * per-statement collect (dsirWeightsFrom) and the memoized driver-side
+    * constants (Catalog.dsirRatioFolded). */
+  def foldRatio(ratio: DataFrame): Map[Int, Double] =
+    ratio.collect()
       .map(r => Integer.parseInt(r.getString(0), 16) -> r.getDouble(1)).toMap
+
+  /** DSIR scoring against DRIVER-HELD ratio constants — the serving shape
+    * when the 256-row store has already been collected and memoized once
+    * per (session, sf-dir, target) (Catalog.dsirRatioFolded, the
+    * lexStatsFolded posture): the statement is ONE corpus scan with the
+    * log-ratios folded in as an array literal; even the store-read collect
+    * job disappears (VERDICT r18 #1: dsir_weights was the slowest recurring
+    * entry because every run re-derived the ratio from the corpus). */
+  def dsirWeightsFolded(docs: DataFrame,
+      byBucket: Map[Int, Double]): DataFrame = {
     val lrArr = typedLit((0 until Buckets).map(byBucket.getOrElse(_, 0.0)))
     val idx = (g: Column) =>
       conv(substring(md5(g), 1, 2), 16, 10).cast("int") + 1
@@ -150,7 +167,13 @@ object Selection {
 
   /** The serving draw against the stored ratio (Catalog.dsirRatio). */
   def dsirSelectFrom(docs: DataFrame, ratio: DataFrame, k: Int): DataFrame =
-    dsirWeightsFrom(docs, ratio)
+    dsirSelectFolded(docs, foldRatio(ratio), k)
+
+  /** The serving draw against memoized driver-side ratio constants
+    * (Catalog.dsirRatioFolded) — one scan + TakeOrdered, no collect job. */
+  def dsirSelectFolded(docs: DataFrame, byBucket: Map[Int, Double],
+      k: Int): DataFrame =
+    dsirWeightsFolded(docs, byBucket)
       .orderBy(desc("dsir_score"), asc("doc_id"))
       .limit(k)
 

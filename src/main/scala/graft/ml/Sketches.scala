@@ -435,9 +435,15 @@ object Sketches {
 
   /** `value` as exact integer cents. The inputs are 2-decimal money-style
     * doubles, so value*100 lands within a few ulps of an integer — never
-    * near a .5 boundary — and round() is engine-identical. */
+    * near a .5 boundary — and round() is engine-identical. NON-NEGATIVE by
+    * contract: bin() on a negative long renders the 64-char
+    * two's-complement string, which would silently bucket garbage (shift
+    * 59), so the grid builder FAILS LOUDLY on a negative value instead
+    * (ADVICE r18) — a deployment with signed measures offsets or splits
+    * by sign before sketching. */
   private def centsCol =
-    expr("CAST(round(value * 100) AS BIGINT)")
+    expr("""CASE WHEN value >= 0 THEN CAST(round(value * 100) AS BIGINT)
+      ELSE CAST(raise_error('hdrGrid: negative value - the log-linear bucket law is defined on non-negative measures') AS BIGINT) END""")
 
   /** The sketch state — (event_type, shift, w, cnt): m = bit-length(cents)
     * via bin() (the HLL rho convention: minimal-width binary in BOTH

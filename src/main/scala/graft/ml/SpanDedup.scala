@@ -190,7 +190,7 @@ object SpanDedup {
     * ranges. The cut is a per-row array expression (filter-with-index
     * against the doc's own bounded span list) — codegen'd, no UDF; docs
     * with no span pass through verbatim without the token round-trip. */
-  private def cutBySpans(docs: DataFrame, spanRows: DataFrame): DataFrame = {
+  private[ml] def cutBySpans(docs: DataFrame, spanRows: DataFrame): DataFrame = {
     val spans = spanRows
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start").as("s"),
@@ -349,7 +349,7 @@ object SpanDedup {
     * through the same surgery template. */
   def cutKeepFirstOracleSql: String = cutSqlOver(keepFirstSpansSql)
 
-  private def cutSqlOver(spansSql: String): String =
+  private[ml] def cutSqlOver(spansSql: String): String =
     s"""WITH spans AS ($spansSql),
        |agg AS (SELECT doc_id, list({'s': span_start, 'e': span_end}) AS spans
        |        FROM spans GROUP BY doc_id)

@@ -64,6 +64,21 @@ class BenchLineSpec extends AnyFunSuite {
       assert(line.contains(f"benchmark_query_with_a_long_name_$i%03d"))
   }
 
+  test("ambient-load fragment: load1 + contended flag render as valid " +
+      "JSON fields and survive the length guard (VERDICT r18 #7)") {
+    val frag = Bench.loadFragment(1.537, contended = false)
+    assert(frag == ""","load1":1.54,"contended":false""", frag)
+    // JVM-unreadable loadavg renders as -1.00, still valid JSON
+    assert(Bench.loadFragment(-1.0, contended = true)
+      == ""","load1":-1.00,"contended":true""")
+    // the fragment rides `extra`, which every guarded rendering keeps —
+    // even the degenerate all-queries-omitted one
+    val line = Bench.guardedLine(fake(400), reps = 3, sfDir = "/sf",
+      extra = frag)
+    assert(line.length <= 1700)
+    assert(line.contains(""""load1":1.54,"contended":false"""), line)
+  }
+
   test("errored queries render as err objects and are never dropped early") {
     val rs = ListMap("ok_q" -> (1.0, true), "bad_q" -> (99.9, false))
     val line = Bench.guardedLine(rs, reps = 3, sfDir = "/sf")

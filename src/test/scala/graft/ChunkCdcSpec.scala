@@ -153,4 +153,49 @@ class ChunkCdcSpec extends AnyFunSuite {
     assert(got(10L) > got(11L), s"modified-KN ranking inverted: $got")
     assert(got.values.forall(lp => lp < 0.0 && !lp.isNegInfinity), got)
   }
+
+  test("cdcCutKeepFirst == an independent Scala rendering of the keep-first" +
+      " policy: canonical chunk occurrences survive verbatim, trailing " +
+      "copies (cross- AND within-doc) are excised, unique docs untouched") {
+    val shared = (0 until 150).map(i => s"sh${i % 17}").mkString(" ")
+    val fixture = Seq(
+      1L -> shared,                                  // canonical holder
+      2L -> shared,                                  // full duplicate
+      3L -> ((0 until 80).map(i => s"u${i % 29}").mkString(" ") +
+        " " + shared),                               // tail duplicate
+      4L -> "entirely unique words nothing repeated here at all",
+      5L -> (shared + " " + shared))                 // within-doc repeat
+    val df = docs(fixture)
+    val got = CorpusOps
+      .cdcCutKeepFirstFrom(CorpusOps.chunkCdc(df), df)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent rendering: keep-first over the chunk rows in plain Scala
+    val chunks = CorpusOps.chunkCdc(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val canon = chunks.groupBy(_._5).view
+      .mapValues(_.map(c => (c._1, c._2)).min).toMap
+    val cutRanges = chunks
+      .filter(c => canon(c._5) != ((c._1, c._2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(c => (c._3 - 1, c._3 + c._4 - 2)).toSeq).toMap
+    val want = fixture.map { case (id, text) =>
+      val toks = text.split(" ", -1).zipWithIndex
+      val cuts = cutRanges.getOrElse(id, Seq.empty)
+      id -> toks.collect { case (t, i)
+        if !cuts.exists(r => i >= r._1 && i <= r._2) => t }.mkString(" ")
+    }.toMap
+    assert(got == want)
+    // policy facts the rendering comparison implies, stated directly:
+    assert(got(1L) == shared, "canonical holder must stay verbatim")
+    assert(got(2L) == "", "a full trailing duplicate must cut to empty")
+    assert(got(4L) == fixture.toMap.apply(4L), "unique docs pass verbatim")
+    // surviving token mass == one occurrence per distinct fingerprint
+    val survivors = got.values.map(t =>
+      if (t.isEmpty) 0 else t.split(" ").length).sum
+    val distinctMass = chunks.groupBy(_._5).values.map(_.head._4).sum
+    assert(survivors == distinctMass,
+      s"keep-first must retain exactly one copy per fp: " +
+        s"$survivors vs $distinctMass")
+  }
 }

@@ -19,4 +19,11 @@ class EntryAlignmentSpec extends AnyFunSuite {
     assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
     assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
   }
+
+  test("entry count matches the round tally (update deliberately per entry)") {
+    // 281 at r18 + r19's cdc_cut, mm_phash_clusters, mm_phash_removal
+    assert(SparkEntry.queries.size == 284,
+      s"entry count moved to ${SparkEntry.queries.size} — update this pin " +
+        "alongside the contended-bench FAMILY and the counters baseline")
+  }
 }
