@@ -1393,6 +1393,13 @@ object SparkEntry {
       graft.ml.Clusters.removalFrom(
         Catalog.phashNearStore(s, dir).select("doc_id"),
         Catalog.phashClusters(s, dir))),
+    // keep-BEST image removal: each cluster's survivor is its SHARPEST
+    // member (exact-integer scaled pixel variance n·Σx²−(Σx)²; ties →
+    // lowest doc_id) — the dedup_keep_best selection for the image
+    // modality, over the same stored cluster table
+    "mm_phash_keep_best" -> ((s, dir) =>
+      Multimodal.phashKeepBestFrom(s, Catalog.phashNearStore(s, dir),
+        Catalog.phashClusters(s, dir), Catalog.documents(s, dir))),
     // streamed media decode: the same stateless PGM-decode projection over
     // the documents STREAM == the batch features — media is decoded once
     // at ingest, not per analysis query
@@ -2489,6 +2496,7 @@ object SparkEntry {
     // banded+components pipeline must reproduce the exact component map
     "mm_phash_clusters" -> Multimodal.phashClustersOracleSql(),
     "mm_phash_removal" -> Multimodal.phashRemovalOracleSql(),
+    "mm_phash_keep_best" -> Multimodal.phashKeepBestOracleSql(),
     "emb_topk" -> ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0)
       SELECT e.vec_id AS vec_id,

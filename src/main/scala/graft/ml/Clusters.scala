@@ -118,17 +118,30 @@ object Clusters {
     * work happened at store build. The joins touch only (doc_id,
     * cluster_id, quality); text is read once for the quality scores of
     * CLUSTERED docs only. */
-  def keepBestFrom(docs: DataFrame, clusters: DataFrame): DataFrame = {
+  def keepBestFrom(docs: DataFrame, clusters: DataFrame): DataFrame =
+    keepBestScoredFrom(docs, clusters,
+      TextAnalysis.quality(docs).select(col("doc_id"), col("quality")),
+      "quality")
+
+  /** The GENERIC keep-best tail over an arbitrary (doc_id, score) frame —
+    * shared by the text tier (TextAnalysis composite quality) and the
+    * image tier (Multimodal sharpness, r19): per-cluster argmax via
+    * max(struct(score, −doc_id)) (ties → lowest doc_id — one hash
+    * aggregation on cluster_id), losers resolve through joins that touch
+    * only (doc_id, cluster_id, score), and the survivors are one
+    * anti-join over the universe. Returns the surviving doc_id set. */
+  def keepBestScoredFrom(universe: DataFrame, clusters: DataFrame,
+      scores: DataFrame, scoreCol: String): DataFrame = {
     val best = clusters
-      .join(TextAnalysis.quality(docs).select(col("doc_id"), col("quality")),
+      .join(scores.select(col("doc_id"), col(scoreCol).as("s")),
         Seq("doc_id"))
       .groupBy("cluster_id")
-      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg"))).as("m"))
+      .agg(max(struct(col("s"), (-col("doc_id")).as("neg"))).as("m"))
       .select(col("cluster_id"), (-col("m.neg")).as("keep_id"))
     val losers = clusters.join(best, Seq("cluster_id"))
       .filter(col("doc_id") =!= col("keep_id"))
       .select("doc_id")
-    docs.join(losers, Seq("doc_id"), "left_anti").select("doc_id")
+    universe.join(losers, Seq("doc_id"), "left_anti").select("doc_id")
   }
 
   /** DuckDB mirror of removeNearDupsKeepBest: the component closure

@@ -189,6 +189,60 @@ object Multimodal {
       .distinct()
   }
 
+  /** Per-image SHARPNESS score for keep-best image dedup: the scaled pixel
+    * variance n·Σx² − (Σx)² — EXACT INTEGER math (no division, so no
+    * float tree to match across engines; bounded: 8-bit pixels × 32 px
+    * keep every term far under 2^63). A near-dup image cluster mixes the
+    * original with blurred/flattened re-encodes; variance is the standard
+    * cheap contrast/sharpness proxy, so keep-best keeps the crispest
+    * copy. Decoded per-partition like every media stage. Returns
+    * (doc_id, sharpness). */
+  def imageSharpness(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    plantedMedia(spark, docs).mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        decodePgm(bytes).map { case (_, _, px) =>
+          val s = px.map(_.toLong).sum
+          val s2 = px.map(p => p.toLong * p).sum
+          (id, px.length.toLong * s2 - s * s)
+        }
+      }
+    }.toDF("doc_id", "sharpness")
+  }
+
+  /** Keep-BEST image near-dup removal: each phash cluster's survivor is
+    * its SHARPEST member (scaled pixel variance; ties → lowest doc_id)
+    * instead of its minimum doc_id — the image-side twin of
+    * dedup_keep_best, riding the generic Clusters.keepBestScoredFrom
+    * argmax over the stored cluster table. Returns the surviving doc_id
+    * set out of the hashed universe. */
+  def phashKeepBestFrom(spark: SparkSession, hashed: DataFrame,
+      clusters: DataFrame, docs: DataFrame): DataFrame =
+    Clusters.keepBestScoredFrom(hashed.select("doc_id"), clusters,
+      imageSharpness(spark, docs), "sharpness")
+
+  /** DuckDB mirror of phashKeepBestFrom: the recursive-CTE closure over
+    * the brute-force pair truth, sharpness recomputed from the planted
+    * ASCII code points (the documentFeaturesOracleSql convention — a
+    * decoder bug breaks the match), per-cluster winner via row_number
+    * (sharpness DESC, doc_id ASC) ≡ max(struct(sharpness, −doc_id)). */
+  def phashKeepBestOracleSql(k: Int = 3): String =
+    (s"WITH RECURSIVE $phashNearCtesSql, ${phashDupCteSql(k)}, " +
+      s"$phashClosureCtesSql, " +
+      "cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id " +
+      "FROM reach GROUP BY a), " +
+      "q AS (SELECT doc_id, " +
+      "32 * CAST(list_sum(list_transform(codes, c -> c * c)) AS BIGINT) - " +
+      "CAST(list_sum(codes) AS BIGINT) * CAST(list_sum(codes) AS BIGINT) " +
+      "AS sharpness FROM p), " +
+      "rk AS (SELECT cl.doc_id AS doc_id, row_number() OVER (" +
+      "PARTITION BY cl.cluster_id " +
+      "ORDER BY q.sharpness DESC, cl.doc_id ASC) AS rk " +
+      "FROM cl JOIN q ON q.doc_id = cl.doc_id) " +
+      "SELECT doc_id FROM h WHERE doc_id NOT IN (" +
+      "SELECT doc_id FROM rk WHERE rk > 1)")
+      .replaceAll("\\s+", " ")
+
   /** The aHash bit string of one decoded image: bit = pixel strictly above
     * the image mean, as the exact integer compare px·n > Σpx. Uniform
     * brightness shifts cancel algebraically ((p+c)·n > Σ+c·n ⇔ p·n > Σ),

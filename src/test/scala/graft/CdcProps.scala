@@ -56,6 +56,45 @@ object CdcProps extends Properties("Cdc") {
     } yield ws.map(w => s"t$w").mkString(" "))
   } yield docs.toVector
 
+  /** Plain-Scala keep-first surgery over refChunks: canonical occurrence
+    * per fingerprint = min (doc_id, chunk_id); every other occurrence's
+    * token range is excised; survivors re-join with single spaces. */
+  private def refCut(docs: Vector[String]): Map[Long, String] = {
+    val chunks = docs.zipWithIndex.flatMap { case (t, i) =>
+      refChunks(t).map { case (cid, s, n, fp) => (i.toLong, cid, s, n, fp) }
+    }
+    val canon = chunks.groupBy(_._5).view
+      .mapValues(_.map(c => (c._1, c._2)).min).toMap
+    val cutsByDoc = chunks
+      .filter(c => canon(c._5) != ((c._1, c._2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(c => (c._3 - 1, c._3 + c._4 - 2))).toMap
+    docs.zipWithIndex.map { case (t, i) =>
+      val ranges = cutsByDoc.getOrElse(i.toLong, Vector.empty)
+      i.toLong -> t.split(" ", -1).zipWithIndex.collect { case (w, j)
+        if !ranges.exists(r => j >= r._1 && j <= r._2) => w }.mkString(" ")
+    }.toMap
+  }
+
+  // duplicate-heavy corpora: keep-first only bites when fingerprints
+  // actually repeat, so re-append a random subset of the docs
+  private val dupDocGen: Gen[Vector[String]] = for {
+    base <- docGen
+    extra <- Gen.someOf(base)
+  } yield base ++ extra
+
+  property("cdcCutKeepFirstFrom == plain-Scala keep-first surgery " +
+    "exactly (cross- and within-doc duplicates, degenerate docs)") =
+    forAll(dupDocGen) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", "s0", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val got = CorpusOps
+        .cdcCutKeepFirstFrom(CorpusOps.cdcChunkRows(df), df)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      got == refCut(docs)
+    }
+
   property("cdcChunkRows == plain-Scala CDC reference exactly, incl. " +
     "degenerate docs") = forAll(docGen) { docs =>
     val df = docs.zipWithIndex.map { case (t, i) =>

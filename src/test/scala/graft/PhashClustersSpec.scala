@@ -43,4 +43,29 @@ class PhashClustersSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L), kept)
     graft.util.Caches.drain()
   }
+
+  test("keepBestScoredFrom keeps the argmax (ties -> lowest doc_id) per " +
+      "cluster and every unclustered doc") {
+    val universe = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val clusters = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L)
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq(1L -> 10L, 2L -> 50L, 3L -> 50L, 4L -> 1L, 5L -> 7L)
+      .toDF("doc_id", "sharpness")
+    val kept = Clusters.keepBestScoredFrom(universe, clusters, scores,
+        "sharpness").collect().map(_.getLong(0)).toSet
+    // 2 and 3 tie at 50 -> lowest doc_id (2) wins; 4 is unclustered
+    assert(kept == Set(2L, 4L), kept)
+  }
+
+  test("imageSharpness == the exact integer n*sum(x^2)-(sum(x))^2 over the " +
+      "planted ASCII pixels") {
+    val text = ("ab" * 20) // 40 printable chars -> first 32 are the pixels
+    val df2 = Seq((7L, text, "en", "s0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Multimodal.imageSharpness(spark, df2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val codes = text.take(32).map(_.toLong)
+    val want = 32L * codes.map(c => c * c).sum - codes.sum * codes.sum
+    assert(got == Map(7L -> want), s"got $got want $want")
+  }
 }
