@@ -163,6 +163,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus-side batch BM25 pays ONE text scan: stats fold is a local " +
+      "1-row frame, the literal batch's term dict is a static isin (r19)") {
+    for (name <- Seq("bm25_topk_batch", "bm25_topk_filtered_batch")) {
+      val p = planOf(SparkEntry.queries(name)(spark, dir))
+      val scans = "(?i)documents\\.parquet|src_documents".r
+        .findAllIn(p).size
+      assert(scans == 1,
+        s"$name must scan corpus text exactly once, saw $scans:\n$p")
+      // the memoized stats ride a LocalTableScan (driver-built broadcast),
+      // not an in-plan corpus aggregate
+      assert(p.contains("LocalTableScan"),
+        s"$name stats must be the pre-folded local frame:\n$p")
+    }
+  }
+
   test("multi-summary page fetch broadcasts the bounded page") {
     val df = SparkEntry.queries("ql_multi_summary")(spark, dir)
     val p = planOf(df)
