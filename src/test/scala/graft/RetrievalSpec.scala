@@ -80,6 +80,16 @@ class RetrievalSpec extends AnyFunSuite {
     // the per-query rank rides WindowGroupLimit (partial top-k map-side),
     // not a global sort
     assert(bdf.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    // the SERVING variant (r19): pre-folded stats + static term dict must
+    // be result-identical to the in-plan derivation — the memoized fold
+    // renders the same Σdl/N double division, and the isin prunes exactly
+    // the dictionary the equi-join matched
+    val served = Retrieval.bm25TopKBatch(docs, queries.toDF("qid", "terms"),
+        5, stats = Some(graft.model.Catalog.lexStatsFolded(spark, dir)),
+        termDict = Some(queries.flatMap(_._2).distinct))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served == singles,
+      "folded-stats/termDict batch must equal the in-plan batch")
   }
 
   test("bm25StoredTopK == corpus-side bm25TopK; store pruned, text not read") {
