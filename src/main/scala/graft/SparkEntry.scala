@@ -1396,10 +1396,11 @@ object SparkEntry {
     // keep-BEST image removal: each cluster's survivor is its SHARPEST
     // member (exact-integer scaled pixel variance n·Σx²−(Σx)²; ties →
     // lowest doc_id) — the dedup_keep_best selection for the image
-    // modality, over the same stored cluster table
+    // modality; sharpness rode the store's ingest decode, so the
+    // statement is joins over metadata, media bytes never re-read
     "mm_phash_keep_best" -> ((s, dir) =>
-      Multimodal.phashKeepBestFrom(s, Catalog.phashNearStore(s, dir),
-        Catalog.phashClusters(s, dir), Catalog.documents(s, dir))),
+      Multimodal.phashKeepBestStored(Catalog.phashNearStore(s, dir),
+        Catalog.phashClusters(s, dir))),
     // streamed media decode: the same stateless PGM-decode projection over
     // the documents STREAM == the batch features — media is decoded once
     // at ingest, not per analysis query

@@ -131,21 +131,27 @@ object Multimodal {
     px.iterator.zip(px.iterator.drop(1))
       .map { case (a, b) => if (a > b) '1' else '0' }.mkString
 
-  /** The 63-bit COMPOSITE hash rows (doc_id, ph = aHash ++ dHash) the
-    * Hamming near-dup index stores. The 32-bit aHash alone is too short
-    * for radius search at corpus scale: its 8-bit bands have only 256
-    * values, so band buckets grow linearly with the corpus and the
-    * candidate set quadratically (measured: 63 s at sf0.1). The
+  /** The 63-bit COMPOSITE hash rows (doc_id, ph = aHash ++ dHash,
+    * sharpness) the Hamming near-dup index stores. The 32-bit aHash alone
+    * is too short for radius search at corpus scale: its 8-bit bands have
+    * only 256 values, so band buckets grow linearly with the corpus and
+    * the candidate set quadratically (measured: 63 s at sf0.1). The
     * composite's ~16-bit bands keep buckets collision-sized — the same
-    * reason production pHashes are 64+ bits. */
+    * reason production pHashes are 64+ bits. Sharpness (the exact-integer
+    * scaled variance, see imageSharpness) rides the SAME decode pass as
+    * one more column: media is decoded once at ingest, and keep-best
+    * never touches the bytes again (r19). */
   def phashNearRows(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     plantedMedia(spark, docs).mapPartitions { it =>
       it.flatMap { case (id, bytes) =>
         decodePgm(bytes).map { case (_, _, px) =>
-          (id, aHashBits(px) + dHashBits(px)) }
+          val s = px.map(_.toLong).sum
+          val s2 = px.map(p => p.toLong * p).sum
+          (id, aHashBits(px) + dHashBits(px),
+            px.length.toLong * s2 - s * s) }
       }
-    }.toDF("doc_id", "ph")
+    }.toDF("doc_id", "ph", "sharpness")
   }
 
   /** Hamming-RADIUS image near-dup over composite-hash rows (live or
@@ -214,12 +220,22 @@ object Multimodal {
     * its SHARPEST member (scaled pixel variance; ties → lowest doc_id)
     * instead of its minimum doc_id — the image-side twin of
     * dedup_keep_best, riding the generic Clusters.keepBestScoredFrom
-    * argmax over the stored cluster table. Returns the surviving doc_id
-    * set out of the hashed universe. */
+    * argmax over the stored cluster table. This live form re-decodes the
+    * media (the ad-hoc/spec shape); `phashKeepBestStored` is the serving
+    * shape. Returns the surviving doc_id set out of the hashed universe. */
   def phashKeepBestFrom(spark: SparkSession, hashed: DataFrame,
       clusters: DataFrame, docs: DataFrame): DataFrame =
     Clusters.keepBestScoredFrom(hashed.select("doc_id"), clusters,
       imageSharpness(spark, docs), "sharpness")
+
+  /** Keep-best SERVED from the composite-hash store, whose sharpness
+    * column rode the ingest decode (phashNearRows): the statement is
+    * joins over (doc_id, cluster_id, sharpness) metadata — media bytes
+    * are never re-read (the bm25_stored posture for image keep-best). */
+  def phashKeepBestStored(store: DataFrame,
+      clusters: DataFrame): DataFrame =
+    Clusters.keepBestScoredFrom(store.select("doc_id"), clusters,
+      store.select(col("doc_id"), col("sharpness")), "sharpness")
 
   /** DuckDB mirror of phashKeepBestFrom: the recursive-CTE closure over
     * the brute-force pair truth, sharpness recomputed from the planted

@@ -815,19 +815,21 @@ object Catalog {
   }
 
   /** The MATERIALIZED composite-hash store for Hamming-radius image
-    * near-dup — (doc_id, ph = aHash ++ dHash, 63 bits): the 32-bit aHash
-    * sidecar above is enough for exact-equal grouping but too short for
-    * radius search (its 8-bit band buckets grow linearly with the
-    * corpus); this store is the near-dup index proper. Media decoded
-    * once, at build. */
+    * near-dup — (doc_id, ph = aHash ++ dHash 63 bits, sharpness): the
+    * 32-bit aHash sidecar above is enough for exact-equal grouping but
+    * too short for radius search (its 8-bit band buckets grow linearly
+    * with the corpus); this store is the near-dup index proper. Media
+    * decoded once, at build — sharpness (keep-best's score) rides the
+    * same pass as one more column, so the selection verb never re-reads
+    * bytes (r19; cache name versioned for the schema change). */
   def phashNearStore(spark: SparkSession, dir: String): DataFrame = {
-    val path = cacheDir(dir, "phash_near")
+    val path = cacheDir(dir, "phash_near_sh")
     materialize(path) {
       graft.ml.Multimodal.phashNearRows(spark, documents(spark, dir))
         .repartition(col("ph"))
         .sortWithinPartitions("ph", "doc_id")
     }
-    readImmutable(spark, path).select("doc_id", "ph")
+    readImmutable(spark, path).select("doc_id", "ph", "sharpness")
   }
 
   /** The MATERIALIZED image near-dup PAIR graph — (doc_a, doc_b, hamming):
