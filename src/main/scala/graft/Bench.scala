@@ -172,7 +172,11 @@ object Bench {
     // is whether OTHER load shared the machine) + the contended flag
     val load1 = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val contended = sys.env.get("GRAFT_BENCH_CONTENDED").exists(_ == "1")
+    // presence-based with the obvious off spellings excluded, so
+    // GRAFT_BENCH_CONTENDED=true/yes/1 all stamp true (review finding:
+    // an exact-"1" match silently recorded contended:false under load)
+    val contended = sys.env.get("GRAFT_BENCH_CONTENDED")
+      .exists(v => v.nonEmpty && v != "0" && !v.equalsIgnoreCase("false"))
     val ambient = loadFragment(load1, contended)
     // stdout gets the guarded COMPACT line (see guardedLine) + steady-state
     // job counts for the slowest entries; bench_last.json below keeps full

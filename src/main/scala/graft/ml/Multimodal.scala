@@ -146,12 +146,19 @@ object Multimodal {
     plantedMedia(spark, docs).mapPartitions { it =>
       it.flatMap { case (id, bytes) =>
         decodePgm(bytes).map { case (_, _, px) =>
-          val s = px.map(_.toLong).sum
-          val s2 = px.map(p => p.toLong * p).sum
-          (id, aHashBits(px) + dHashBits(px),
-            px.length.toLong * s2 - s * s) }
+          (id, aHashBits(px) + dHashBits(px), sharpnessOf(px)) }
       }
     }.toDF("doc_id", "ph", "sharpness")
+  }
+
+  /** The ONE sharpness law — exact-integer scaled pixel variance
+    * n·Σx² − (Σx)² — shared by the store build (phashNearRows) and the
+    * live scorer (imageSharpness), so a law change cannot drift between
+    * the sidecar and the ad-hoc path. */
+  private[graft] def sharpnessOf(px: Array[Int]): Long = {
+    val s = px.map(_.toLong).sum
+    val s2 = px.map(p => p.toLong * p).sum
+    px.length.toLong * s2 - s * s
   }
 
   /** Hamming-RADIUS image near-dup over composite-hash rows (live or
@@ -207,11 +214,7 @@ object Multimodal {
     import spark.implicits._
     plantedMedia(spark, docs).mapPartitions { it =>
       it.flatMap { case (id, bytes) =>
-        decodePgm(bytes).map { case (_, _, px) =>
-          val s = px.map(_.toLong).sum
-          val s2 = px.map(p => p.toLong * p).sum
-          (id, px.length.toLong * s2 - s * s)
-        }
+        decodePgm(bytes).map { case (_, _, px) => (id, sharpnessOf(px)) }
       }
     }.toDF("doc_id", "sharpness")
   }
@@ -244,9 +247,7 @@ object Multimodal {
     * (sharpness DESC, doc_id ASC) ≡ max(struct(sharpness, −doc_id)). */
   def phashKeepBestOracleSql(k: Int = 3): String =
     (s"WITH RECURSIVE $phashNearCtesSql, ${phashDupCteSql(k)}, " +
-      s"$phashClosureCtesSql, " +
-      "cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id " +
-      "FROM reach GROUP BY a), " +
+      s"$phashClosureCtesSql, cl AS ($PhashClSelectSql), " +
       "q AS (SELECT doc_id, " +
       "32 * CAST(list_sum(list_transform(codes, c -> c * c)) AS BIGINT) - " +
       "CAST(list_sum(codes) AS BIGINT) * CAST(list_sum(codes) AS BIGINT) " +
@@ -359,11 +360,15 @@ object Multimodal {
       |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)"""
       .stripMargin
 
+  /** The ONE component-label rendering over `reach` — cluster_id =
+    * component minimum — shared by all three cluster-family oracles so
+    * the labeling convention cannot drift between them. */
+  private val PhashClSelectSql: String =
+    "SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a"
+
   def phashClustersOracleSql(k: Int = 3): String =
     (s"WITH RECURSIVE $phashNearCtesSql, ${phashDupCteSql(k)}, " +
-      s"$phashClosureCtesSql " +
-      "SELECT a AS doc_id, least(a, min(b)) AS cluster_id " +
-      "FROM reach GROUP BY a").replaceAll("\\s+", " ")
+      s"$phashClosureCtesSql $PhashClSelectSql").replaceAll("\\s+", " ")
 
   /** DuckDB mirror of image near-dup REMOVAL: every hashed doc except the
     * clustered non-canonical members (the Clusters.removalOracleSql shape
@@ -371,9 +376,7 @@ object Multimodal {
     * have no phash and are out of scope on both engines). */
   def phashRemovalOracleSql(k: Int = 3): String =
     (s"WITH RECURSIVE $phashNearCtesSql, ${phashDupCteSql(k)}, " +
-      s"$phashClosureCtesSql, " +
-      "cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id " +
-      "FROM reach GROUP BY a) " +
+      s"$phashClosureCtesSql, cl AS ($PhashClSelectSql) " +
       "SELECT doc_id FROM h WHERE doc_id NOT IN (" +
       "SELECT doc_id FROM cl WHERE doc_id <> cluster_id)")
       .replaceAll("\\s+", " ")

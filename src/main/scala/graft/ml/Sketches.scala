@@ -442,7 +442,12 @@ object Sketches {
     * (ADVICE r18) — a deployment with signed measures offsets or splits
     * by sign before sketching. */
   private def centsCol =
+    // NULL (an absent optional measure) propagates as NULL cents, which
+    // the grid count simply never sees — only a genuinely NEGATIVE value
+    // reaches the raise_error branch (review finding: `value >= 0` is
+    // NULL on NULL input and would otherwise fall through to the error)
     expr("""CASE WHEN value >= 0 THEN CAST(round(value * 100) AS BIGINT)
+      WHEN value IS NULL THEN CAST(NULL AS BIGINT)
       ELSE CAST(raise_error('hdrGrid: negative value - the log-linear bucket law is defined on non-negative measures') AS BIGINT) END""")
 
   /** The sketch state — (event_type, shift, w, cnt): m = bit-length(cents)
@@ -463,6 +468,10 @@ object Sketches {
   private def hdrGridKeyed(df: DataFrame, keys: Seq[String]): DataFrame =
     df
       .select(keys.map(col) :+ centsCol.as("c"): _*)
+      // an absent (NULL) measure contributes NOTHING — without this
+      // filter the row would land in a garbage (shift 0, w NULL) bucket,
+      // since groupBy counts rows, not values (review finding, r19)
+      .filter(col("c").isNotNull)
       .withColumn("shift",
         greatest(length(bin(col("c"))) - lit(HdrSubBits + 1), lit(0)))
       .select(keys.map(col) :+ col("shift") :+

@@ -25,14 +25,19 @@ class OracleTypesSpec extends AnyFunSuite {
   /** Run the gate over an oracle_sql.json payload; (exitCode, stdout). */
   private def runGate(json: String): (Int, String) = {
     val dir = Files.createTempDirectory("oracle_types_gate")
-    Files.writeString(dir.resolve("oracle_sql.json"), json)
-    val pb = new ProcessBuilder("python3", "scripts/oracle_types.py",
-      SfDir, dir.toString)
-    pb.directory(new java.io.File("."))
-    pb.redirectErrorStream(true)
-    val p = pb.start()
-    val out = new String(p.getInputStream.readAllBytes())
-    (p.waitFor(), out)
+    try {
+      Files.writeString(dir.resolve("oracle_sql.json"), json)
+      val pb = new ProcessBuilder("python3", "scripts/oracle_types.py",
+        SfDir, dir.toString)
+      pb.directory(new java.io.File("."))
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes())
+      (p.waitFor(), out)
+    } finally {
+      Files.deleteIfExists(dir.resolve("oracle_sql.json"))
+      Files.deleteIfExists(dir)
+    }
   }
 
   test("every committed oracle is type-clean (no HUGEINT/DECIMAL output)") {

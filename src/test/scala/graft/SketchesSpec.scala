@@ -195,6 +195,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(rep == repWhole)
   }
 
+  test("HDR input contract: NULL values propagate as absent (grid counts " +
+    "only real measures); a negative value fails loudly, not silently") {
+    val withNull = Seq(("t0", java.lang.Double.valueOf(1.23)),
+        ("t0", null.asInstanceOf[java.lang.Double]),
+        ("t0", java.lang.Double.valueOf(1.23)))
+      .toDF("event_type", "value")
+    val g = Sketches.hdrGrid(withNull).collect()
+    assert(g.map(_.getLong(3)).sum == 2L,
+      s"NULL must contribute nothing, got ${g.mkString(", ")}")
+    val neg = intercept[Exception] {
+      Sketches.hdrGrid(valued(Seq("t0" -> -0.01))).collect()
+    }
+    assert(neg.getMessage != null &&
+      (neg.getMessage.contains("negative value") ||
+        Option(neg.getCause).exists(_.getMessage.contains("negative value"))),
+      s"negative input must trip the hdrGrid guard: $neg")
+  }
+
   test("HDR rolling: every anchor equals the from-scratch sketch of its " +
     "trailing window's raw values, and gap anchors zero-fill") {
     import java.sql.Timestamp
