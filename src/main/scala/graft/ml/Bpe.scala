@@ -287,15 +287,21 @@ object Bpe {
 
   /** Per-document BPE token counts (doc_id, n_tok_bpe). The oracle joins
     * the encoded vocabulary back to the exploded corpus — semantics, not
-    * plan shape, is what it mirrors. */
+    * plan shape, is what it mirrors. LEFT join from documents so a doc
+    * with NO non-empty words emits (doc_id, 0) exactly like the fold's
+    * empty aggregate — the vocabulary excludes '', so an inner join
+    * would drop the doc entirely (review finding, r19: the fertility
+    * asymmetry's per-doc sibling). */
   def docTokensOracleSql(rounds: Int = Rounds): String =
     s"""WITH ${roundCtes(rounds)},
        |ws AS (SELECT word, len(string_split(toks, chr(1))) AS n_sub
-       |  FROM s$rounds)
-       |SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_tok_bpe FROM (
+       |  FROM s$rounds),
+       |dw AS (SELECT doc_id, n_sub FROM (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
        |  FROM documents) d
-       |JOIN ws USING (word)
+       |JOIN ws USING (word))
+       |SELECT doc_id, CAST(COALESCE(sum(n_sub), 0) AS BIGINT) AS n_tok_bpe
+       |FROM documents LEFT JOIN dw USING (doc_id)
        |GROUP BY doc_id""".stripMargin.replaceAll("\\s+", " ")
 
   /** Plain-Scala reference BPE (the Sennrich pseudocode, Map-based) for

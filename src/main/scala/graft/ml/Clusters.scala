@@ -167,16 +167,27 @@ object Clusters {
        |  SELECT doc_id FROM (${oracleSql(minJaccard)})
        |  WHERE doc_id <> cluster_id)""".stripMargin.replaceAll("\\s+", " ")
 
+  /** The ONE closure rendering over a pair CTE named `dup` — symmetric
+    * edge set + recursive reachability — shared by every cluster-family
+    * oracle (text MinHash here, image phash in Multimodal) so the closure
+    * semantics have exactly one definition to fix. */
+  private[ml] val ClosureCtesSql: String =
+    """edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+      |          UNION SELECT doc_b, doc_a FROM dup),
+      |reach AS (SELECT a, b FROM edges
+      |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)"""
+      .stripMargin
+
+  /** The ONE component-label rendering over `reach`: cluster_id =
+    * component minimum. */
+  private[ml] val ComponentMinSql: String =
+    "SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a"
+
   /** DuckDB mirror: transitive closure by recursive CTE over the same
     * verified pair set (NearDup.pairCtesSql), then component-min per node.
     * The closure is quadratic per component — fine for an oracle at sf0.01,
     * exactly what the Spark side must NOT do at scale. */
   def oracleSql(minJaccard: Double): String =
-    s"""WITH RECURSIVE ${NearDup.pairCtesSql(minJaccard)},
-       |edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
-       |          UNION SELECT doc_b, doc_a FROM dup),
-       |reach AS (SELECT a, b FROM edges
-       |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-       |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-       |FROM reach GROUP BY a""".stripMargin.replaceAll("\\s+", " ")
+    (s"WITH RECURSIVE ${NearDup.pairCtesSql(minJaccard)}, " +
+      s"$ClosureCtesSql $ComponentMinSql").replaceAll("\\s+", " ")
 }

@@ -353,18 +353,10 @@ object Multimodal {
     * closure by recursive CTE over the brute-force verified pair set,
     * then component-min per node — the Clusters.oracleSql rendering over
     * the phash pair graph. */
-  private def phashClosureCtesSql: String =
-    """edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
-      |          UNION SELECT doc_b, doc_a FROM dup),
-      |reach AS (SELECT a, b FROM edges
-      |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)"""
-      .stripMargin
-
-  /** The ONE component-label rendering over `reach` — cluster_id =
-    * component minimum — shared by all three cluster-family oracles so
-    * the labeling convention cannot drift between them. */
-  private val PhashClSelectSql: String =
-    "SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a"
+  // closure + component-min renderings are Clusters' — ONE definition
+  // across the text and image cluster families (review finding, r19)
+  private def phashClosureCtesSql: String = Clusters.ClosureCtesSql
+  private def PhashClSelectSql: String = Clusters.ComponentMinSql
 
   def phashClustersOracleSql(k: Int = 3): String =
     (s"WITH RECURSIVE $phashNearCtesSql, ${phashDupCteSql(k)}, " +

@@ -150,11 +150,16 @@ object Selection {
     val lrArr = typedLit((0 until Buckets).map(byBucket.getOrElse(_, 0.0)))
     val idx = (g: Column) =>
       conv(substring(md5(g), 1, 2), 16, 10).cast("int") + 1
+    // gram list PROJECTED once (the cmsWithHex single-evaluation posture):
+    // lambda-bearing expressions get no codegen subexpression elimination,
+    // so referencing GramListExpr in both the fold and the size would
+    // build the uni+bigram array twice per row (review finding, r19)
     docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), expr(GramListExpr).as("gl"))
       .select(col("doc_id"),
-        round(aggregate(expr(GramListExpr), lit(0.0),
+        round(aggregate(col("gl"), lit(0.0),
             (acc, g) => acc + element_at(lrArr, idx(g))) /
-          size(expr(GramListExpr)), 4).as("dsir_score"))
+          size(col("gl")), 4).as("dsir_score"))
   }
 
   /** Top-`k` DSIR selection: the deterministic stand-in for the paper's
@@ -233,14 +238,20 @@ object Selection {
     * Monotone in the linear response, so the verdict is a threshold on the
     * score directly (no sigmoid — avoids exp() libm divergence; same
     * decision boundary). */
+  /** The classifier score over an already-projected gram-list column `gl`
+    * — the single-evaluation rendering every scoring path shares (the
+    * gram array is built ONCE per row; review finding, r19). */
+  private val ScoreFromGlExpr =
+    """round((aggregate(gl, cast(0.0 as double),
+      |  (acc, g) -> acc + round(cast(conv(substring(md5(concat('w:',
+      |    substring(md5(g), 1, 2))), 1, 6), 16, 10) as double)
+      |    / 16777216.0 * 2 - 1, 6))
+      | / size(gl) + 1) / 2, 4)""".stripMargin
+
   def linearQuality(docs: DataFrame, tau: Double): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
-      .select(col("doc_id"), expr(
-        s"""round((aggregate($GramListExpr, cast(0.0 as double),
-           |  (acc, g) -> acc + round(cast(conv(substring(md5(concat('w:',
-           |    substring(md5(g), 1, 2))), 1, 6), 16, 10) as double)
-           |    / 16777216.0 * 2 - 1, 6))
-           | / size($GramListExpr) + 1) / 2, 4)""".stripMargin).as("score"))
+      .select(col("doc_id"), expr(GramListExpr).as("gl"))
+      .select(col("doc_id"), expr(ScoreFromGlExpr).as("score"))
       .withColumn("passes", col("score") >= tau)
 
   private val ScoreSql: String =
@@ -345,12 +356,9 @@ object Selection {
     docs.select(col("doc_id"), col("source"), split(col("text"), " ").as("tok"))
       .select(col("doc_id"), col("source"),
         size(col("tok")).cast("long").as("n_tok"),
-        expr(
-          s"""round((aggregate($GramListExpr, cast(0.0 as double),
-             |  (acc, g) -> acc + round(cast(conv(substring(md5(concat('w:',
-             |    substring(md5(g), 1, 2))), 1, 6), 16, 10) as double)
-             |    / 16777216.0 * 2 - 1, 6))
-             | / size($GramListExpr) + 1) / 2, 4)""".stripMargin).as("score"),
+        expr(GramListExpr).as("gl"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr(ScoreFromGlExpr).as("score"),
         splitCol.as("split"))
 
   /** DuckDB mirror of scoreRows over the `documents` view. */

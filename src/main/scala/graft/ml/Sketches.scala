@@ -549,7 +549,11 @@ object Sketches {
     * it stays in the suite as the honesty gate. */
   def hdrErrorGate(events: DataFrame): DataFrame = {
     val grp = Window.partitionBy("event_type")
+    // the exact side shares the sketch's NULL contract (absent measures
+    // contribute nothing) — unfiltered, a NULL row would inflate n and
+    // sort first, skewing the rank target (review finding, r19)
     val exact = events.select(col("event_type"), centsCol.as("c"))
+      .filter(col("c").isNotNull)
       .withColumn("rn", row_number().over(grp.orderBy("c")))
       .withColumn("n", count(lit(1)).over(grp))
       .groupBy("event_type")
@@ -563,9 +567,14 @@ object Sketches {
           .as("rel_err"))
   }
 
+  // NOTE: the oracle CTEs mirror the builders' NULL contract explicitly
+  // (WHERE value IS NOT NULL — absent measures contribute nothing); the
+  // NEGATIVE-value guard has no DuckDB mirror because the oracle runs only
+  // on the legal non-negative domain — Spark raises, the oracle never
+  // sees one (the raise_error union-conflict precedent).
   private val HdrGridSql: String =
     s"""e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
-       |    FROM events),
+       |    FROM events WHERE value IS NOT NULL),
        |  b AS (SELECT event_type,
        |    greatest(length(bin(c)) - ${HdrSubBits + 1}, 0) AS shift,
        |    c >> greatest(length(bin(c)) - ${HdrSubBits + 1}, 0) AS w
@@ -590,7 +599,8 @@ object Sketches {
   def hdrDailyOracleSql: String =
     s"""WITH e AS (SELECT event_type,
        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
-       |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+       |    CAST(round(value * 100) AS BIGINT) AS c FROM events
+       |    WHERE value IS NOT NULL),
        |  b AS (SELECT event_type, day,
        |    greatest(length(bin(c)) - ${HdrSubBits + 1}, 0) AS shift,
        |    c >> greatest(length(bin(c)) - ${HdrSubBits + 1}, 0) AS w
@@ -611,7 +621,8 @@ object Sketches {
   def hdrRollingOracleSql(days: Int = 7): String =
     s"""WITH e AS (SELECT
        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
-       |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+       |    CAST(round(value * 100) AS BIGINT) AS c FROM events
+       |    WHERE value IS NOT NULL),
        |  b AS (SELECT day,
        |    greatest(length(bin(c)) - ${HdrSubBits + 1}, 0) AS shift,
        |    c >> greatest(length(bin(c)) - ${HdrSubBits + 1}, 0) AS w

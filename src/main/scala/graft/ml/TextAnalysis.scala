@@ -181,8 +181,11 @@ object TextAnalysis {
     * the operator is a linear scan at any corpus size. Docs with <3 tokens
     * have no trigrams, so their dup_trigram_frac is pinned to 0.0 (the
     * unguarded sequence(0, size-3) would otherwise go descending and invent
-    * degenerate trigrams). Assumes ≥2 tokens per doc for the bigram signal
-    * (the corpus-prep chain upstream already drops shorter rows). */
+    * degenerate trigrams). Docs with <2 tokens have no bigrams either and
+    * DROP from the output on BOTH engines (the explode of the guarded
+    * empty array here ≡ the oracle's empty range + inner join — review
+    * finding, r19: the unguarded bigram sequence was the same descending
+    * trap the trigram comment documents). */
   def repetition(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), tokens.as("tok"))
     // the guard must wrap the transform itself: on a <3-token doc the
@@ -199,7 +202,10 @@ object TextAnalysis {
             size(col("tg")), 6))
           .otherwise(lit(0.0)).as("dup_trigram_frac"))
     val big = tok.select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(tok)-2), i -> concat_ws(' ', tok[i], tok[i+1]))")).as("bg"))
+        explode(expr("""CASE WHEN size(tok) >= 2
+          THEN transform(sequence(0, size(tok)-2),
+               i -> concat_ws(' ', tok[i], tok[i+1]))
+          ELSE CAST(array() AS array<string>) END""")).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(round(max("c").cast("double") / sum("c"), 6).as("top_bigram_frac"))
