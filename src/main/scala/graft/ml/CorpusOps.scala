@@ -705,15 +705,25 @@ object CorpusOps {
     * explodes adjacent token pairs, one partial-aggregating groupBy
     * yields the count table. Returns (w1, w2, c) — the persistable model
     * (Catalog.lmStore). */
-  def lmBigramCounts(docs: DataFrame): DataFrame =
+  /** The ONE per-doc bigram-pair projection (doc_id, w1, w2) — shared by
+    * LM training (lmBigramCounts), batch scoring (pplBigram), and the
+    * streamed scorer (DocumentsIngest.pplOnce), so the tokenize/guard
+    * convention cannot drift between the three (review finding, r19).
+    * The CASE guards the transform itself — the <2-token
+    * descending-sequence trap. */
+  private[graft] def bigramPairs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
-      .select(explode(expr(
+      .select(col("doc_id"), explode(expr(
         """CASE WHEN size(tok) >= 2
           |THEN transform(sequence(1, size(tok) - 1),
           |  i -> struct(element_at(tok, i) AS w1, element_at(tok, i + 1) AS w2))
           |ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"""
           .stripMargin)).as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  def lmBigramCounts(docs: DataFrame): DataFrame =
+    bigramPairs(docs)
+      .groupBy("w1", "w2")
       .agg(count(lit(1)).as("c"))
 
   /** Per-document mean bigram log-probability under add-one smoothing
@@ -726,24 +736,31 @@ object CorpusOps {
     * engine sum-order ulps (the logprob convention). Docs with < 2
     * tokens carry no bigrams and drop out on both engines. Returns
     * (doc_id, n_bigrams, mean_lp). */
-  def pplBigram(docs: DataFrame, lm: DataFrame, vocab: Long): DataFrame = {
+  /** Per-bigram SCORED rows (doc_id, lp) against a frozen LM — the
+    * stateless stream-static join the batch scorer folds per doc
+    * (pplBigram) and the streamed twin sinks then folds at read
+    * (DocumentsIngest.pplOnce): one rendering of the join + add-one
+    * smoothing formula for both. */
+  private[graft] def pplBigramScored(docs: DataFrame, lm: DataFrame,
+      vocab: Long): DataFrame = {
     val c1 = lm.groupBy("w1").agg(sum("c").as("c1"))
-    docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(tok) >= 2
-          |THEN transform(sequence(1, size(tok) - 1),
-          |  i -> struct(element_at(tok, i) AS w1, element_at(tok, i + 1) AS w2))
-          |ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"""
-          .stripMargin)).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    bigramPairs(docs)
       .join(lm, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
-            (coalesce(col("c1"), lit(0L)) + vocab))) /
-          count(lit(1)), 4).as("mean_lp"))
+      .select(col("doc_id"),
+        log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + vocab)).as("lp"))
   }
+
+  /** The per-doc mean fold over scored bigram rows — shared by the batch
+    * scorer and the streamed twin's read-side fold. */
+  private[graft] def pplFold(scored: DataFrame): DataFrame =
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("lp") / count(lit(1)), 4).as("mean_lp"))
+
+  def pplBigram(docs: DataFrame, lm: DataFrame, vocab: Long): DataFrame =
+    pplFold(pplBigramScored(docs, lm, vocab))
 
   private val LmCtesSql: String =
     """tokd AS (SELECT doc_id, string_split(text, ' ') AS tok

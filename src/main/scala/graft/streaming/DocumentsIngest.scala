@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 /** Incremental maintenance of the materialized winnowing sketch
@@ -84,15 +83,9 @@ object DocumentsIngest {
   }
 
   def runDfDeltaSink(spark: SparkSession, dir: String, deltaPath: String,
-      checkpoint: String): Unit = {
-    val q = sketchRows(stream(spark, dir))
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch(dfDeltaBatchWriter(deltaPath))
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+      checkpoint: String): Unit =
+    Sinks.foreachBatchOnce(sketchRows(stream(spark, dir)), checkpoint,
+      dfDeltaBatchWriter(deltaPath))
 
   /** One-shot streamed df maintenance — the CORRECTNESS entry point: stream
     * the docs through the delta sink into a fresh scratch generation dir,
@@ -104,7 +97,9 @@ object DocumentsIngest {
     graft.util.Caches.memoize(s"stream:winnowdf:$dir:$scratchBase") {
       graft.ingest.Compact.rmTree(scratchBase)
       runDfDeltaSink(spark, dir, s"$scratchBase/deltas", s"$scratchBase/ck")
-      spark.read.parquet(s"$scratchBase/deltas")
+      Sinks.readDeltasOrEmpty(spark, s"$scratchBase/deltas",
+          StructType(Seq(StructField("fp", StringType),
+            StructField("df", LongType))))
         .groupBy("fp")
         .agg(org.apache.spark.sql.functions.sum("df").as("df"))
     }
@@ -229,8 +224,13 @@ object DocumentsIngest {
     * (Sketches.cmsHeavyHittersFrom) joins this grid. */
   def cmsCountersOnce(spark: SparkSession, dir: String): DataFrame =
     graft.util.Caches.memoize(s"stream:cmscells:$dir") {
-      Sinks.memoryCompleteOnce(spark, "graft_stream_cms",
-        graft.ml.Sketches.cmsCells(stream(spark, dir).select(
+      // a STATEFUL aggregation, so it rides the bounded-state-partition
+      // one-shot protocol like every other stateful stream (review
+      // finding, r19: this was the only stateful one-shot paying the
+      // session default's 32-partition state-store bring-up)
+      EventsIngest.memorySinkOnce(spark, 8, "graft_stream_cms",
+        "complete")(s =>
+        graft.ml.Sketches.cmsCells(stream(s, dir).select(
           org.apache.spark.sql.functions.expr(
             "explode(split(text, ' '))").as("token"))))
     }
@@ -295,29 +295,16 @@ object DocumentsIngest {
     * refresh is a store rebuild, never streaming state. */
   def pplOnce(spark: SparkSession, dir: String): DataFrame =
     graft.util.Caches.memoize(s"stream:ppl:$dir") {
-      import org.apache.spark.sql.functions._
-      val lm = graft.model.Catalog.lmStore(spark, dir)
-      val v = graft.model.Catalog.lmVocab(spark, dir)
-      val c1 = lm.groupBy("w1").agg(sum("c").as("c1"))
-      val scored = stream(spark, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("tok"))
-        .select(col("doc_id"), explode(expr(
-          """CASE WHEN size(tok) >= 2
-            |THEN transform(sequence(1, size(tok) - 1),
-            |  i -> struct(element_at(tok, i) AS w1,
-            |    element_at(tok, i + 1) AS w2))
-            |ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"""
-            .stripMargin)).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .join(lm, Seq("w1", "w2"), "left")
-        .join(c1, Seq("w1"), "left")
-        .select(col("doc_id"),
-          log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
-            (coalesce(col("c1"), lit(0L)) + v)).as("lp"))
-      Sinks.memoryOnce(spark, "graft_stream_ppl", scored)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(sum("lp") / count(lit(1)), 4).as("mean_lp"))
+      // the scoring join and the per-doc fold are CorpusOps' renderings
+      // verbatim (bigramPairs/pplBigramScored/pplFold — review finding,
+      // r19: this method carried the third hand-copy of the bigram
+      // explode + smoothing formula); only the sink between them is
+      // streaming-specific
+      graft.ml.CorpusOps.pplFold(
+        Sinks.memoryOnce(spark, "graft_stream_ppl",
+          graft.ml.CorpusOps.pplBigramScored(stream(spark, dir),
+            graft.model.Catalog.lmStore(spark, dir),
+            graft.model.Catalog.lmVocab(spark, dir))))
     }
 
   /** Streamed-then-compacted score sidecar — the lex_compact twin for
@@ -353,14 +340,9 @@ object DocumentsIngest {
   }
 
   def runLexStatsSink(docsStream: DataFrame, deltaPath: String,
-      checkpoint: String): Unit = {
-    val q = docsStream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch(lexStatsBatchWriter(deltaPath))
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+      checkpoint: String): Unit =
+    Sinks.foreachBatchOnce(docsStream, checkpoint,
+      lexStatsBatchWriter(deltaPath))
 
   /** One-shot streamed stats maintenance — the CORRECTNESS entry point:
     * stream the docs through the delta sink, fold the generations; must
@@ -371,7 +353,10 @@ object DocumentsIngest {
       graft.ingest.Compact.rmTree(scratchBase)
       runLexStatsSink(stream(spark, dir), s"$scratchBase/deltas",
         s"$scratchBase/ck")
-      spark.read.parquet(s"$scratchBase/deltas")
+      // zero-batch corpus → NULL sums, which the stats fold reads as 0
+      Sinks.readDeltasOrEmpty(spark, s"$scratchBase/deltas",
+          StructType(Seq(StructField("n_docs", LongType),
+            StructField("sum_dl", LongType))))
         .agg(org.apache.spark.sql.functions.sum("n_docs").as("n_docs"),
           org.apache.spark.sql.functions.sum("sum_dl").as("sum_dl"))
     }
@@ -454,12 +439,7 @@ object DocumentsIngest {
       batchBands.unpersist(false)
       ()
     }
-    val q = docsStream.writeStream
-      .option("checkpointLocation", s"$scratchBase/ck")
-      .foreachBatch(writeBatch)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    Sinks.foreachBatchOnce(docsStream, s"$scratchBase/ck", writeBatch)
   }
 
   /** The (doc_a, doc_b, jaccard) schema of the pair store — the read-side
@@ -476,7 +456,11 @@ object DocumentsIngest {
     graft.util.Caches.memoize(s"stream:duppairs:$dir:$scratchBase:$minJaccard") {
       graft.ingest.Compact.rmTree(scratchBase)
       runPairSink(stream(spark, dir), scratchBase, minJaccard)
-      if (new java.io.File(s"$scratchBase/pairs").exists())
+      // Hadoop-FS existence, NOT java.io.File (review finding, r19): a
+      // local-disk check sees nothing under an hdfs:///s3a:// default FS,
+      // which would silently take the empty fallback on every remote
+      // deployment — reporting zero duplicates with no error
+      if (Sinks.pathExists(spark, s"$scratchBase/pairs"))
         spark.read.parquet(s"$scratchBase/pairs")
           .select("doc_a", "doc_b", "jaccard")
       else spark.createDataFrame(
@@ -490,10 +474,13 @@ object DocumentsIngest {
       scratchBase: String, minJaccard: Double): DataFrame =
     graft.util.Caches.memoize(
         s"stream:dupcompact:$dir:$scratchBase:$minJaccard") {
-      pairsOnce(spark, dir, scratchBase, minJaccard)
+      val pairs = pairsOnce(spark, dir, scratchBase, minJaccard)
+      // zero-batch corpus: nothing to compact — hand back the (empty)
+      // pair frame instead of compactAndFlip failing on a missing dir
+      if (!Sinks.pathExists(spark, s"$scratchBase/pairs")) pairs
       // the compacted generation carries the per-batch b partition key
       // through; the read-back projection drops it
-      graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/pairs",
+      else graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/pairs",
         s"$scratchBase/idx", "doc_a", Seq("doc_a", "doc_b"),
         partitions = Some(4))
         .select("doc_a", "doc_b", "jaccard")

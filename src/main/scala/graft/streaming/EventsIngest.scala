@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import graft.model.Catalog
 
 /** §2.9 — Structured Streaming ingest of the `events` stream. The reference
@@ -49,7 +50,7 @@ object EventsIngest {
     * Caches.trackSinkTable so drain() drops it with the statement's memo
     * (the runId-fresh tables otherwise accumulate for the session
     * lifetime). */
-  private def memorySinkOnce(spark: SparkSession, n: Int, prefix: String,
+  private[streaming] def memorySinkOnce(spark: SparkSession, n: Int, prefix: String,
       mode: String, confs: Map[String, String] = Map.empty)(
       build: SparkSession => DataFrame): DataFrame =
     withStatePartitions(spark, n) { s =>
@@ -372,14 +373,13 @@ object EventsIngest {
       scratchBase: String): DataFrame =
     graft.util.Caches.memoize(s"stream:hllcompact:$dir:$scratchBase") {
       graft.ingest.Compact.rmTree(scratchBase)
-      val q = stream(spark, dir).writeStream
-        .option("checkpointLocation", s"$scratchBase/ck")
-        .foreachBatch(hllDeltaBatchWriter(s"$scratchBase/deltas"))
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      Sinks.foreachBatchOnce(stream(spark, dir), s"$scratchBase/ck",
+        hllDeltaBatchWriter(s"$scratchBase/deltas"))
       graft.ingest.Compact.writeGenerationAndFlip(spark,
-        spark.read.parquet(s"$scratchBase/deltas")
+        Sinks.readDeltasOrEmpty(spark, s"$scratchBase/deltas",
+            StructType(Seq(StructField("event_type", StringType),
+              StructField("reg", IntegerType),
+              StructField("mr", IntegerType))))
           .groupBy("event_type", "reg").agg(max("mr").as("mr")),
         s"$scratchBase/idx", "event_type", Seq("event_type", "reg"),
         partitions = Some(1))
@@ -404,14 +404,13 @@ object EventsIngest {
       scratchBase: String): DataFrame =
     graft.util.Caches.memoize(s"stream:hdrcompact:$dir:$scratchBase") {
       graft.ingest.Compact.rmTree(scratchBase)
-      val q = stream(spark, dir).writeStream
-        .option("checkpointLocation", s"$scratchBase/ck")
-        .foreachBatch(hdrDeltaBatchWriter(s"$scratchBase/deltas"))
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      Sinks.foreachBatchOnce(stream(spark, dir), s"$scratchBase/ck",
+        hdrDeltaBatchWriter(s"$scratchBase/deltas"))
       graft.ingest.Compact.writeGenerationAndFlip(spark,
-        spark.read.parquet(s"$scratchBase/deltas")
+        Sinks.readDeltasOrEmpty(spark, s"$scratchBase/deltas",
+            StructType(Seq(StructField("event_type", StringType),
+              StructField("shift", IntegerType),
+              StructField("w", LongType), StructField("cnt", LongType))))
           .groupBy("event_type", "shift", "w").agg(sum("cnt").as("cnt")),
         s"$scratchBase/idx", "event_type",
         Seq("event_type", "shift", "w"), partitions = Some(1))
