@@ -290,6 +290,12 @@ object SparkEntry {
       graft.ingest.TsvLoader.loadTimeSeries(s,
           Catalog.tsvTimeSeriesFixture(s, dir))
         .select("key", "off", "score")),
+    // summary mode (`key TAB json`): the fixture writes through the SAME
+    // escape the loader undoes, so the entry round-trips the escaping
+    // contract against the summaries the oracle derives directly
+    "tsv_load_summaries" -> ((s, dir) =>
+      graft.ingest.TsvLoader.loadSummaries(s,
+        Catalog.tsvSummariesFixture(s, dir))),
 
     // ---- S8 sibling: JSONL ingest (the LLM-corpus interchange format) —
     // pinned schema, FAILFAST on malformed lines; the round-trip through a
@@ -2033,6 +2039,8 @@ object SparkEntry {
     "tsv_load_timeseries" -> ("""SELECT 'event:' || event_type AS key,
       epoch_ns(ts) // 1000000000 AS off, value AS score
       FROM events""".replaceAll("\\s+", " ")),
+    "tsv_load_summaries" ->
+      s"WITH $SUMMC SELECT key, json FROM summ".replaceAll("\\s+", " "),
     "copy_rewrite" -> (s"$IDX SELECT 'prio/' || substr(key, 10) AS key, off, score " +
       "FROM idx WHERE regexp_matches(key, '^priority:.*')"),
     "dump_index_regex" -> (s"$IDX SELECT key, off, score, pct5, pct25, pct75, pct95 FROM idx " +

@@ -32,6 +32,12 @@ object Bands {
       concat(lit("event:"), col("event_type")).as("key"),
       unix_timestamp(date_trunc("day", col("ts"))).as("off"),
       col("value"))
+      // an absent (NULL) measure is not a rank candidate — and the two
+      // engines DISAGREE on where unfiltered NULLs sort (Spark ASC ranks
+      // them first, DuckDB last), so a NULL would silently shift every
+      // quantile differently per engine (review finding, r19; the hdrGrid
+      // NULL contract applied to the exact-band derivation)
+      .filter(col("value").isNotNull)
     val grp = Window.partitionBy("key", "off")
     // row_number over equal values is tie-arbitrary, but the value AT a rank
     // in a sorted multiset is unique — every tie order picks the same value.
@@ -49,7 +55,8 @@ object Bands {
   /** DuckDB mirror of `deriveDaily` over the `events` view. */
   val oracleSql: String =
     """WITH e AS (SELECT 'event:' || event_type AS key,
-      |  CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS off, value FROM events),
+      |  CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS off, value FROM events
+      |  WHERE value IS NOT NULL),
       |r AS (SELECT key, off, value,
       |  row_number() OVER (PARTITION BY key, off ORDER BY value) AS rn,
       |  count(*) OVER (PARTITION BY key, off) AS n FROM e)

@@ -221,14 +221,72 @@ object Compact {
     * number of data files a reader must open — the streamed append tail at
     * `inPath` plus the current published generation under `base` — exceeds
     * `maxFiles`. This is the small-files trigger a deployment's scheduler
-    * polls (`if (shouldCompact(...)) compactAndFlip(...)`) instead of
+    * polls (`if (shouldCompact(...)) compactCycle(...)`) instead of
     * re-deriving the policy: every micro-batch appends a few files, read
-    * amplification grows linearly with them, and one rewritten generation
-    * resets the count to its partition count. Pure metadata listing — no
-    * data is read; safe to poll at scheduler cadence. */
+    * amplification grows linearly with them, and one compaction CYCLE
+    * resets the count to the generation's partition count (the cycle
+    * consumes the tail it folded — see compactCycle; pairing this
+    * predicate with the whole-tail compactAndFlip instead would never
+    * clear it, because the cumulative tail keeps counting). Pure metadata
+    * listing — no data is read; safe to poll at scheduler cadence. */
   def shouldCompact(inPath: String, base: String, maxFiles: Int): Boolean =
     dataFileCount(inPath) +
       currentGeneration(base).map(dataFileCount).getOrElse(0) > maxFiles
+
+  /** ONE scheduler compaction CYCLE — shouldCompact's coherent partner
+    * (review finding, r19: compactAndFlip alone either never clears the
+    * predicate, since the cumulative tail keeps counting, or — paired
+    * with a naive tail truncation — publishes a next generation missing
+    * every previously compacted row). The cycle is incremental and loses
+    * nothing under concurrent appends:
+    *  1. SNAPSHOT the tail's data files (appends racing the cycle land
+    *     after the listing and simply wait for the next cycle);
+    *  2. fold current generation ∪ exactly those files into the NEXT
+    *     generation and flip the manifest (same lock + atomic-swap
+    *     discipline as every flip);
+    *  3. delete exactly the consumed files — the tail shrinks to the
+    *     racing remainder and shouldCompact goes false until it regrows.
+    * The tail files are read DIRECTLY (no partition discovery), so the
+    * generation carries the data schema only — a base holding
+    * generations from whole-tail compactAndFlip (which reads through the
+    * b=<id> layout) belongs to that model, not this one; the two are not
+    * interleaved. compactAndFlip stays the one-shot whole-tail fold the
+    * correctness entries use over a per-statement fresh scratch. */
+  def compactCycle(spark: SparkSession, inPath: String, base: String,
+      keyCol: String, sortCols: Seq[String],
+      partitions: Option[Int] = None): DataFrame = {
+    val (fs, p) = fsFor(inPath)
+    val snapshot = scala.collection.mutable.ArrayBuffer.empty[Path]
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) snapshot += f
+      }
+    }
+    val tail =
+      if (snapshot.isEmpty) None
+      else Some(spark.read.parquet(snapshot.map(_.toString).toSeq: _*))
+    val cur = currentGeneration(base)
+      .map(g => spark.read.parquet(g))
+    val src = (cur, tail) match {
+      case (Some(c), Some(t)) =>
+        // project the generation onto the tail's data columns so a
+        // legacy partition column cannot leak into the union
+        Some(c.select(t.columns.map(col): _*).unionByName(t))
+      case (c, t) => c.orElse(t)
+    }
+    src match {
+      case None =>
+        sys.error(s"compactCycle: nothing to compact ($inPath is empty " +
+          s"and $base has no generation)")
+      case Some(s) =>
+        val out = writeGenerationAndFlip(spark, s, base, keyCol, sortCols,
+          partitions)
+        snapshot.foreach { f => fs.delete(f, false); () }
+        out
+    }
+  }
 
   val LockFile = "COMPACTION.lock"
 

@@ -33,13 +33,21 @@ object Merge {
 
   /** A6 merge-mode `union`: duplicate (key, off) must agree on score —
     * assert-equal (ca-load.cc:477-481). The check is declarative:
-    * raise_error fires at execution when generations disagree. */
+    * raise_error fires at execution when generations disagree. NULL
+    * counts as a conflicting value: countDistinct ignores NULLs, so a
+    * NULL-vs-value pair would otherwise pass as "agreed" and silently
+    * emit the non-NULL score where the reference's assert-equal errors
+    * (review finding, r19); count(*) vs count(score) detects the mix.
+    * All-NULL duplicates agree (on NULL) and emit NULL. */
   def union(gens: Seq[DataFrame]): DataFrame =
     unioned(gens).groupBy("key", "off")
       .agg(min("score").as("score"),
-        countDistinct("score").as("n_scores"))
+        countDistinct("score").as("n_scores"),
+        count(lit(1)).as("n_rows"),
+        count("score").as("n_nonnull"))
       .select(col("key"), col("off"),
-        when(col("n_scores") > 1,
+        when(col("n_scores") > 1 ||
+            (col("n_nonnull") > 0 && col("n_nonnull") < col("n_rows")),
           raise_error(concat(lit("merge-mode union: conflicting scores for key="),
             col("key"), lit(" off="), col("off"))).cast("double"))
           .otherwise(col("score")).as("score"))

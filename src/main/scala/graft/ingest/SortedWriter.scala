@@ -16,16 +16,26 @@ import graft.functions.Funcs
   */
 object SortedWriter {
 
-  /** Write postings sorted by (key, off); one file per key when shards == 0,
-    * else `shards` hash-sharded files (ca-load.cc --shard-count). */
-  def write(postings: DataFrame, path: String, shards: Int = 0): Unit = {
-    val parted =
-      if (shards > 0)
-        postings.repartition(shards, Funcs.shardOf(col("key"), shards))
-      else postings.repartition(col("key"))
-    parted.sortWithinPartitions("key", "off")
-      .write.mode("overwrite").parquet(path)
-  }
+  /** Write postings sorted by (key, off); hash-partitioned by key when
+    * shards == 0, else `shards` ADDRESSABLE hash shards
+    * (ca-load.cc --shard-count): a hive `shard=<id>/` directory per shard
+    * id, each holding that shard's postings sorted. The former
+    * `repartition(shards, shardOf)` re-hashed the computed shard id
+    * through the murmur3 partitioner, so output files neither
+    * corresponded to shardOf(key) nor numbered `shards` (two ids could
+    * collide into one file — review finding, r19); the partitionBy layout
+    * makes shard `i` the directory a consumer selects by id, which is the
+    * reference's shard-file contract. */
+  def write(postings: DataFrame, path: String, shards: Int = 0): Unit =
+    if (shards > 0)
+      postings.withColumn("shard", Funcs.shardOf(col("key"), shards))
+        .repartition(col("shard"))
+        .sortWithinPartitions("shard", "key", "off")
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+    else
+      postings.repartition(col("key"))
+        .sortWithinPartitions("key", "off")
+        .write.mode("overwrite").parquet(path)
 
   /** S11 — copy with rewrites: optional regex key filter, strip/add key
     * prefix, score threshold (ca-load.cc:543-568,181-231). */

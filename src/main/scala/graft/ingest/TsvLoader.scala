@@ -45,6 +45,11 @@ object TsvLoader {
 
   private val unescapeUdf = udf(unescape _)
 
+  /** `escape` as a column — fixture writers reuse it so the TSV they plant
+    * goes through the same escaping contract the loader undoes. */
+  val escapeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(escape _)
+
   /** C2 — the inverse escape for TSV output (format.cc:247-268: tab, newline,
     * CR and backslash become backslash sequences). */
   def escape(s: String): String = {
@@ -97,8 +102,12 @@ object TsvLoader {
   def loadSummaries(spark: SparkSession, path: String): DataFrame = {
     val lines = spark.read.text(path)
     val parts = split(col("value"), "\t")
+    // `get` like rawColumns — ANSI rejects out-of-bounds getItem, so a
+    // malformed line (no tab) must read as a NULL json field, not a task
+    // failure (review finding, r19: this was the one loader left on
+    // getItem, and it had no caller exercising it)
     lines.select(
-      unescapeUdf(parts.getItem(0)).as("key"),
-      unescapeUdf(parts.getItem(1)).as("json"))
+      unescapeUdf(get(parts, lit(0))).as("key"),
+      unescapeUdf(get(parts, lit(1))).as("json"))
   }
 }

@@ -315,7 +315,12 @@ object Catalog {
     * entry is session-scoped (in-memory catalog); the parquet lives in the
     * warehouse dir. */
   def bucketedIndex(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
-    val name = "graft_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    // the sanitized path alone is LOSSY (/sf.1 and /sf_1 collide onto one
+    // table name, silently serving the first dir's buckets to the second)
+    // — fold in the source fingerprint like every cacheDir store key
+    // (review finding, r19)
+    val name = "graft_index_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + sourceFingerprint(dir)
     synchronized {
       if (!spark.catalog.tableExists(name)) {
         // the in-memory catalog forgets tables across JVMs but the warehouse
@@ -355,6 +360,24 @@ object Catalog {
           .select(concat_ws("\t", lit("price"),
             concat(lit("order:"), col("o_orderkey")),
             col("o_totalprice").cast("string")).as("value"))
+          .write.mode("overwrite").text(path)
+    }
+    path
+  }
+
+  /** Summary-table TSV fixture (`key TAB json` — ca-load.cc's summary
+    * output-type): the derived summaries table written through the SAME
+    * escape the loader undoes, so tsv_load_summaries round-trips the
+    * whole escape contract (r19: loadSummaries previously had no caller
+    * and sat on the ANSI getItem trap). */
+  def tsvSummariesFixture(spark: SparkSession, dir: String): String = {
+    val path = cacheDir(dir, "tsv_summaries")
+    synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        summaries(spark, dir)
+          .select(concat_ws("\t",
+            graft.ingest.TsvLoader.escapeUdf(col("key")),
+            graft.ingest.TsvLoader.escapeUdf(col("json"))).as("value"))
           .write.mode("overwrite").text(path)
     }
     path
@@ -677,17 +700,6 @@ object Catalog {
     readImmutable(spark, path).select("doc_id", "lang", "source", "dl")
   }
 
-  /** The MATERIALIZED verified near-dup pair graph over `documents` —
-    * (doc_a, doc_b, jaccard) at threshold `minJaccard`: the full MinHash
-    * LSH pipeline (shingle → signature → band → bucket join → exact-Jaccard
-    * verify) runs ONCE per sf-dir at store build; every downstream
-    * consumer (cluster resolution, removal, keep-best) reads this table.
-    * Same stored-index role as winnowSketch — the reference's posture of
-    * persisting derived index blocks instead of recomputing per query
-    * (/root/reference/src/table-backend-writeonce.cc:594-636). Streamed
-    * admission appends per-batch verified pairs
-    * (streaming.DocumentsIngest.runPairSink); compaction folds the
-    * generations (dedup_pairs_compact). */
   /** The MATERIALIZED (key, off) posting-occurrence store — one row per
     * DISTINCT (key, off) carrying its duplicate count: the
     * query-independent half of every CORRELATE counting layer
@@ -991,7 +1003,11 @@ object Catalog {
     * ln-of-integer-ratio doubles. */
   def dsirRatio(spark: SparkSession, dir: String,
       targetSrc: String): DataFrame = {
-    val path = cacheDir(dir, s"dsir_ratio_$targetSrc")
+    // sanitize the caller-supplied slice name out of the store path (a
+    // '/' would nest an unintended directory level — the correlateMatched
+    // normalization; review finding, r19)
+    val slug = targetSrc.toLowerCase.replaceAll("[^a-z0-9]", "_")
+    val path = cacheDir(dir, s"dsir_ratio_$slug")
     materialize(path) {
       graft.ml.Selection.ratioTable(documents(spark, dir), targetSrc)
         .coalesce(1).sortWithinPartitions("b")
@@ -1014,6 +1030,18 @@ object Catalog {
     dsirRatioFolds.computeIfAbsent((spark, dir, targetSrc), _ =>
       graft.ml.Selection.foldRatio(dsirRatio(spark, dir, targetSrc)))
 
+  /** The MATERIALIZED verified near-dup pair graph over `documents` —
+    * (doc_a, doc_b, jaccard) at threshold `minJaccard`: the full MinHash
+    * LSH pipeline (shingle → signature → band → bucket join → exact-Jaccard
+    * verify) runs ONCE per sf-dir at store build; every downstream
+    * consumer (cluster resolution, removal, keep-best) reads this table.
+    * Same stored-index role as winnowSketch — the reference's posture of
+    * persisting derived index blocks instead of recomputing per query
+    * (/root/reference/src/table-backend-writeonce.cc:594-636). Streamed
+    * admission appends per-batch verified pairs
+    * (streaming.DocumentsIngest.runPairSink); compaction folds the
+    * generations (dedup_pairs_compact). (Doc restored to its definition —
+    * it had strayed above indexKeyOff; review finding, r19.) */
   def dupPairs(spark: SparkSession, dir: String,
       minJaccard: Double = 0.6): DataFrame = {
     val path = cacheDir(dir, f"dup_pairs_j${(minJaccard * 100).round}%d")

@@ -119,10 +119,11 @@ class CompactionSpec extends AnyFunSuite {
   }
 
   test("shouldCompact trips on the streamed tail and resets after a compaction") {
-    // the scheduler's poll: a growing append tail pushes the live file
-    // count past the budget; one compactAndFlip folds it into a single
-    // generation and the predicate clears (the tail would be truncated /
-    // re-pointed by the deployment's sink after the fold)
+    // the one-shot WHOLE-TAIL model (compactAndFlip over a per-statement
+    // fresh scratch — the correctness entries' shape): the manual rmTree
+    // below stands in for the fresh scratch; the SCHEDULER loop pairs the
+    // predicate with compactCycle instead, which consumes its own tail —
+    // pinned by the next test
     val base = java.nio.file.Files.createTempDirectory("graft_policy").toString
     val raw = s"$base/raw"
     val idx = sketch.select(col("fp").as("key"), col("doc_id").as("off"))
@@ -139,6 +140,40 @@ class CompactionSpec extends AnyFunSuite {
     assert(!Compact.shouldCompact(raw, s"$base/idx", 4),
       s"compacted generation holds ${Compact.dataFileCount(s"$base/idx")} " +
         "files; the predicate must clear after the fold")
+    Compact.rmTree(base)
+  }
+
+  test("compactCycle: the scheduler loop is coherent — each cycle consumes " +
+      "exactly the tail it folded, loses nothing across cycles, and " +
+      "clears the predicate without manual truncation") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cycle").toString
+    val raw = s"$base/raw"
+    val idxBase = s"$base/idx"
+    val rows = sketch.select(col("fp").as("key"), col("doc_id").as("off"))
+    val a = rows.filter(col("off") % 2 === 0)
+    val b = rows.filter(col("off") % 2 === 1)
+    a.repartition(3).write.mode("append").parquet(raw)
+    assert(Compact.shouldCompact(raw, idxBase, 2))
+    val g1 = Compact.compactCycle(spark, raw, idxBase, "key",
+      Seq("key", "off"), partitions = Some(2))
+    // the cycle consumed its tail: predicate clears with NO manual rmTree
+    assert(Compact.dataFileCount(raw) == 0,
+      "cycle must delete exactly the consumed tail files")
+    assert(!Compact.shouldCompact(raw, idxBase, 4))
+    assert(g1.count() == a.count())
+    // the tail regrows; the second cycle folds generation ∪ new tail —
+    // nothing previously compacted is lost
+    b.repartition(3).write.mode("append").parquet(raw)
+    assert(Compact.shouldCompact(raw, idxBase, 4))
+    val g2 = Compact.compactCycle(spark, raw, idxBase, "key",
+      Seq("key", "off"), partitions = Some(2))
+    assert(Compact.dataFileCount(raw) == 0)
+    assert(!Compact.shouldCompact(raw, idxBase, 4))
+    assert(Compact.currentGeneration(idxBase)
+      .contains(s"$idxBase/gen-000002"))
+    assert(g2.count() == rows.count())
+    assert(rows.exceptAll(g2).count() == 0)
+    assert(g2.exceptAll(rows).count() == 0)
     Compact.rmTree(base)
   }
 

@@ -82,6 +82,26 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/t").count() == 4)
   }
 
+  test("sharded write: every shard directory is ADDRESSABLE by shardOf(key)" +
+      " and holds only its own keys, sorted") {
+    val dir = Files.createTempDirectory("graft-sharded").toString
+    val postings = (0 until 200)
+      .map(i => (s"k$i", i.toLong, 1.0)).toDF("key", "off", "score")
+    SortedWriter.write(postings, s"$dir/t", shards = 4)
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 200)
+    // the shard partition column must EQUAL the recomputed shardOf(key) —
+    // the former murmur3 re-hash placed rows at pmod(hash(shard), n), so
+    // files corresponded to nothing a consumer could address
+    val mismatch = back.filter(
+      col("shard") =!= graft.functions.Funcs.shardOf(col("key"), 4)).count()
+    assert(mismatch == 0, "shard dir must equal shardOf(key)")
+    // all 4 shards materialize as hive dirs on this key population
+    val dirs = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.sameElements((0 until 4).map(i => s"shard=$i")), dirs.toSeq)
+  }
+
   test("copy with rewrites: filter, strip/add prefix, score threshold (S11)") {
     val dir = Files.createTempDirectory("graft-copy").toString
     val postings = Seq(("idx:a", 1L, 5.0), ("idx:b", 2L, 1.0), ("other", 3L, 9.0))
