@@ -490,7 +490,13 @@ object CorrelateExec {
     val adjIdx =
       if (!aTs) t.index
       else {
-        val baseIdx = t.index.filter(!Keywords.ephemeralCol(col("key")))
+        // project to the posting shape FIRST: leakageFilter returns
+        // (key, off, score), and a band-carrying index (Catalog.index has
+        // pct5..pct95) would make the unionByName below an
+        // AnalysisException (review finding, r19 — every prior fixture
+        // was an ad-hoc 3-column index, so the path went unexercised)
+        val baseIdx = t.index.select("key", "off", "score")
+          .filter(!Keywords.ephemeralCol(col("key")))
         val ts = baseIdx.filter(tsPred)
         val filtered = if (bTs) leakageFilter(ts, pa, pb)
           else leakageFilter(ts, pa, now)

@@ -164,8 +164,16 @@ object QueryExec {
   }
 
   /** KEYS FOR — the page's document keys in rank order (query.cc:809-828). */
+  /** The page's document keys IN RANK ORDER (query.cc:809-828) — sorted
+    * here, not left to the consumer: the summaries join destroys the topK
+    * order, so an unsorted select would return partition-dependent order
+    * in breach of this contract (review finding, r19; Presenter.queryKeys
+    * applies the same (score DESC, off) order). */
   def keys(spark: SparkSession, t: Tables, stmt: QueryStmt): DataFrame =
-    keysRanked(spark, t, stmt).select("key")
+    keysRanked(spark, t, stmt)
+      .orderBy(org.apache.spark.sql.functions.desc("score"),
+        org.apache.spark.sql.functions.asc("off"))
+      .select("key")
 
   /** Keys with their rank columns (the join does not preserve order; the
     * presenter re-sorts by them — query.cc:809-828 prints in rank order). */

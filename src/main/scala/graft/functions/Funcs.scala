@@ -45,9 +45,13 @@ object Funcs {
 
   /** C4 — JSON object merge by brace-stripping + comma-concat
     * (/root/reference/src/query.cc:866-890): bodies of both objects joined
-    * into one. Inputs may or may not carry outer braces. */
+    * into one. Inputs may or may not carry outer braces — stripped only
+    * when BOTH are present (the Presenter.body convention; a '{'-prefixed
+    * but truncated value would otherwise silently lose its real last
+    * character — review finding, r19). */
   def jsonBody(j: Column): Column =
-    when(j.startsWith("{"), j.substr(lit(2), length(j) - 2)).otherwise(j)
+    when(j.startsWith("{") && j.endsWith("}"),
+      j.substr(lit(2), length(j) - 2)).otherwise(j)
 
   def jsonMerge(a: Column, b: Column): Column =
     concat(lit("{"), jsonBody(a), lit(","), jsonBody(b), lit("}"))

@@ -47,15 +47,18 @@ object Keywords {
     for (raw <- text.linesIterator) {
       val line = raw.takeWhile(_ != '#').trim
       if (line.nonEmpty) {
-        if (line.endsWith(":")) section = line.dropRight(1).trim
-        else if (line.startsWith("-")) {
+        // list-item check FIRST: a bare prefix entry ending in ':' (the
+        // normal shape for `- event:`) would otherwise be misparsed as a
+        // section header, dropping it AND rerouting every later entry
+        // into the bogus section (review finding, r19)
+        if (line.startsWith("-")) {
           val v = line.drop(1).trim.stripPrefix("\"").stripSuffix("\"")
           if (v.nonEmpty) section match {
             case "ephemeral" => eph += parseFilter(v)
             case "timestamped" => ts += parseFilter(v)
             case _ => ()
           }
-        }
+        } else if (line.endsWith(":")) section = line.dropRight(1).trim
       }
     }
     (eph.result(), ts.result())

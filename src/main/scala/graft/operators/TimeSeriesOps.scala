@@ -36,20 +36,25 @@ object TimeSeriesOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                carry: Seq[String]): DataFrame = {
+    // the right row carries as ONE struct, so the attached columns always
+    // come from the SAME latest row — per-column last(ignoreNulls) carries
+    // would stitch fields from different right rows whenever the latest
+    // row holds a NULL carry value (review finding, r19: (r_ts, r_v)
+    // combinations that exist in no right row)
     val rTagged = right
-      .select(col(key) +: col(ts) +: carry.map(c => col(c).as(s"r_$c")): _*)
-      .withColumn("r_ts", col(ts))
+      .select(col(key), col(ts),
+        struct(col(ts).as("r_ts") +:
+          carry.map(c => col(c).as(s"r_$c")): _*).as("_r"))
       .withColumn("_side", lit(0))
     val lTagged = left.withColumn("_side", lit(1))
     val matched = "r_ts" +: carry.map(c => s"r_$c")
     val w = Window.partitionBy(key).orderBy(col(ts), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    matched
-      .foldLeft(lTagged.unionByName(rTagged, allowMissingColumns = true)) {
-        (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
+    lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select((left.columns.toIndexedSeq ++ matched).map(col): _*)
+      .select(left.columns.toIndexedSeq.map(col) ++
+        matched.map(n => col(s"_r.$n").as(n)): _*)
   }
 
   /** Daily resample with forward fill: `series` (key, day: DateType, v) →

@@ -31,8 +31,19 @@ object RegexPrefixPushdown extends Rule[LogicalPlan] {
     * not govern the whole pattern). A literal char immediately followed by a
     * quantifier is excluded ("^ab*c" matches "ac", so only "a" is safe). */
   def literalPrefix(re: String): Option[String] = {
-    if (!re.startsWith("^")) return None
-    val body = re.drop(1)
+    // normalize the FullMatch rendering Keywords.toPredicate emits —
+    // \A(?:X)\z — to the ^-anchored shape this derivation understands
+    // (review finding, r19: the doc promised keyword regex filters the
+    // derived-prefix pushdown, but only '^' anchors were recognized).
+    // Accepted ONLY in the exact single-group form with no other parens,
+    // so the group spans the whole pattern and cannot be quantified.
+    val norm =
+      if (re.startsWith("\\A(?:") && re.endsWith(")\\z") &&
+          !re.substring(5, re.length - 3).exists(c => c == '(' || c == ')'))
+        "^" + re.substring(5, re.length - 3)
+      else re
+    if (!norm.startsWith("^")) return None
+    val body = norm.drop(1)
     if (body.contains('|')) return None
     val meta = ".[]{}()*+?\\$^" // '^' too: "^^abc" matches "abc", not "^abc"
     val lit = body.takeWhile(c => !meta.contains(c))

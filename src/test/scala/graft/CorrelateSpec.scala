@@ -183,4 +183,30 @@ class CorrelateSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(stored == fresh && fresh.nonEmpty)
   }
+
+  test("timestamped-A CORRELATE runs on a BAND-CARRYING index: the " +
+      "leakage-adjustment union must project to the posting shape first " +
+      "(review finding, r19: 7-col Catalog.index vs the filter's 3 cols " +
+      "was an AnalysisException — every prior fixture was 3-column)") {
+    import org.apache.spark.sql.functions.lit
+    // 'orderdate' is timestamped by the default keyword config, so the
+    // aTs leakage-adjustment branch runs; pct bands ride like Catalog.index
+    val idx7 = (
+      (1 to 24).map(i => ("orderdate", i.toLong, 9500.0 + i)) ++
+        (1 to 24).map(i => ("m", i.toLong, (i % 5).toDouble)) ++
+        (1 to 24).filter(_ % 2 == 0).map(i => ("status", i.toLong, 0.0))
+    ).toDF("key", "off", "score")
+      .withColumn("pct5", lit(null).cast("double"))
+      .withColumn("pct25", lit(null).cast("double"))
+      .withColumn("pct75", lit(null).cast("double"))
+      .withColumn("pct95", lit(null).cast("double"))
+    val summaries = (1 to 24).map(i => (i.toLong, s"d$i", "{}"))
+      .toDF("off", "key", "json")
+    val t = Tables(idx7, summaries,
+      Seq.empty[(String, String)].toDF("key", "json"))
+    // must resolve and execute — not AnalysisException on the union
+    val out = CorrelateExec.run(spark, t,
+      Leaf("orderdate"), Leaf("status")).collect()
+    assert(out != null) // shape pin only: the branch executes end-to-end
+  }
 }

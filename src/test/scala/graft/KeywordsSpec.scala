@@ -38,6 +38,24 @@ class KeywordsSpec extends AnyFunSuite {
     assert(ts.size == 1 && eph.size == 2)
   }
 
+  test("a BARE list entry ending in ':' is a prefix filter, not a section " +
+      "header (review finding, r19: `- event:` was misparsed as a header, " +
+      "dropping it and rerouting every later entry)") {
+    val (eph, ts) = Keywords.parseConfig(
+      """ephemeral:
+        |  - event:
+        |  - "session:"
+        |timestamped:
+        |  - shipdate
+        |""".stripMargin)
+    assert(eph.exists(_.matches("event:login")),
+      "the bare 'event:' prefix entry must be kept")
+    assert(eph.exists(_.matches("session:abc")),
+      "entries AFTER the colon-bearing one must stay in their section")
+    assert(ts.exists(_.matches("shipdate")))
+    assert(eph.size == 2 && ts.size == 1)
+  }
+
   test("GRAFT_KEYWORDS file round-trip pins classification semantics") {
     // write the reference config shape (keywords.cc:28-68) to disk and load
     // it through the same path the GRAFT_KEYWORDS env init takes

@@ -156,4 +156,21 @@ class ParserSpec extends AnyFunSuite {
     assert(Funcs.decodeUriComponent("a%20b") == "a b")
     assert(Funcs.decodeUriComponent("plain") == "plain")
   }
+
+  test("the COLUMN renderings of C5/C10 agree with the driver-side " +
+      "functions the executors actually use (review finding, r19: the " +
+      "column pair was untested and free to drift)") {
+    import graft.functions.Funcs
+    import TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ks = Seq(0L, 1L, 25L, 26L, 27L, 675L, 676L, 11881375L)
+    val gotB = ks.toDF("k")
+      .select(Funcs.base26Key(col("k"))).as[String].collect()
+    assert(gotB.toSeq == ks.map(graft.exec.QueryExec.base26))
+    val ds = Seq(0.0, 1.0, 9204.0, 19000.0)
+    val gotD = ds.toDF("d")
+      .select(Funcs.daysToDateString(col("d"))).as[String].collect()
+    assert(gotD.toSeq == ds.map(graft.exec.QueryExec.daysToDate))
+  }
 }

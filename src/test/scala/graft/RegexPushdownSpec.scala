@@ -22,6 +22,13 @@ class RegexPushdownSpec extends AnyFunSuite {
     assert(literalPrefix("^ab{2}") == Some("a"))
     assert(literalPrefix("^ab\\d*") == Some("ab"))  // escape ends the literal
     assert(literalPrefix("^a|b") == None)           // '^' may not govern all
+    // the FullMatch rendering Keywords.toPredicate emits (review finding,
+    // r19: keyword regex filters were promised the pushdown but \A was
+    // unrecognized); accepted only in the exact single-group form
+    assert(literalPrefix("\\A(?:orderdate-[0-9]+)\\z") == Some("orderdate-"))
+    assert(literalPrefix("\\A(?:ab*c)\\z") == Some("a"))
+    assert(literalPrefix("\\A(?:a|b)\\z") == None)  // alternation
+    assert(literalPrefix("\\A(?:a(b)c)\\z") == None) // nested group: reject
     assert(literalPrefix("^a?x") == None)           // nothing guaranteed
     assert(literalPrefix("^^abc") == None)          // "^^abc" matches "abc"
     assert(literalPrefix("^ab^c") == Some("ab"))    // inner '^' ends literal

@@ -26,6 +26,19 @@ class TimeSeriesSpec extends AnyFunSuite {
       (2L, 10L, "q10", -1L, -1.0)))    // other key's rows don't leak
   }
 
+  test("asofJoin: a NULL carry in the LATEST right row is attached as-is " +
+      "— never stitched with an older row's value (review finding, r19: " +
+      "per-column ignoreNulls carries mixed fields across right rows)") {
+    val left = Seq((1L, 30L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, Some(5.0)), (1L, 20L, None))
+      .toDF("k", "ts", "v")
+    val got = TimeSeriesOps.asofJoin(left, right, "k", "ts", Seq("v"))
+      .select("k", "ts", "r_ts", "r_v").collect().head
+    assert(got.getLong(2) == 20L, "latest right row must attach")
+    assert(got.isNullAt(3),
+      s"its NULL v must attach verbatim, not the older 5.0: $got")
+  }
+
   test("asofJoin matches per-row naive computation on random data") {
     val rnd = new scala.util.Random(42)
     val ls = Seq.fill(300)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
