@@ -1123,6 +1123,19 @@ object SparkEntry {
     "decontaminate_report" -> ((s, dir) =>
       graft.ml.CorpusOps.decontaminateReport(Catalog.documents(s, dir),
         25L, 3)),
+    // FUZZY decontamination: whole-document Jaccard vs any benchmark doc
+    // via the cross-split banded-MinHash probe (bench bands broadcast,
+    // training side scanned once) — catches the light paraphrase the
+    // exact n-gram threshold misses
+    "decontaminate_fuzzy" -> ((s, dir) =>
+      graft.ml.CorpusOps.decontaminateFuzzy(Catalog.documents(s, dir),
+        100L, 0.6)),
+    // the same verdicts served from the stored near-dup pair graph: an
+    // in-corpus benchmark makes fuzzy decontamination a sidecar read +
+    // one grouped fold — no corpus scan, no hashing
+    "decontaminate_fuzzy_stored" -> ((s, dir) =>
+      graft.ml.CorpusOps.decontaminateFuzzyFrom(
+        Catalog.dupPairs(s, dir, 0.6), 100L)),
     // document chunking: overlapping max-50-token training windows with 10
     // tokens of carried context — a pure per-row projection, no shuffle
     "chunk_docs" -> ((s, dir) =>
@@ -2384,6 +2397,13 @@ object SparkEntry {
     "decontaminate" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),
     "decontaminate_report" ->
       graft.ml.CorpusOps.decontaminateReportOracleSql(25L, 3),
+    "decontaminate_fuzzy" ->
+      graft.ml.CorpusOps.decontaminateFuzzyOracleSql(100L, 0.6),
+    // same oracle BY DESIGN: store serving is invisible in the result —
+    // the sidecar holds exactly the verified pair graph the live banded
+    // probe re-derives (the bm25_stored / dedup_clusters pin)
+    "decontaminate_fuzzy_stored" ->
+      graft.ml.CorpusOps.decontaminateFuzzyOracleSql(100L, 0.6),
     "chunk_docs" -> graft.ml.CorpusOps.chunkOracleSql(50, 10),
     // same oracle as decontaminate BY DESIGN: the bloom prune is invisible
     // in the result, only in the plan

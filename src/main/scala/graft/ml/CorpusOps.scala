@@ -1265,4 +1265,66 @@ object CorpusOps {
        |WHERE s.doc_id >= $benchMaxId
        |GROUP BY s.doc_id HAVING count(*) >= $minOverlap""".stripMargin
       .replaceAll("\\s+", " ")
+
+  /** FUZZY decontamination — the near-duplicate complement to the exact
+    * shingle-overlap `decontaminate`: a training doc is contaminated when
+    * its whole-document Jaccard against ANY benchmark doc reaches
+    * `minJaccard`, even if no single contiguous n-gram run clears the
+    * exact threshold (the light-paraphrase leak the exact pass misses —
+    * the fuzzy pass most published pipelines run beside it). Candidates
+    * come from the SAME banded-MinHash index as `dedup_minhash`, but
+    * joined CROSS-SPLIT: the benchmark side's band rows are broadcast (an
+    * eval suite is KBs–MBs of band keys even when the corpus is 100 TB),
+    * so the training side is one shingle scan + one map-side band probe —
+    * no self-join, no all-pairs. Survivors are verified with exact
+    * Jaccard over the full shingle sets (verifyJaccard), so banding only
+    * costs recall, never precision. Returns one row per contaminated
+    * training doc: (doc_id, n_bench_hits, max_jaccard). */
+  def decontaminateFuzzy(docs: DataFrame, benchMaxId: Long,
+      minJaccard: Double): DataFrame = {
+    // both the band build and verifyJaccard's three joins read the shingle
+    // table; the band rows feed both sides of the cross-split probe
+    val sh = graft.util.Caches.track(NearDup.shingles(docs).cache())
+    val b = graft.util.Caches.track(
+      NearDup.bands(NearDup.signatures(sh)).cache())
+    val pairs = broadcast(b.filter(col("doc_id") < benchMaxId)).as("x")
+      .join(b.filter(col("doc_id") >= benchMaxId).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    NearDup.verifyJaccard(pairs, sh, minJaccard)
+      .groupBy("doc_b")
+      .agg(count(lit(1)).as("n_bench_hits"), max("jaccard").as("max_jaccard"))
+      .select(col("doc_b").as("doc_id"), col("n_bench_hits"),
+        col("max_jaccard"))
+  }
+
+  /** decontaminateFuzzy SERVED from the stored near-dup pair graph
+    * (Catalog.dupPairs): when the benchmark lives inside the corpus the
+    * index was built over, cross-split contamination is a pure READ of
+    * the sidecar — pairs with doc_a < benchMaxId ≤ doc_b (the a < b
+    * convention makes the cross pair's bench side always doc_a) — plus
+    * one grouped fold. Zero corpus scans, zero hashing: the statement
+    * cost is pair-graph-sized at any corpus size, the same store-serving
+    * posture as dedup_clusters/dedup_removal. The live variant above is
+    * the no-store path for a benchmark OUTSIDE the indexed corpus. */
+  def decontaminateFuzzyFrom(pairs: DataFrame, benchMaxId: Long): DataFrame =
+    pairs.filter(col("doc_a") < benchMaxId && col("doc_b") >= benchMaxId)
+      .groupBy("doc_b")
+      .agg(count(lit(1)).as("n_bench_hits"), max("jaccard").as("max_jaccard"))
+      .select(col("doc_b").as("doc_id"), col("n_bench_hits"),
+        col("max_jaccard"))
+
+  /** DuckDB mirror of decontaminateFuzzy: the shared MinHash pair CTEs
+    * (NearDup.pairCtesSql) restricted to cross-split pairs. Benchmark ids
+    * all precede training ids, so a cross pair always lands as
+    * (doc_a = bench, doc_b = train) under the doc_a < doc_b convention —
+    * the WHERE clause is the whole split. */
+  def decontaminateFuzzyOracleSql(benchMaxId: Long,
+      minJaccard: Double): String =
+    s"""WITH ${NearDup.pairCtesSql(minJaccard)}
+       |SELECT doc_b AS doc_id, count(*) AS n_bench_hits,
+       |  max(jaccard) AS max_jaccard
+       |FROM dup WHERE doc_a < $benchMaxId AND doc_b >= $benchMaxId
+       |GROUP BY doc_b""".stripMargin.replaceAll("\\s+", " ")
 }

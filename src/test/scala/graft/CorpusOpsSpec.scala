@@ -123,6 +123,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out == Map(100L -> 8L)) // benchmark doc 0 itself is never reported
   }
 
+  test("decontaminateFuzzy flags cross-split near-dups, never train-train") {
+    val leaked = (1 to 10).map(i => s"w$i").mkString(" ")
+    // one word changed: 10 shingles each, 5 shared → jaccard 5/13 ≈ 0.38
+    val para = ((1 to 7).map(i => s"w$i") ++ Seq("z") ++
+      (9 to 10).map(i => s"w$i")).mkString(" ")
+    val trainDup = (1 to 10).map(i => s"y$i").mkString(" ")
+    val docs = Seq((0L, leaked), (100L, leaked), (101L, para),
+        (102L, trainDup), (103L, trainDup))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.decontaminateFuzzy(docs, benchMaxId = 50L,
+        minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    // 100 is an exact clone of bench doc 0 (jaccard 1.0); 101 is the
+    // paraphrase IF banding surfaces it (5 shared shingles may or may not
+    // share a band — don't pin recall, pin precision); the train-train
+    // clone pair 102/103 must NEVER appear: the probe is cross-split only
+    assert(out.contains(100L) && out(100L) == (1L, 1.0))
+    assert(!out.contains(102L) && !out.contains(103L) && !out.contains(0L))
+    out.get(101L).foreach { case (n, j) => assert(n == 1L && j < 0.5) }
+  }
+
+  test("decontaminateFuzzyFrom over the pair graph equals the live probe") {
+    val leaked = (1 to 10).map(i => s"w$i").mkString(" ")
+    val trainDup = (1 to 10).map(i => s"y$i").mkString(" ")
+    val docs = Seq((0L, leaked), (100L, leaked), (102L, trainDup),
+      (103L, trainDup)).toDF("doc_id", "text")
+    val live = CorpusOps.decontaminateFuzzy(docs, 50L, 0.6)
+      .collect().map(_.toSeq).toSet
+    // the stored path reads the FULL near-dup pair graph (what
+    // Catalog.dupPairs materializes) and filters cross-split
+    val stored = CorpusOps.decontaminateFuzzyFrom(
+        NearDup.nearDuplicates(docs, 0.6), 50L)
+      .collect().map(_.toSeq).toSet
+    assert(live == stored && live.nonEmpty)
+  }
+
   test("stored-fixture bloom decontamination equals the live paths") {
     // The Catalog.decontamBench/decontamBloomBytes serving shape: bench
     // shingles round-trip through parquet, the bloom arrives as pre-built
