@@ -604,6 +604,12 @@ object SparkEntry {
     // training-data job runs
     "pipeline_clean_corpus" -> ((s, dir) =>
       graft.ml.TextAnalysis.cleanCorpus(Catalog.documents(s, dir), 0.5, "en")),
+    // the attrition FUNNEL over the same stages: docs in / dropped / out
+    // per stage in pipeline order (filters first, dedup last) — the table
+    // the C4/Gopher/RefinedWeb papers publish; 4 rows at any corpus size
+    "pipeline_funnel" -> ((s, dir) =>
+      graft.ml.TextAnalysis.funnelReport(Catalog.documents(s, dir), 0.5,
+        "en", BlockWords)),
     // reads the MATERIALIZED verified pair graph (Catalog.dupPairs) — the
     // stored form of the banded-MinHash result, built once per sf-dir; the
     // corpus-side pipeline (shingle → signature → band → bucket join →
@@ -2263,6 +2269,8 @@ object SparkEntry {
     "dedup_exact" -> ("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
       FROM documents GROUP BY md5(text)""".replaceAll("\\s+", " ")),
     "pipeline_clean_corpus" -> graft.ml.TextAnalysis.cleanCorpusSql(0.5, "en"),
+    "pipeline_funnel" ->
+      graft.ml.TextAnalysis.funnelOracleSql(0.5, "en", BlockWords),
     "dedup_minhash" -> NearDup.oracleSql(0.6),
     "dedup_simhash" -> NearDup.simHashOracleSql(),
     "dedup_embcos" -> Ann.nearDupCosSql(0.4),

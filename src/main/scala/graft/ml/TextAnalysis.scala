@@ -471,4 +471,99 @@ object TextAnalysis {
        |SELECT doc_id, lang_pred, n_regex_tokens, quality FROM sig
        |WHERE quality >= $minQuality AND lang_pred = '$lang'
        |""".stripMargin.replaceAll("\\s+", " ")
+
+  /** The curation FUNNEL — the per-stage attrition table every published
+    * pipeline reports (C4 §2.2, Gopher A.1.1, RefinedWeb tbl. 2): docs in,
+    * docs dropped, docs out for each stage in pipeline order. Stage order
+    * follows the published convention — cheap per-row filters first
+    * (language-ID, quality, blocklist), exact dedup LAST so the expensive
+    * grouped stage runs over the pre-shrunk survivor set; each doc is
+    * charged to the FIRST stage that drops it. One cached scoring scan
+    * feeds both the survivor dedup groupBy and the one-row conditional
+    * aggregation; the output is 4 rows at any corpus size. Dedup keeps the
+    * min-doc_id occurrence AMONG SURVIVORS (a duplicate whose first copy
+    * was filtered earlier survives as the new first). Returns
+    * (stage_idx, stage, n_in, n_dropped, n_out) ordered by stage_idx. */
+  def funnelReport(docs: DataFrame, minQuality: Double, lang: String,
+      blocked: Seq[String]): DataFrame = {
+    val bl = array(blocked.map(lit): _*)
+    val scored = graft.util.Caches.track(docs.select(col("doc_id"),
+        col("text"),
+        (langPredCol === lang).as("keep_lang"),
+        (qualityCol >= minQuality).as("keep_q"),
+        (!arrays_overlap(tokens, bl)).as("keep_bl")).cache())
+    val firsts = scored
+      .filter(col("keep_lang") && col("keep_q") && col("keep_bl"))
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+    val one = scored
+      .join(firsts.select(col("doc_id"), lit(true).as("is_first")),
+        Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n0"),
+        sum(when(!col("keep_lang"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("keep_lang") && !col("keep_q"), 1L).otherwise(0L))
+          .as("d2"),
+        sum(when(col("keep_lang") && col("keep_q") && !col("keep_bl"), 1L)
+          .otherwise(0L)).as("d3"),
+        sum(when(col("keep_lang") && col("keep_q") && col("keep_bl") &&
+          col("is_first").isNull, 1L).otherwise(0L)).as("d4"))
+    def row(idx: Long, name: String, nIn: Column, drop: Column) =
+      struct(lit(idx).as("stage_idx"), lit(name).as("stage"),
+        nIn.as("n_in"), drop.as("n_dropped"), (nIn - drop).as("n_out"))
+    val in2 = col("n0") - col("d1")
+    val in3 = in2 - col("d2")
+    val in4 = in3 - col("d3")
+    one.select(explode(array(
+        row(1L, "langid", col("n0"), col("d1")),
+        row(2L, "quality", in2, col("d2")),
+        row(3L, "blocklist", in3, col("d3")),
+        row(4L, "exact_dup", in4, col("d4")))).as("s"))
+      .select("s.*")
+  }
+
+  /** DuckDB mirror of funnelReport: the stage predicates generated from
+    * the SAME langProfiles/quality/blocklist definitions the Spark side
+    * uses, folded to one aggregate row and unrolled by UNION ALL. */
+  def funnelOracleSql(minQuality: Double, lang: String,
+      blocked: Seq[String]): String = {
+    val hits = langProfiles.map { case (l, words) =>
+      s"""len(list_filter(string_split(text, ' '), t -> list_contains(
+         |${words.map(w => s"'$w'").mkString("[", ",", "]")}, t))) AS h_$l"""
+        .stripMargin
+    }.mkString(", ")
+    val langNames = langProfiles.map(_._1)
+    val undCond = langNames.map(l => s"h_$l = 0").mkString(" AND ")
+    val langCase = langNames.zipWithIndex.dropRight(1).map { case (l, i) =>
+      val geq = langNames.drop(i + 1).map(o => s"h_$l >= h_$o")
+        .mkString(" AND ")
+      s"WHEN $geq THEN '$l'"
+    }.mkString(" ")
+    s"""WITH h AS (SELECT doc_id, text, $hits, $qualitySqlExpr AS quality,
+       |  len(list_intersect(string_split(text, ' '),
+       |    ${blockedSqlList(blocked)})) AS n_bl
+       |  FROM documents),
+       |f AS (SELECT doc_id, text,
+       |  ((CASE WHEN $undCond THEN 'und' $langCase
+       |     ELSE '${langNames.last}' END) = '$lang') AS keep_lang,
+       |  (quality >= $minQuality) AS keep_q, (n_bl = 0) AS keep_bl FROM h),
+       |firsts AS (SELECT min(doc_id) AS doc_id FROM f
+       |  WHERE keep_lang AND keep_q AND keep_bl GROUP BY md5(text)),
+       |agg AS (SELECT count(*) AS n0,
+       |  CAST(sum(CASE WHEN NOT keep_lang THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+       |  CAST(sum(CASE WHEN keep_lang AND NOT keep_q THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS d2,
+       |  CAST(sum(CASE WHEN keep_lang AND keep_q AND NOT keep_bl THEN 1
+       |    ELSE 0 END) AS BIGINT) AS d3,
+       |  CAST(sum(CASE WHEN keep_lang AND keep_q AND keep_bl
+       |    AND fi.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d4
+       |  FROM f LEFT JOIN firsts fi ON f.doc_id = fi.doc_id)
+       |SELECT CAST(1 AS BIGINT) AS stage_idx, 'langid' AS stage,
+       |  n0 AS n_in, d1 AS n_dropped, n0 - d1 AS n_out FROM agg
+       |UNION ALL SELECT CAST(2 AS BIGINT), 'quality', n0 - d1, d2,
+       |  n0 - d1 - d2 FROM agg
+       |UNION ALL SELECT CAST(3 AS BIGINT), 'blocklist', n0 - d1 - d2, d3,
+       |  n0 - d1 - d2 - d3 FROM agg
+       |UNION ALL SELECT CAST(4 AS BIGINT), 'exact_dup', n0 - d1 - d2 - d3,
+       |  d4, n0 - d1 - d2 - d3 - d4 FROM agg""".stripMargin
+      .replaceAll("\\s+", " ")
+  }
 }

@@ -257,6 +257,30 @@ class MlSpec extends AnyFunSuite {
     assert(out.head.getAs[Int]("n_regex_tokens") == 123)
   }
 
+  test("funnelReport charges each doc to the FIRST stage that drops it") {
+    val good = ((1 to 120).map(i => s"w$i") ++
+      Seq("the", "and", "of")).mkString(" ")
+    val german = ((1 to 120).map(i => s"w$i") ++
+      Seq("der", "die", "und", "und")).mkString(" ")
+    val junk = "!!! ??? ***" // quality ~0, also non-English: charged to langid
+    val blocked = ((1 to 120).map(i => s"w$i") ++
+      Seq("the", "and", "of", "legacy")).mkString(" ")
+    val docs = Seq((3L, good), (1L, good), (5L, german), (7L, junk),
+      (9L, blocked)).toDF("doc_id", "text")
+    val out = graft.ml.TextAnalysis.funnelReport(docs, 0.5, "en",
+        Seq("slow", "dup", "legacy")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    // junk + german die at langid (junk is 'und' — first stage wins, its
+    // quality failure is never double-counted); blocked dies at blocklist;
+    // the good dup dies at exact_dup (doc 1 kept, doc 3 dropped)
+    assert(out == Seq(
+      (1L, "langid", 5L, 2L, 3L),
+      (2L, "quality", 3L, 0L, 3L),
+      (3L, "blocklist", 3L, 1L, 2L),
+      (4L, "exact_dup", 2L, 1L, 1L)))
+  }
+
   test("Multimodal: decodePgm parses real PGM bytes, rejects malformed ones") {
     val px = Array[Byte](10, 20, 30, 255.toByte)
     val img = "P5\n2 2\n255\n".getBytes("UTF-8") ++ px
