@@ -861,6 +861,11 @@ object SparkEntry {
     // per-source distinct-trigram diversity (dataset-card degeneracy stat)
     "corpus_diversity" -> ((s, dir) =>
       graft.ml.CorpusOps.distinctNgramDiversity(Catalog.documents(s, dir))),
+    // per-doc novelty: fraction of the doc's shingles with corpus df=1 —
+    // the boilerplate/memorization diagnostic (cross-doc axis, where
+    // corpus_diversity is within-source)
+    "ngram_novelty" -> ((s, dir) =>
+      graft.ml.CorpusOps.ngramNovelty(Catalog.documents(s, dir))),
     // the dataset-card report: volume, mean score, split composition —
     // one aggregate over the stored sidecar, corpus text never scanned
     "corpus_report" -> ((s, dir) =>
@@ -2324,6 +2329,7 @@ object SparkEntry {
     "dsir_stored" -> graft.ml.Selection.dsirOracleSql("src0"),
     "ppl_buckets" -> graft.ml.CorpusOps.pplBucketsOracleSql,
     "corpus_diversity" -> graft.ml.CorpusOps.distinctNgramOracleSql,
+    "ngram_novelty" -> graft.ml.CorpusOps.ngramNoveltyOracleSql,
     "corpus_report" -> graft.ml.Selection.corpusReportOracleSql,
     "dedup_url" -> graft.ml.TextAnalysis.urlDedupOracleSql(5),
     "sample_domain_cap" -> graft.ml.TextAnalysis.domainCapOracleSql(5, 3),

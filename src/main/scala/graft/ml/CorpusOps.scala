@@ -1266,6 +1266,46 @@ object CorpusOps {
        |GROUP BY s.doc_id HAVING count(*) >= $minOverlap""".stripMargin
       .replaceAll("\\s+", " ")
 
+  /** Per-document n-gram NOVELTY — the fraction of a doc's distinct
+    * 3-word shingles that occur in NO other document (corpus document
+    * frequency 1). Low novelty flags boilerplate/template text that
+    * near-dup thresholds miss (the doc as a whole is unique, its parts
+    * are not); the distribution is the memorization-risk diagnostic a
+    * dataset card reports beside dedup rates. Shape: the tf-idf build —
+    * one shingle aggregation into a doc-frequency table, one join back,
+    * one per-doc fold; all three are hash-partitioned on their keys with
+    * map-side partial aggregation, no all-pairs stage. Docs with <3
+    * tokens have no shingles and drop from the output on both engines
+    * (inner-join semantics, the bpe_fertility degenerate-input pin).
+    * Returns (doc_id, n_shingles, n_novel, novelty). */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val sh = graft.util.Caches.track(NearDup.shingles(docs).cache())
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(dfs, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel") / col("n_shingles"), 6).as("novelty"))
+  }
+
+  /** DuckDB mirror of ngramNovelty (the shared shingle CTE + one df
+    * aggregation). */
+  def ngramNoveltyOracleSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+       |    THEN list_transform(range(1, len(string_split(text,' '))-1),
+       |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+       |    ELSE [] END)) AS shingle
+       |  FROM documents),
+       |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+       |SELECT doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+       |    AS novelty
+       |FROM sh JOIN dfs USING (shingle)
+       |GROUP BY doc_id""".stripMargin.replaceAll("\\s+", " ")
+
   /** FUZZY decontamination — the near-duplicate complement to the exact
     * shingle-overlap `decontaminate`: a training doc is contaminated when
     * its whole-document Jaccard against ANY benchmark doc reaches

@@ -145,6 +145,17 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.get(101L).foreach { case (n, j) => assert(n == 1L && j < 0.5) }
   }
 
+  test("ngramNovelty scores shared shingles as non-novel, drops tiny docs") {
+    // docs 1 and 2 share their first shingle ("a b c"); everything else
+    // is unique; doc 3 is too short to shingle and must drop
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.ngramNovelty(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out == Map(1L -> ((2L, 1L, 0.5)), 2L -> ((2L, 1L, 0.5))))
+  }
+
   test("decontaminateFuzzyFrom over the pair graph equals the live probe") {
     val leaked = (1 to 10).map(i => s"w$i").mkString(" ")
     val trainDup = (1 to 10).map(i => s"y$i").mkString(" ")
