@@ -1235,12 +1235,7 @@ object CorpusOps {
     * shingle CTE with the suite carried through the bench side). */
   def decontaminateReportOracleSql(benchMaxId: Long,
       minOverlap: Int): String =
-    s"""WITH sh AS (
-       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
-       |    THEN list_transform(range(1, len(string_split(text,' '))-1),
-       |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
-       |    ELSE [] END)) AS shingle
-       |  FROM documents),
+    s"""WITH ${NearDup.shingleCteSql},
        |bench AS (SELECT DISTINCT sh.shingle AS shingle, d.source AS suite
        |  FROM sh JOIN documents d USING (doc_id) WHERE sh.doc_id < $benchMaxId),
        |hits AS (SELECT s.doc_id AS doc_id, b.suite AS suite,
@@ -1253,12 +1248,7 @@ object CorpusOps {
        |FROM hits GROUP BY suite""".stripMargin.replaceAll("\\s+", " ")
 
   def decontaminateOracleSql(benchMaxId: Long, minOverlap: Int): String =
-    s"""WITH sh AS (
-       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
-       |    THEN list_transform(range(1, len(string_split(text,' '))-1),
-       |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
-       |    ELSE [] END)) AS shingle
-       |  FROM documents),
+    s"""WITH ${NearDup.shingleCteSql},
        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < $benchMaxId)
        |SELECT s.doc_id AS doc_id, count(*) AS n_overlap
        |FROM sh s JOIN bench USING (shingle)
@@ -1292,12 +1282,7 @@ object CorpusOps {
   /** DuckDB mirror of ngramNovelty (the shared shingle CTE + one df
     * aggregation). */
   def ngramNoveltyOracleSql: String =
-    s"""WITH sh AS (
-       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
-       |    THEN list_transform(range(1, len(string_split(text,' '))-1),
-       |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
-       |    ELSE [] END)) AS shingle
-       |  FROM documents),
+    s"""WITH ${NearDup.shingleCteSql},
        |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
        |SELECT doc_id, count(*) AS n_shingles,
        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,

@@ -21,6 +21,20 @@ object NearDup {
   val NumHashes = 8
   val Rows = 2 // rows (minhashes) per band → 4 bands
 
+  /** The ONE SQL rendering of `shingles` — the `sh AS (…)` CTE every
+    * shingle-based oracle opens with (near-dup, simhash, n-gram,
+    * decontamination, novelty). Shared so the window semantics cannot
+    * drift per-oracle: a change to the Spark-side shingle definition has
+    * exactly one SQL twin to update (review finding, r19: six verbatim
+    * copies). */
+  val shingleCteSql: String =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+      |    THEN list_transform(range(1, len(string_split(text,' '))-1),
+      |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+      |    ELSE [] END)) AS shingle
+      |  FROM documents)""".stripMargin
+
   /** Distinct 3-word shingles per document. */
   def shingles(docs: DataFrame): DataFrame =
     docs
@@ -330,12 +344,7 @@ object NearDup {
 
   /** DuckDB mirror of ngramJaccard over the `documents` view. */
   def ngramOracleSql(minJaccard: Double, maxDf: Int): String =
-    s"""WITH sh AS (
-       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
-       |    THEN list_transform(range(1, len(string_split(text,' '))-1),
-       |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
-       |    ELSE [] END)) AS shingle
-       |  FROM documents),
+    s"""WITH $shingleCteSql,
        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $maxDf),
        |cand AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
        |pairs AS (
@@ -426,12 +435,7 @@ object NearDup {
     val hammingSql = (1 to SimBits).map { p =>
       s"CASE WHEN substr(x.sig, $p, 1) <> substr(y.sig, $p, 1) THEN 1 ELSE 0 END"
     }.mkString(" + ")
-    s"""WITH sh AS (
-       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
-       |    THEN list_transform(range(1, len(string_split(text,' '))-1),
-       |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
-       |    ELSE [] END)) AS shingle
-       |  FROM documents),
+    s"""WITH $shingleCteSql,
        |s AS (SELECT doc_id, $bitsSql AS sig FROM sh GROUP BY doc_id)
        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, $hammingSql AS hamming
        |FROM s x JOIN s y ON x.doc_id < y.doc_id AND ($bandCond)
@@ -443,12 +447,7 @@ object NearDup {
     * near-dup pairs — exposed so downstream oracles (Clusters) can compose
     * with it in one WITH list instead of duplicating the pipeline. */
   def pairCtesSql(minJaccard: Double): String =
-    s"""sh AS (
-       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
-       |    THEN list_transform(range(1, len(string_split(text,' '))-1),
-       |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
-       |    ELSE [] END)) AS shingle
-       |  FROM documents),
+    s"""$shingleCteSql,
        |sig AS (
        |  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
        |  FROM sh CROSS JOIN (SELECT unnest(range($NumHashes)) AS seed)

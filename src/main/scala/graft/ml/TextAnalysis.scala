@@ -450,23 +450,39 @@ object TextAnalysis {
 
   /** DuckDB mirror of `cleanCorpus` over the `documents` view — each stage
     * reuses the already-verified per-signal oracle expression verbatim. */
+  /** The ONE SQL rendering of langPredCol's per-profile hit counts —
+    * `h_<lang>` columns generated from langProfiles, shared by every
+    * oracle that language-IDs (cleanCorpus, funnel) so an edit to the
+    * profiles updates all SQL twins at once (review finding, r19: the
+    * hardcoded cleanCorpus copy would have drifted). */
+  private def langHitsSql: String = langProfiles.map { case (l, words) =>
+    s"""len(list_filter(string_split(text, ' '), t -> list_contains(
+       |${words.map(w => s"'$w'").mkString("[", ",", "]")}, t))) AS h_$l"""
+      .stripMargin
+  }.mkString(", ")
+
+  /** The tie-break CASE over the h_<lang> columns: no hits → 'und',
+    * otherwise the EARLIEST profile among the max-hit ones wins — exactly
+    * langPredCol's greatest-of-structs order (hits DESC, profile index
+    * ASC via the -i ord field). */
+  private def langCaseSql: String = {
+    val names = langProfiles.map(_._1)
+    val und = names.map(l => s"h_$l = 0").mkString(" AND ")
+    val arms = names.zipWithIndex.dropRight(1).map { case (l, i) =>
+      val geq = names.drop(i + 1).map(o => s"h_$l >= h_$o").mkString(" AND ")
+      s"WHEN $geq THEN '$l'"
+    }.mkString(" ")
+    s"CASE WHEN $und THEN 'und' $arms ELSE '${names.last}' END"
+  }
+
   def cleanCorpusSql(minQuality: Double, lang: String): String =
     s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
        |d AS (SELECT documents.* FROM documents JOIN keep USING (doc_id)),
-       |h AS (SELECT doc_id,
-       |  len(list_filter(string_split(text, ' '), t -> list_contains(['the','and','of','to','a','in','is'], t))) AS h_en,
-       |  len(list_filter(string_split(text, ' '), t -> list_contains(['der','die','das','und','ist','ein'], t))) AS h_de,
-       |  len(list_filter(string_split(text, ' '), t -> list_contains(['le','la','les','et','est','un'], t))) AS h_fr,
-       |  len(list_filter(string_split(text, ' '), t -> list_contains(['el','la','los','y','es','un'], t))) AS h_es,
+       |h AS (SELECT doc_id, $langHitsSql,
        |  len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS n_regex_tokens,
-       |  round(least(len(string_split(text, ' ')) * 1.0 / 100, 1.0) *
-       |    (1.0 - round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / len(text), 4)), 4) AS quality
+       |  $qualitySqlExpr AS quality
        |  FROM d),
-       |sig AS (SELECT doc_id, CASE
-       |    WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'und'
-       |    WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
-       |    WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
-       |    WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS lang_pred,
+       |sig AS (SELECT doc_id, $langCaseSql AS lang_pred,
        |  n_regex_tokens, quality FROM h)
        |SELECT doc_id, lang_pred, n_regex_tokens, quality FROM sig
        |WHERE quality >= $minQuality AND lang_pred = '$lang'
@@ -487,14 +503,17 @@ object TextAnalysis {
   def funnelReport(docs: DataFrame, minQuality: Double, lang: String,
       blocked: Seq[String]): DataFrame = {
     val bl = array(blocked.map(lit): _*)
+    // the cached row carries md5(text), never text: the only downstream
+    // text consumer is the dedup key, and pinning the raw corpus in cache
+    // would spill at scale for no reason (review finding, r19)
     val scored = graft.util.Caches.track(docs.select(col("doc_id"),
-        col("text"),
+        md5(col("text")).as("h"),
         (langPredCol === lang).as("keep_lang"),
         (qualityCol >= minQuality).as("keep_q"),
         (!arrays_overlap(tokens, bl)).as("keep_bl")).cache())
     val firsts = scored
       .filter(col("keep_lang") && col("keep_q") && col("keep_bl"))
-      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+      .groupBy(col("h")).agg(min("doc_id").as("doc_id"))
     val one = scored
       .join(firsts.select(col("doc_id"), lit(true).as("is_first")),
         Seq("doc_id"), "left")
@@ -524,26 +543,14 @@ object TextAnalysis {
     * the SAME langProfiles/quality/blocklist definitions the Spark side
     * uses, folded to one aggregate row and unrolled by UNION ALL. */
   def funnelOracleSql(minQuality: Double, lang: String,
-      blocked: Seq[String]): String = {
-    val hits = langProfiles.map { case (l, words) =>
-      s"""len(list_filter(string_split(text, ' '), t -> list_contains(
-         |${words.map(w => s"'$w'").mkString("[", ",", "]")}, t))) AS h_$l"""
-        .stripMargin
-    }.mkString(", ")
-    val langNames = langProfiles.map(_._1)
-    val undCond = langNames.map(l => s"h_$l = 0").mkString(" AND ")
-    val langCase = langNames.zipWithIndex.dropRight(1).map { case (l, i) =>
-      val geq = langNames.drop(i + 1).map(o => s"h_$l >= h_$o")
-        .mkString(" AND ")
-      s"WHEN $geq THEN '$l'"
-    }.mkString(" ")
-    s"""WITH h AS (SELECT doc_id, text, $hits, $qualitySqlExpr AS quality,
+      blocked: Seq[String]): String =
+    s"""WITH h AS (SELECT doc_id, text, $langHitsSql,
+       |  $qualitySqlExpr AS quality,
        |  len(list_intersect(string_split(text, ' '),
        |    ${blockedSqlList(blocked)})) AS n_bl
        |  FROM documents),
        |f AS (SELECT doc_id, text,
-       |  ((CASE WHEN $undCond THEN 'und' $langCase
-       |     ELSE '${langNames.last}' END) = '$lang') AS keep_lang,
+       |  (($langCaseSql) = '$lang') AS keep_lang,
        |  (quality >= $minQuality) AS keep_q, (n_bl = 0) AS keep_bl FROM h),
        |firsts AS (SELECT min(doc_id) AS doc_id FROM f
        |  WHERE keep_lang AND keep_q AND keep_bl GROUP BY md5(text)),
@@ -565,5 +572,4 @@ object TextAnalysis {
        |UNION ALL SELECT CAST(4 AS BIGINT), 'exact_dup', n0 - d1 - d2 - d3,
        |  d4, n0 - d1 - d2 - d3 - d4 FROM agg""".stripMargin
       .replaceAll("\\s+", " ")
-  }
 }

@@ -125,7 +125,7 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   test("decontaminateFuzzy flags cross-split near-dups, never train-train") {
     val leaked = (1 to 10).map(i => s"w$i").mkString(" ")
-    // one word changed: 10 shingles each, 5 shared → jaccard 5/13 ≈ 0.38
+    // one word changed: 8 shingles each, 5 shared → jaccard 5/11 ≈ 0.4545
     val para = ((1 to 7).map(i => s"w$i") ++ Seq("z") ++
       (9 to 10).map(i => s"w$i")).mkString(" ")
     val trainDup = (1 to 10).map(i => s"y$i").mkString(" ")
