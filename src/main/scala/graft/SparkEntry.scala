@@ -1576,6 +1576,13 @@ object SparkEntry {
     // wasted centroid — the IVF rebalance trigger)
     "ivf_balance" -> ((s, dir) =>
       Ann.ivfBalanceFrom(Catalog.ivfCells(s, dir))),
+    // embedding-quality audit: per-vector z-score of the cosine to its
+    // OWN assigned centroid vs its cell's population — the off-manifold /
+    // mis-embedded detector; one cosine per vector from the stored
+    // assignment, integer-micro moments shared with the oracle
+    "emb_outliers" -> ((s, dir) =>
+      Ann.ivfOutliersFrom(Catalog.ivfCells(s, dir),
+        Catalog.embeddings(s, dir))),
     // metadata-constrained ANN: nearest neighbours among label = 3 only —
     // the predicate reaches the flat store's parquet scan as a pushed
     // EqualTo beside the partition pruning; probe stage identical
@@ -2554,6 +2561,7 @@ object SparkEntry {
     "ann_stream_index" -> Ann.bucketsOracleSql,
     "emb_topk_ivf" -> Ann.ivfOracleSql(0, 10),
     "ivf_balance" -> Ann.ivfBalanceOracleSql,
+    "emb_outliers" -> Ann.ivfOutliersOracleSql(),
     "emb_topk_filtered" -> Ann.ivfFilteredOracleSql(0, 3, 10),
     "ann_recall" -> Ann.recallOracleSql(0, 10),
     "ann_recall_filtered" -> Ann.recallFilteredOracleSql(0, 3, 10),

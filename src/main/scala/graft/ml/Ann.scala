@@ -1429,6 +1429,68 @@ object Ann {
           .as("load_factor"))
   }
 
+  /** EMBEDDING-SPACE OUTLIER audit — per vector, the z-score of its
+    * cosine to its OWN assigned centroid against that cell's population
+    * (the mis-embedded / off-manifold detector an embedding-quality pass
+    * runs before training a retriever: a vector far from its cell's
+    * cohesion is a decode failure, an empty doc, or a domain stray).
+    * Reads the STORED assignment and re-derives exactly ONE cosine per
+    * vector (vec ⋈ its centroid — never the K-way re-quantization); the
+    * cosine is quantized to integer MICRO-units (round×1e6, the
+    * Sketches.centsCol posture) so the per-cell moments are exact integer
+    * sums and both engines share one float tree for mean/sd/z — the
+    * ts_anomaly discipline. Σq² stays inside BIGINT up to ~9M vectors per
+    * cell (q ≤ 1e6 → q² ≤ 1e12); beyond that shard cells or widen to
+    * DOUBLE sums. Cell moments ride one window over the cell-partitioned
+    * store (map-side partial aggregation, no second scan). Returns
+    * (vec_id, cell, sim_micro, z, is_outlier). */
+  def ivfOutliersFrom(cells: DataFrame, emb: DataFrame,
+      threshold: Double = 2.0): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").as("emb"))
+    val cn = broadcast(centroids(emb).withColumnRenamed("cent_id", "cell"))
+    val q = cells.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(e, Seq("vec_id"))
+      .join(cn, Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        round(cosine(col("emb"), col("cemb")) * 1e6, 0).cast("long")
+          .as("sim_micro"))
+    val byCell = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+    val mean = col("_s1").cast("double") / col("_n")
+    val varr = greatest(
+      col("_s2").cast("double") / col("_n") - mean * mean, lit(0.0))
+    val sd = sqrt(varr)
+    q.withColumn("_n", count(lit(1)).over(byCell))
+      .withColumn("_s1", sum("sim_micro").over(byCell))
+      .withColumn("_s2", sum(col("sim_micro") * col("sim_micro")).over(byCell))
+      .select(col("vec_id"), col("cell"), col("sim_micro"),
+        when(sd > 0.0, round((col("sim_micro") - mean) / sd, 4))
+          .otherwise(lit(0.0)).as("z"),
+        (sd > 0.0 && abs(col("sim_micro") - mean) > sd * threshold)
+          .as("is_outlier"))
+  }
+
+  /** DuckDB mirror of ivfOutliersFrom: the shared cell CTEs restricted to
+    * each vector's assigned centroid row, then the identical integer-sum /
+    * float-tree moments. */
+  def ivfOutliersOracleSql(threshold: Double = 2.0): String =
+    s"""WITH ${cellCtesSql(BaseSrcSql)},
+       |a AS (SELECT asg.vec_id, CAST(cell.cell AS BIGINT) AS cell,
+       |  CAST(round(asg.csim * 1000000) AS BIGINT) AS sim_micro
+       |  FROM asg JOIN cell ON asg.vec_id = cell.vec_id
+       |    AND asg.cent_id = cell.cell),
+       |m AS (SELECT cell, count(*) AS n, CAST(sum(sim_micro) AS BIGINT) AS s1,
+       |  CAST(sum(sim_micro * sim_micro) AS BIGINT) AS s2 FROM a GROUP BY cell),
+       |s AS (SELECT cell, CAST(s1 AS DOUBLE) / n AS mean,
+       |  sqrt(greatest(CAST(s2 AS DOUBLE) / n -
+       |    (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0)) AS sd
+       |  FROM m)
+       |SELECT a.vec_id, a.cell, a.sim_micro,
+       |  CASE WHEN s.sd > 0.0 THEN round((a.sim_micro - s.mean) / s.sd, 4)
+       |    ELSE 0.0 END AS z,
+       |  (s.sd > 0.0 AND abs(a.sim_micro - s.mean) > s.sd * $threshold)
+       |    AS is_outlier
+       |FROM a JOIN s USING (cell)""".stripMargin.replaceAll("\\s+", " ")
+
   def ivfBalanceOracleSql: String =
     s"""WITH ${cellCtesSql(BaseSrcSql)},
        |per AS (SELECT cell, count(*) AS n_vecs FROM cell GROUP BY cell),

@@ -23,6 +23,23 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(j - 27.0 / 29.0) < 1e-4)
   }
 
+  test("ivfOutliersFrom z-scores each vector against its own cell") {
+    // three copies of centroid 1 (cosine 1.0) and its negation (cosine
+    // -1.0), all pinned to cell 1: micro-sims 1e6×3 and -1e6, so mean =
+    // 5e5, sd = sqrt(7.5e11) ≈ 866025.4 — only the negation exceeds 1 sd
+    val c1 = graft.ml.TrainedCentroids.matrix.head.map(_.toFloat).toArray
+    val emb = Seq((1L, c1), (2L, c1), (3L, c1),
+      (4L, c1.map(-_))).toDF("vec_id", "embedding")
+    val cells = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("vec_id", "cell")
+    val out = Ann.ivfOutliersFrom(cells, emb, threshold = 1.0).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))).toMap
+    assert(out(4L) == ((-1000000L, -1.7321, true)))
+    assert(Seq(1L, 2L, 3L).forall(v =>
+      out(v) == ((1000000L, 0.5774, false))))
+  }
+
   test("Ann: identical vector is a candidate with cosine 1; buckets prune") {
     val rnd = new scala.util.Random(7)
     def vec(): Array[Float] = Array.fill(Ann.Dims)(rnd.nextGaussian().toFloat)
