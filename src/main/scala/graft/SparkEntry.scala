@@ -559,6 +559,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("v"))
       TimeSeriesOps.zscoreDaily(d, "event_type", "dnum", "v", 2.0)
     }),
+    // day-of-week seasonality profile: per (event_type, dow) day count,
+    // event mass, and dow-mean/overall-mean index — integer (dnum+4)%7
+    // weekday so no calendar-function convention risk across engines
+    "ts_seasonal" -> ((s, dir) => {
+      val d = Catalog.events(s, dir)
+        .groupBy(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("dnum"))
+        .agg(count(lit(1)).as("n"))
+      TimeSeriesOps.dowProfile(d)
+    }),
     // simple exponential smoothing at α = 1/2: per-key one-step forecast
     // state, bit-identical across engines (every update an exact halving)
     "ts_ewma" -> ((s, dir) => {
@@ -1133,6 +1143,11 @@ object SparkEntry {
     // card report next to the removal pass
     "decontaminate_report" -> ((s, dir) =>
       graft.ml.CorpusOps.decontaminateReport(Catalog.documents(s, dir),
+        25L, 3)),
+    // the removal verb: training docs surviving the flagging pass — one
+    // anti-join (flag side tiny → broadcast), text carried as md5
+    "decontaminate_removal" -> ((s, dir) =>
+      graft.ml.CorpusOps.decontaminateRemoval(Catalog.documents(s, dir),
         25L, 3)),
     // FUZZY decontamination: whole-document Jaccard vs any benchmark doc
     // via the cross-split banded-MinHash probe (bench bands broadcast,
@@ -2247,6 +2262,20 @@ object SparkEntry {
         CASE WHEN sd > 0.0 THEN round((v - mean) / sd, 4) ELSE 0.0 END AS z,
         (sd > 0.0 AND abs(v - mean) > sd * 2.0) AS is_anomaly
       FROM t""".replaceAll("\\s+", " ")),
+    "ts_seasonal" -> ("""WITH d AS (
+        SELECT event_type,
+          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dnum,
+          count(*) AS n
+        FROM events GROUP BY 1, 2),
+      p AS (SELECT event_type, (dnum + 4) % 7 AS dow,
+        count(*) AS n_days, CAST(sum(n) AS BIGINT) AS n_events
+        FROM d GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(sum(n_days) AS BIGINT) AS t_days,
+        CAST(sum(n_events) AS BIGINT) AS t_events FROM p GROUP BY event_type)
+      SELECT p.event_type, p.dow, p.n_days, p.n_events,
+        round((CAST(n_events AS DOUBLE) / n_days) /
+          (CAST(t_events AS DOUBLE) / t_days), 4) AS seasonality
+      FROM p JOIN t USING (event_type)""".replaceAll("\\s+", " ")),
     "ts_ewma" -> ("""WITH d AS (
         SELECT user_id,
           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dnum,
@@ -2418,6 +2447,8 @@ object SparkEntry {
     "decontaminate" -> graft.ml.CorpusOps.decontaminateOracleSql(25L, 3),
     "decontaminate_report" ->
       graft.ml.CorpusOps.decontaminateReportOracleSql(25L, 3),
+    "decontaminate_removal" ->
+      graft.ml.CorpusOps.decontaminateRemovalOracleSql(25L, 3),
     "decontaminate_fuzzy" ->
       graft.ml.CorpusOps.decontaminateFuzzyOracleSql(100L, 0.6),
     // same oracle BY DESIGN: store serving is invisible in the result —

@@ -1256,6 +1256,35 @@ object CorpusOps {
        |GROUP BY s.doc_id HAVING count(*) >= $minOverlap""".stripMargin
       .replaceAll("\\s+", " ")
 
+  /** The REMOVAL verb for benchmark decontamination — the statement a
+    * release actually runs after the flagging pass: every training doc
+    * (id ≥ benchMaxId) that decontaminate does NOT flag, with its text
+    * carried as md5 (the export-manifest convention — the verb is about
+    * which docs survive, not re-shipping text through the compare). One
+    * anti-join against the flagged set; at 100 TB the flag side is the
+    * decontaminate output (contaminated docs, a tiny fraction), so the
+    * anti-join broadcasts it. */
+  def decontaminateRemoval(docs: DataFrame, benchMaxId: Long,
+      minOverlap: Int): DataFrame =
+    docs.filter(col("doc_id") >= benchMaxId)
+      .join(decontaminate(docs, benchMaxId, minOverlap).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
+
+  /** DuckDB mirror of decontaminateRemoval (decontaminateOracleSql's CTEs
+    * turned into a NOT IN). */
+  def decontaminateRemovalOracleSql(benchMaxId: Long,
+      minOverlap: Int): String =
+    s"""WITH ${NearDup.shingleCteSql},
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < $benchMaxId),
+       |flagged AS (SELECT s.doc_id FROM sh s JOIN bench USING (shingle)
+       |  WHERE s.doc_id >= $benchMaxId
+       |  GROUP BY s.doc_id HAVING count(*) >= $minOverlap)
+       |SELECT doc_id, source, md5(text) AS text_md5 FROM documents
+       |WHERE doc_id >= $benchMaxId
+       |  AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin
+      .replaceAll("\\s+", " ")
+
   /** Per-document n-gram NOVELTY — the fraction of a doc's distinct
     * 3-word shingles that occur in NO other document (corpus document
     * frequency 1). Low novelty flags boilerplate/template text that

@@ -140,6 +140,31 @@ object TimeSeriesOps {
         (sd > 0.0 && abs(col(v) - mean) > sd * threshold).as("is_anomaly"))
   }
 
+  /** DAY-OF-WEEK seasonality profile over a per-key daily series — the
+    * weekly-cycle decomposition read next to ts_anomaly (an anomaly gate
+    * that ignores seasonality flags every weekend): per (key, dow) the
+    * day count, event mass, and the seasonality index
+    * (dow daily mean / overall daily mean; 1.0 = flat). The weekday is
+    * PURE INTEGER arithmetic — (dnum + 4) % 7 with 0 = Sunday
+    * (1970-01-01 was a Thursday) — so both engines agree with no
+    * calendar-function convention risk (Spark dayofweek is 1-based
+    * Sunday, DuckDB's is 0-based). Two partial-aggregating groupBys plus
+    * a key-cardinality-sized broadcast join; output is |keys|×7 at any
+    * volume. */
+  def dowProfile(daily: DataFrame, key: String = "event_type",
+      dnum: String = "dnum", v: String = "n"): DataFrame = {
+    val prof = daily
+      .groupBy(col(key), pmod(col(dnum) + 4, lit(7)).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(v).as("n_events"))
+    val tot = prof.groupBy(key)
+      .agg(sum("n_days").as("t_days"), sum("n_events").as("t_events"))
+    prof.join(broadcast(tot), Seq(key))
+      .select(col(key), col("dow"), col("n_days"), col("n_events"),
+        round((col("n_events").cast("double") / col("n_days")) /
+          (col("t_events").cast("double") / col("t_days")), 4)
+          .as("seasonality"))
+  }
+
   /** Date-range join via fixed-width bucketing: returns every (range row,
     * point row) pair with `startDay <= pDay < endDayExcl` (dates, end
     * exclusive). The non-equi BETWEEN predicate rides on an equi-join over

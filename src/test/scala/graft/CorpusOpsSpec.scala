@@ -145,6 +145,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.get(101L).foreach { case (n, j) => assert(n == 1L && j < 0.5) }
   }
 
+  test("decontaminateRemoval keeps exactly the unflagged training docs") {
+    val leaked = (1 to 10).map(i => s"w$i").mkString(" ")
+    val clean = (1 to 10).map(i => s"x$i").mkString(" ")
+    val docs = Seq((0L, leaked, "bench"), (100L, leaked, "web"),
+        (101L, clean, "web"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusOps.decontaminateRemoval(docs, 50L, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // 100 is flagged (8 shared shingles ≥ 3) and removed; the bench doc
+    // itself is never part of the training output
+    assert(out == Seq((101L, "web")))
+  }
+
   test("ngramNovelty scores shared shingles as non-novel, drops tiny docs") {
     // docs 1 and 2 share their first shingle ("a b c"); everything else
     // is unique; doc 3 is too short to shingle and must drop

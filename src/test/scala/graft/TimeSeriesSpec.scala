@@ -57,6 +57,20 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("dowProfile: integer weekday buckets and a mean-ratio index") {
+    // dnum 0 = Thu 1970-01-01 → dow (0+4)%7 = 4; dnum 3 = Sunday → dow 0.
+    // key "a": two Thursdays of 30 events + one Sunday of 3 → overall
+    // daily mean 21, Thursday mean 30 (idx 1.4286), Sunday mean 3 (0.1429)
+    val daily = Seq(("a", 0L, 30L), ("a", 7L, 30L), ("a", 3L, 3L))
+      .toDF("event_type", "dnum", "n")
+    val got = TimeSeriesOps.dowProfile(daily).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got === Set(
+      ("a", 4L, 2L, 60L, 1.4286),
+      ("a", 0L, 1L, 3L, 0.1429)))
+  }
+
   test("gapFillDaily: dense per-key grid, forward fill, filled flags") {
     val s = Seq((1L, "2024-01-01", 5.0), (1L, "2024-01-04", 7.0),
                 (2L, "2024-01-02", 3.0))
