@@ -1598,6 +1598,12 @@ object SparkEntry {
     "emb_outliers" -> ((s, dir) =>
       Ann.ivfOutliersFrom(Catalog.ivfCells(s, dir),
         Catalog.embeddings(s, dir))),
+    // the other maintenance trigger: per-cell drift of the data's actual
+    // mean vector from the trained centroid (1 − cosine) — the re-train
+    // alarm for a frozen coarse quantizer under distribution shift
+    "ivf_drift" -> ((s, dir) =>
+      Ann.ivfDriftFrom(Catalog.ivfCells(s, dir),
+        Catalog.embeddings(s, dir))),
     // metadata-constrained ANN: nearest neighbours among label = 3 only —
     // the predicate reaches the flat store's parquet scan as a pushed
     // EqualTo beside the partition pruning; probe stage identical
@@ -2593,6 +2599,7 @@ object SparkEntry {
     "emb_topk_ivf" -> Ann.ivfOracleSql(0, 10),
     "ivf_balance" -> Ann.ivfBalanceOracleSql,
     "emb_outliers" -> Ann.ivfOutliersOracleSql(),
+    "ivf_drift" -> Ann.ivfDriftOracleSql,
     "emb_topk_filtered" -> Ann.ivfFilteredOracleSql(0, 3, 10),
     "ann_recall" -> Ann.recallOracleSql(0, 10),
     "ann_recall_filtered" -> Ann.recallFilteredOracleSql(0, 3, 10),

@@ -1469,6 +1469,64 @@ object Ann {
           .as("is_outlier"))
   }
 
+  /** CENTROID-DRIFT audit — the other IVF maintenance trigger beside
+    * ivf_balance: per cell, how far the data's actual mean vector has
+    * moved from the trained centroid (drift = 1 − cosine). A drifted cell
+    * means the frozen quantizer no longer matches the corpus (ingest
+    * distribution shift) and probes lose recall — the re-train alarm an
+    * IVF deployment schedules on. Recomputes each cell's mean from the
+    * STORED assignment: one 64×-dim unpivot (bounded by Dims, never by
+    * corpus width) into per-(cell, dim) exact integer micro-sums, the
+    * mean array re-assembled in dim order, and ONE cosine per cell
+    * against the centroid literal — the dot fold and its
+    * list_dot_product mirror run left-to-right over the same 64 doubles,
+    * so the float trees agree (the serving-path cosine discipline).
+    * Returns (cell, n_vecs, drift). */
+  def ivfDriftFrom(cells: DataFrame, emb: DataFrame): DataFrame = {
+    val j = cells.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(emb.select(col("vec_id"), col("embedding").as("emb")),
+        Seq("vec_id"))
+    val d = j.select(col("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .select(col("cell"), col("pos"),
+        round(col("x") * 1e6, 0).cast("long").as("q"))
+    val m = d.groupBy("cell", "pos")
+      .agg(sum("q").as("s"), count(lit(1)).as("n"))
+      .select(col("cell"), col("pos"),
+        (col("s").cast("double") / col("n") / lit(1e6)).as("m"))
+    val newc = m.groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("cell"), expr("transform(ps, p -> p.m)").as("nemb"))
+    val per = j.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    newc
+      .join(broadcast(centroids(emb).withColumnRenamed("cent_id", "cell")),
+        Seq("cell"))
+      .join(per, Seq("cell"))
+      .select(col("cell"), col("n_vecs"),
+        round(lit(1.0) - cosine(col("nemb"), col("cemb")), 6).as("drift"))
+  }
+
+  /** DuckDB mirror of ivfDriftFrom: the shared cell CTEs, the identical
+    * micro-unit integer sums per (cell, dim), and list_dot_product over
+    * the same dim-ordered mean array. */
+  def ivfDriftOracleSql: String =
+    s"""WITH ${cellCtesSql(BaseSrcSql)},
+       |j AS (SELECT CAST(cell.cell AS BIGINT) AS cellid, e.emb
+       |  FROM cell JOIN e USING (vec_id)),
+       |d AS (SELECT cellid, generate_subscripts(emb, 1) AS pos,
+       |  CAST(round(unnest(emb) * 1000000) AS BIGINT) AS q FROM j),
+       |m AS (SELECT cellid, pos, CAST(sum(q) AS BIGINT) AS s, count(*) AS n
+       |  FROM d GROUP BY 1, 2),
+       |nc AS (SELECT cellid,
+       |  list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY pos) AS nemb
+       |  FROM m GROUP BY cellid),
+       |per AS (SELECT cellid, count(*) AS n_vecs FROM j GROUP BY cellid)
+       |SELECT nc.cellid AS cell, per.n_vecs,
+       |  round(1.0 - list_dot_product(nemb, c.cemb) /
+       |    sqrt(list_dot_product(nemb, nemb) *
+       |         list_dot_product(c.cemb, c.cemb)), 6) AS drift
+       |FROM nc JOIN c ON c.cent_id = nc.cellid
+       |JOIN per USING (cellid)""".stripMargin.replaceAll("\\s+", " ")
+
   /** DuckDB mirror of ivfOutliersFrom: the shared cell CTEs restricted to
     * each vector's assigned centroid row, then the identical integer-sum /
     * float-tree moments. */

@@ -40,6 +40,21 @@ class MlSpec extends AnyFunSuite {
       out(v) == ((1000000L, 0.5774, false))))
   }
 
+  test("ivfDriftFrom reports zero drift for a cell sitting on its centroid") {
+    val c1 = graft.ml.TrainedCentroids.matrix.head.map(_.toFloat).toArray
+    val c2 = graft.ml.TrainedCentroids.matrix(1).map(_.toFloat).toArray
+    val moved = c2.clone(); moved(0) = -10f // cell 2's mass has shifted
+    val emb = Seq((1L, c1), (2L, c1), (3L, moved))
+      .toDF("vec_id", "embedding")
+    val cells = Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("vec_id", "cell")
+    val out = Ann.ivfDriftFrom(cells, emb).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // cell 1's mean IS the centroid (micro-rounding preserves the 6-dec
+    // literal exactly) → drift 0; cell 2's mean points elsewhere
+    assert(out(1L)._1 == 2L && out(1L)._2 == 0.0)
+    assert(out(2L)._1 == 1L && out(2L)._2 > 0.1)
+  }
+
   test("Ann: identical vector is a candidate with cosine 1; buckets prune") {
     val rnd = new scala.util.Random(7)
     def vec(): Array[Float] = Array.fill(Ann.Dims)(rnd.nextGaussian().toFloat)
