@@ -1489,18 +1489,22 @@ object Ann {
     val d = j.select(col("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
       .select(col("cell"), col("pos"),
         round(col("x") * 1e6, 0).cast("long").as("q"))
+    // n_vecs rides the SAME aggregation chain (every vector contributes
+    // one row per dim, so any dim's count is the cell population) — a
+    // separate per-cell count would re-evaluate the join subtree and scan
+    // embeddings twice (plan-pinned single scan, PlanAuditSpec)
     val m = d.groupBy("cell", "pos")
       .agg(sum("q").as("s"), count(lit(1)).as("n"))
       .select(col("cell"), col("pos"),
-        (col("s").cast("double") / col("n") / lit(1e6)).as("m"))
+        (col("s").cast("double") / col("n") / lit(1e6)).as("m"), col("n"))
     val newc = m.groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-      .select(col("cell"), expr("transform(ps, p -> p.m)").as("nemb"))
-    val per = j.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"),
+        max("n").as("n_vecs"))
+      .select(col("cell"), expr("transform(ps, p -> p.m)").as("nemb"),
+        col("n_vecs"))
     newc
       .join(broadcast(centroids(emb).withColumnRenamed("cent_id", "cell")),
         Seq("cell"))
-      .join(per, Seq("cell"))
       .select(col("cell"), col("n_vecs"),
         round(lit(1.0) - cosine(col("nemb"), col("cemb")), 6).as("drift"))
   }
@@ -1517,15 +1521,15 @@ object Ann {
        |m AS (SELECT cellid, pos, CAST(sum(q) AS BIGINT) AS s, count(*) AS n
        |  FROM d GROUP BY 1, 2),
        |nc AS (SELECT cellid,
-       |  list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY pos) AS nemb
-       |  FROM m GROUP BY cellid),
-       |per AS (SELECT cellid, count(*) AS n_vecs FROM j GROUP BY cellid)
-       |SELECT nc.cellid AS cell, per.n_vecs,
+       |  list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY pos) AS nemb,
+       |  CAST(max(n) AS BIGINT) AS n_vecs
+       |  FROM m GROUP BY cellid)
+       |SELECT nc.cellid AS cell, nc.n_vecs,
        |  round(1.0 - list_dot_product(nemb, c.cemb) /
        |    sqrt(list_dot_product(nemb, nemb) *
        |         list_dot_product(c.cemb, c.cemb)), 6) AS drift
-       |FROM nc JOIN c ON c.cent_id = nc.cellid
-       |JOIN per USING (cellid)""".stripMargin.replaceAll("\\s+", " ")
+       |FROM nc JOIN c ON c.cent_id = nc.cellid""".stripMargin
+      .replaceAll("\\s+", " ")
 
   /** DuckDB mirror of ivfOutliersFrom: the shared cell CTEs restricted to
     * each vector's assigned centroid row, then the identical integer-sum /

@@ -86,6 +86,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"dedup_removal re-derives the pair pipeline in-statement:\n$pr")
   }
 
+  test("fuzzy decontamination serves from the pair-graph store; the IVF " +
+      "audits read the stored assignment with one embeddings scan") {
+    // decontaminate_fuzzy_stored's whole contract: a sidecar read + one
+    // grouped fold — a plan that hashes text (md5 of the shingle/band
+    // pipeline) has regressed to the live probe
+    val pf = planOf(
+      SparkEntry.queries("decontaminate_fuzzy_stored")(spark, dir))
+    assert(pf.contains("dup_pairs"), s"not reading the pair store:\n$pf")
+    assert(!TestSpark.scansCorpusText(pf) && !pf.contains("md5"),
+      s"fuzzy stored serving re-derives the band pipeline:\n$pf")
+    // emb_outliers / ivf_drift: assignment comes from the ivf_cells store,
+    // embeddings are scanned exactly ONCE (the per-vector cosine join) —
+    // a second scan means the K-way re-quantization crept back in
+    for (name <- Seq("emb_outliers", "ivf_drift")) {
+      val p = planOf(SparkEntry.queries(name)(spark, dir))
+      assert(p.contains("ivf_cells"),
+        s"$name not reading the stored assignment:\n$p")
+      val scans = "(?i)embeddings\\.parquet|src_embeddings".r
+        .findAllIn(p).size
+      assert(scans == 1,
+        s"$name must scan embeddings exactly once, saw $scans:\n$p")
+    }
+  }
+
   test("semantic dedup reads the stored cell assignment; filtered+masked " +
       "hybrid is store-only") {
     // dedup_semantic's 100 TB posture: the coarse assignment is READ from
