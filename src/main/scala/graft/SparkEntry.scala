@@ -620,6 +620,11 @@ object SparkEntry {
     "pipeline_funnel" -> ((s, dir) =>
       graft.ml.TextAnalysis.funnelReport(Catalog.documents(s, dir), 0.5,
         "en", BlockWords)),
+    // the per-source breakdown of the same funnel (the dataset-card
+    // grain: attrition per corpus subset; |sources|×4 rows at any scale)
+    "pipeline_funnel_by_source" -> ((s, dir) =>
+      graft.ml.TextAnalysis.funnelBySource(Catalog.documents(s, dir), 0.5,
+        "en", BlockWords)),
     // reads the MATERIALIZED verified pair graph (Catalog.dupPairs) — the
     // stored form of the banded-MinHash result, built once per sf-dir; the
     // corpus-side pipeline (shingle → signature → band → bucket join →
@@ -2318,6 +2323,8 @@ object SparkEntry {
     "pipeline_clean_corpus" -> graft.ml.TextAnalysis.cleanCorpusSql(0.5, "en"),
     "pipeline_funnel" ->
       graft.ml.TextAnalysis.funnelOracleSql(0.5, "en", BlockWords),
+    "pipeline_funnel_by_source" ->
+      graft.ml.TextAnalysis.funnelBySourceOracleSql(0.5, "en", BlockWords),
     "dedup_minhash" -> NearDup.oracleSql(0.6),
     "dedup_simhash" -> NearDup.simHashOracleSql(),
     "dedup_embcos" -> Ann.nearDupCosSql(0.4),

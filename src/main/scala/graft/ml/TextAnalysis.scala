@@ -500,60 +500,99 @@ object TextAnalysis {
     * min-doc_id occurrence AMONG SURVIVORS (a duplicate whose first copy
     * was filtered earlier survives as the new first). Returns
     * (stage_idx, stage, n_in, n_dropped, n_out) ordered by stage_idx. */
-  def funnelReport(docs: DataFrame, minQuality: Double, lang: String,
-      blocked: Seq[String]): DataFrame = {
+  /** The shared funnel scoring pass: per doc, the three per-row keep
+    * flags, the dedup hash, and the among-survivors first-occurrence
+    * marker. The cached row carries md5(text), never text: the only
+    * downstream text consumer is the dedup key, and pinning the raw
+    * corpus in cache would spill at scale for no reason (review finding,
+    * r19). Dedup firsts are GLOBAL (a text duplicated across sources is
+    * kept once corpus-wide) — the by-source report attributes the drop to
+    * the copy's own source. */
+  private def funnelFlagged(docs: DataFrame, minQuality: Double,
+      lang: String, blocked: Seq[String]): DataFrame = {
     val bl = array(blocked.map(lit): _*)
-    // the cached row carries md5(text), never text: the only downstream
-    // text consumer is the dedup key, and pinning the raw corpus in cache
-    // would spill at scale for no reason (review finding, r19)
     val scored = graft.util.Caches.track(docs.select(col("doc_id"),
-        md5(col("text")).as("h"),
+        col("source"), md5(col("text")).as("h"),
         (langPredCol === lang).as("keep_lang"),
         (qualityCol >= minQuality).as("keep_q"),
         (!arrays_overlap(tokens, bl)).as("keep_bl")).cache())
     val firsts = scored
       .filter(col("keep_lang") && col("keep_q") && col("keep_bl"))
       .groupBy(col("h")).agg(min("doc_id").as("doc_id"))
-    val one = scored
-      .join(firsts.select(col("doc_id"), lit(true).as("is_first")),
-        Seq("doc_id"), "left")
-      .agg(count(lit(1)).as("n0"),
-        sum(when(!col("keep_lang"), 1L).otherwise(0L)).as("d1"),
-        sum(when(col("keep_lang") && !col("keep_q"), 1L).otherwise(0L))
-          .as("d2"),
-        sum(when(col("keep_lang") && col("keep_q") && !col("keep_bl"), 1L)
-          .otherwise(0L)).as("d3"),
-        sum(when(col("keep_lang") && col("keep_q") && col("keep_bl") &&
-          col("is_first").isNull, 1L).otherwise(0L)).as("d4"))
+    scored.join(firsts.select(col("doc_id"), lit(true).as("is_first")),
+      Seq("doc_id"), "left")
+  }
+
+  /** The funnel's conditional stage-drop aggregates (first failing stage
+    * wins) — shared by the corpus-wide and per-source renderings. */
+  private def funnelAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n0"),
+    sum(when(!col("keep_lang"), 1L).otherwise(0L)).as("d1"),
+    sum(when(col("keep_lang") && !col("keep_q"), 1L).otherwise(0L))
+      .as("d2"),
+    sum(when(col("keep_lang") && col("keep_q") && !col("keep_bl"), 1L)
+      .otherwise(0L)).as("d3"),
+    sum(when(col("keep_lang") && col("keep_q") && col("keep_bl") &&
+      col("is_first").isNull, 1L).otherwise(0L)).as("d4"))
+
+  /** One aggregate row (n0, d1..d4) unrolled into the 4 ordered stage
+    * rows (stage_idx, stage, n_in, n_dropped, n_out). */
+  private def stageRowsCol: Column = {
     def row(idx: Long, name: String, nIn: Column, drop: Column) =
       struct(lit(idx).as("stage_idx"), lit(name).as("stage"),
         nIn.as("n_in"), drop.as("n_dropped"), (nIn - drop).as("n_out"))
     val in2 = col("n0") - col("d1")
     val in3 = in2 - col("d2")
     val in4 = in3 - col("d3")
-    one.select(explode(array(
-        row(1L, "langid", col("n0"), col("d1")),
-        row(2L, "quality", in2, col("d2")),
-        row(3L, "blocklist", in3, col("d3")),
-        row(4L, "exact_dup", in4, col("d4")))).as("s"))
-      .select("s.*")
+    explode(array(
+      row(1L, "langid", col("n0"), col("d1")),
+      row(2L, "quality", in2, col("d2")),
+      row(3L, "blocklist", in3, col("d3")),
+      row(4L, "exact_dup", in4, col("d4"))))
   }
+
+  def funnelReport(docs: DataFrame, minQuality: Double, lang: String,
+      blocked: Seq[String]): DataFrame =
+    funnelFlagged(docs, minQuality, lang, blocked)
+      .agg(funnelAggs.head, funnelAggs.tail: _*)
+      .select(stageRowsCol.as("s"))
+      .select("s.*")
+
+  /** The per-SOURCE funnel — the per-subset attrition table a dataset
+    * card publishes (every stage count broken down by corpus source, the
+    * grain at which mixing decisions are made). Same one cached scoring
+    * scan; the conditional aggregation groups by source and the output is
+    * |sources| × 4 rows at any corpus size. */
+  def funnelBySource(docs: DataFrame, minQuality: Double, lang: String,
+      blocked: Seq[String]): DataFrame =
+    funnelFlagged(docs, minQuality, lang, blocked)
+      .groupBy("source")
+      .agg(funnelAggs.head, funnelAggs.tail: _*)
+      .select(col("source"), stageRowsCol.as("s"))
+      .select(col("source"), col("s.*"))
 
   /** DuckDB mirror of funnelReport: the stage predicates generated from
     * the SAME langProfiles/quality/blocklist definitions the Spark side
     * uses, folded to one aggregate row and unrolled by UNION ALL. */
-  def funnelOracleSql(minQuality: Double, lang: String,
+  /** The shared oracle CTE prefix (h, f, firsts) — the SQL twin of
+    * funnelFlagged, source carried for the by-source rendering. */
+  private def funnelCtesSql(minQuality: Double, lang: String,
       blocked: Seq[String]): String =
-    s"""WITH h AS (SELECT doc_id, text, $langHitsSql,
+    s"""h AS (SELECT doc_id, source, text, $langHitsSql,
        |  $qualitySqlExpr AS quality,
        |  len(list_intersect(string_split(text, ' '),
        |    ${blockedSqlList(blocked)})) AS n_bl
        |  FROM documents),
-       |f AS (SELECT doc_id, text,
+       |f AS (SELECT doc_id, source, text,
        |  (($langCaseSql) = '$lang') AS keep_lang,
        |  (quality >= $minQuality) AS keep_q, (n_bl = 0) AS keep_bl FROM h),
        |firsts AS (SELECT min(doc_id) AS doc_id FROM f
-       |  WHERE keep_lang AND keep_q AND keep_bl GROUP BY md5(text)),
+       |  WHERE keep_lang AND keep_q AND keep_bl GROUP BY md5(text))"""
+      .stripMargin
+
+  def funnelOracleSql(minQuality: Double, lang: String,
+      blocked: Seq[String]): String =
+    s"""WITH ${funnelCtesSql(minQuality, lang, blocked)},
        |agg AS (SELECT count(*) AS n0,
        |  CAST(sum(CASE WHEN NOT keep_lang THEN 1 ELSE 0 END) AS BIGINT) AS d1,
        |  CAST(sum(CASE WHEN keep_lang AND NOT keep_q THEN 1 ELSE 0 END)
@@ -572,4 +611,30 @@ object TextAnalysis {
        |UNION ALL SELECT CAST(4 AS BIGINT), 'exact_dup', n0 - d1 - d2 - d3,
        |  d4, n0 - d1 - d2 - d3 - d4 FROM agg""".stripMargin
       .replaceAll("\\s+", " ")
+
+  /** DuckDB mirror of funnelBySource: the same CTEs, the aggregate
+    * grouped by source, the same 4-way UNION ALL unroll with source
+    * carried. */
+  def funnelBySourceOracleSql(minQuality: Double, lang: String,
+      blocked: Seq[String]): String =
+    s"""WITH ${funnelCtesSql(minQuality, lang, blocked)},
+       |agg AS (SELECT source, count(*) AS n0,
+       |  CAST(sum(CASE WHEN NOT keep_lang THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+       |  CAST(sum(CASE WHEN keep_lang AND NOT keep_q THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS d2,
+       |  CAST(sum(CASE WHEN keep_lang AND keep_q AND NOT keep_bl THEN 1
+       |    ELSE 0 END) AS BIGINT) AS d3,
+       |  CAST(sum(CASE WHEN keep_lang AND keep_q AND keep_bl
+       |    AND fi.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d4
+       |  FROM f LEFT JOIN firsts fi ON f.doc_id = fi.doc_id
+       |  GROUP BY source)
+       |SELECT source, CAST(1 AS BIGINT) AS stage_idx, 'langid' AS stage,
+       |  n0 AS n_in, d1 AS n_dropped, n0 - d1 AS n_out FROM agg
+       |UNION ALL SELECT source, CAST(2 AS BIGINT), 'quality', n0 - d1, d2,
+       |  n0 - d1 - d2 FROM agg
+       |UNION ALL SELECT source, CAST(3 AS BIGINT), 'blocklist',
+       |  n0 - d1 - d2, d3, n0 - d1 - d2 - d3 FROM agg
+       |UNION ALL SELECT source, CAST(4 AS BIGINT), 'exact_dup',
+       |  n0 - d1 - d2 - d3, d4, n0 - d1 - d2 - d3 - d4 FROM agg"""
+      .stripMargin.replaceAll("\\s+", " ")
 }

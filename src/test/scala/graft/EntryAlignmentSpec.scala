@@ -24,8 +24,9 @@ class EntryAlignmentSpec extends AnyFunSuite {
     // 281 at r18 + r19's cdc_cut, mm_phash_clusters, mm_phash_removal,
     // mm_phash_keep_best, tsv_load_summaries, decontaminate_fuzzy,
     // decontaminate_fuzzy_stored, pipeline_funnel, ngram_novelty,
-    // emb_outliers, ts_seasonal, decontaminate_removal, ivf_drift
-    assert(SparkEntry.queries.size == 294,
+    // emb_outliers, ts_seasonal, decontaminate_removal, ivf_drift,
+    // pipeline_funnel_by_source
+    assert(SparkEntry.queries.size == 295,
       s"entry count moved to ${SparkEntry.queries.size} — update this pin " +
         "alongside the contended-bench FAMILY and the counters baseline")
   }

@@ -297,8 +297,8 @@ class MlSpec extends AnyFunSuite {
     val junk = "!!! ??? ***" // quality ~0, also non-English: charged to langid
     val blocked = ((1 to 120).map(i => s"w$i") ++
       Seq("the", "and", "of", "legacy")).mkString(" ")
-    val docs = Seq((3L, good), (1L, good), (5L, german), (7L, junk),
-      (9L, blocked)).toDF("doc_id", "text")
+    val docs = Seq((3L, good, "a"), (1L, good, "b"), (5L, german, "a"),
+      (7L, junk, "a"), (9L, blocked, "b")).toDF("doc_id", "text", "source")
     val out = graft.ml.TextAnalysis.funnelReport(docs, 0.5, "en",
         Seq("slow", "dup", "legacy")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
@@ -311,6 +311,16 @@ class MlSpec extends AnyFunSuite {
       (2L, "quality", 3L, 0L, 3L),
       (3L, "blocklist", 3L, 1L, 2L),
       (4L, "exact_dup", 2L, 1L, 1L)))
+    // per-source: the cross-source dup (1 in "b" wins the global min) is
+    // charged to source "a" where the losing copy lives
+    val bySrc = graft.ml.TextAnalysis.funnelBySource(docs, 0.5, "en",
+        Seq("slow", "dup", "legacy")).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(bySrc(("a", 1L)) == ((3L, 2L, 1L))) // german+junk die at langid
+    assert(bySrc(("a", 4L)) == ((1L, 1L, 0L))) // doc 3 loses the global dedup
+    assert(bySrc(("b", 3L)) == ((2L, 1L, 1L))) // blocked dies at blocklist
+    assert(bySrc(("b", 4L)) == ((1L, 0L, 1L))) // doc 1 is the kept first
   }
 
   test("Multimodal: decodePgm parses real PGM bytes, rejects malformed ones") {
