@@ -21,9 +21,14 @@ object TextAnalysis {
   // regexTokens and the composed cleanCorpus all project the same columns) --
   private def tokens: Column = split(col("text"), " ")
   private def punctRatioCol: Column = {
+    // zero-char text: the ratio's denominator is 0, which ANSI mode makes
+    // a DIVIDE_BY_ZERO error (not a NULL) — pin it to 0.0 so quality is
+    // TOTAL (empty doc ⇒ quality 0.01, gated out by any real threshold);
+    // the SQL twin carries the same CASE (CurationProps found the raise)
     val nChar = length(col("text"))
-    round((nChar - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
-      .cast("double") / nChar, 4)
+    when(nChar === 0, lit(0.0)).otherwise(
+      round((nChar - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+        .cast("double") / nChar, 4))
   }
   private def qualityCol: Column =
     round(least(size(tokens).cast("double") / 100, lit(1.0)) *
@@ -35,7 +40,8 @@ object TextAnalysis {
     * (Clusters.keepBestOracleSql) so the score has one SQL rendering. */
   val qualitySqlExpr: String =
     """round(least(len(string_split(text, ' ')) / 100.0, 1.0) *
-      |  (1.0 - round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / len(text), 4)), 4)"""
+      |  (1.0 - CASE WHEN len(text) = 0 THEN 0.0
+      |   ELSE round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / len(text), 4) END), 4)"""
       .stripMargin.replaceAll("\\s+", " ")
   private def langPredCol: Column = {
     val hits = langProfiles.zipWithIndex.map { case ((lang, words), i) =>
@@ -511,10 +517,15 @@ object TextAnalysis {
   private def funnelFlagged(docs: DataFrame, minQuality: Double,
       lang: String, blocked: Seq[String]): DataFrame = {
     val bl = array(blocked.map(lit): _*)
+    // keep_q is NULL on zero-char text (the quality ratio divides by
+    // nChar); coalesce to false so every doc is charged to exactly one
+    // stage — the conservation law CurationProps pins (an uncoalesced
+    // NULL drops the doc from every stage count on BOTH engines, so the
+    // oracle compare alone would never catch it)
     val scored = graft.util.Caches.track(docs.select(col("doc_id"),
         col("source"), md5(col("text")).as("h"),
         (langPredCol === lang).as("keep_lang"),
-        (qualityCol >= minQuality).as("keep_q"),
+        coalesce(qualityCol >= minQuality, lit(false)).as("keep_q"),
         (!arrays_overlap(tokens, bl)).as("keep_bl")).cache())
     val firsts = scored
       .filter(col("keep_lang") && col("keep_q") && col("keep_bl"))
@@ -585,7 +596,8 @@ object TextAnalysis {
        |  FROM documents),
        |f AS (SELECT doc_id, source, text,
        |  (($langCaseSql) = '$lang') AS keep_lang,
-       |  (quality >= $minQuality) AS keep_q, (n_bl = 0) AS keep_bl FROM h),
+       |  coalesce(quality >= $minQuality, false) AS keep_q,
+       |  (n_bl = 0) AS keep_bl FROM h),
        |firsts AS (SELECT min(doc_id) AS doc_id FROM f
        |  WHERE keep_lang AND keep_q AND keep_bl GROUP BY md5(text))"""
       .stripMargin
