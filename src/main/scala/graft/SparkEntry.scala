@@ -1392,6 +1392,10 @@ object SparkEntry {
         minStops = 1)),
     "text_langid" -> ((s, dir) =>
       graft.ml.TextAnalysis.langId(Catalog.documents(s, dir))),
+    // the lang gate's confusion matrix vs the labeled lang column — which
+    // languages leak through / get over-filtered; matrix-sized output
+    "text_langid_confusion" -> ((s, dir) =>
+      graft.ml.TextAnalysis.langIdConfusion(Catalog.documents(s, dir))),
     "text_tokens_regex" -> ((s, dir) =>
       graft.ml.TextAnalysis.regexTokens(Catalog.documents(s, dir))),
     "text_stats" -> ((s, dir) =>
@@ -2555,18 +2559,9 @@ object SparkEntry {
       FROM documents""".replaceAll("\\s+", " ")),
     "quality_gopher" -> graft.ml.TextAnalysis.gopherRulesOracleSql(
       minStops = 1),
-    "text_langid" -> ("""WITH h AS (SELECT doc_id,
-        len(list_filter(string_split(text, ' '), t -> list_contains(['the','and','of','to','a','in','is'], t))) AS h_en,
-        len(list_filter(string_split(text, ' '), t -> list_contains(['der','die','das','und','ist','ein'], t))) AS h_de,
-        len(list_filter(string_split(text, ' '), t -> list_contains(['le','la','les','et','est','un'], t))) AS h_fr,
-        len(list_filter(string_split(text, ' '), t -> list_contains(['el','la','los','y','es','un'], t))) AS h_es
-      FROM documents)
-      SELECT doc_id, CASE
-        WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'und'
-        WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
-        WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
-        WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS lang_pred
-      FROM h""".replaceAll("\\s+", " ")),
+    "text_langid" -> graft.ml.TextAnalysis.langIdOracleSql,
+    "text_langid_confusion" ->
+      graft.ml.TextAnalysis.langIdConfusionOracleSql,
     "text_tokens_regex" -> ("""SELECT doc_id,
       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS n_regex_tokens
       FROM documents""".replaceAll("\\s+", " ")),

@@ -153,6 +153,29 @@ object TextAnalysis {
   def langId(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), langPredCol.as("lang_pred"))
 
+  /** DuckDB mirror of langId, generated from the same langProfiles (the
+    * SparkEntry oracle previously hand-carried a third copy of the hit
+    * lists). */
+  def langIdOracleSql: String =
+    s"""WITH h AS (SELECT doc_id, text, $langHitsSql FROM documents)
+       |SELECT doc_id, $langCaseSql AS lang_pred FROM h"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  /** CONFUSION MATRIX of the language-ID heuristic against the corpus's
+    * labeled `lang` column — the classifier-quality audit run before
+    * trusting a cheap lang gate at scale (which languages leak through,
+    * which get over-filtered). One partial-aggregating groupBy on the
+    * (|langs|+1)² key space; output is confusion-matrix-sized at any
+    * corpus volume. Returns (lang, lang_pred, n). */
+  def langIdConfusion(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), langPredCol.as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+
+  def langIdConfusionOracleSql: String =
+    s"""WITH h AS (SELECT lang, text, $langHitsSql FROM documents)
+       |SELECT lang, $langCaseSql AS lang_pred, count(*) AS n
+       |FROM h GROUP BY 1, 2""".stripMargin.replaceAll("\\s+", " ")
+
   /** Token counting with a BPE-ish regex (word runs vs single punctuation
     * marks) instead of whitespace split — the count a subword tokenizer's
     * pre-tokenizer would see. */

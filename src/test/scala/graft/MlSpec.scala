@@ -273,6 +273,15 @@ class MlSpec extends AnyFunSuite {
     val out = graft.ml.TextAnalysis.langId(docs).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(0L -> "en", 1L -> "de", 2L -> "und"))
+    // confusion vs a labeled lang column: the de doc mislabeled 'en'
+    // lands in the (en, de) off-diagonal cell
+    val labeled = docs.withColumn("lang",
+      org.apache.spark.sql.functions.when($"doc_id" === 1L, "en")
+        .otherwise("en"))
+    val cm = graft.ml.TextAnalysis.langIdConfusion(labeled).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cm == Map(("en", "en") -> 1L, ("en", "de") -> 1L,
+      ("en", "und") -> 1L))
   }
 
   test("cleanCorpus: dedups, gates quality, filters language in one plan") {
