@@ -661,6 +661,11 @@ object SparkEntry {
       Ann.semanticDedupPlanted(Catalog.embeddings(s, dir), 0.9, 50)),
     "dedup_ngram" -> ((s, dir) =>
       NearDup.ngramJaccard(Catalog.documents(s, dir), 0.6, maxDf = 50)),
+    // asymmetric CONTAINMENT dedup: |A∩B|/min(|A|,|B|) — the
+    // quote-inclusion / subset shape a symmetric Jaccard threshold
+    // structurally misses (containment 1.0 can be Jaccard 0.1)
+    "dedup_containment" -> ((s, dir) =>
+      NearDup.containmentPairs(Catalog.documents(s, dir), 0.9, maxDf = 50)),
     // MOSS winnowing: substring-overlap candidates from the ~1/w-sized
     // fingerprint sketch (any shared run of >= k+w-1 tokens is guaranteed
     // a shared fingerprint)
@@ -2336,6 +2341,7 @@ object SparkEntry {
     "dedup_semantic" -> Ann.semanticDedupSql(0.4),
     "dedup_semantic_real" -> Ann.semanticDedupPlantedSql(0.9, 50),
     "dedup_ngram" -> NearDup.ngramOracleSql(0.6, maxDf = 50),
+    "dedup_containment" -> NearDup.containmentOracleSql(0.9, maxDf = 50),
     "dedup_winnow" -> NearDup.winnowOracleSql(minShared = 2, maxDf = 50),
     "dedup_incremental" -> NearDup.incrementalOracleSql(splitId = 250L,
       minShared = 2, maxDf = 50),

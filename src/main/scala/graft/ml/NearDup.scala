@@ -117,7 +117,34 @@ object NearDup {
     * intersection contributed by hot shingles (usually a tiny set), keeping
     * the reported Jaccard exact over the FULL shingle sets.
     * Returns (doc_a, doc_b, jaccard). */
-  def ngramJaccard(docs: DataFrame, minJaccard: Double, maxDf: Int): DataFrame = {
+  def ngramJaccard(docs: DataFrame, minJaccard: Double, maxDf: Int): DataFrame =
+    exactIntersections(docs, maxDf)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i") / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+
+  /** CONTAINMENT dedup (Broder's resemblance/containment split): pairs
+    * where the SMALLER doc's shingle set is mostly inside the larger's —
+    * containment = |A∩B| / min(|A|, |B|). Catches the quote-inclusion /
+    * subset-duplication shape symmetric Jaccard structurally misses: a
+    * 100-shingle doc fully embedded in a 1000-shingle doc has containment
+    * 1.0 but Jaccard 0.1, invisible to every dedup_* threshold. Same
+    * candidate machinery and df-cap trade as ngramJaccard (a pair sharing
+    * ONLY hot shingles is not generated — at any useful threshold such a
+    * pair is boilerplate, which the span tier handles). Returns
+    * (doc_a, doc_b, na, nb, containment). */
+  def containmentPairs(docs: DataFrame, minContainment: Double,
+      maxDf: Int): DataFrame =
+    exactIntersections(docs, maxDf)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        round(col("i") / least(col("na"), col("nb")), 6).as("containment"))
+      .filter(col("containment") >= minContainment)
+
+  /** The shared candidate + exact-intersection frame behind ngramJaccard
+    * and containmentPairs: df-capped inverted-index co-occurrence
+    * aggregated straight into per-pair counts, hot-shingle correction,
+    * full set sizes — (doc_a, doc_b, i, na, nb). */
+  private def exactIntersections(docs: DataFrame, maxDf: Int): DataFrame = {
     val sh = graft.util.Caches.track(shingles(docs).cache())
     val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val rareSh = sh.join(dfs.filter(col("df") <= maxDf).select("shingle"),
@@ -158,9 +185,7 @@ object NearDup {
         .withColumnRenamed("n", "na"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n", "nb"), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("i") / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("i"), col("na"), col("nb"))
   }
 
   /** MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
@@ -361,6 +386,28 @@ object NearDup {
        |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
        |             JOIN sizes sb ON sb.doc_id = i.doc_b
        |WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= $minJaccard
+       |""".stripMargin.replaceAll("\\s+", " ")
+
+  /** DuckDB mirror of containmentPairs — ngramOracleSql's CTE chain with
+    * the containment scoring (|A∩B| / min set size). */
+  def containmentOracleSql(minContainment: Double, maxDf: Int): String =
+    s"""WITH $shingleCteSql,
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $maxDf),
+       |cand AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM cand x JOIN cand y ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS i
+       |  FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a
+       |               JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY p.doc_a, p.doc_b)
+       |SELECT i.doc_a AS doc_a, i.doc_b AS doc_b, sa.n AS na, sb.n AS nb,
+       |       round(i.i * 1.0 / least(sa.n, sb.n), 6) AS containment
+       |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+       |             JOIN sizes sb ON sb.doc_id = i.doc_b
+       |WHERE round(i.i * 1.0 / least(sa.n, sb.n), 6) >= $minContainment
        |""".stripMargin.replaceAll("\\s+", " ")
 
   // ---- SimHash variant: 32-bit signature, banded candidates, hamming ----

@@ -23,6 +23,22 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(j - 27.0 / 29.0) < 1e-4)
   }
 
+  test("containmentPairs catches the subset shape Jaccard misses") {
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val small = (1 to 10).map(i => s"w$i").mkString(" ") // a verbatim prefix
+    val other = (1 to 10).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, small), (3L, other))
+      .toDF("doc_id", "text")
+    // small ⊂ big: containment 8/min(38,8) = 1.0, jaccard 8/38 ≈ 0.21 —
+    // invisible at any useful symmetric threshold
+    val jac = NearDup.ngramJaccard(docs, 0.6, 50).collect()
+    assert(jac.isEmpty)
+    val con = NearDup.containmentPairs(docs, 0.9, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(con == Seq((1L, 2L, 38L, 8L, 1.0)))
+  }
+
   test("ivfOutliersFrom z-scores each vector against its own cell") {
     // three copies of centroid 1 (cosine 1.0) and its negation (cosine
     // -1.0), all pinned to cell 1: micro-sims 1e6×3 and -1e6, so mean =
