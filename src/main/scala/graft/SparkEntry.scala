@@ -2287,7 +2287,7 @@ object SparkEntry {
           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dnum,
           count(*) AS n
         FROM events GROUP BY 1, 2),
-      p AS (SELECT event_type, (dnum + 4) % 7 AS dow,
+      p AS (SELECT event_type, ((dnum + 4) % 7 + 7) % 7 AS dow,
         count(*) AS n_days, CAST(sum(n) AS BIGINT) AS n_events
         FROM d GROUP BY 1, 2),
       t AS (SELECT event_type, CAST(sum(n_days) AS BIGINT) AS t_days,
@@ -2559,7 +2559,8 @@ object SparkEntry {
     "text_quality" -> (s"""SELECT doc_id,
       len(string_split(text, ' ')) AS n_tokens,
       round((len(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')), 4) AS mean_tok_len,
-      round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / len(text), 4) AS punct_ratio,
+      CASE WHEN len(text) = 0 THEN 0.0
+        ELSE round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / len(text), 4) END AS punct_ratio,
       round(len(list_filter(string_split(text, ' '), t -> list_contains(['the','and','of','to','a','in','is'], t))) * 1.0 / len(string_split(text, ' ')), 4) AS stop_ratio,
       ${graft.ml.TextAnalysis.qualitySqlExpr} AS quality
       FROM documents""".replaceAll("\\s+", " ")),

@@ -540,11 +540,12 @@ object TextAnalysis {
   private def funnelFlagged(docs: DataFrame, minQuality: Double,
       lang: String, blocked: Seq[String]): DataFrame = {
     val bl = array(blocked.map(lit): _*)
-    // keep_q is NULL on zero-char text (the quality ratio divides by
-    // nChar); coalesce to false so every doc is charged to exactly one
-    // stage — the conservation law CurationProps pins (an uncoalesced
-    // NULL drops the doc from every stage count on BOTH engines, so the
-    // oracle compare alone would never catch it)
+    // quality itself is TOTAL since the punctRatio zero-char pin (empty
+    // text scores 0.01), but a NULL text column still nulls the whole
+    // expression; coalesce to false so every doc is charged to exactly
+    // one stage — the conservation law CurationProps pins (an
+    // uncoalesced NULL drops the doc from every stage count on BOTH
+    // engines, so the oracle compare alone would never catch it)
     val scored = graft.util.Caches.track(docs.select(col("doc_id"),
         col("source"), md5(col("text")).as("h"),
         (langPredCol === lang).as("keep_lang"),
@@ -625,51 +626,51 @@ object TextAnalysis {
        |  WHERE keep_lang AND keep_q AND keep_bl GROUP BY md5(text))"""
       .stripMargin
 
+  /** The funnel oracle's aggregate + 4-way unroll, generated ONCE and
+    * parameterized on an optional leading key column — the same
+    * one-rendering rule funnelCtesSql/funnelAggs/stageRowsCol apply to
+    * their halves (review finding, r19: the corpus-wide and by-source
+    * bodies were two hand-mirrored ~15-line copies). */
+  private def funnelTailSql(keyPrefix: String, groupBy: String): String = {
+    val agg =
+      s"""agg AS (SELECT ${keyPrefix}count(*) AS n0,
+         |  CAST(sum(CASE WHEN NOT keep_lang THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         |  CAST(sum(CASE WHEN keep_lang AND NOT keep_q THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS d2,
+         |  CAST(sum(CASE WHEN keep_lang AND keep_q AND NOT keep_bl THEN 1
+         |    ELSE 0 END) AS BIGINT) AS d3,
+         |  CAST(sum(CASE WHEN keep_lang AND keep_q AND keep_bl
+         |    AND fi.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d4
+         |  FROM f LEFT JOIN firsts fi ON f.doc_id = fi.doc_id$groupBy)"""
+        .stripMargin
+    val stages = Seq((1, "langid", "n0", "d1"),
+      (2, "quality", "n0 - d1", "d2"),
+      (3, "blocklist", "n0 - d1 - d2", "d3"),
+      (4, "exact_dup", "n0 - d1 - d2 - d3", "d4"))
+    val selects = stages.map { case (i, name, nIn, d) =>
+      val alias = if (i == 1) true else false
+      val cols = Seq(
+        s"${keyPrefix}CAST($i AS BIGINT)" +
+          (if (alias) " AS stage_idx" else ""),
+        s"'$name'" + (if (alias) " AS stage" else ""),
+        nIn + (if (alias) " AS n_in" else ""),
+        d + (if (alias) " AS n_dropped" else ""),
+        s"$nIn - $d" + (if (alias) " AS n_out" else "")).mkString(", ")
+      s"SELECT $cols FROM agg"
+    }.mkString(" UNION ALL ")
+    s"$agg $selects"
+  }
+
   def funnelOracleSql(minQuality: Double, lang: String,
       blocked: Seq[String]): String =
     s"""WITH ${funnelCtesSql(minQuality, lang, blocked)},
-       |agg AS (SELECT count(*) AS n0,
-       |  CAST(sum(CASE WHEN NOT keep_lang THEN 1 ELSE 0 END) AS BIGINT) AS d1,
-       |  CAST(sum(CASE WHEN keep_lang AND NOT keep_q THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS d2,
-       |  CAST(sum(CASE WHEN keep_lang AND keep_q AND NOT keep_bl THEN 1
-       |    ELSE 0 END) AS BIGINT) AS d3,
-       |  CAST(sum(CASE WHEN keep_lang AND keep_q AND keep_bl
-       |    AND fi.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d4
-       |  FROM f LEFT JOIN firsts fi ON f.doc_id = fi.doc_id)
-       |SELECT CAST(1 AS BIGINT) AS stage_idx, 'langid' AS stage,
-       |  n0 AS n_in, d1 AS n_dropped, n0 - d1 AS n_out FROM agg
-       |UNION ALL SELECT CAST(2 AS BIGINT), 'quality', n0 - d1, d2,
-       |  n0 - d1 - d2 FROM agg
-       |UNION ALL SELECT CAST(3 AS BIGINT), 'blocklist', n0 - d1 - d2, d3,
-       |  n0 - d1 - d2 - d3 FROM agg
-       |UNION ALL SELECT CAST(4 AS BIGINT), 'exact_dup', n0 - d1 - d2 - d3,
-       |  d4, n0 - d1 - d2 - d3 - d4 FROM agg""".stripMargin
-      .replaceAll("\\s+", " ")
+       |${funnelTailSql("", "")}""".stripMargin.replaceAll("\\s+", " ")
 
-  /** DuckDB mirror of funnelBySource: the same CTEs, the aggregate
-    * grouped by source, the same 4-way UNION ALL unroll with source
-    * carried. */
+  /** DuckDB mirror of funnelBySource: the same CTEs and unroll with the
+    * aggregate grouped by source and source carried through. */
   def funnelBySourceOracleSql(minQuality: Double, lang: String,
       blocked: Seq[String]): String =
     s"""WITH ${funnelCtesSql(minQuality, lang, blocked)},
-       |agg AS (SELECT source, count(*) AS n0,
-       |  CAST(sum(CASE WHEN NOT keep_lang THEN 1 ELSE 0 END) AS BIGINT) AS d1,
-       |  CAST(sum(CASE WHEN keep_lang AND NOT keep_q THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS d2,
-       |  CAST(sum(CASE WHEN keep_lang AND keep_q AND NOT keep_bl THEN 1
-       |    ELSE 0 END) AS BIGINT) AS d3,
-       |  CAST(sum(CASE WHEN keep_lang AND keep_q AND keep_bl
-       |    AND fi.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d4
-       |  FROM f LEFT JOIN firsts fi ON f.doc_id = fi.doc_id
-       |  GROUP BY source)
-       |SELECT source, CAST(1 AS BIGINT) AS stage_idx, 'langid' AS stage,
-       |  n0 AS n_in, d1 AS n_dropped, n0 - d1 AS n_out FROM agg
-       |UNION ALL SELECT source, CAST(2 AS BIGINT), 'quality', n0 - d1, d2,
-       |  n0 - d1 - d2 FROM agg
-       |UNION ALL SELECT source, CAST(3 AS BIGINT), 'blocklist',
-       |  n0 - d1 - d2, d3, n0 - d1 - d2 - d3 FROM agg
-       |UNION ALL SELECT source, CAST(4 AS BIGINT), 'exact_dup',
-       |  n0 - d1 - d2 - d3, d4, n0 - d1 - d2 - d3 - d4 FROM agg"""
-      .stripMargin.replaceAll("\\s+", " ")
+       |${funnelTailSql("source, ", " GROUP BY source")}""".stripMargin
+      .replaceAll("\\s+", " ")
 }

@@ -145,10 +145,13 @@ object TimeSeriesOps {
     * that ignores seasonality flags every weekend): per (key, dow) the
     * day count, event mass, and the seasonality index
     * (dow daily mean / overall daily mean; 1.0 = flat). The weekday is
-    * PURE INTEGER arithmetic — (dnum + 4) % 7 with 0 = Sunday
+    * PURE INTEGER arithmetic — pmod(dnum + 4, 7) with 0 = Sunday
     * (1970-01-01 was a Thursday) — so both engines agree with no
     * calendar-function convention risk (Spark dayofweek is 1-based
-    * Sunday, DuckDB's is 0-based). Two partial-aggregating groupBys plus
+    * Sunday, DuckDB's is 0-based). The oracle renders the positive
+    * modulus as ((x % 7) + 7) % 7: DuckDB's bare % follows the
+    * dividend's sign and would diverge from pmod on pre-epoch days
+    * (review finding, r19). Two partial-aggregating groupBys plus
     * a key-cardinality-sized broadcast join; output is |keys|×7 at any
     * volume. */
   def dowProfile(daily: DataFrame, key: String = "event_type",

@@ -9,9 +9,11 @@ import graft.ml.{CorpusOps, NearDup, TextAnalysis}
   *  - FUNNEL CONSERVATION: every doc is charged to exactly one stage (or
   *    survives), the n_in/n_out chain telescopes, and the by-source rows
   *    sum to the corpus-wide rows. The corpus generator includes EMPTY
-  *    texts deliberately: keep_q is NULL there unless coalesced, and a
-  *    NULL drops the doc from every stage count on both engines — the
-  *    oracle compare alone can never catch it, only this law does.
+  *    texts deliberately: they originally raised ANSI DIVIDE_BY_ZERO in
+  *    the quality ratio (this law found it; the punctRatio pin made
+  *    quality total), and a NULL keep flag would drop a doc from every
+  *    stage count on both engines — invisible to the oracle compare,
+  *    only this law holds the line.
   *  - NOVELTY: per doc, n_novel counts exactly its distinct shingles with
   *    corpus df = 1 (checked against an in-memory reference) and <3-token
   *    docs are absent.
