@@ -666,6 +666,11 @@ object SparkEntry {
     // structurally misses (containment 1.0 can be Jaccard 0.1)
     "dedup_containment" -> ((s, dir) =>
       NearDup.containmentPairs(Catalog.documents(s, dir), 0.9, maxDf = 50)),
+    // the containment surgery: keep the superset, drop the contained copy
+    // (ties keep the lower id) — one distinct + one anti-join
+    "containment_removal" -> ((s, dir) =>
+      NearDup.containmentRemoval(Catalog.documents(s, dir), 0.9,
+        maxDf = 50)),
     // MOSS winnowing: substring-overlap candidates from the ~1/w-sized
     // fingerprint sketch (any shared run of >= k+w-1 tokens is guaranteed
     // a shared fingerprint)
@@ -2342,6 +2347,8 @@ object SparkEntry {
     "dedup_semantic_real" -> Ann.semanticDedupPlantedSql(0.9, 50),
     "dedup_ngram" -> NearDup.ngramOracleSql(0.6, maxDf = 50),
     "dedup_containment" -> NearDup.containmentOracleSql(0.9, maxDf = 50),
+    "containment_removal" ->
+      NearDup.containmentRemovalOracleSql(0.9, maxDf = 50),
     "dedup_winnow" -> NearDup.winnowOracleSql(minShared = 2, maxDf = 50),
     "dedup_incremental" -> NearDup.incrementalOracleSql(splitId = 250L,
       minShared = 2, maxDf = 50),

@@ -388,10 +388,12 @@ object NearDup {
        |WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= $minJaccard
        |""".stripMargin.replaceAll("\\s+", " ")
 
-  /** DuckDB mirror of containmentPairs — ngramOracleSql's CTE chain with
-    * the containment scoring (|A∩B| / min set size). */
-  def containmentOracleSql(minContainment: Double, maxDf: Int): String =
-    s"""WITH $shingleCteSql,
+  /** CTE chain ending in `cont(doc_a, doc_b, na, nb, containment)` — the
+    * verified containment pairs — shared by the pairs oracle and the
+    * removal oracle (the pairCtesSql composition pattern). */
+  private def containmentCtesSql(minContainment: Double,
+      maxDf: Int): String =
+    s"""$shingleCteSql,
        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $maxDf),
        |cand AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
        |pairs AS (
@@ -402,13 +404,46 @@ object NearDup {
        |  SELECT p.doc_a, p.doc_b, count(*) AS i
        |  FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a
        |               JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
-       |  GROUP BY p.doc_a, p.doc_b)
-       |SELECT i.doc_a AS doc_a, i.doc_b AS doc_b, sa.n AS na, sb.n AS nb,
-       |       round(i.i * 1.0 / least(sa.n, sb.n), 6) AS containment
-       |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
-       |             JOIN sizes sb ON sb.doc_id = i.doc_b
-       |WHERE round(i.i * 1.0 / least(sa.n, sb.n), 6) >= $minContainment
-       |""".stripMargin.replaceAll("\\s+", " ")
+       |  GROUP BY p.doc_a, p.doc_b),
+       |cont AS (
+       |  SELECT i.doc_a AS doc_a, i.doc_b AS doc_b, sa.n AS na, sb.n AS nb,
+       |         round(i.i * 1.0 / least(sa.n, sb.n), 6) AS containment
+       |  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+       |               JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  WHERE round(i.i * 1.0 / least(sa.n, sb.n), 6) >= $minContainment)"""
+      .stripMargin
+
+  /** DuckDB mirror of containmentPairs. */
+  def containmentOracleSql(minContainment: Double, maxDf: Int): String =
+    s"""WITH ${containmentCtesSql(minContainment, maxDf)}
+       |SELECT doc_a, doc_b, na, nb, containment FROM cont"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  /** The containment SURGERY — keep the superset, drop the contained
+    * copy: for every verified pair the doc with the SMALLER shingle set
+    * (the quote) loses; equal sizes keep the lower doc_id (they are
+    * mutual near-dups — the dedup convention). One distinct over the
+    * pair table + one anti-join; text carried as md5 (the
+    * decontaminate_removal convention). */
+  def containmentRemoval(docs: DataFrame, minContainment: Double,
+      maxDf: Int): DataFrame = {
+    val losers = containmentPairs(docs, minContainment, maxDf)
+      .select(when(col("na") < col("nb"), col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+  }
+
+  /** DuckDB mirror of containmentRemoval. */
+  def containmentRemovalOracleSql(minContainment: Double,
+      maxDf: Int): String =
+    s"""WITH ${containmentCtesSql(minContainment, maxDf)},
+       |losers AS (SELECT DISTINCT CASE WHEN na < nb THEN doc_a ELSE doc_b
+       |  END AS doc_id FROM cont)
+       |SELECT doc_id, md5(text) AS text_md5 FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM losers)"""
+      .stripMargin.replaceAll("\\s+", " ")
 
   // ---- SimHash variant: 32-bit signature, banded candidates, hamming ----
 

@@ -25,8 +25,9 @@ class EntryAlignmentSpec extends AnyFunSuite {
     // mm_phash_keep_best, tsv_load_summaries, decontaminate_fuzzy,
     // decontaminate_fuzzy_stored, pipeline_funnel, ngram_novelty,
     // emb_outliers, ts_seasonal, decontaminate_removal, ivf_drift,
-    // pipeline_funnel_by_source, text_langid_confusion, dedup_containment
-    assert(SparkEntry.queries.size == 297,
+    // pipeline_funnel_by_source, text_langid_confusion, dedup_containment,
+    // containment_removal
+    assert(SparkEntry.queries.size == 298,
       s"entry count moved to ${SparkEntry.queries.size} — update this pin " +
         "alongside the contended-bench FAMILY and the counters baseline")
   }

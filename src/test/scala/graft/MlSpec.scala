@@ -37,6 +37,11 @@ class MlSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4))).toSeq
     assert(con == Seq((1L, 2L, 38L, 8L, 1.0)))
+    // surgery: the contained copy (doc 2, the smaller set) dies, the
+    // superset and the unrelated doc survive
+    val kept = NearDup.containmentRemoval(docs, 0.9, 50).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
   }
 
   test("ivfOutliersFrom z-scores each vector against its own cell") {
