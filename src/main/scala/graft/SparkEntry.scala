@@ -664,13 +664,18 @@ object SparkEntry {
     // asymmetric CONTAINMENT dedup: |A∩B|/min(|A|,|B|) — the
     // quote-inclusion / subset shape a symmetric Jaccard threshold
     // structurally misses (containment 1.0 can be Jaccard 0.1)
+    // reads the MATERIALIZED containment pair graph (the dupPairs
+    // posture): the df-capped co-occurrence pipeline runs once at store
+    // build, the statement is a store read
     "dedup_containment" -> ((s, dir) =>
-      NearDup.containmentPairs(Catalog.documents(s, dir), 0.9, maxDf = 50)),
+      Catalog.containPairs(s, dir, 0.9, maxDf = 50)),
     // the containment surgery: keep the superset, drop the contained copy
-    // (ties keep the lower id) — one distinct + one anti-join
+    // (ties keep the lower id) — one loser-distinct over the stored pair
+    // graph + one anti-join
     "containment_removal" -> ((s, dir) =>
-      NearDup.containmentRemoval(Catalog.documents(s, dir), 0.9,
-        maxDf = 50)),
+      NearDup.containmentRemovalFrom(
+        Catalog.containPairs(s, dir, 0.9, maxDf = 50),
+        Catalog.documents(s, dir))),
     // MOSS winnowing: substring-overlap candidates from the ~1/w-sized
     // fingerprint sketch (any shared run of >= k+w-1 tokens is guaranteed
     // a shared fingerprint)

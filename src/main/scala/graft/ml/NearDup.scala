@@ -426,8 +426,16 @@ object NearDup {
     * pair table + one anti-join; text carried as md5 (the
     * decontaminate_removal convention). */
   def containmentRemoval(docs: DataFrame, minContainment: Double,
-      maxDf: Int): DataFrame = {
-    val losers = containmentPairs(docs, minContainment, maxDf)
+      maxDf: Int): DataFrame =
+    containmentRemovalFrom(containmentPairs(docs, minContainment, maxDf),
+      docs)
+
+  /** The surgery SERVED from the stored pair graph (Catalog.containPairs)
+    * — the statement is one loser-distinct over the (tiny) pair table +
+    * one anti-join; the df-capped co-occurrence pipeline ran once at
+    * store build. */
+  def containmentRemovalFrom(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val losers = pairs
       .select(when(col("na") < col("nb"), col("doc_a"))
         .otherwise(col("doc_b")).as("doc_id"))
       .distinct()

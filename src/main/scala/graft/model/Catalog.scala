@@ -1053,6 +1053,26 @@ object Catalog {
     readImmutable(spark, path).select("doc_a", "doc_b", "jaccard")
   }
 
+  /** The MATERIALIZED containment pair graph — (doc_a, doc_b, na, nb,
+    * containment), the verified asymmetric-containment pairs
+    * (NearDup.containmentPairs) built once per sf-dir, the dupPairs
+    * posture for the quote-inclusion axis: the pairs statement is a
+    * read, the removal verb is one loser-distinct + anti-join against
+    * this store — the df-capped co-occurrence pipeline never re-runs
+    * in-statement. Sorted by doc_a for min/max file skipping. */
+  def containPairs(spark: SparkSession, dir: String,
+      minContainment: Double = 0.9, maxDf: Int = 50): DataFrame = {
+    val path = cacheDir(dir, f"contain_pairs_c${(minContainment * 100).round}%d")
+    materialize(path) {
+      graft.ml.NearDup.containmentPairs(documents(spark, dir),
+          minContainment, maxDf)
+        .repartition(col("doc_a"))
+        .sortWithinPartitions("doc_a", "doc_b")
+    }
+    readImmutable(spark, path)
+      .select("doc_a", "doc_b", "na", "nb", "containment")
+  }
+
   /** The MATERIALIZED duplicate-cluster table — (doc_id, cluster_id),
     * connected components over the stored pair graph, built once per
     * sf-dir: cluster RESOLUTION is a read, REMOVAL is one anti-join, and

@@ -42,6 +42,12 @@ class MlSpec extends AnyFunSuite {
     val kept = NearDup.containmentRemoval(docs, 0.9, 50).collect()
       .map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L))
+    // store serving == live: removalFrom over the full pair table is the
+    // same surgery (the Catalog.containPairs contract)
+    val kept2 = NearDup.containmentRemovalFrom(
+        NearDup.containmentPairs(docs, 0.9, 50), docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept)
   }
 
   test("ivfOutliersFrom z-scores each vector against its own cell") {

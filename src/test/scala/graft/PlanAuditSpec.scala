@@ -96,6 +96,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pf.contains("dup_pairs"), s"not reading the pair store:\n$pf")
     assert(!TestSpark.scansCorpusText(pf) && !pf.contains("md5"),
       s"fuzzy stored serving re-derives the band pipeline:\n$pf")
+    // the containment family: pairs are a pure store read; the removal's
+    // only corpus touch is the md5 output projection (one text scan), the
+    // loser set comes from the store via one anti-join
+    val pc = planOf(SparkEntry.queries("dedup_containment")(spark, dir))
+    assert(pc.contains("contain_pairs") && !TestSpark.scansCorpusText(pc),
+      s"containment pairs not a store read:\n$pc")
+    val pr = planOf(SparkEntry.queries("containment_removal")(spark, dir))
+    assert(pr.contains("contain_pairs") && pr.contains("LeftAnti"),
+      s"containment removal not an anti-join against the store:\n$pr")
+    assert(!pr.contains("shingle"),
+      s"containment removal re-derives the shingle pipeline:\n$pr")
     // emb_outliers / ivf_drift: assignment comes from the ivf_cells store,
     // embeddings are scanned exactly ONCE (the per-vector cosine join) —
     // a second scan means the K-way re-quantization crept back in
