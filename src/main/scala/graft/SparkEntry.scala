@@ -676,6 +676,28 @@ object SparkEntry {
       NearDup.containmentRemovalFrom(
         Catalog.containPairs(s, dir, 0.9, maxDf = 50),
         Catalog.documents(s, dir))),
+    // streamed admission of the containment pair store: per-batch
+    // rare-shingle co-occurrence against the accumulated shingle store +
+    // exact intersection, appended idempotently (b=<id> overwrite) —
+    // the dedup_pairs_stream discipline for the containment tier
+    "contain_pairs_stream" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.containPairsOnce(s, dir,
+        Catalog.scratch(dir, "contain_pairs_stream"), 0.9, 50)),
+    // generation fold of the streamed containment pair store (sorted
+    // doc_a generation, MANIFEST flip) read back through the manifest
+    "contain_pairs_compact" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.compactedContainPairsOnce(s, dir,
+        Catalog.scratch(dir, "contain_pairs_compact"), 0.9, 50)),
+    // the shingle sketch's stream twin (Catalog.shingleSketch): new docs
+    // stream through the SAME per-doc projection the batch build uses —
+    // stateless, a doc's shingles complete within its micro-batch
+    "shingle_stream_index" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.shingleSketchOnce(s, dir)),
+    // the (sh, df) sibling's stream twin: per-batch delta generations
+    // via the SAME idempotent writer as winnow_stream_df, read = one fold
+    "shingle_stream_df" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.shingleDfOnce(s, dir,
+        Catalog.scratch(dir, "shingle_df_stream"))),
     // MOSS winnowing: substring-overlap candidates from the ~1/w-sized
     // fingerprint sketch (any shared run of >= k+w-1 tokens is guaranteed
     // a shared fingerprint)
@@ -896,6 +918,11 @@ object SparkEntry {
     // corpus_diversity is within-source)
     "ngram_novelty" -> ((s, dir) =>
       graft.ml.CorpusOps.ngramNovelty(Catalog.documents(s, dir))),
+    // the same novelty table served from the materialized shingle sketch
+    // + df sibling: one store join + one fold, corpus text never touched
+    "ngram_novelty_stored" -> ((s, dir) =>
+      graft.ml.CorpusOps.ngramNoveltyFrom(Catalog.shingleSketch(s, dir),
+        Catalog.shingleDf(s, dir))),
     // the dataset-card report: volume, mean score, split composition —
     // one aggregate over the stored sidecar, corpus text never scanned
     "corpus_report" -> ((s, dir) =>
@@ -2354,6 +2381,16 @@ object SparkEntry {
     "dedup_containment" -> NearDup.containmentOracleSql(0.9, maxDf = 50),
     "containment_removal" ->
       NearDup.containmentRemovalOracleSql(0.9, maxDf = 50),
+    // same oracle as dedup_containment BY DESIGN: streamed admission must
+    // converge to the batch pair graph (the dedup_pairs_stream pin)
+    "contain_pairs_stream" -> NearDup.containmentOracleSql(0.9, maxDf = 50),
+    "contain_pairs_compact" -> NearDup.containmentOracleSql(0.9, maxDf = 50),
+    // the stream twins must equal the batch store projections exactly
+    "shingle_stream_index" ->
+      s"WITH ${NearDup.shingleCteSql} SELECT doc_id, md5(shingle) AS sh FROM sh",
+    "shingle_stream_df" ->
+      (s"WITH ${NearDup.shingleCteSql} SELECT md5(shingle) AS sh, " +
+        "count(*) AS df FROM sh GROUP BY md5(shingle)"),
     "dedup_winnow" -> NearDup.winnowOracleSql(minShared = 2, maxDf = 50),
     "dedup_incremental" -> NearDup.incrementalOracleSql(splitId = 250L,
       minShared = 2, maxDf = 50),
@@ -2401,6 +2438,10 @@ object SparkEntry {
     "ppl_buckets" -> graft.ml.CorpusOps.pplBucketsOracleSql,
     "corpus_diversity" -> graft.ml.CorpusOps.distinctNgramOracleSql,
     "ngram_novelty" -> graft.ml.CorpusOps.ngramNoveltyOracleSql,
+    // same oracle BY DESIGN: store serving is invisible in the result —
+    // the sketch holds exactly the (hashed) shingles the live statement
+    // re-derives (the decontaminate_fuzzy_stored pin)
+    "ngram_novelty_stored" -> graft.ml.CorpusOps.ngramNoveltyOracleSql,
     "corpus_report" -> graft.ml.Selection.corpusReportOracleSql,
     "dedup_url" -> graft.ml.TextAnalysis.urlDedupOracleSql(5),
     "sample_domain_cap" -> graft.ml.TextAnalysis.domainCapOracleSql(5, 3),

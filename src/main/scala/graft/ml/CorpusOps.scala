@@ -1308,6 +1308,22 @@ object CorpusOps {
         round(col("n_novel") / col("n_shingles"), 6).as("novelty"))
   }
 
+  /** ngramNovelty SERVED from the materialized shingle sketch + its df
+    * sibling (Catalog.shingleSketch / shingleDf): one co-partitioned
+    * store join + one per-doc fold — the corpus text is never touched
+    * and df is never re-aggregated in-statement (VERDICT r19 #4, the
+    * lexStatsFolded posture applied to the last in-statement df build).
+    * Both stores hash the shingle to md5, so distinctness — the only
+    * property the counts read — is preserved; at 100 TB the statement
+    * cost is sketch-sized, not corpus-sized. */
+  def ngramNoveltyFrom(sketch: DataFrame, dfs: DataFrame): DataFrame =
+    sketch.join(dfs, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel") / col("n_shingles"), 6).as("novelty"))
+
   /** DuckDB mirror of ngramNovelty (the shared shingle CTE + one df
     * aggregation). */
   def ngramNoveltyOracleSql: String =

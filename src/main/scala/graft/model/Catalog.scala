@@ -562,6 +562,41 @@ object Catalog {
     readImmutable(spark, path).select("fp", "df")
   }
 
+  /** The MATERIALIZED 3-word-shingle sketch over `documents` — (doc_id,
+    * sh), sh = md5 of the shingle (the hash IS the identity the df join
+    * and the novelty count need; storing the strings would multiply the
+    * sidecar for nothing). Repartitioned by sh so the df-sibling join
+    * co-locates on the key and pushed sh filters skip files via min/max
+    * stats; the corpus is shingled ONCE, at build time — the spanSketch
+    * posture for the whole-doc 3-gram tier (VERDICT r19 #4:
+    * ngram_novelty was the last derived statement re-shingling the
+    * corpus and re-aggregating df per run). */
+  def shingleSketch(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "shingle_sketch")
+    materialize(path) {
+      graft.ml.NearDup.shingles(documents(spark, dir))
+        .select(col("doc_id"), md5(col("shingle")).as("sh"))
+        .repartition(col("sh"))
+        .sortWithinPartitions("sh", "doc_id")
+    }
+    readImmutable(spark, path).select("doc_id", "sh")
+  }
+
+  /** The MATERIALIZED shingle document-frequency sibling — (sh, df): the
+    * winnowDf posture for the 3-gram tier. Novelty (and any future
+    * rarity-weighted scorer) LOOKS UP df against this table instead of
+    * re-counting the sketch in-statement. */
+  def shingleDf(spark: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir(dir, "shingle_df")
+    materialize(path) {
+      shingleSketch(spark, dir)
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .repartition(col("sh"))
+        .sortWithinPartitions("sh")
+    }
+    readImmutable(spark, path).select("sh", "df")
+  }
+
   /** The MATERIALIZED positional span sketch over `documents` — (doc_id,
     * pos, h), the md5 of the W-token shingle at every position
     * (SpanDedup.spanShingles), repartitioned by h so the span analysis's

@@ -57,8 +57,8 @@ object DocumentsIngest {
     * would have double-counted its fingerprints in every downstream df cap
     * (VERDICT r14 #7 sweep). Named so the replay spec can invoke it twice
     * with the same (batch, id) and pin the convergence. */
-  private[graft] def dfDeltaBatchWriter(
-      deltaPath: String): (DataFrame, Long) => Unit = (batch, id) => {
+  private[graft] def dfDeltaBatchWriter(deltaPath: String,
+      key: String = "fp"): (DataFrame, Long) => Unit = (batch, id) => {
     // layout-migration guard: a delta store written by the pre-r15 blind
     // append keeps part files at the ROOT of deltaPath; mixing b=<id>
     // subdirs into it would trip Spark's conflicting-directory-structures
@@ -75,7 +75,7 @@ object DocumentsIngest {
       sys.error(s"$deltaPath holds a legacy flat df delta layout; fold it " +
         "into a generation first (Compact.mergeDfGenerations) and point " +
         "the sink at a fresh delta dir before resuming")
-    batch.groupBy("fp")
+    batch.groupBy(key)
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$deltaPath/b=$id")
@@ -101,6 +101,42 @@ object DocumentsIngest {
           StructType(Seq(StructField("fp", StringType),
             StructField("df", LongType))))
         .groupBy("fp")
+        .agg(org.apache.spark.sql.functions.sum("df").as("df"))
+    }
+
+  /** Stream-derived 3-gram shingle sketch rows (doc_id, sh) — identical
+    * projection to the batch store build (Catalog.shingleSketch): a doc's
+    * distinct shingles derive from that doc alone, so the upkeep is
+    * stateless, no shuffle, no state store. */
+  def shingleRows(docs: DataFrame): DataFrame =
+    graft.ml.NearDup.shingles(docs)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("shingle")).as("sh"))
+
+  /** One-shot streamed shingle-sketch build — the CORRECTNESS entry point
+    * for Catalog.shingleSketch's stream twin. */
+  def shingleSketchOnce(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:shinglesketch:$dir") {
+      Sinks.memoryOnce(spark, "graft_stream_shsk",
+        shingleRows(stream(spark, dir)))
+    }
+
+  /** One-shot streamed (sh, df) maintenance — Catalog.shingleDf's stream
+    * twin, riding the SAME idempotent delta-sink writer as winnow_stream_df
+    * (dfDeltaBatchWriter keyed on sh): each batch appends its OWN shingle
+    * counts, the read is a generation fold, the stored sketch is never
+    * rescanned at ingest. */
+  def shingleDfOnce(spark: SparkSession, dir: String,
+      scratchBase: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:shingledf:$dir:$scratchBase") {
+      graft.ingest.Compact.rmTree(scratchBase)
+      Sinks.foreachBatchOnce(shingleRows(stream(spark, dir)),
+        s"$scratchBase/ck", dfDeltaBatchWriter(s"$scratchBase/deltas", "sh"))
+      Sinks.readDeltasOrEmpty(spark, s"$scratchBase/deltas",
+          StructType(Seq(StructField("sh", StringType),
+            StructField("df", LongType))))
+        .groupBy("sh")
         .agg(org.apache.spark.sql.functions.sum("df").as("df"))
     }
 
@@ -484,6 +520,128 @@ object DocumentsIngest {
         s"$scratchBase/idx", "doc_a", Seq("doc_a", "doc_b"),
         partitions = Some(4))
         .select("doc_a", "doc_b", "jaccard")
+    }
+
+  // -- streamed admission of the CONTAINMENT pair graph (containPairs) --
+
+  /** Incremental maintenance of the stored containment pair graph
+    * (Catalog.containPairs): each micro-batch appends its shingles to the
+    * accumulated shingle store, generates candidates by joining its OWN
+    * rare shingles against the store (batch included; the df cap
+    * evaluated over the ACCUMULATED counts), computes the exact
+    * intersection and set sizes against the store, and writes the batch's
+    * verified pairs. Same per-batch `b=<id>` OVERWRITE discipline as
+    * runPairSink: foreachBatch is at-least-once, and the pair set derived
+    * at batch id is a pure function of the (deterministic) accumulated
+    * store state, so a replay rewrites identical content instead of
+    * double-appending — IDEMPOTENT, not additive (the HLL/HDR-compaction
+    * distinction StreamReplaySpec pins; an additive replay would
+    * double-count intersections and corrupt every downstream removal).
+    *
+    * Every pair is discovered exactly once — in the micro-batch its
+    * later-arriving member lands in — and its (i, na, nb) are computed
+    * over both members' COMPLETE shingle sets (docs are immutable and
+    * fully present in the store from their own batch on), so the stored
+    * containment value is final-exact at discovery time. The df cap is
+    * checked at admission time; df only grows, so every pair the batch
+    * pipeline generates is generated here too (rare-at-end implies
+    * rare-at-admission). A shingle that crosses the cap mid-stream can
+    * additionally admit pairs the batch generation skips — strictly MORE
+    * recall at identical exact values, the conservative direction for a
+    * dedup store. */
+  def runContainPairSink(docsStream: DataFrame, scratchBase: String,
+      minContainment: Double, maxDf: Int): Unit =
+    Sinks.foreachBatchOnce(docsStream, s"$scratchBase/ck",
+      containPairBatchWriter(scratchBase, minContainment, maxDf))
+
+  /** The containment sink's named batch writer — exposed (the
+    * lexStatsBatchWriter pattern) so StreamReplaySpec can re-invoke it
+    * with the same (batch, id) and pin convergence. */
+  private[graft] def containPairBatchWriter(scratchBase: String,
+      minContainment: Double, maxDf: Int): (DataFrame, Long) => Unit = {
+    val shinglePath = s"$scratchBase/shingles"
+    val pairPath = s"$scratchBase/pairs"
+    (batch, id) => {
+      val spark = batch.sparkSession
+      import org.apache.spark.sql.functions._
+      val batchSh = graft.ml.NearDup.shingles(batch).cache()
+      batchSh.write.mode("overwrite").parquet(s"$shinglePath/b=$id")
+      val store = spark.read.parquet(shinglePath)
+        .select("doc_id", "shingle")
+      val rare = store.groupBy("shingle")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("shingle")
+      val cand = store.join(rare, Seq("shingle")).as("x")
+        .join(batchSh.join(rare, Seq("shingle")).as("y"),
+          expr("x.shingle = y.shingle AND x.doc_id <> y.doc_id"))
+        .selectExpr("least(x.doc_id, y.doc_id) AS doc_a",
+          "greatest(x.doc_id, y.doc_id) AS doc_b")
+        .distinct()
+      val sizes = store.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      cand
+        .join(store.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+        .join(store.withColumnRenamed("doc_id", "doc_b"),
+          Seq("doc_b", "shingle"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n", "na"), Seq("doc_a"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n", "nb"), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+          round(col("i") / least(col("na"), col("nb")), 6)
+            .as("containment"))
+        .filter(col("containment") >= minContainment)
+        .write.mode("overwrite").parquet(s"$pairPath/b=$id")
+      batchSh.unpersist(false)
+      ()
+    }
+  }
+
+  /** The (doc_a, doc_b, na, nb, containment) schema of the containment
+    * pair store — the zero-batch read-side fallback. */
+  private val containPairSchema = StructType(Seq(
+    StructField("doc_a", LongType), StructField("doc_b", LongType),
+    StructField("na", LongType), StructField("nb", LongType),
+    StructField("containment", DoubleType)))
+
+  /** One-shot streamed containment-pair admission — the CORRECTNESS entry
+    * point: stream the docs through the containment sink into a fresh
+    * scratch store and read the accumulated verified pairs back; equals
+    * the batch NearDup.containmentPairs output whenever no shingle
+    * crosses the df cap between batches (always true under the one-batch
+    * AvailableNow run the entry performs; in general the streamed store
+    * is a recall-superset at identical exact values — see
+    * runContainPairSink). */
+  def containPairsOnce(spark: SparkSession, dir: String, scratchBase: String,
+      minContainment: Double, maxDf: Int): DataFrame =
+    graft.util.Caches.memoize(
+        s"stream:containpairs:$dir:$scratchBase:$minContainment:$maxDf") {
+      graft.ingest.Compact.rmTree(scratchBase)
+      runContainPairSink(stream(spark, dir), scratchBase, minContainment,
+        maxDf)
+      if (Sinks.pathExists(spark, s"$scratchBase/pairs"))
+        spark.read.parquet(s"$scratchBase/pairs")
+          .select("doc_a", "doc_b", "na", "nb", "containment")
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        containPairSchema)
+    }
+
+  /** Streamed-then-compacted containment pair graph — fold the per-batch
+    * appended pair files into one sorted doc_a-keyed generation, flip the
+    * MANIFEST, read back through it; the compactedPairsOnce posture for
+    * the containment tier. */
+  def compactedContainPairsOnce(spark: SparkSession, dir: String,
+      scratchBase: String, minContainment: Double, maxDf: Int): DataFrame =
+    graft.util.Caches.memoize(
+        s"stream:containcompact:$dir:$scratchBase:$minContainment:$maxDf") {
+      val pairs = containPairsOnce(spark, dir, scratchBase, minContainment,
+        maxDf)
+      if (!Sinks.pathExists(spark, s"$scratchBase/pairs")) pairs
+      else graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/pairs",
+        s"$scratchBase/idx", "doc_a", Seq("doc_a", "doc_b"),
+        partitions = Some(4))
+        .select("doc_a", "doc_b", "na", "nb", "containment")
     }
 
   /** Cluster resolution over the STREAM-ADMITTED pair store — the

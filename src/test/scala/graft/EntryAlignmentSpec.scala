@@ -26,8 +26,10 @@ class EntryAlignmentSpec extends AnyFunSuite {
     // decontaminate_fuzzy_stored, pipeline_funnel, ngram_novelty,
     // emb_outliers, ts_seasonal, decontaminate_removal, ivf_drift,
     // pipeline_funnel_by_source, text_langid_confusion, dedup_containment,
-    // containment_removal
-    assert(SparkEntry.queries.size == 298,
+    // containment_removal; r20's ngram_novelty_stored,
+    // contain_pairs_stream, contain_pairs_compact, shingle_stream_index,
+    // shingle_stream_df
+    assert(SparkEntry.queries.size == 303,
       s"entry count moved to ${SparkEntry.queries.size} — update this pin " +
         "alongside the contended-bench FAMILY and the counters baseline")
   }

@@ -107,6 +107,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"containment removal not an anti-join against the store:\n$pr")
     assert(!pr.contains("shingle"),
       s"containment removal re-derives the shingle pipeline:\n$pr")
+    // ngram_novelty_stored: one sketch + df-sibling store join — a plan
+    // that tokenizes text (split/md5 of the shingle pipeline) has
+    // regressed to the live per-statement re-shingling (VERDICT r19 #4)
+    val pn = planOf(SparkEntry.queries("ngram_novelty_stored")(spark, dir))
+    assert(pn.contains("shingle_sketch") && pn.contains("shingle_df"),
+      s"not reading the shingle stores:\n$pn")
+    assert(!TestSpark.scansCorpusText(pn) && !pn.contains("split(") &&
+      !pn.contains("md5"),
+      s"stored novelty re-shingles the corpus in-statement:\n$pn")
     // emb_outliers / ivf_drift: assignment comes from the ivf_cells store,
     // embeddings are scanned exactly ONCE (the per-vector cosine join) —
     // a second scan means the K-way re-quantization crept back in
