@@ -485,8 +485,10 @@ object TextAnalysis {
     * profiles updates all SQL twins at once (review finding, r19: the
     * hardcoded cleanCorpus copy would have drifted). */
   private def langHitsSql: String = langProfiles.map { case (l, words) =>
+    // same quote-escaping as blockedSqlList (ADVICE r19): a profile word
+    // with an apostrophe must not render malformed oracle SQL
     s"""len(list_filter(string_split(text, ' '), t -> list_contains(
-       |${words.map(w => s"'$w'").mkString("[", ",", "]")}, t))) AS h_$l"""
+       |${words.map(w => s"'${w.replace("'", "''")}'").mkString("[", ",", "]")}, t))) AS h_$l"""
       .stripMargin
   }.mkString(", ")
 
@@ -540,13 +542,19 @@ object TextAnalysis {
   private def funnelFlagged(docs: DataFrame, minQuality: Double,
       lang: String, blocked: Seq[String]): DataFrame = {
     val bl = array(blocked.map(lit): _*)
-    // quality itself is TOTAL since the punctRatio zero-char pin (empty
-    // text scores 0.01), but a NULL text column still nulls the whole
-    // expression; coalesce to false so every doc is charged to exactly
-    // one stage — the conservation law CurationProps pins (an
-    // uncoalesced NULL drops the doc from every stage count on BOTH
-    // engines, so the oracle compare alone would never catch it)
-    val scored = graft.util.Caches.track(docs.select(col("doc_id"),
+    // NULL text coalesced to '' BEFORE any scoring — and identically in
+    // the oracle's d0 CTE (ADVICE r19): keep_q alone was coalesced, so a
+    // NULL-text doc left keep_lang/keep_bl NULL, and the all-NULL langid
+    // tie-break resolved differently across engines (struct-greatest →
+    // first profile vs CASE all-arms-NULL → ELSE last profile), charging
+    // the doc to different stages. '' scores langid 'und' → charged to
+    // stage 1 on BOTH engines, md5('') is a real dedup key on both, and
+    // quality is TOTAL on '' (the punctRatio zero-char pin scores 0.01),
+    // so every keep flag is non-null — the conservation law CurationProps
+    // pins (an uncoalesced NULL drops the doc from every stage count on
+    // BOTH engines, so the oracle compare alone would never catch it)
+    val d0 = docs.withColumn("text", coalesce(col("text"), lit("")))
+    val scored = graft.util.Caches.track(d0.select(col("doc_id"),
         col("source"), md5(col("text")).as("h"),
         (langPredCol === lang).as("keep_lang"),
         coalesce(qualityCol >= minQuality, lit(false)).as("keep_q"),
@@ -613,11 +621,13 @@ object TextAnalysis {
     * funnelFlagged, source carried for the by-source rendering. */
   private def funnelCtesSql(minQuality: Double, lang: String,
       blocked: Seq[String]): String =
-    s"""h AS (SELECT doc_id, source, text, $langHitsSql,
+    s"""d0 AS (SELECT doc_id, source, coalesce(text, '') AS text
+       |  FROM documents),
+       |h AS (SELECT doc_id, source, text, $langHitsSql,
        |  $qualitySqlExpr AS quality,
        |  len(list_intersect(string_split(text, ' '),
        |    ${blockedSqlList(blocked)})) AS n_bl
-       |  FROM documents),
+       |  FROM d0),
        |f AS (SELECT doc_id, source, text,
        |  (($langCaseSql) = '$lang') AS keep_lang,
        |  coalesce(quality >= $minQuality, false) AS keep_q,

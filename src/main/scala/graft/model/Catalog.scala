@@ -1097,7 +1097,10 @@ object Catalog {
     * in-statement. Sorted by doc_a for min/max file skipping. */
   def containPairs(spark: SparkSession, dir: String,
       minContainment: Double = 0.9, maxDf: Int = 50): DataFrame = {
-    val path = cacheDir(dir, f"contain_pairs_c${(minContainment * 100).round}%d")
+    // BOTH parameters in the path (ADVICE r19): a call with a different
+    // maxDf must not silently serve a store built under the old df cap
+    val path = cacheDir(dir,
+      f"contain_pairs_c${(minContainment * 100).round}%d_df$maxDf%d")
     materialize(path) {
       graft.ml.NearDup.containmentPairs(documents(spark, dir),
           minContainment, maxDf)

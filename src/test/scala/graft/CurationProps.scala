@@ -54,8 +54,23 @@ object CurationProps extends Properties("Curation") {
     if (dup) base :+ base.head.copy(_1 = 900L) else base
   }
 
+  /** The funnel corpus additionally carries NULL texts (ADVICE r19: only
+    * keep_q was coalesced, so a NULL text left keep_lang/keep_bl NULL and
+    * the all-NULL langid tie-break charged the doc to DIFFERENT stages
+    * across engines; both sides now coalesce text to '' first — a NULL
+    * doc must be charged to stage 1 like any other non-`lang` doc). Kept
+    * separate from corpusGen: the novelty property's in-memory reference
+    * splits the text directly. */
+  private def corpusGenWithNulls: Gen[Vector[(Long, String, String)]] = for {
+    base <- corpusGen
+    nullify <- Gen.listOfN(base.size,
+      Gen.frequency(4 -> Gen.const(false), 1 -> Gen.const(true)))
+  } yield base.zip(nullify).map { case (d, nn) =>
+    if (nn) d.copy(_2 = null) else d
+  }
+
   property("funnel conserves every doc and telescopes; by-source sums " +
-      "to corpus-wide") = forAll(corpusGen) { docs =>
+      "to corpus-wide") = forAll(corpusGenWithNulls) { docs =>
     val df = docs.toDF("doc_id", "text", "source")
     val rows = TextAnalysis.funnelReport(df, 0.5, "en", blocked).collect()
       .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getLong(4))))
