@@ -698,6 +698,12 @@ object SparkEntry {
     "shingle_stream_df" -> ((s, dir) =>
       graft.streaming.DocumentsIngest.shingleDfOnce(s, dir,
         Catalog.scratch(dir, "shingle_df_stream"))),
+    // generation compaction of the streamed shingle sketch (the
+    // winnow_compact twin): small per-batch files folded into one sorted
+    // sh-keyed generation behind the MANIFEST flip
+    "shingle_compact" -> ((s, dir) =>
+      graft.streaming.DocumentsIngest.compactedShingleSketchOnce(s, dir,
+        Catalog.scratch(dir, "shingle_compact"))),
     // MOSS winnowing: substring-overlap candidates from the ~1/w-sized
     // fingerprint sketch (any shared run of >= k+w-1 tokens is guaranteed
     // a shared fingerprint)
@@ -2391,6 +2397,10 @@ object SparkEntry {
     "shingle_stream_df" ->
       (s"WITH ${NearDup.shingleCteSql} SELECT md5(shingle) AS sh, " +
         "count(*) AS df FROM sh GROUP BY md5(shingle)"),
+    // same oracle as shingle_stream_index BY DESIGN: the generation fold
+    // is invisible in the result (the winnow_compact pin)
+    "shingle_compact" ->
+      s"WITH ${NearDup.shingleCteSql} SELECT doc_id, md5(shingle) AS sh FROM sh",
     "dedup_winnow" -> NearDup.winnowOracleSql(minShared = 2, maxDf = 50),
     "dedup_incremental" -> NearDup.incrementalOracleSql(splitId = 250L,
       minShared = 2, maxDf = 50),

@@ -159,6 +159,21 @@ object DocumentsIngest {
         partitions = Some(4))
     }
 
+  /** Streamed-then-compacted 3-gram shingle sketch — the winnow_compact
+    * twin for Catalog.shingleSketch: parquet sink per micro-batch, fold
+    * into one sorted sh-keyed generation, MANIFEST flip, read back
+    * through it; must equal the batch store projection exactly. */
+  def compactedShingleSketchOnce(spark: SparkSession, dir: String,
+      scratchBase: String): DataFrame =
+    graft.util.Caches.memoize(s"stream:shinglecompact:$dir:$scratchBase") {
+      graft.ingest.Compact.rmTree(scratchBase)
+      Sinks.parquetOnce(shingleRows(stream(spark, dir)),
+        s"$scratchBase/raw", s"$scratchBase/ck")
+      graft.ingest.Compact.compactAndFlip(spark, s"$scratchBase/raw",
+        s"$scratchBase/idx", "sh", Seq("sh", "doc_id"),
+        partitions = Some(4))
+    }
+
   /** Incremental maintenance of the positional span sketch
     * (Catalog.spanSketch): new documents stream through the SAME shingle
     * projection the batch build uses (SpanDedup.spanShingles — stateless

@@ -50,6 +50,14 @@ class BenchArtifactsSpec extends AnyFunSuite {
     assert(want.subsetOf(got), s"missing: ${want -- got}")
   }
 
+  test("bench_last.json: full-precision quiet record parses, carries the " +
+      "ambient + commit stamps and the per-entry counters") {
+    val a = readArtifact("bench_last.json")
+    assert(a.get("load1").isNumber)
+    assert(a.get("commit").asText().nonEmpty)
+    assert(a.get("counters") != null && a.get("counters").isObject)
+  }
+
   test("bench_contended.json: contended flag set, covers the ≥1s-quiet " +
       "tail incl. the r20 additions, stamped with load1 + commit") {
     val a = readArtifact("bench_contended.json")

@@ -28,8 +28,8 @@ class EntryAlignmentSpec extends AnyFunSuite {
     // pipeline_funnel_by_source, text_langid_confusion, dedup_containment,
     // containment_removal; r20's ngram_novelty_stored,
     // contain_pairs_stream, contain_pairs_compact, shingle_stream_index,
-    // shingle_stream_df
-    assert(SparkEntry.queries.size == 303,
+    // shingle_stream_df, shingle_compact
+    assert(SparkEntry.queries.size == 304,
       s"entry count moved to ${SparkEntry.queries.size} — update this pin " +
         "alongside the contended-bench FAMILY and the counters baseline")
   }
