@@ -36,7 +36,13 @@ LOAD="${LOAD:-8}"
 # pre-decided arbiter), dedup_winnow, lm_stream_scores, j1_or,
 # merge_union, ql_theta_query — so the next ambient-vs-structural call
 # is pre-decided for the whole >=1s tail.
-FAMILY="${FAMILY:-correlate_full,correlate_logodds,correlate_leakage_one,join_salted,bm25_topk_batch,rrf_stored_batch,decontaminate_bloom,tfidf_topterms,pipeline_clean_corpus,span_dedup,span_dedup_stored,dedup_minhash,bm25_topk_filtered_batch,bm25_stored_filtered_batch,rrf_stored_filtered_batch,ann_masked_serve,rrf_stored_filtered_masked,dedup_semantic_real,range_join_days,dsir_weights,dsir_select,dsir_stored,sample_pareto,pipeline_curate,quality_stored,mixture_token_budget,pqr_topk_batch,pqr_topk_filtered,emb_topk_lsh_mp_batch,mm_phash_dedup,decontaminate_report,mixture_epochs,sample_weighted,bpe_doc_tokens,bpe_encode,quality_hostrank,pack_lpt,mm_audio_trim,mixture_curriculum,sketch_kmv,sketch_hll,sketch_cms,sketch_hll_rolling,sketch_cms_stream,sketch_kmv_setops,ppl_kn,ppl_kn_mod,pipeline_release,emb_topk_proj,ts_ewma,dedup_cdc,chunk_cdc,cdc_stream_index,cdc_compact,ql_dockey_or,sketch_hdr,sketch_hdr_stream,sketch_hdr_stored,sketch_hdr_daily,sketch_hdr_rolling,sketch_hdr_compact,sketch_hdr_gate,sketch_hll_compact,mm_phash_near,source_overlap,ts_anomaly,ivf_balance,ingest_jsonl,bpe_fertility,cdc_cut,mm_phash_clusters,mm_phash_removal,mm_phash_keep_best,decontaminate_fuzzy,decontaminate_fuzzy_stored,pipeline_funnel,ngram_novelty,pipeline_funnel_by_source,decontaminate_removal,emb_outliers,ivf_drift,ts_seasonal,dedup_containment,containment_removal,text_langid_confusion,dedup_simhash,dedup_winnow,lm_stream_scores,j1_or,merge_union,ql_theta_query}"
+# r21 additions (VERDICT r20 #4): every entry that exceeded 2x
+# driver-vs-committed in BENCH_r20 — they drift from BELOW the old
+# ">=1s quiet" family rule, so the rule missed them: hardneg_mine (2.1x,
+# not covered anywhere), ev_stream_left_join, ev_user_profile,
+# ingest_pct_derive, q10_returned, ann_recall_planted, j3_subtract,
+# j5_order_by.
+FAMILY="${FAMILY:-correlate_full,correlate_logodds,correlate_leakage_one,join_salted,bm25_topk_batch,rrf_stored_batch,decontaminate_bloom,tfidf_topterms,pipeline_clean_corpus,span_dedup,span_dedup_stored,dedup_minhash,bm25_topk_filtered_batch,bm25_stored_filtered_batch,rrf_stored_filtered_batch,ann_masked_serve,rrf_stored_filtered_masked,dedup_semantic_real,range_join_days,dsir_weights,dsir_select,dsir_stored,sample_pareto,pipeline_curate,quality_stored,mixture_token_budget,pqr_topk_batch,pqr_topk_filtered,emb_topk_lsh_mp_batch,mm_phash_dedup,decontaminate_report,mixture_epochs,sample_weighted,bpe_doc_tokens,bpe_encode,quality_hostrank,pack_lpt,mm_audio_trim,mixture_curriculum,sketch_kmv,sketch_hll,sketch_cms,sketch_hll_rolling,sketch_cms_stream,sketch_kmv_setops,ppl_kn,ppl_kn_mod,pipeline_release,emb_topk_proj,ts_ewma,dedup_cdc,chunk_cdc,cdc_stream_index,cdc_compact,ql_dockey_or,sketch_hdr,sketch_hdr_stream,sketch_hdr_stored,sketch_hdr_daily,sketch_hdr_rolling,sketch_hdr_compact,sketch_hdr_gate,sketch_hll_compact,mm_phash_near,source_overlap,ts_anomaly,ivf_balance,ingest_jsonl,bpe_fertility,cdc_cut,mm_phash_clusters,mm_phash_removal,mm_phash_keep_best,decontaminate_fuzzy,decontaminate_fuzzy_stored,pipeline_funnel,ngram_novelty,pipeline_funnel_by_source,decontaminate_removal,emb_outliers,ivf_drift,ts_seasonal,dedup_containment,containment_removal,text_langid_confusion,dedup_simhash,dedup_winnow,lm_stream_scores,j1_or,merge_union,ql_theta_query,hardneg_mine,ev_stream_left_join,ev_user_profile,ingest_pct_derive,q10_returned,ann_recall_planted,j3_subtract,j5_order_by}"
 OUT="${OUT:-bench_contended.json}"
 
 # Background load: LOAD python workers repeatedly full-reading every parquet

@@ -18,7 +18,11 @@ SF="${1:-/root/testdata/sf0.1}"
 # Top-5 task_ms on the driver's last graded artifact (BENCH_r19) +
 # ql_dockey_or / s1_keyword_leaf as the cheap controls. Refresh the list
 # each round from the new BENCH_r{N} before the round's final commit.
-FAMILY="${FAMILY:-decontaminate_fuzzy,source_overlap,dedup_simhash,lm_stream_scores,span_dedup,ql_dockey_or,s1_keyword_leaf}"
+# r21 additions (VERDICT r20 #5): the stream-heavy entries whose driver
+# sf0.01 verify counters showed 20-49x task_ms inflation at identical
+# shapes (micro-batch bring-up under contention) — the quiet isolated
+# numbers pre-decide the next streaming drift call from a file read.
+FAMILY="${FAMILY:-decontaminate_fuzzy,source_overlap,dedup_simhash,lm_stream_scores,span_dedup,ql_dockey_or,s1_keyword_leaf,dedup_clusters_stream,sketch_hdr_stream,pqr_stream_index,dedup_pairs_stream,shingle_stream_index}"
 OUT="${OUT:-bench_isolated.json}"
 
 echo "[isolated] quiet reps=5 over $SF; benching: $FAMILY" >&2

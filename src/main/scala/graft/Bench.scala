@@ -83,8 +83,12 @@ object Bench {
       if (Process(Seq("git", "rev-parse", "--short=12", "HEAD")).!(sink) != 0)
         "unknown"
       else {
+        // TRACKED changes only (ADVICE r20: plain --porcelain counts
+        // untracked scratch files, so every committed artifact stamped
+        // -dirty and the stamp could not distinguish "code changed" from
+        // "a BENCH json sits in the tree")
         val st = new StringBuilder
-        Process(Seq("git", "status", "--porcelain"))
+        Process(Seq("git", "status", "--porcelain", "--untracked-files=no"))
           .!(ProcessLogger(o => { st.append(o); () }, _ => ()))
         out.toString.trim + (if (st.nonEmpty) "-dirty" else "")
       }
@@ -163,13 +167,25 @@ object Bench {
       spark.catalog.clearCache()
       val times = (1 to reps).map { _ =>
         val c0 = snap()
+        counters.markWindow()
+        val w0 = System.currentTimeMillis()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
-        ((System.nanoTime() - t0) / 1e9, ok, snap() - c0)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val delta = snap() - c0
+        // driver-phase split (VERDICT r20 #2): wall = time-to-first-job +
+        // job-span + tail; a stall with executors idle shows up as a
+        // t_first_job or tail far above job-span, straight off the artifact
+        val firstJob = counters.windowFirstJobStart
+        val tFirstMs = if (firstJob < 0) -1L else firstJob - w0
+        val spanMs =
+          if (firstJob < 0) 0L
+          else math.max(0L, counters.lastJobEnd - firstJob)
+        (wall, ok, delta, tFirstMs, spanMs)
       }
       graft.util.Caches.drain()
       // settle the heap between queries: without an explicit collection,
@@ -181,13 +197,18 @@ object Bench {
       val okAll = times.forall(_._2)
       val median = times.map(_._1).sorted.apply(reps / 2)
       // the LAST rep's counter delta is the steady-state job shape (rep 1
-      // additionally pays cache population / one-shot sink bring-up)
-      (name, (median, okAll), times.last._3)
+      // additionally pays cache population / one-shot sink bring-up);
+      // the full per-rep list rides into bench_last.json so a stalled rep
+      // localizes from the artifact alone (VERDICT r20 #2: the median +
+      // last-rep record cost two round-trips of attribution)
+      (name, (median, okAll), times)
     }
     val results: ListMap[String, (Double, Boolean)] =
       ListMap.from(measured.map { case (n, r, _) => n -> r })
     val perQuery: Map[String, graft.util.BenchCounters.Snap] =
-      measured.map { case (n, _, c) => n -> c }.toMap
+      measured.map { case (n, _, ts) => n -> ts.last._3 }.toMap
+    val perRep: Map[String, Seq[(Double, Boolean, graft.util.BenchCounters.Snap, Long, Long)]] =
+      measured.map { case (n, _, ts) => n -> ts }.toMap
     // ambient context: 1-min loadavg AT THE END of the run (the bench's
     // own work dominates the window either way — what the field decides
     // is whether OTHER load shared the machine) + the contended flag
@@ -211,7 +232,16 @@ object Bench {
     // BENCH json lost its "metric":"total" prefix to truncation — a file
     // copy makes the full record recoverable (VERDICT r4 #3/wrong-5).
     val countersJson = perQuery.toSeq.sortBy(_._1).map { case (n, c) =>
-      jstr(n) + s""":{"jobs":${c.jobs},"stages":${c.stages},"shuffle_bytes":${c.shuffleBytes},"task_ms":${c.taskMs}}"""
+      // per-rep arrays beside the last-rep scalars: walls, task_ms, and
+      // the driver-phase split (ms to first job, first-job→last-job span)
+      // — the fields that would have localized the r20 driver-side stall
+      // without a round-trip (VERDICT r20 #2)
+      val reps = perRep(n)
+      val repsSec = reps.map(r => compact(r._1)).mkString("[", ",", "]")
+      val repsTask = reps.map(_._3.taskMs).mkString("[", ",", "]")
+      val repsFirst = reps.map(_._4).mkString("[", ",", "]")
+      val repsSpan = reps.map(_._5).mkString("[", ",", "]")
+      jstr(n) + s""":{"jobs":${c.jobs},"stages":${c.stages},"shuffle_bytes":${c.shuffleBytes},"task_ms":${c.taskMs},"reps_sec":$repsSec,"task_ms_reps":$repsTask,"t_first_job_ms":$repsFirst,"job_span_ms":$repsSpan}"""
     }.mkString(""","counters":{""", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_last.json")),

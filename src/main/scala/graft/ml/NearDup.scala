@@ -71,8 +71,18 @@ object NearDup {
     * full shingle sets; keeps pairs with jaccard ≥ minJaccard. Shared by the
     * MinHash and n-gram candidate generators. */
   private[graft] def verifyJaccard(pairs: DataFrame, sh: DataFrame,
-      minJaccard: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      minJaccard: Double): DataFrame =
+    verifyJaccardSized(pairs, sh,
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n")), minJaccard)
+
+  /** verifyJaccard with the per-doc set sizes supplied by the caller —
+    * lets a rep-looped statement (decontaminateFuzzyBands) hand in a
+    * TRACKED CACHED sizes frame so the steady-state reps skip the
+    * corpus-wide re-aggregation (one fewer exchange per rep); `sizes`
+    * must be exactly sh.groupBy(doc_id).count, which the default above
+    * guarantees for every other caller. */
+  private[graft] def verifyJaccardSized(pairs: DataFrame, sh: DataFrame,
+      sizes: DataFrame, minJaccard: Double): DataFrame = {
     val inter = pairs
       .join(sh.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
       .join(sh.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "shingle"))

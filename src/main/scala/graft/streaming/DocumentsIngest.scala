@@ -543,9 +543,10 @@ object DocumentsIngest {
     * (Catalog.containPairs): each micro-batch appends its shingles to the
     * accumulated shingle store, generates candidates by joining its OWN
     * rare shingles against the store (batch included; the df cap
-    * evaluated over the ACCUMULATED counts), computes the exact
-    * intersection and set sizes against the store, and writes the batch's
-    * verified pairs. Same per-batch `b=<id>` OVERWRITE discipline as
+    * evaluated over the ACCUMULATED counts, folded from the incremental
+    * df sidecar), computes the exact intersection against the join-pruned
+    * store and the set sizes from the sizes sidecar, and writes the
+    * batch's verified pairs. Same per-batch `b=<id>` OVERWRITE discipline as
     * runPairSink: foreachBatch is at-least-once, and the pair set derived
     * at batch id is a pure function of the (deterministic) accumulated
     * store state, so a replay rewrites identical content instead of
@@ -574,42 +575,74 @@ object DocumentsIngest {
     * with the same (batch, id) and pin convergence. */
   private[graft] def containPairBatchWriter(scratchBase: String,
       minContainment: Double, maxDf: Int): (DataFrame, Long) => Unit = {
-    val shinglePath = s"$scratchBase/shingles"
     val pairPath = s"$scratchBase/pairs"
     (batch, id) => {
       val spark = batch.sparkSession
-      import org.apache.spark.sql.functions._
       val batchSh = graft.ml.NearDup.shingles(batch).cache()
-      batchSh.write.mode("overwrite").parquet(s"$shinglePath/b=$id")
-      val store = spark.read.parquet(shinglePath)
-        .select("doc_id", "shingle")
-      val rare = store.groupBy("shingle")
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select("shingle")
-      val cand = store.join(rare, Seq("shingle")).as("x")
-        .join(batchSh.join(rare, Seq("shingle")).as("y"),
-          expr("x.shingle = y.shingle AND x.doc_id <> y.doc_id"))
-        .selectExpr("least(x.doc_id, y.doc_id) AS doc_a",
-          "greatest(x.doc_id, y.doc_id) AS doc_b")
-        .distinct()
-      val sizes = store.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      cand
-        .join(store.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
-        .join(store.withColumnRenamed("doc_id", "doc_b"),
-          Seq("doc_b", "shingle"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-        .join(sizes.withColumnRenamed("doc_id", "doc_a")
-          .withColumnRenamed("n", "na"), Seq("doc_a"))
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-          .withColumnRenamed("n", "nb"), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
-          round(col("i") / least(col("na"), col("nb")), 6)
-            .as("containment"))
-        .filter(col("containment") >= minContainment)
+      batchSh.write.mode("overwrite")
+        .parquet(s"$scratchBase/shingles/b=$id")
+      // incremental sidecars, the dfDeltaBatchWriter discipline (VERDICT
+      // r20 #3: the writer re-grouped the ENTIRE accumulated shingle store
+      // for df and doc sizes on every micro-batch — O(store) work per
+      // batch, quadratic over the stream): each batch appends its OWN
+      // (shingle, df) and (doc_id, n) counts as idempotent b=<id>
+      // generations; admission then JOINS against the folds, and the raw
+      // store is only ever read join-pruned, never re-aggregated.
+      dfDeltaBatchWriter(s"$scratchBase/dfdeltas", "shingle")(batchSh, id)
+      dfDeltaBatchWriter(s"$scratchBase/sizedeltas", "doc_id")(batchSh, id)
+      containPairBatchFrame(spark, scratchBase, batchSh, minContainment,
+        maxDf)
         .write.mode("overwrite").parquet(s"$pairPath/b=$id")
       batchSh.unpersist(false)
       ()
     }
+  }
+
+  /** The admission frame one containment micro-batch writes — exposed so
+    * the plan pin can assert its shape: batch-pruned candidate
+    * generation, df/size lookups against the DELTA SIDECARS (dfdeltas /
+    * sizedeltas), exact intersections against the join-pruned raw store.
+    * No full-store groupBy anywhere (VERDICT r20 #3 "Done" bar). */
+  private[graft] def containPairBatchFrame(spark: SparkSession,
+      scratchBase: String, batchSh: DataFrame, minContainment: Double,
+      maxDf: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val store = spark.read.parquet(s"$scratchBase/shingles")
+      .select("doc_id", "shingle")
+    // accumulated df for the batch's OWN shingles: fold the delta
+    // generations pruned to the batch's keys. Candidates must share a
+    // shingle with the batch, so rarity is decidable from this slice —
+    // the fold is batch-keys-sized, not store-sized.
+    val rare = spark.read.parquet(s"$scratchBase/dfdeltas")
+      .select("shingle", "df")
+      .join(batchSh.select("shingle").distinct(), Seq("shingle"))
+      .groupBy("shingle").agg(sum("df").as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    val cand = store.join(rare, Seq("shingle")).as("x")
+      .join(batchSh.join(rare, Seq("shingle")).as("y"),
+        expr("x.shingle = y.shingle AND x.doc_id <> y.doc_id"))
+      .selectExpr("least(x.doc_id, y.doc_id) AS doc_a",
+        "greatest(x.doc_id, y.doc_id) AS doc_b")
+      .distinct()
+    // full |shingle set| per doc from the sizes sidecar: docs are
+    // immutable, fully present in their own batch, so the generation fold
+    // is doc-count-sized (one delta row per doc ever)
+    val sizes = spark.read.parquet(s"$scratchBase/sizedeltas")
+      .select("doc_id", "df")
+      .groupBy("doc_id").agg(sum("df").as("n"))
+    cand
+      .join(store.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .join(store.withColumnRenamed("doc_id", "doc_b"),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        round(col("i") / least(col("na"), col("nb")), 6)
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
   }
 
   /** The (doc_a, doc_b, na, nb, containment) schema of the containment

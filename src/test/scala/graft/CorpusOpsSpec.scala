@@ -184,6 +184,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(live == stored && live.nonEmpty)
   }
 
+  test("decontaminateFuzzyBands: the distributed fallback past the collect " +
+      "cap equals the collected-inline path (ADVICE r20)") {
+    val leaked = (1 to 10).map(i => s"w$i").mkString(" ")
+    val para = ((1 to 7).map(i => s"w$i") ++ Seq("z") ++
+      (9 to 10).map(i => s"w$i")).mkString(" ")
+    val docs = Seq((0L, leaked), (1L, para), (100L, leaked), (101L, para))
+      .toDF("doc_id", "text")
+    val bands = NearDup.bands(NearDup.signatures(NearDup.shingles(
+        docs.filter(col("doc_id") < 50L))))
+      .select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val inline = CorpusOps.decontaminateFuzzyBands(docs, bands, 50L, 0.3)
+      .collect().map(_.toSeq).toSet
+    // cap 0 pushes every band row past the limit probe: no collect, no
+    // isin literal — the broadcast semi-join path must agree exactly
+    val fallback = CorpusOps.decontaminateFuzzyBands(docs, bands, 50L, 0.3,
+        maxCollected = 0)
+      .collect().map(_.toSeq).toSet
+    assert(inline == fallback && inline.nonEmpty)
+  }
+
   test("stored-fixture bloom decontamination equals the live paths") {
     // The Catalog.decontamBench/decontamBloomBytes serving shape: bench
     // shingles round-trip through parquet, the bloom arrives as pre-built
