@@ -83,12 +83,15 @@ object Bench {
       if (Process(Seq("git", "rev-parse", "--short=12", "HEAD")).!(sink) != 0)
         "unknown"
       else {
-        // TRACKED changes only (ADVICE r20: plain --porcelain counts
-        // untracked scratch files, so every committed artifact stamped
-        // -dirty and the stamp could not distinguish "code changed" from
-        // "a BENCH json sits in the tree")
+        // SOURCE paths only, untracked included (ADVICE r21: plain
+        // --untracked-files=no let a brand-new not-yet-added source file
+        // stamp clean, while any scope that counts root-level scratch/
+        // artifact JSONs makes every regenerate-then-commit run dirty).
+        // src + build.sbt + scripts is exactly "the code that built and
+        // drove this measurement".
         val st = new StringBuilder
-        Process(Seq("git", "status", "--porcelain", "--untracked-files=no"))
+        Process(Seq("git", "status", "--porcelain", "--",
+            "src", "build.sbt", "scripts"))
           .!(ProcessLogger(o => { st.append(o); () }, _ => ()))
         out.toString.trim + (if (st.nonEmpty) "-dirty" else "")
       }
@@ -243,10 +246,15 @@ object Bench {
       val repsSpan = reps.map(_._5).mkString("[", ",", "]")
       jstr(n) + s""":{"jobs":${c.jobs},"stages":${c.stages},"shuffle_bytes":${c.shuffleBytes},"task_ms":${c.taskMs},"reps_sec":$repsSec,"task_ms_reps":$repsTask,"t_first_job_ms":$repsFirst,"job_span_ms":$repsSpan}"""
     }.mkString(""","counters":{""", ",", "}")
+    // the full-precision file additionally records the executor thread
+    // count the run actually used (local[$SPARK_GRAFT_CPUS]) so the
+    // executors-idle detector derives its task-time divisor from the
+    // artifact instead of a hard-coded 32 (ADVICE r21)
+    val coresJson = s""","cores":${spark.sparkContext.defaultParallelism}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_last.json")),
       record(results, results, reps, sfDir, _.toString,
-        ambient + countersJson) + "\n")
+        ambient + coresJson + countersJson) + "\n")
     catch { case _: Throwable => () }
     try spark.stop() catch { case _: Throwable => () }
     // Re-print as the ABSOLUTE last stdout line: if anything (a shutdown

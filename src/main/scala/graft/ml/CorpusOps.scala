@@ -1413,9 +1413,14 @@ object CorpusOps {
         (b, graft.util.Caches.track(
           trainAll.filter(col("bkey").isin(benchKeys: _*)).cache()))
       } else {
-        val b = broadcast(benchBandRows)
-        (b, graft.util.Caches.track(
-          trainAll.join(broadcast(benchBandRows.select("bkey").distinct()),
+        // past the cap the "benchmark" is corpus-sized: NO broadcast hints
+        // on this path (ADVICE r21 — an explicit broadcast() materializes
+        // the full band set on the driver to build the relation, so the
+        // claimed bounded-driver-heap property would not hold). The planner
+        // / AQE picks the strategy from real sizes; a shuffle join here is
+        // the correct 100 TB shape for a corpus-sized probe side.
+        (benchBandRows, graft.util.Caches.track(
+          trainAll.join(benchBandRows.select("bkey").distinct(),
             Seq("bkey"), "left_semi").cache()))
       }
     // pairs and sizes are tracked-cached like sh/trainBands: the bench

@@ -109,6 +109,13 @@ class BenchArtifactsSpec extends AnyFunSuite {
     // scheduling slack on real work.
     val a = readArtifact("bench_last.json")
     val counters = a.get("counters")
+    // divisor from the artifact's recorded executor thread count, not a
+    // hard-coded 32 (ADVICE r21 — the literal made the bound wrong on any
+    // other machine); floor 3.0 s calibrated against the planning-heavy
+    // quiet entries (a1_max/decontaminate_report sit at 1.5-2 s of pure
+    // AQE-wave driver latency on an honest quiet run — ADVICE r21)
+    val cores =
+      if (a.has("cores")) a.get("cores").asInt() else 32
     val it = a.get("queries").fields()
     while (it.hasNext) {
       val e = it.next()
@@ -124,7 +131,7 @@ class BenchArtifactsSpec extends AnyFunSuite {
         val taskIt = c.get("task_ms_reps").elements()
         var maxTask = 0L
         while (taskIt.hasNext) maxTask = math.max(maxTask, taskIt.next().asLong())
-        val bound = math.max(1.5, 12.0 * maxTask / 1000.0 / 32.0)
+        val bound = math.max(3.0, 12.0 * maxTask / 1000.0 / cores)
         assert(wall <= bound,
           s"${e.getKey}: wall ${wall}s vs task-derived bound ${bound}s — " +
             "executors idle under a long wall; localize with the entry's " +
