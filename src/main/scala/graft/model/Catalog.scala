@@ -65,6 +65,28 @@ object Catalog {
     "region" -> "r_regionkey", "events" -> "ts",
     "documents" -> "doc_id", "embeddings" -> "vec_id")
 
+  /** Rows per re-lay split (below). Text and vector tables are byte-TINY
+    * but CPU-heavy per row (a 100-token doc explodes to ~100 md5'd
+    * shingles; an embedding row pays Tables×Bits hyperplane dots), so a
+    * bytes-only split count left their every scan — and with it the whole
+    * map side of each pipeline's first exchange — on ONE core of 32
+    * (r22 measurement: bench-wide sum(task_ms)/cores was 3.7 s under
+    * 71.7 s of job span). Split those by ROWS; bulk numeric tables keep
+    * the byte sizing with a coarse row backstop. */
+  private val rowsPerSplit: Map[String, Long] =
+    Map("documents" -> 256L, "embeddings" -> 128L).withDefaultValue(16384L)
+
+  /** Single-file parquet row count straight off the footer — a driver-side
+    * metadata pread, no Spark job. */
+  private def footerRows(spark: SparkSession, src: String): Long =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(src),
+        spark.sessionState.newHadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    } catch { case _: Throwable => 0L }
+
   /** Source tables are RE-LAID at first use into a range-partitioned
     * multi-file copy — the reference's ca-load posture (ingest into the
     * engine's own layout, /root/reference/src/ca-load.cc): the driver's
@@ -73,9 +95,13 @@ object Catalog {
     * reader's atom), so every source scan ran as ONE task on a 32-thread
     * executor; and a single file gives pushed key predicates nothing to
     * skip. Range layout by the table's primary key restores both: N-way
-    * scans and min/max FILE skipping for key lookups. ~1 MB per file at
-    * bench scale; a production source already arrives as many splittable
-    * files and this build is a no-op re-lay of the same rows. */
+    * scans and min/max FILE skipping for key lookups. The split count is
+    * derived from the table's OWN size — bytes for bulk numeric tables,
+    * rows for the compute-dense text/vector tables (rowsPerSplit above) —
+    * and capped at the session's core count, so it adapts to any sf
+    * instead of encoding a local constant; a production source already
+    * arrives as many splittable files and this build is a no-op re-lay of
+    * the same rows. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val src = s"$dir/$name.parquet"
     val f = new java.io.File(src)
@@ -88,9 +114,11 @@ object Catalog {
     else {
       val path = cacheDir(dir, s"src_$name")
       materialize(path) {
-        spark.read.parquet(src).repartitionByRange(
-          math.max(1, math.min(32, (f.length / (1 << 20)).toInt)),
-          col(tableKeys(name)))
+        val byBytes = (f.length / (1 << 20)).toInt
+        val byRows = (footerRows(spark, src) / rowsPerSplit(name)).toInt
+        val parts = math.max(1, math.min(
+          spark.sparkContext.defaultParallelism, math.max(byBytes, byRows)))
+        spark.read.parquet(src).repartitionByRange(parts, col(tableKeys(name)))
       }
       readImmutable(spark, path)
     }
@@ -98,7 +126,7 @@ object Catalog {
 
   /** Materialization cache. Versioned so a derivation change invalidates old
     * caches; lives inside the repo (the only writable area) and is gitignored. */
-  private val cacheVersion = "v11"
+  private val cacheVersion = "v12"
   /** Exposed for specs that assert the materialization landed on disk. */
   def cacheVersionTag: String = cacheVersion
   private def cacheRoot: String =
